@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core collection/relational operators of the reference
+  * (ivm/expressiontree/traversableOps.scala) re-expressed Spark-first.
+  *
+  * Design notes (100 TB posture):
+  *  - Everything is declarative DataFrame code: Catalyst gets to push
+  *    filters into the parquet scan, prune columns, pick join strategies,
+  *    and fuse map/filter chains into one WholeStageCodegen span — the
+  *    same rewrites SQuOpt implements by hand in
+  *    ivm/optimization/OptimizationTransforms.scala.
+  *  - Money/quantity aggregates are computed on DECIMAL, not DOUBLE:
+  *    decimal addition is exact and associative, so results are identical
+  *    regardless of partial-aggregation order across 1000 executors.
+  *    Final aggregate columns are cast to a fixed decimal type so the
+  *    output schema is engine-independent.
+  *  - Small dimension tables are broadcast explicitly; fact tables are
+  *    never broadcast and never collected.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast to decimal(12,2) (values < 1e10). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
+
+  // ---------------------------------------------------------------------
+  // Flagship composites
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1 shape: scan + pushed filter + groupBy-agg (partial agg
+    * map-side). Mirrors reference fold/groupBySel pipelines
+    * (traversableOps.scala:41,62-66). Avg intentionally decomposed into
+    * sum+count (decimal-exact, order-independent).
+    */
+  val q1PricingSummary: Op = Op(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))
+          .cast("decimal(38,6)").as("sum_charge"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q6 shape: pushdown-heavy filter + single global aggregate. */
+  val q6ForecastRevenue: Op = Op(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("decimal(38,4)").as("revenue"))
+  }
+
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+    * Top-k goes through TakeOrderedAndProject — no global sort of the
+    * aggregate output at scale.
+    */
+  val q3ShippingPriority: Op = Op(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    val customer = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("decimal(38,4)").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: multi-way join, dims broadcast, fact tables shuffled
+    * on join keys only.
+    */
+  val q5LocalSupplier: Op = Op(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin,
+  ) { (spark, dir) =>
+    val nationRegion = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val orders = Tables.orders(spark, dir).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nationRegion), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.1 micro-operators
+  // ---------------------------------------------------------------------
+
+  /** map/select with computed columns (traversableOps.scala:11,164).
+    * Pure per-row double arithmetic — IEEE-deterministic on both engines.
+    */
+  val selectMap: Op = Op(
+    "q_select_map",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS disc_price,
+      |  CAST(l_quantity AS INTEGER) AS qty_int
+      |FROM lineitem""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+      col("l_quantity").cast("int").as("qty_int"))
+  }
+
+  /** filter/withFilter (traversableOps.scala:14,22) → parquet pushdown. */
+  val filterWhere: Op = Op(
+    "q_filter_where",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity >= 30
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30 &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+  }
+
+  /** flatMap (traversableOps.scala:12,166) → explode; stays codegen'd,
+    * no UDF, no shuffle.
+    */
+  val flatMapExplode: Op = Op(
+    "q_flatmap_explode",
+    """SELECT doc_id, CAST(t.i AS BIGINT) AS pos, words[t.i] AS word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |     UNNEST(generate_series(1, len(words))) AS t(i)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
+  }
+
+  /** collect with a partial function (traversableOps.scala:19,176):
+    * CASE WHEN + null filter; Catalyst fuses to a single filtered project.
+    */
+  val collectPartial: Op = Op(
+    "q_collect_partial",
+    """SELECT event_id, value * 2 AS boosted
+      |FROM events WHERE event_type = 'purchase'""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        when(col("event_type") === "purchase", col("value") * 2).as("boosted"))
+      .filter(col("boosted").isNotNull)
+  }
+
+  /** groupBySel + folds (traversableOps.scala:41,206). min/max on doubles
+    * select elements (exact); sums on decimal.
+    */
+  val groupByAgg: Op = Op(
+    "q_groupby_agg",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+  }
+
+  /** groupBy → Map[K, Coll] (GroupByTests.scala): nested collection per
+    * key as a sorted array (deterministic representation of the Coll).
+    */
+  val groupByNested: Op = Op(
+    "q_groupby_nested",
+    """SELECT o_orderstatus, list_sort(list(o_orderkey)) AS orderkeys
+      |FROM orders GROUP BY o_orderstatus""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+  }
+
+  /** join (traversableOps.scala:48,214): shuffle equi-join on keys. */
+  val joinEqui: Op = Op(
+    "q_join_equi",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |WHERE o_totalprice > 400000""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+  }
+
+  /** join with small dims: explicit broadcast, fact side never shuffled
+    * (reference indexes small collections: HashJoinExperiments.scala).
+    */
+  val joinBroadcast: Op = Op(
+    "q_join_broadcast",
+    """SELECT s_suppkey, s_name, n_name, r_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'""".stripMargin,
+  ) { (spark, dir) =>
+    val dims = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name", "r_name")
+  }
+
+  /** Cartesian-product-to-join (Optimization.scala:211 cartProdToJoin):
+    * written naively as crossJoin+filter; Catalyst extracts the equi-join
+    * predicate — the exact rewrite SQuOpt performs. Spec asserts the plan
+    * contains no CartesianProduct.
+    */
+  val cartProdToJoin: Op = Op(
+    "q_cartprod_to_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM customer, orders
+      |WHERE c_custkey = o_custkey
+      |GROUP BY c_mktsegment""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .crossJoin(Tables.orders(spark, dir))
+      .filter(col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+  }
+
+  /** exists as semi-join (Exists.scala; traversableOps.scala:16,172). */
+  val semiJoinExists: Op = Op(
+    "q_semijoin_exists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** anti-join (Optimization.scala:213 cartProdToAntiJoin). */
+  val antiJoinNotExists: Op = Op(
+    "q_antijoin_notexists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** forall per group (traversableOps.scala:17,174) → bool_and. */
+  val forallAgg: Op = Op(
+    "q_forall",
+    """SELECT o_custkey, BOOL_AND(o_totalprice < 400000) AS all_small, COUNT(*) AS n
+      |FROM orders GROUP BY o_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(bool_and(col("o_totalprice") < 400000).as("all_small"), count(lit(1)).as("n"))
+  }
+
+  /** exists per group → bool_or. */
+  val existsAgg: Op = Op(
+    "q_exists_agg",
+    """SELECT user_id, BOOL_OR(event_type = 'error') AS has_error, COUNT(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(bool_or(col("event_type") === "error").as("has_error"), count(lit(1)).as("n"))
+  }
+
+  /** Set union (traversableOps.scala:24,186): union + distinct. */
+  val unionDistinct: Op = Op(
+    "q_union",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000""".stripMargin,
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .distinct()
+  }
+
+  /** ++ concatenation (traversableOps.scala:29,193): unionAll, no shuffle. */
+  val unionAll: Op = Op(
+    "q_union_all",
+    """SELECT c_custkey, 'building' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT c_custkey, 'rich' AS src FROM customer WHERE c_acctbal > 5000""".stripMargin,
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), lit("building").as("src"))
+      .union(c.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), lit("rich").as("src")))
+  }
+
+  /** toSet (traversableOps.scala:57,237): distinct via hash shuffle. */
+  val distinctToSet: Op = Op(
+    "q_distinct_toset",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir).select("l_returnflag", "l_linestatus").distinct()
+  }
+
+  /** size/isEmpty (traversableOps.scala:31-35): grouped counts including
+    * empty groups (left join keeps nations with zero suppliers).
+    */
+  val sizeCount: Op = Op(
+    "q_size_count",
+    """SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+      |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.nation(spark, dir)
+      .join(Tables.supplier(spark, dir), col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+  }
+
+  /** foldLeft/sum (traversableOps.scala:62-66, FoldOperators.scala:46):
+    * algebraic folds become native aggregates (partial-agg friendly;
+    * a literal sequential foldLeft would not be distributable).
+    */
+  val foldSum: Op = Op(
+    "q_fold_sum",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Custom fold (FoldOperators.scala:77 TreeFold): associative custom
+    * reduction (sum of squares) rewritten as a native aggregate.
+    */
+  val foldCustom: Op = Op(
+    "q_fold_custom",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sum_sq
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+        .cast("decimal(38,4)").as("sum_sq"))
+  }
+
+  /** head on a sorted collection (traversableOps.scala:67): order+limit 1. */
+  val headLimit: Op = Op(
+    "q_head_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 1",
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderkey")).limit(1)
+  }
+
+  /** Deterministic top-k: TakeOrderedAndProject, not a global sort. */
+  val sortTopK: Op = Op(
+    "q_sort_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+  }
+
+  val ops: Seq[Op] = Seq(
+    q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
+    selectMap, filterWhere, flatMapExplode, collectPartial,
+    groupByAgg, groupByNested, joinEqui, joinBroadcast, cartProdToJoin,
+    semiJoinExists, antiJoinNotExists, forallAgg, existsAgg,
+    unionDistinct, unionAll, distinctToSet, sizeCount,
+    foldSum, foldCustom, headLimit, sortTopK,
+  )
+}

@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2.1 operators: type dispatch, laziness/fusion,
+  * subquery sharing, expression-level rewrites, nested-query unnesting,
+  * multiset semantics. Reference citations are files under
+  * /root/reference/src/main/scala.
+  */
+object Extended {
+
+  /** indexBy + addIndex (traversableOps.scala:39; Optimization.scala:31):
+    * the reference replaces scans with precomputed index lookups; on Spark
+    * the index is the broadcast side of a hash join — every probe is a
+    * map-side hash lookup, no shuffle of the probe side.
+    */
+  val indexByLookup: Op = Op(
+    "q_indexby_lookup",
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_bal"))
+  }
+
+  /** typeFilter (traversableOps.scala:54, TypeFilterOptim.scala): the
+    * heterogeneous collection is the events table, the runtime type is the
+    * tag column; the filter is partition-prunable at scale.
+    */
+  val typeFilter: Op = Op(
+    "q_typefilter",
+    """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'""",
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+  }
+
+  /** typeCase multi-way dispatch (traversableOps.scala:72 TypeCaseExp). */
+  val typeCase: Op = Op(
+    "q_typecase",
+    """SELECT event_id,
+      |  CASE event_type WHEN 'purchase' THEN value
+      |                  WHEN 'click' THEN 1.0
+      |                  WHEN 'view' THEN 0.1
+      |                  ELSE 0.0 END AS weight,
+      |  CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |       WHEN event_type = 'error' THEN 'failure'
+      |       ELSE 'engagement' END AS kind
+      |FROM events""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      when(col("event_type") === "purchase", col("value"))
+        .when(col("event_type") === "click", lit(1.0))
+        .when(col("event_type") === "view", lit(0.1))
+        .otherwise(lit(0.0)).as("weight"),
+      when(col("event_type").isin("purchase", "signup"), lit("conversion"))
+        .when(col("event_type") === "error", lit("failure"))
+        .otherwise(lit("engagement")).as("kind"))
+  }
+
+  /** flatten (traversableOps.scala:76): nested array column exploded. */
+  val flattenArrays: Op = Op(
+    "q_flatten",
+    """SELECT vec_id, CAST(t.i AS BIGINT) AS pos, v[t.i] AS component
+      |FROM (SELECT vec_id, embedding AS v FROM embeddings),
+      |     UNNEST(generate_series(1, len(v))) AS t(i)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("component"))
+  }
+
+  /** unzip (traversableOps.scala:77): pairs → tuple of collections,
+    * represented as two sorted arrays per group (deterministic).
+    */
+  val unzipPairs: Op = Op(
+    "q_unzip",
+    """SELECT lang, list_sort(list(doc_id)) AS ids, list_sort(list(source)) AS sources
+      |FROM documents GROUP BY lang""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        sort_array(collect_list(col("source"))).as("sources"))
+  }
+
+  /** view/force lazy pipelines (traversableOps.scala:37,89,272): a chain of
+    * filter∘map∘filter stays one WholeStageCodegen span — Spark's laziness
+    * is the reference's view semantics, fusion included (Fusion.scala).
+    */
+  val viewFusion: Op = Op(
+    "q_view_fusion",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price
+      |FROM lineitem
+      |WHERE l_quantity > 10 AND l_extendedprice * (1 - l_discount) > 1000""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 10)
+      .withColumn("disc_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .filter(col("disc_price") > 1000)
+      .select("l_orderkey", "l_linenumber", "disc_price")
+  }
+
+  /** Subquery sharing / CSE (SubquerySharing.scala): one filtered subquery
+    * consumed twice by a self-join; Catalyst reuses the exchange instead of
+    * recomputing the scan.
+    */
+  val subquerySharing: Op = Op(
+    "q_subquery_sharing",
+    """WITH hv AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      |            WHERE o_totalprice > 300000)
+      |SELECT a.o_orderpriority, COUNT(*) AS n_pairs
+      |FROM hv a JOIN hv b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |GROUP BY a.o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val hv = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val rhs = hv.select(col("o_orderkey").as("b_orderkey"), col("o_custkey").as("b_custkey"))
+    hv.join(rhs, col("o_custkey") === col("b_custkey") && col("o_orderkey") < col("b_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Arithmetic reassociation + constant folding
+    * (NumericOptimTransforms.scala reassociateOps/buildSum): Catalyst folds
+    * the constant chains at plan time; quantities are integral so the
+    * double arithmetic is exact.
+    */
+  val arithReassoc: Op = Op(
+    "q_arith_reassoc",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity * 2 * 3 AS q6,
+      |  ((l_linenumber + 1) + 2) + 3 AS ln6,
+      |  l_quantity * 0 + 42 AS const42
+      |FROM lineitem WHERE l_quantity <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 5)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 2 * 3).as("q6"),
+        (((col("l_linenumber") + 1) + 2) + 3).as("ln6"),
+        (col("l_quantity") * 0 + 42).as("const42"))
+  }
+
+  /** String operators (StringConcat.scala, ToString.scala). */
+  val stringOps: Op = Op(
+    "q_string_ops",
+    """SELECT c_custkey, UPPER(c_name) AS uname, LENGTH(c_name) AS name_len,
+      |  SUBSTRING(c_name, 1, 9) AS prefix,
+      |  c_name || '/' || c_mktsegment AS tagged
+      |FROM customer""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir).select(
+      col("c_custkey"), upper(col("c_name")).as("uname"),
+      length(col("c_name")).cast("long").as("name_len"),
+      substring(col("c_name"), 1, 9).as("prefix"),
+      concat(col("c_name"), lit("/"), col("c_mktsegment")).as("tagged"))
+  }
+
+  /** Numeric conversions (NumConvOps.scala): cast lattice int↔long↔double
+    * ↔decimal↔string, plus date formatting.
+    */
+  val numericConv: Op = Op(
+    "q_numeric_conv",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS INTEGER) AS qty_int,
+      |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+      |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+      |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_linenumber").cast("double").as("ln_dbl"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+        col("l_shipdate").cast("date").cast("string").as("ship_str"))
+  }
+
+  /** Option semantics (removeRedundantOption, OptionLifting): null algebra
+    * via nullif/coalesce.
+    */
+  val optionOps: Op = Op(
+    "q_option_ops",
+    """SELECT l_orderkey, l_linenumber,
+      |  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_flag,
+      |  NULLIF(l_tax, 0.0) IS NULL AS tax_free
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_flag"),
+        nullif(col("l_tax"), lit(0.0)).isNull.as("tax_free"))
+  }
+
+  /** Let-bindings + inlining (Inlining.scala, letTransformer): named
+    * intermediates via withColumn; Catalyst's CollapseProject inlines them.
+    */
+  val letBinding: Op = Op(
+    "q_let_binding",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS disc_price,
+      |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+      |FROM lineitem WHERE l_quantity >= 45""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .withColumn("disc_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .withColumn("charge", col("disc_price") * (lit(1.0) + col("l_tax")))
+      .select("l_orderkey", "l_linenumber", "disc_price", "charge")
+  }
+
+  /** Nested-query unnesting (Unnesting.scala generalUnnesting,
+    * existsUnnester): written as a correlated scalar subquery in Spark SQL;
+    * Catalyst decorrelates it into an aggregate+join — the reference's
+    * unnesting rewrite.
+    */
+  val nestedUnnest: Op = Op(
+    "q_nested_unnest",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+      |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM graft_orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM graft_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  /** TypeMapping (collections/TypeMapping.scala): one scan partitioned into
+    * per-type groups — conditional aggregation, a single pass, no per-type
+    * rescans.
+    */
+  val typeMappingPartition: Op = Op(
+    "q_typemapping_partition",
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups
+      |FROM events GROUP BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    def cnt(t: String) = count(when(col("event_type") === t, 1))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(cnt("click").as("clicks"), cnt("view").as("views"),
+        cnt("purchase").as("purchases"), cnt("error").as("errors"),
+        cnt("signup").as("signups"))
+  }
+
+  /** Bag/multiset (collections/Bag.scala): element → multiplicity. */
+  val bagMultiset: Op = Op(
+    "q_bag_multiset",
+    """SELECT l_quantity AS element, COUNT(*) AS multiplicity
+      |FROM lineitem GROUP BY l_quantity""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_quantity").as("element"))
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
+  /** The paper's Fig.2 query shape (tests/PaperTutorial.scala:24-28):
+    * filter on the outer entity, flatMap its children, yield
+    * (outer key, child attr, sibling count - 1) — the "number of coauthors"
+    * analog computed without a second scan via a window count.
+    */
+  val paperTutorial: Op = Op(
+    "q_paper_tutorial",
+    """SELECT o_orderkey, l_partkey,
+      |  COUNT(*) OVER (PARTITION BY o_orderkey) - 1 AS n_colines
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("l_partkey"),
+        (count(lit(1)).over(Window.partitionBy(col("o_orderkey"))) - 1).as("n_colines"))
+  }
+
+  val ops: Seq[Op] = Seq(
+    indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs,
+    viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
+    optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
+    paperTutorial,
+  )
+}

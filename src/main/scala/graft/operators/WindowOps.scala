@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3: windowed/temporal operators over the events table — the
+  * batch face of the reference's incremental view maintenance
+  * (ivm/collections/IncrementalResult, tests/IVMTest1.scala); the streaming
+  * face lives in graft.streaming with Structured Streaming specs.
+  *
+  * Determinism: window orderings always carry the event_id tiebreak, and
+  * windowed sums run on DECIMAL so frame-accumulation order can't produce
+  * float drift. Raw ns timestamps never appear in oracle outputs (engines
+  * disagree on sub-micro precision); outputs use event ids and hour buckets.
+  */
+object WindowOps {
+
+  private val byUserTime = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** Running per-user aggregate: rows-unbounded-preceding frame. */
+  val windowRunning: Op = Op(
+    "q_window_running",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS DECIMAL(38,2)) AS running_value,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |FROM events""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(12,2)"))
+        .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,2)").as("running_value"),
+      row_number().over(byUserTime).as("seq"))
+  }
+
+  /** Per-key top-n via rank: row_number + filter. */
+  val windowRank: Op = Op(
+    "q_window_rank",
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "value")
+  }
+
+  /** Tumbling time window: Spark's window() grouping; the oracle states the
+    * same bucketing as date_trunc.
+    */
+  val tumblingWindow: Op = Op(
+    "q_tumbling_window",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization in batch: lag → new-session flag → running
+    * sum as session id → per-session aggregate. (Streaming variant uses
+    * session_window/flatMapGroupsWithState — see graft.streaming.)
+    */
+  val sessionize: Op = Op(
+    "q_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+  ) { (spark, dir) =>
+    val prev = lag(col("ts"), 1).over(byUserTime)
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session"))
+          .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+  }
+
+  val ops: Seq[Op] = Seq(windowRunning, windowRank, tumblingWindow, sessionize)
+}

@@ -10,7 +10,9 @@ import graft.operators._
   */
 object SparkEntry {
 
-  def allOps: Seq[Op] = Relational.ops ++ Extended.ops ++ WindowOps.ops
+  def allOps: Seq[Op] =
+    Relational.ops ++ Extended.ops ++ WindowOps.ops ++
+      TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

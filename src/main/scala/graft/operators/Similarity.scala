@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.2 similarity search over the embeddings table
+  * (64-dim float vectors).
+  *
+  * Determinism across engines: dot products and norms are LEFT-TO-RIGHT
+  * sequential folds in double precision (Spark `aggregate` HOF; DuckDB
+  * `list_reduce`), with every float element cast to double BEFORE the
+  * multiply — both engines then produce bit-identical IEEE results, so
+  * scores can be compared exactly and rankings never flip.
+  *
+  * Scale posture: brute-force is the small-query-set baseline (cost
+  * |Q|·|N| with Q broadcast); the LSH variant buckets by a sign-bit
+  * sketch so candidate generation is an equi-join on the bucket key —
+  * the 100 TB path. No cross join ever touches two large sides.
+  */
+object Similarity {
+
+  /** Per-vector L2 norm as a sequential double fold (see determinism note). */
+  private val normExpr =
+    "sqrt(aggregate(embedding, cast(0.0 as double)," +
+      " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+  private val normSql =
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE)," +
+      " list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))," +
+      " (acc, v) -> acc + v))"
+
+  /** Exact cosine top-k: a small query set (vec_id < 8) against all
+    * vectors. The query side is tiny → broadcast; per (query, candidate)
+    * the dot product is a sequential fold; ranking is row_number with a
+    * vec_id tiebreak.
+    */
+  val annBruteForceTopK: Op = Op(
+    "ann_bruteforce_topk",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q_id, vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q_emb)),
+      |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q_nrm * nrm) AS cosine
+      |  FROM q JOIN v ON q_id <> vec_id)
+      |SELECT q_id, cand_id, cosine FROM (
+      |  SELECT q_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM scored) WHERE rn <= 10""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(normExpr))
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val dot = expr(
+      "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x as double) * cast(y as double))," +
+        " cast(0.0 as double), (acc, p) -> acc + p)")
+    v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rn") <= 10)
+      .select("q_id", "cand_id", "cosine")
+  }
+
+  /** Sign-bit sketch of the first 8 components — an axis-aligned
+    * hyperplane LSH bucket key (a production build draws random
+    * hyperplanes; axis-aligned keeps the oracle engine-portable while
+    * exercising the identical plan shape).
+    */
+  private val sketchExpr =
+    "array_join(transform(slice(embedding, 1, 8)," +
+      " x -> case when cast(x as double) >= 0.0d then '1' else '0' end), '')"
+  private val sketchSql =
+    "array_to_string(list_transform(embedding[1:8]," +
+      " x -> CASE WHEN CAST(x AS DOUBLE) >= 0.0 THEN '1' ELSE '0' END), '')"
+
+  /** Embedding near-dup pairs: bucket by sign sketch (equi-join), verify
+    * cosine ≥ τ inside buckets only.
+    */
+  val dedupEmbeddingCosine: Op = Op(
+    "dedup_embedding_cosine",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
+      |           FROM embeddings),
+      |cand AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (a.nrm * b.nrm) AS cosine
+      |  FROM v a JOIN v b ON a.sk = b.sk AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.2""".stripMargin,
+  ) { (spark, dir) =>
+    val v = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(normExpr))
+      .withColumn("sk", expr(sketchExpr))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("sk").as("b_sk"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, b_emb, (x, y) -> cast(x as double) * cast(y as double))," +
+        " cast(0.0 as double), (acc, p) -> acc + p)")
+    v.join(b, col("sk") === col("b_sk") && col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"),
+        (dot / (col("nrm") * col("b_nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+  }
+
+  /** Approximate top-k: same sketch buckets; each query ranks only within
+    * its bucket — the scale path where the full candidate scan is replaced
+    * by an equi-join.
+    */
+  val annLshTopK: Op = Op(
+    "ann_lsh_topk",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, sk AS q_sk
+      |      FROM v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q_id, vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q_emb)),
+      |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q_nrm * nrm) AS cosine
+      |  FROM q JOIN v ON q_sk = sk AND q_id <> vec_id)
+      |SELECT q_id, cand_id, cosine FROM (
+      |  SELECT q_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(normExpr))
+      .withColumn("sk", expr(sketchExpr))
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
+    val dot = expr(
+      "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x as double) * cast(y as double))," +
+        " cast(0.0 as double), (acc, p) -> acc + p)")
+    v.join(broadcast(q), col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "cand_id", "cosine")
+  }
+
+  val ops: Seq[Op] = Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK)
+}

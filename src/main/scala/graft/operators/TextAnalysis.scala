@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.2 text-analysis operators over the documents table — the
+  * per-document scoring pass of a large-scale training-data pipeline.
+  *
+  * Scale posture: everything here is a pure per-row column expression
+  * (regexp counts, higher-order array functions) — no UDFs, no shuffles,
+  * no window; the whole pass stays inside WholeStageCodegen and scales
+  * linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  val tokenCount: Op = Op(
+    "text_tokencount",
+    """SELECT doc_id, length(text) AS n_chars_actual,
+      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+      |FROM documents""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .cast("long").as("bpeish_tokens"))
+  }
+
+  /** Quality scoring: length/punctuation/uppercase/stopword ratios.
+    * Ratios are double divisions of integer counts — bit-deterministic.
+    */
+  val quality: Op = Op(
+    "text_quality",
+    """SELECT doc_id, length(text) AS n,
+      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+      |  CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+      |  CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS uppers,
+      |  CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stopwords,
+      |  CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+      |    / length(regexp_extract_all(text, '\S+')) AS stopword_ratio
+      |FROM documents WHERE length(text) > 0""".stripMargin,
+  ) { (spark, dir) =>
+    val tokens = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    val punct = size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("long")
+    val uppers = size(expr("regexp_extract_all(text, '[A-Z]', 0)")).cast("long")
+    val stop = size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)")).cast("long")
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        tokens.as("tokens"), punct.as("punct"), uppers.as("uppers"), stop.as("stopwords"),
+        (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+        (stop.cast("double") / tokens).as("stopword_ratio"))
+  }
+
+  /** Language ID: stopword-profile hit counts + deterministic argmax.
+    * (A real system would use char-n-gram profiles; the operator shape —
+    * per-row scoring, no shuffle — is the same.)
+    */
+  val langId: Op = Op(
+    "text_langid",
+    """SELECT doc_id, lang AS lang_declared,
+      |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+      |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+      |       WHEN de >= fr AND de > 0 THEN 'de'
+      |       WHEN fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS lang_guess,
+      |  en, es, de, fr
+      |FROM (SELECT doc_id, lang,
+      |  CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS BIGINT) AS en,
+      |  CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT) AS es,
+      |  CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS de,
+      |  CAST(length(regexp_extract_all(lower(text), '\b(le|les|des|est|une)\b')) AS BIGINT) AS fr
+      |  FROM documents)""".stripMargin,
+  ) { (spark, dir) =>
+    def hits(words: String) =
+      size(expr(s"regexp_extract_all(lower(text), '\\\\b($words)\\\\b', 0)")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        hits("the|and|of|is|to").as("en"), hits("el|la|de|que|los").as("es"),
+        hits("der|die|das|und|ist").as("de"), hits("le|les|des|est|une").as("fr"))
+      .withColumn("lang_guess",
+        when(col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr")
+          && col("en") > 0, "en")
+          .when(col("es") >= col("de") && col("es") >= col("fr") && col("es") > 0, "es")
+          .when(col("de") >= col("fr") && col("de") > 0, "de")
+          .when(col("fr") > 0, "fr")
+          .otherwise("und"))
+      .select("doc_id", "lang_declared", "lang_guess", "en", "es", "de", "fr")
+  }
+
+  /** Document fingerprinting, winnowing-family: the lexicographic minimum
+    * of the md5s of all 8-char grams (robust to local edits, O(n) per doc),
+    * plus the exact-content md5. Pure array expression, no explode.
+    */
+  val fingerprint: Op = Op(
+    "text_fingerprint",
+    """SELECT doc_id, md5(text) AS content_md5,
+      |  list_aggregate(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+      |                                i -> md5(substring(text, i, 8))), 'min') AS winnow_min
+      |FROM documents""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"), md5(col("text")).as("content_md5"),
+      expr("array_min(transform(sequence(1, greatest(length(text)-7, 1))," +
+        " i -> md5(substring(text, i, 8))))").as("winnow_min"))
+  }
+
+  val ops: Seq[Op] = Seq(tokenCount, quality, langId, fingerprint)
+}

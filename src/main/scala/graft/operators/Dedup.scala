@@ -87,9 +87,12 @@ object Dedup {
 
   /** MinHash signatures + LSH banding. 16 hash functions h_j(doc) =
     * min over shingles of md5(j || '|' || shingle) (lexicographic min of a
-    * keyed digest — engine-portable, no custom hash needed); 4 bands of 4.
+    * keyed digest — engine-portable, no custom hash needed); 8 bands of 2
+    * (recall ≈ 1-(1-j²)^8: ≈0.94 at j=0.5, ≈1 at j≥0.8 — band-match
+    * probability with rows of 4 would miss mid-similarity pairs).
     * Near-dup candidates share a band key; candidates are verified with
-    * exact Jaccard on the shingle arrays. Output: verified pairs.
+    * exact Jaccard on the shingle arrays, so banding affects only recall
+    * and join cost, never precision. Output: verified pairs.
     */
   val minhashLsh: Op = Op(
     "dedup_minhash_lsh",
@@ -102,8 +105,8 @@ object Dedup {
       |  FROM sh),
       |bands AS (
       |  SELECT doc_id, shingles, CAST(b AS VARCHAR) || ':' ||
-      |    sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4] AS band_key
-      |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+      |    sig[2*b+1] || sig[2*b+2] AS band_key
+      |  FROM sig, UNNEST(generate_series(0, 7)) AS t(b)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.shingles AS sha, b.shingles AS shb
@@ -122,9 +125,8 @@ object Dedup {
       .select("doc_id", "shingles", "md5sig")
     val bands = sig.select(col("doc_id"), col("shingles"),
       explode(expr(
-        "transform(sequence(0, 3), b -> concat(cast(b as string), ':'," +
-          " element_at(md5sig, 4*b+1), element_at(md5sig, 4*b+2)," +
-          " element_at(md5sig, 4*b+3), element_at(md5sig, 4*b+4)))")).as("band_key"))
+        "transform(sequence(0, 7), b -> concat(cast(b as string), ':'," +
+          " element_at(md5sig, 2*b+1), element_at(md5sig, 2*b+2)))")).as("band_key"))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** SURVEY §2.3 streaming: the Spark-native face of the reference's
+  * incremental view maintenance (ivm/collections/IncrementalResult.scala,
+  * tests/IVMTest1.scala — materialized query results updated on base-
+  * collection deltas). Structured Streaming IS that execution model:
+  * each micro-batch applies deltas to the maintained state.
+  *
+  * These transforms take an (optionally streaming) events-shaped DataFrame
+  * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE) so specs
+  * drive them from MemoryStream and batch callers can reuse them.
+  */
+object EventStreams {
+
+  /** Incrementally-maintained windowed counts: tumbling 1h window with a
+    * watermark bounding state (late data beyond 2h is dropped — at 100 TB
+    * unbounded state is the failure mode, the watermark is the fix).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * mapGroupsWithState path the reference's IVM subscribers correspond to:
+    * per-key state updated by deltas, results emitted on session close
+    * (30 min inactivity, enforced with an event-time timeout).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start), s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Incremental top-type counts (complete mode): the IVM "maintained
+    * aggregate view" in its simplest form.
+    */
+  def typeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+}

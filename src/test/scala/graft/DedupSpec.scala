@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Recall/behavior specs for the LLM-pipeline operators on synthetic
+  * near-duplicates, driven through the ops' public (spark, dir) signature
+  * by writing documents/embeddings parquet into a temp dir.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docsDir: String = {
+    import spark.implicits._
+    val base = "spark makes distributed query processing fast and scalable for large data"
+    val nearDup = base.replace("fast", "quick") // one token differs
+    val other = "completely different content about cooking pasta with tomato sauce tonight"
+    val docs = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, nearDup, "en", "s1", nearDup.length.toLong),
+      (2L, other, "en", "s2", other.length.toLong),
+      (3L, base, "en", "s3", base.length.toLong), // exact dup of 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir()
+    writeTable(dir, "documents", docs)
+    dir
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact.fn(spark, docsDir).collect()
+    assert(out.length == 3) // 4 docs, 2 identical
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper") == 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and the exact-dup pair") {
+    val pairs = Dedup.ngramJaccard.fn(spark, docsDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 3L)), "exact dup pair")
+    assert(pairs.contains((0L, 1L)), "near dup pair")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("minhash+lsh recovers the same near-dup pairs") {
+    val got = Dedup.minhashLsh.fn(spark, docsDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.contains((0L, 3L)))
+    assert(got.contains((0L, 1L)))
+  }
+
+  test("simhash: identical docs identical signatures; near dups within small hamming") {
+    val sh = Dedup.simhash.fn(spark, docsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(hamming(sh(0L), sh(1L)) <= 6, s"near dup hamming ${hamming(sh(0L), sh(1L))}")
+    assert(hamming(sh(0L), sh(2L)) > hamming(sh(0L), sh(1L)))
+  }
+
+  test("fingerprint: winnow_min survives a distant edit, content_md5 does not") {
+    val fp = TextAnalysis.fingerprint.fn(spark, docsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("content_md5"), r.getAs[String]("winnow_min"))).toMap
+    assert(fp(0L)._1 != fp(1L)._1)
+    assert(fp(0L)._1 == fp(3L)._1)
+  }
+
+  private lazy val vecsDir: String = {
+    val dim = 16
+    val a = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val nearA = a.clone(); nearA(0) = (a(0) + 0.01f)
+    val ortho = Array.tabulate(dim)(i => math.cos(3 * i + 2).toFloat)
+    import spark.implicits._
+    val df = Seq((0L, a.toSeq, 0), (1L, nearA.toSeq, 0), (2L, ortho.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = tmpDir()
+    writeTable(dir, "embeddings", df)
+    dir
+  }
+
+  test("brute-force ann ranks the perturbed copy first") {
+    val top = Similarity.annBruteForceTopK.fn(spark, vecsDir)
+      .filter(col("q_id") === 0L).orderBy(desc("cosine")).head()
+    assert(top.getAs[Long]("cand_id") == 1L)
+    assert(top.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("embedding near-dup pairs include (0,1) with cosine ~1") {
+    val pairs = Similarity.dedupEmbeddingCosine.fn(spark, vecsDir).collect()
+      .map(r => ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")),
+        r.getAs[Double]("cosine"))).toMap
+    assert(pairs.keySet.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) > 0.999)
+  }
+
+  test("multimodal meta extract emits one typed row per doc") {
+    val out = Multimodal.metaExtract.fn(spark, docsDir).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") > 0)
+      assert(Set("jpeg", "png", "webp").contains(r.getAs[String]("format")))
+      assert(r.getAs[Int]("width") % 16 == 0 && r.getAs[Int]("width") <= 640)
+    }
+  }
+
+  test("frame sampling covers the payload with stride-64 frames") {
+    val frames = Multimodal.frameSample.fn(spark, docsDir)
+      .filter(col("doc_id") === 0L).collect()
+    val expected = math.max(1, (docText0Len + 63) / 64)
+    assert(frames.length == expected)
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.sameElements(0 until expected))
+  }
+
+  private def docText0Len: Int =
+    "spark makes distributed query processing fast and scalable for large data".length
+}

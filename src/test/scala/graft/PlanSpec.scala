@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+
+/** Plan-shape assertions: the optimizer rewrites the reference implements
+  * by hand (cartProdToJoin, filter hoisting/pushdown, index lookup as
+  * broadcast join, partial aggregation) must actually appear in Catalyst's
+  * physical plans — this is the §4 scale posture made testable.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(op: Op): String =
+    op.fn(spark, sfTiny).queryExecution.executedPlan.toString
+
+  private def formatted(op: Op): String = {
+    val df = op.fn(spark, sfTiny)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("cartProdToJoin: cross+filter is planned as an equi-join, not a cartesian product") {
+    val p = plan(Relational.cartProdToJoin)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val f = formatted(Relational.filterWhere)
+    assert(f.contains("PushedFilters: ["), f)
+    assert(f.contains("IsNotNull(l_returnflag)") || f.contains("EqualTo(l_returnflag,R)"), f)
+  }
+
+  test("projection pruning: select_map reads only the referenced columns") {
+    val f = formatted(Relational.selectMap)
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), s"unpruned scan: $readSchema")
+  }
+
+  test("q5 uses broadcast joins for dimension tables") {
+    val p = plan(Relational.q5LocalSupplier)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(Relational.q1PricingSummary)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("indexBy lookup is a broadcast hash lookup, no shuffle of the probe side") {
+    val p = plan(Extended.indexByLookup)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti") {
+    assert(plan(Relational.semiJoinExists).contains("LeftSemi"))
+    assert(plan(Relational.antiJoinNotExists).contains("LeftAnti"))
+  }
+
+  test("view fusion: filter-map-filter chain stays in one codegen stage") {
+    // codegen'd operators print as "*(stageId) Op"; one fused stage → only *(1)
+    val p = plan(Extended.viewFusion)
+    val stages = raw"\*\((\d+)\)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(stages == Set("1"), p)
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.sortTopK)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("correlated subquery is decorrelated into an aggregate+join") {
+    val p = plan(Extended.nestedUnnest)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming specs — the reference's IVM tests
+  * (ivm/tests/IVMTest1.scala, IVMFlatMapTest1.scala) assert that
+  * maintained results track base-collection updates; here micro-batches
+  * are the deltas and the streaming state is the maintained view.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** Day-1 offset: a row whose event time equals the initial watermark
+    * (epoch 0) is dropped as late by stateful operators.
+    */
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(86400000L + minutes * 60 * 1000L)
+
+  test("windowed counts maintain per-window aggregates incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Event(ts(5), 1L, "click", 1.0), Event(ts(10), 2L, "click", 2.0))
+      query.processAllAvailable()
+      val afterFirst = spark.table("win_counts").collect()
+      assert(afterFirst.map(_.getAs[Long]("n")).sum == 2)
+
+      input.addData(Event(ts(70), 1L, "view", 3.0)) // second hour window
+      query.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 5 min apart; then a 60-min gap starts session 2
+      input.addData(
+        Event(ts(0), 7L, "click", 1.0), Event(ts(5), 7L, "click", 2.0),
+        Event(ts(65), 7L, "view", 4.0))
+      query.processAllAvailable()
+      // push watermark far forward so the session-2 timeout fires
+      input.addData(Event(ts(500), 99L, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(ts(900), 99L, "click", 0.0))
+      query.processAllAvailable()
+
+      val sessions = spark.table("sessions").filter($"user_id" === 7L).collect()
+      assert(sessions.length == 2, sessions.mkString(";"))
+      val s1 = sessions.minBy(_.getAs[Timestamp]("session_start").getTime)
+      assert(s1.getAs[Long]("n_events") == 2)
+      assert(s1.getAs[Double]("sum_value") == 3.0)
+      val s2 = sessions.maxBy(_.getAs[Timestamp]("session_start").getTime)
+      assert(s2.getAs[Long]("n_events") == 1)
+    } finally query.stop()
+  }
+
+  test("batch sessionize (WindowOps) and streaming agree on session counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same event set through the batch operator, via a temp parquet dir
+    val events = Seq(
+      Event(ts(0), 7L, "click", 1.0), Event(ts(5), 7L, "click", 2.0),
+      Event(ts(65), 7L, "view", 4.0))
+    val dir = tmpDir()
+    val df = events.toDF()
+      .withColumnRenamed("ts", "ts")
+      .selectExpr("monotonically_increasing_id() as event_id", "ts", "user_id",
+        "event_type", "value", "'{}' as props")
+    writeTable(dir, "events", df)
+    val batch = graft.operators.WindowOps.sessionize.fn(spark, dir)
+      .filter($"user_id" === 7L).collect()
+    assert(batch.length == 2)
+    assert(batch.map(_.getAs[Long]("n_events")).sum == 3)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixpoint computation (reference: ivm/expressiontree/Fix.scala,
+  * tests/FixpointTest.scala) realized as the operation a dedup pipeline
+  * actually needs at scale: connected components over the near-duplicate
+  * pair graph, assigning every document a canonical cluster id (the
+  * minimum reachable doc_id).
+  *
+  * Execution model: iterative label propagation — join labels to edges,
+  * take the min neighbor label, repeat until no label changes. Each
+  * iteration is a keyed shuffle join (Pregel-style); iteration count is
+  * the graph diameter, which for near-dup clusters is tiny. Results are
+  * persisted per round and old lineage is dropped so plans stay flat at
+  * 1000-executor scale.
+  */
+object Graph {
+
+  /** Connected components over an (a,b) pair DataFrame; vertices not in
+    * any pair keep their own id. Returns (id, cluster).
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("cluster")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(viaNeighbor.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("n.nbr_min"), col("l.cluster"))).as("cluster"))
+        .persist()
+      changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
+        .filter(col("x.cluster") =!= col("y.cluster")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Dedup clustering: MinHash+LSH verified near-dup pairs → connected
+    * components → every doc labeled with its canonical (min) doc id.
+    */
+  val dedupClusters: Op = Op(
+    "dedup_clusters",
+    // The recursive CTE mirrors the fixpoint: reach(n, r) = n reaches r
+    // through the (symmetric) near-dup edge set; cluster = min reachable.
+    s"""WITH RECURSIVE sh AS (
+      |SELECT doc_id,
+      |  list_sort(list_distinct(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(generate_series(0, 15),
+      |      j -> list_aggregate(list_transform(shingles,
+      |             s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min')) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, shingles, CAST(b AS VARCHAR) || ':' ||
+      |    sig[2*b+1] || sig[2*b+2] AS band_key
+      |  FROM sig, UNNEST(generate_series(0, 7)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.shingles AS sha, b.shingles AS shb
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM cand
+      |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+      |      (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.2),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n)
+      |SELECT n AS doc_id, MIN(r) AS cluster FROM reach GROUP BY n""".stripMargin,
+  ) { (spark, dir) =>
+    val pairs = Dedup.minhashLsh.fn(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val vertices = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(vertices, pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  val ops: Seq[Op] = Seq(dedupClusters)
+}

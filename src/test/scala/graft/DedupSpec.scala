@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   */
 class DedupSpec extends SparkSpec {
 
+  // long enough that a one-token edit keeps 5-shingle Jaccard above the
+  // 0.2 near-dup threshold (18 unaffected shingles of 23)
+  private val base = "spark makes distributed query processing fast and scalable for large data " +
+      "by pushing filters into columnar scans and broadcasting small dimension tables " +
+      "so that shuffles stay proportional to the aggregated output"
+
   private lazy val docsDir: String = {
     import spark.implicits._
-    val base = "spark makes distributed query processing fast and scalable for large data"
     val nearDup = base.replace("fast", "quick") // one token differs
-    val other = "completely different content about cooking pasta with tomato sauce tonight"
+    val other = "completely different content about cooking pasta with tomato sauce tonight " +
+      "garnished with fresh basil leaves and parmesan shavings served beside garlic bread " +
+      "and a light salad dressed in olive oil"
     val docs = Seq(
       (0L, base, "en", "s0", base.length.toLong),
       (1L, nearDup, "en", "s1", nearDup.length.toLong),
@@ -111,6 +118,5 @@ class DedupSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.sameElements(0 until expected))
   }
 
-  private def docText0Len: Int =
-    "spark makes distributed query processing fast and scalable for large data".length
+  private def docText0Len: Int = base.length
 }

@@ -60,6 +60,7 @@ object Tables {
 object GraftSession {
   def local(threads: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions(_))
       .master(s"local[$threads]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", threads.toString)

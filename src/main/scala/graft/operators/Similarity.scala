@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.vec.vec_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -20,10 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Per-vector L2 norm as a sequential double fold (see determinism note). */
-  private val normExpr =
-    "sqrt(aggregate(embedding, cast(0.0 as double)," +
-      " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+  /** Per-vector L2 norm as a sequential double fold (see determinism note).
+    * vec_dot is the codegen'd native expression (graft.functions) — the
+    * identical left-to-right fold, minus the per-row intermediate array a
+    * HOF zip_with would allocate.
+    */
+  private def nrmCol = sqrt(vec_dot(col("embedding"), col("embedding")))
 
   private val normSql =
     "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE)," +
@@ -52,13 +55,10 @@ object Similarity {
       |  FROM scored) WHERE rn <= 10""".stripMargin,
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val v = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(normExpr))
+    val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
-    val dot = expr(
-      "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x as double) * cast(y as double))," +
-        " cast(0.0 as double), (acc, p) -> acc + p)")
+    val dot = vec_dot(col("q_emb"), col("embedding"))
     v.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
@@ -97,13 +97,11 @@ object Similarity {
       |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.2""".stripMargin,
   ) { (spark, dir) =>
     val v = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", nrmCol)
       .withColumn("sk", expr(sketchExpr))
     val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       col("nrm").as("b_nrm"), col("sk").as("b_sk"))
-    val dot = expr(
-      "aggregate(zip_with(embedding, b_emb, (x, y) -> cast(x as double) * cast(y as double))," +
-        " cast(0.0 as double), (acc, p) -> acc + p)")
+    val dot = vec_dot(col("embedding"), col("b_emb"))
     v.join(b, col("sk") === col("b_sk") && col("vec_id") < col("b_id"))
       .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"),
         (dot / (col("nrm") * col("b_nrm"))).as("cosine"))
@@ -134,13 +132,11 @@ object Similarity {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val v = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", nrmCol)
       .withColumn("sk", expr(sketchExpr))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
-    val dot = expr(
-      "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x as double) * cast(y as double))," +
-        " cast(0.0 as double), (acc, p) -> acc + p)")
+    val dot = vec_dot(col("q_emb"), col("embedding"))
     v.join(broadcast(q), col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dot / (col("q_nrm") * col("nrm"))).as("cosine"))

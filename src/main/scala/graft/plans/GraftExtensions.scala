@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.functions.{DotProductD, IntersectSize}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.expressions.ArrayIntersect
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** SparkSessionExtensions wiring — tier (c) of the extension ladder:
+  * custom functions + a custom optimizer rule, the Spark-native analog of
+  * the reference's hand-rolled transform registry
+  * (ivm/optimization/Optimization.scala's transform list).
+  *
+  * Install via `.withExtensions(GraftExtensions(_))` or
+  * `spark.sql.extensions=graft.plans.GraftExtensionsInjector`.
+  */
+object GraftExtensions {
+
+  /** Rewrite `size(array_intersect(a, b))` to the non-materializing
+    * IntersectSize — the same fuse-the-consumer rewrite the reference
+    * performs in FoldPhysicalOperators.scala (e.g. Size∘View folding,
+    * sizeToEmpty): the intersection array is never built when only its
+    * cardinality is consumed. Safe for non-null elements; arrays with
+    * null elements keep the stock path (ArrayIntersect treats nulls as
+    * joinable values, IntersectSize via HashSet would too — but stay
+    * conservative and only rewrite !containsNull inputs).
+    */
+  object RewriteSizeOfIntersect extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        // legacySizeOfNull=false only: the legacy flag makes size(null) = -1,
+        // IntersectSize returns null there, so don't rewrite under legacy.
+        case Size(ArrayIntersect(a, b), false)
+          if elementsNonNull(a) && elementsNonNull(b) =>
+          IntersectSize(a, b)
+      }
+
+    private def elementsNonNull(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    }
+  }
+
+  def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      (children: Seq[Expression]) => IntersectSize(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
+  }
+}
+
+/** For spark.sql.extensions config-based installation. */
+class GraftExtensionsInjector extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions(ext)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.vec.{intersect_size, vec_dot}
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expressions + the injected optimizer rule. */
+class FunctionsSpec extends SparkSpec {
+
+  test("vec_dot is bit-identical to the HOF sequential fold") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val hof = expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double))," +
+        " cast(0.0 as double), (acc, p) -> acc + p)")
+    val mismatches = emb
+      .select(vec_dot(col("embedding"), col("embedding")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("vec_dot evaluates correctly on a known vector") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(vec_dot(col("a"), col("b"))).head.getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("vec_dot is registered for SQL via extensions") {
+    import spark.implicits._
+    Seq((Array(1.0f, 1.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+      .createOrReplaceTempView("graft_vecs")
+    assert(spark.sql("SELECT vec_dot(a, b) FROM graft_vecs").head.getDouble(0) == 5.0)
+  }
+
+  test("intersect_size equals size(array_intersect)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("y")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")),
+    ).toDF("a", "b")
+    val bad = df.select(
+      intersect_size(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("stock"))
+      .filter(col("fast") =!= col("stock")).count()
+    assert(bad == 0)
+  }
+
+  test("optimizer rule rewrites size(array_intersect) into intersect_size") {
+    // needs a non-local source: literal inputs constant-fold into a
+    // LocalRelation before the rule is observable
+    val df = Tables.documents(spark, sfTiny)
+      .select(split(col("text"), " ").as("a"), split(lower(col("text")), " ").as("b"))
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("intersect_size"), optimized)
+    assert(df.head.getInt(0) >= 1)
+  }
+
+  test("dedup jaccard plans use the fused intersect_size") {
+    val p = graft.operators.Dedup.minhashLsh.fn(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("intersect_size"), p.take(2000))
+  }
+}

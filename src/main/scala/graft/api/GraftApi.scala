@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's user-facing query surface, re-expressed on Datasets.
+  *
+  * SQuOpt's API (squopt/package.scala, ivm/expressiontree/Lifting.scala,
+  * traversableOps.scala) lifts a collection with `asSquopt` into a reified
+  * `Exp[Coll]` on which for-comprehensions build an optimizable query
+  * tree. On Spark that reified tree IS the Dataset/DataFrame logical plan:
+  * `ds.map/filter/flatMap/groupBy` already build Catalyst trees, so
+  * `asGraft` is the identity that names the analogy, plus the operators
+  * Datasets don't spell the same way (indexBy, exists/forall, typeCase,
+  * addIndex).
+  *
+  * PaperTutorial.scala's Figure 6 query
+  * {{{
+  *   for { book <- books.asSquopt
+  *         if book.publisher ==# "Pearson Education"
+  *         author <- book.authors }
+  *   yield BookData(book.title, author.firstName + " " + author.lastName,
+  *                  book.authors.size - 1)
+  * }}}
+  * becomes, with the same shape (see ApiSpec):
+  * {{{
+  *   for { book <- books.asGraft.where($"publisher" === "...")
+  *         // flatMap over the nested authors array
+  *   } ... == books.where(...).select(explode($"authors"), ...)
+  * }}}
+  */
+object GraftApi {
+
+  implicit class GraftDatasetOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** asSquopt analog: entry point named for discoverability; the Dataset
+      * is already a reified query.
+      */
+    def asGraft: Dataset[T] = ds
+
+    /** indexBy (traversableOps.scala:39): materialize a keyed index.
+      * The returned frame is marked broadcastable — downstream joins
+      * become map-side hash lookups, the reference's index-lookup rewrite.
+      */
+    def indexBy(key: Column, value: Column): DataFrame =
+      broadcast(ds.toDF().groupBy(key.as("key"))
+        .agg(collect_list(value).as("values")))
+
+    /** addIndex (Optimization.scala:31): persist + register so Catalyst's
+      * CacheManager substitutes the precomputed plan into any later query
+      * with a matching canonicalized subtree — Spark's built-in version of
+      * the reference's subquery sharing (SubquerySharing.scala).
+      */
+    def addIndex(): Dataset[T] = { ds.persist(); ds.count(); ds }
+    def removeIndex(): Dataset[T] = { ds.unpersist(); ds }
+
+    /** exists/forall (traversableOps.scala:16-17) as whole-collection
+      * predicates with early-out limit(1) semantics.
+      */
+    def existsWhere(cond: Column): Boolean =
+      !ds.toDF().where(cond).limit(1).isEmpty
+    def forallWhere(cond: Column): Boolean =
+      ds.toDF().where(!cond).limit(1).isEmpty
+
+    /** typeFilter (traversableOps.scala:54) for tag-column heterogeneous
+      * frames.
+      */
+    def typeFilter(tagCol: Column, tag: String): Dataset[T] =
+      ds.where(tagCol === tag)
+  }
+
+  implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** typeCase (traversableOps.scala:72): ordered (tag → projection)
+      * dispatch producing one column.
+      */
+    def typeCase(tagCol: Column, cases: (String, Column)*)(default: Column): Column =
+      cases.foldRight(default) { case ((tag, out), acc) =>
+        when(tagCol === tag, out).otherwise(acc)
+      }
+
+    /** groupBySel (traversableOps.scala:41): group by a key selector and
+      * project each group with a value selector, collected per key.
+      */
+    def groupBySel(key: Column, sel: Column): DataFrame =
+      df.groupBy(key.as("key")).agg(sort_array(collect_list(sel)).as("group"))
+  }
+}

@@ -181,13 +181,12 @@ object Dedup {
       |        list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS md5s
       |      FROM documents)""".stripMargin,
   ) { (spark, dir) =>
+    // simhash_bits (graft.functions.SimHashBits) = the 32-subexpression
+    // HOF formulation in ONE codegen'd pass over the digests
     Tables.documents(spark, dir)
       .withColumn("md5s", expr("transform(array_distinct(split(text, ' ')), t -> md5(t))"))
-      .select(col("doc_id"), expr(
-        "array_join(transform(sequence(1, 32)," +
-          " b -> case when aggregate(md5s, 0," +
-          "   (acc, m) -> acc + (case when instr('89abcdef', substring(m, b, 1)) > 0" +
-          "     then 1 else -1 end)) > 0 then '1' else '0' end), '')").as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.simhash.simhash_bits(col("md5s")).as("simhash"))
   }
 
   val ops: Seq[Op] = Seq(exact, ngramJaccard, minhashLsh, simhash)

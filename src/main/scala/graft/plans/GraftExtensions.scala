@@ -52,6 +52,10 @@ object GraftExtensions {
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
+      (children: Seq[Expression]) => graft.functions.SimHashBits(children.head)))
     ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
   }
 }

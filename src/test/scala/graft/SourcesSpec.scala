@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 sources/sinks: CSV and JSON file round-trips, partitioned
+  * parquet writes (partition pruning observable in the scan), and a
+  * streaming file sink.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("csv round-trip preserves rows and schema-on-read works") {
+    val dir = tmpDir()
+    val nation = Tables.nation(spark, sfTiny)
+    nation.write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/nation_csv")
+    assert(back.count() == nation.count())
+    assert(back.columns.sameElements(nation.columns))
+  }
+
+  test("json lines round-trip preserves values") {
+    val dir = tmpDir()
+    val region = Tables.region(spark, sfTiny)
+    region.write.mode("overwrite").json(s"$dir/region_json")
+    val back = spark.read.json(s"$dir/region_json")
+    assert(back.select("r_regionkey", "r_name").collect().toSet ==
+      region.collect().toSet.map((r: org.apache.spark.sql.Row) => r))
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = tmpDir()
+    Tables.lineitem(spark, sfTiny)
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(s"$dir/li_part")
+    val pruned = spark.read.parquet(s"$dir/li_part")
+      .where(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    assert(pruned.count() ==
+      Tables.lineitem(spark, sfTiny).where(col("l_returnflag") === "R").count())
+  }
+
+  test("streaming file sink appends windowed aggregates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      graft.streaming.EventStreams.Event]
+    val out = tmpDir()
+    val q = graft.streaming.EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$out/win")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = 86400000L
+      input.addData(
+        graft.streaming.EventStreams.Event(new java.sql.Timestamp(t0), 1L, "click", 1.0),
+        graft.streaming.EventStreams.Event(new java.sql.Timestamp(t0 + 60000), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // push the watermark past the first window so append emits it
+      input.addData(graft.streaming.EventStreams.Event(
+        new java.sql.Timestamp(t0 + 4 * 3600 * 1000), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$out/win").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 2, rows.mkString(";"))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: operators must not throw on empty or
+  * too-short documents/tables — at 100 TB every pathological row shape
+  * exists somewhere in the corpus.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val weirdDocsDir: String = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "", "en", "s", 0L),                       // empty text
+      (1L, "one", "en", "s", 3L),                    // single token
+      (2L, "two words", "en", "s", 9L),              // below shingle width
+      (3L, "a b c d e", "en", "s", 9L),              // exactly shingle width
+      (4L, "   ", "en", "s", 3L),                    // whitespace only
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir()
+    writeTable(dir, "documents", docs)
+    dir
+  }
+
+  test("dedup ops tolerate short/empty documents") {
+    assert(Dedup.exact.fn(spark, weirdDocsDir).count() == 5)
+    assert(Dedup.ngramJaccard.fn(spark, weirdDocsDir).count() == 0)
+    assert(Dedup.minhashLsh.fn(spark, weirdDocsDir).count() == 0)
+    assert(Dedup.simhash.fn(spark, weirdDocsDir).count() == 5)
+    assert(Graph.dedupClusters.fn(spark, weirdDocsDir).count() == 5)
+  }
+
+  test("text ops tolerate short/empty documents") {
+    assert(TextAnalysis.tokenCount.fn(spark, weirdDocsDir).count() == 5)
+    assert(TextAnalysis.fingerprint.fn(spark, weirdDocsDir).count() == 5)
+    val q = TextAnalysis.quality.fn(spark, weirdDocsDir)
+    assert(q.count() == 4) // empty text filtered by length > 0
+  }
+
+  test("multimodal ops tolerate empty payloads") {
+    assert(Multimodal.metaExtract.fn(spark, weirdDocsDir).count() == 5)
+    assert(Multimodal.frameSample.fn(spark, weirdDocsDir).count() >= 5)
+  }
+
+  test("connected components on an empty pair set is the identity labeling") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val cc = Graph.connectedComponents(vertices, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("vec_dot on empty and mismatched arrays") {
+    import spark.implicits._
+    import graft.functions.vec._
+    val df = Seq(
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1.0f, 2.0f), Array(3.0f)),
+    ).toDF("a", "b")
+    val got = df.select(vec_dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(got(1) == 3.0) // min-length semantics
+  }
+}

@@ -292,8 +292,24 @@ object Extended {
         (count(lit(1)).over(Window.partitionBy(col("o_orderkey"))) - 1).as("n_colines"))
   }
 
+  /** mkString (reference ToString.scala/StringConcat.scala over
+    * collections): deterministic per-group concatenation of sorted
+    * elements.
+    */
+  val mkStringAgg: Op = Op(
+    "q_mkstring",
+    """SELECT o_orderstatus,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+      |FROM orders GROUP BY o_orderstatus""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"))
+  }
+
   val ops: Seq[Op] = Seq(
-    indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs,
+    indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs, mkStringAgg,
     viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
     optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
     paperTutorial,

@@ -83,4 +83,16 @@ object EventStreams {
     */
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup — the training-pipeline dedup operator in its
+    * incremental form: drop re-arrivals of the same content hash, with
+    * state bounded by the watermark (a duplicate later than the watermark
+    * window is let through rather than keeping unbounded state — the
+    * standard at-scale tradeoff).
+    */
+  def streamingDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -53,11 +53,12 @@ object Graph {
   /** Dedup clustering: MinHash+LSH verified near-dup pairs → connected
     * components → every doc labeled with its canonical (min) doc id.
     */
-  val dedupClusters: Op = Op(
-    "dedup_clusters",
-    // The recursive CTE mirrors the fixpoint: reach(n, r) = n reaches r
-    // through the (symmetric) near-dup edge set; cluster = min reachable.
-    s"""WITH RECURSIVE sh AS (${Dedup.shinglesSql}),
+  /** Shared CTE body (everything after WITH RECURSIVE, through the
+    * `clusters` relation) so composite oracles (pipeline_curate) can
+    * reuse the exact same fixpoint definition.
+    */
+  private[operators] val clustersCteBody: String =
+    s"""sh AS (${Dedup.shinglesSql}),
       |sk AS (SELECT doc_id, shingles,
       |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
       |       FROM sh),
@@ -76,8 +77,15 @@ object Graph {
       |reach(n, r) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n)
-      |SELECT n AS doc_id, MIN(r) AS cluster FROM reach GROUP BY n""".stripMargin,
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n),
+      |clusters AS (SELECT n AS doc_id, MIN(r) AS cluster FROM reach GROUP BY n)""".stripMargin
+
+  val dedupClusters: Op = Op(
+    "dedup_clusters",
+    // The recursive CTE mirrors the fixpoint: reach(n, r) = n reaches r
+    // through the (symmetric) near-dup edge set; cluster = min reachable.
+    s"""WITH RECURSIVE $clustersCteBody
+      |SELECT doc_id, cluster FROM clusters""".stripMargin,
   ) { (spark, dir) =>
     val pairs = Dedup.minhashLsh.fn(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -50,8 +50,21 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** documents/embeddings feed digest/fold-heavy per-row pipelines
+    * (shingling, simhash, dot products). The test inputs are single-row-
+    * group files, i.e. one scan split — spread them to session parallelism
+    * first: the shuffle is tiny (<1 MB) and the downstream compute
+    * parallelizes across all cores. On a real multi-split 100 TB table the
+    * scan already has natural parallelism and this is a no-op.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
 }
 
 /** Session factory used by specs and ad-hoc mains. Verify/Bench build their

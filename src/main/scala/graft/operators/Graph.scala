@@ -24,10 +24,16 @@ object Graph {
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // iterate only over vertices that appear in some pair: the near-dup
+    // graph is a sliver of the corpus (dozens of docs out of millions at
+    // production scale), so the fixpoint loop never touches the full
+    // vertex set; isolated vertices get identity labels in one final
+    // left join.
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("cluster")).persist()
+    val connected = edges.select(col("a").as("id")).distinct()
+    var labels = connected.select(col("id"), col("id").as("cluster")).persist()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -47,7 +53,10 @@ object Graph {
       it += 1
     }
     edges.unpersist()
-    labels
+    vertices.as("v")
+      .join(labels.as("l"), col("v.id") === col("l.id"), "left")
+      .select(col("v.id").as("id"),
+        coalesce(col("l.cluster"), col("v.id")).as("cluster"))
   }
 
   /** Dedup clustering: MinHash+LSH verified near-dup pairs → connected

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed-write co-located join: persisting both sides bucketed by the
+  * join key lets every future join run with ZERO exchanges — the
+  * pre-partitioning strategy for joins repeated at 100 TB (SURVEY §4).
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of tables bucketed on the key plans without a shuffle") {
+    val wh = tmpDir()
+    val db = "graft_bkt"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    // at sf0.001 the dim fits the broadcast threshold and Spark would skip
+    // the bucket join entirely; disable broadcast to observe the layout
+    // (at 100 TB neither side broadcasts — this IS the production shape)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sfTiny)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"$db.orders_b")
+      Tables.customer(spark, sfTiny)
+        .withColumnRenamed("c_custkey", "cust_key")
+        .write.mode("overwrite")
+        .bucketBy(8, "cust_key").sortBy("cust_key")
+        .saveAsTable(s"$db.customer_b")
+
+      val joined = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.customer_b"),
+          col("o_custkey") === col("cust_key"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not shuffle either side: bucket layout IS the
+      // partitioning. (The final single aggregate exchange is expected.)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the aggregate exchange, got $exchanges:\n$plan")
+
+      // and results equal the unbucketed join
+      val direct = Tables.orders(spark, sfTiny)
+        .join(Tables.customer(spark, sfTiny),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(joined.collect().toSet == direct.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}

@@ -13,7 +13,7 @@ object SparkEntry {
   def allOps: Seq[Op] =
     Relational.ops ++ Extended.ops ++ WindowOps.ops ++
       TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++ Multimodal.ops ++
-      Graph.ops ++ Sources.ops ++ Pipeline.ops
+      Graph.ops ++ Sources.ops ++ Pipeline.ops ++ Sampling.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-mix operators: deterministic downsampling and vocabulary
+  * statistics — the remaining everyday verbs of a 100 TB data pipeline.
+  */
+object Sampling {
+
+  /** Deterministic stratified sampling: per-language keep rates applied by
+    * hashing the stable doc_id (md5 prefix mod 100) — reproducible across
+    * engines, runs, and cluster sizes, unlike rand()-based sampling. This
+    * is how a training mixture downsamples over-represented sources.
+    */
+  val stratifiedSample: Op = Op(
+    "q_sample_stratified",
+    """SELECT doc_id, lang
+      |FROM (SELECT doc_id, lang,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+      |      FROM documents)
+      |WHERE (lang = 'en' AND bucket < 80)
+      |   OR (lang <> 'en' AND bucket < 30)""".stripMargin,
+  ) { (spark, dir) =>
+    val bucket = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+      .cast("int") % 100
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter((col("lang") === "en" && col("bucket") < 80) ||
+        (col("lang") =!= "en" && col("bucket") < 30))
+      .select("doc_id", "lang")
+  }
+
+  /** Corpus vocabulary: global token frequencies with a deterministic
+    * top-k — the vocab-building pass before tokenizer training.
+    */
+  val vocabTopK: Op = Op(
+    "q_vocab_topk",
+    """SELECT word, n FROM (
+      |  SELECT word, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word)
+      |ORDER BY n DESC, word LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Approximate distinct users per event type (HyperLogLog++): the
+    * sketch path for distinct counts that would shuffle too much exactly.
+    * No cross-engine oracle (sketch estimates differ by implementation);
+    * SamplingSpec bounds the estimate against the exact count.
+    */
+  val approxDistinct: Op = Op.noOracle("q_approx_distinct") { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+  }
+
+  val ops: Seq[Op] = Seq(stratifiedSample, vocabTopK, approxDistinct)
+}

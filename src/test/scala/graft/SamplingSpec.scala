@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratified sample is deterministic and respects rates approximately") {
+    val s1 = Sampling.stratifiedSample.fn(spark, sfTiny).collect().map(_.getLong(0)).sorted
+    val s2 = Sampling.stratifiedSample.fn(spark, sfTiny).collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "sampling must be reproducible")
+    val docs = Tables.documents(spark, sfTiny)
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = Sampling.stratifiedSample.fn(spark, sfTiny)
+      .filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.6 && enKept / en < 0.95, s"en keep rate ${enKept / en}")
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val joined = Sampling.approxDistinct.fn(spark, sfTiny)
+      .join(Tables.events(spark, sfTiny)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users")), "event_type")
+      .collect()
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"${r}")
+    }
+  }
+
+  test("vocab top-k is sorted and within corpus bounds") {
+    val rows = Sampling.vocabTopK.fn(spark, sfTiny).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sortBy(-_)))
+  }
+}

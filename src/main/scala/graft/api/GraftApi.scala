@@ -69,6 +69,23 @@ object GraftApi {
       ds.where(tagCol === tag)
   }
 
+  /** Per-key top-k through the custom whole-operator plan
+    * (graft.plans.TopKPerKeyNode → TopKPerKeyExec): bounded heap per key,
+    * no per-group sort. Requires GraftExtensions (the planner strategy).
+    * Equivalent to row_number over (partitionBy key orderBy order desc,
+    * tiebreak asc) <= k.
+    */
+  def topKPerKey(df: DataFrame, key: String, order: String,
+      tiebreak: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name).mkString(",")}"))
+    Shim.ofRows(df.sparkSession, graft.plans.TopKPerKeyNode(
+      attr(key), attr(order), attr(tiebreak), k, child))
+  }
+
   implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
 
     /** typeCase (traversableOps.scala:72): ordered (tag → projection)

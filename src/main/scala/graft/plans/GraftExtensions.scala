@@ -57,6 +57,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => graft.functions.SimHashBits(children.head)))
     ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator extension — tier (c) of the extension ladder (SURVEY
+  * §2/§7): per-key top-k as a first-class operator.
+  *
+  * Spark's idiom for "top k rows per key" is a row_number window + filter,
+  * which sorts every key group in full. This operator keeps a bounded
+  * binary heap of k rows per key instead: O(n log k) with O(keys·k)
+  * memory, no per-partition sort. The reference's optimizer does the same
+  * class of rewrite — swapping an algorithmically better physical operator
+  * under unchanged semantics (FoldPhysicalOperators.scala).
+  *
+  * Semantics: rows ordered by `order` DESC, ties broken by `tiebreak` ASC
+  * (both arbitrary orderable expressions); exactly min(k, |group|) rows
+  * per distinct `key` — identical to
+  * row_number().over(partitionBy(key).orderBy(order.desc, tiebreak.asc)) <= k.
+  */
+case class TopKPerKeyNode(key: Expression, order: Expression,
+    tiebreak: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(key: Expression, order: Expression,
+    tiebreak: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of one key must be co-located; the planner inserts the
+    * exchange (hash on key) only when the child isn't already partitioned
+    * compatibly — bucketed/pre-shuffled inputs skip it.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    val keyExpr = BindReferences.bindReference(key, child.output)
+    val orderExpr = BindReferences.bindReference(order, child.output)
+    val tieExpr = BindReferences.bindReference(tiebreak, child.output)
+    val kk = k
+    val orderOrd = PhysicalDataType.ordering(orderExpr.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val tieOrd = PhysicalDataType.ordering(tieExpr.dataType)
+      .asInstanceOf[Ordering[Any]]
+
+    child.execute().mapPartitions({ rows =>
+      // heap entry: (orderVal, tieVal, row); the heap is a MIN-heap under
+      // the output ordering (order DESC, tie ASC), so the head is the
+      // weakest row currently kept and is evicted first.
+      implicit val entryOrd: Ordering[(Any, Any, UnsafeRow)] =
+        new Ordering[(Any, Any, UnsafeRow)] {
+          def compare(a: (Any, Any, UnsafeRow), b: (Any, Any, UnsafeRow)): Int = {
+            val c = orderOrd.compare(a._1, b._1)          // smaller order = weaker
+            if (c != 0) c else tieOrd.compare(b._2, a._2) // larger tie = weaker
+          }
+        }
+      val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[(Any, Any, UnsafeRow)]]()
+      val copier = UnsafeProjection.create(child.output, child.output)
+      rows.foreach { row =>
+        val kv0 = keyExpr.eval(row)
+        val kv = if (kv0 == null) NullKey else kv0
+        val ov = orderExpr.eval(row)
+        val tv = tieExpr.eval(row)
+        var heap = heaps.get(kv)
+        if (heap == null) {
+          // PriorityQueue dequeues the MAX under its ordering; reverse so
+          // dequeue removes the weakest entry
+          heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any, UnsafeRow)](entryOrd.reverse)
+          heaps.put(copyKey(kv), heap)
+        }
+        if (heap.size < kk) {
+          heap.enqueue((copyKey(ov), copyKey(tv), copier(row).copy()))
+        } else if (entryOrd.compare((ov, tv, null), heap.head.copy(_3 = null)) > 0) {
+          heap.dequeue()
+          heap.enqueue((copyKey(ov), copyKey(tv), copier(row).copy()))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._3))
+    }, preservesPartitioning = true)
+  }
+
+  /** eval() results may point into the current row's buffers; detach. */
+  private def copyKey(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+    case other => other
+  }
+  private object NullKey
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(key, order, tie, k, child) =>
+      TopKPerKeyExec(key, order, tie, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.api.GraftApi
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom per-key top-k physical operator must agree exactly with the
+  * window row_number formulation and plan through TopKPerKeyExec.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  test("topKPerKey equals the window-rank formulation on events") {
+    val ev = Tables.events(spark, sfTiny)
+    val custom = GraftApi.topKPerKey(ev.toDF(),
+        "user_id", "value", "event_id", k = 3)
+      .select("user_id", "event_id", "value")
+    val windowed = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "value")
+    assert(custom.collect().toSet == windowed.collect().toSet)
+  }
+
+  test("plans through TopKPerKeyExec with a single hash exchange and no sort") {
+    val ev = Tables.events(spark, sfTiny)
+    val custom = GraftApi.topKPerKey(ev.toDF(),
+      "user_id", "value", "event_id", k = 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort "), s"no per-group sort expected:\n$plan")
+  }
+
+  test("k larger than any group returns everything") {
+    val ev = Tables.events(spark, sfTiny)
+    val custom = GraftApi.topKPerKey(ev.toDF(),
+      "user_id", "value", "event_id", k = 1000000)
+    assert(custom.count() == ev.count())
+  }
+
+  test("string keys and duplicate order values handled") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 1.0, 2L), ("a", 1.0, 3L),
+      ("b", 5.0, 4L), (null, 2.0, 5L), (null, 3.0, 6L),
+    ).toDF("k", "v", "id")
+    val got = GraftApi.topKPerKey(df, "k", "v", "id", k = 2)
+      .select("k", "id").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("NULL"), r.getLong(1))).toSet
+    // ties on v resolved by smallest id; null key is its own group
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 4L), ("NULL", 5L), ("NULL", 6L)))
+  }
+}

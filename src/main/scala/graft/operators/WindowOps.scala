@@ -105,5 +105,23 @@ object WindowOps {
         min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
   }
 
-  val ops: Seq[Op] = Seq(windowRunning, windowRank, tumblingWindow, sessionize)
+  /** Same semantics as q_window_rank but executed by the custom
+    * whole-operator plan (graft.plans.TopKPerKeyExec: bounded heap per
+    * key, no per-group sort) — the custom physical operator goes through
+    * the same DuckDB oracle gate as everything else.
+    */
+  val topKPerKeyOp: Op = Op(
+    "q_topk_per_key",
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin,
+  ) { (spark, dir) =>
+    graft.api.GraftApi.topKPerKey(Tables.events(spark, dir),
+        "user_id", "value", "event_id", k = 3)
+      .select("user_id", "event_id", "value")
+  }
+
+  val ops: Seq[Op] =
+    Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp)
 }

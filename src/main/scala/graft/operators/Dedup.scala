@@ -178,16 +178,84 @@ object Dedup {
       |                THEN 1 ELSE -1 END)) > 0
       |         THEN '1' ELSE '0' END), '') AS simhash
       |FROM (SELECT doc_id,
-      |        list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS md5s
-      |      FROM documents)""".stripMargin,
+      |        list_transform(list_distinct(
+      |          CASE WHEN len(w) >= 3
+      |            THEN list_transform(generate_series(1, len(w)-2),
+      |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |            ELSE w END), t -> md5(t)) AS md5s
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
   ) { (spark, dir) =>
-    // simhash_bits (graft.functions.SimHashBits) = the 32-subexpression
-    // HOF formulation in ONE codegen'd pass over the digests
+    // Features are word-3-grams (token fallback for docs shorter than 3
+    // words): single tokens carry too little entropy on a small-vocabulary
+    // corpus — every document contains most of the vocabulary, so
+    // token-set signatures collapse. simhash_bits
+    // (graft.functions.SimHashBits) = the 32-subexpression HOF
+    // formulation in ONE codegen'd pass over the digests.
     Tables.documents(spark, dir)
-      .withColumn("md5s", expr("transform(array_distinct(split(text, ' ')), t -> md5(t))"))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("md5s", expr(
+        "transform(array_distinct(case when size(words) >= 3" +
+          " then transform(sequence(1, size(words)-2)," +
+          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))" +
+          " else words end), t -> md5(t))"))
       .select(col("doc_id"),
         graft.functions.simhash.simhash_bits(col("md5s")).as("simhash"))
   }
 
-  val ops: Seq[Op] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+  /** SimHash near-dup pairs: by the pigeonhole principle two signatures
+    * within Hamming distance 3 agree exactly on at least one of 4 8-bit
+    * bands — so candidates come from an equi-join on band values and only
+    * candidates pay the 32-position Hamming verification.
+    */
+  val simhashPairs: Op = Op(
+    "dedup_simhash_pairs",
+    """WITH sigs AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(generate_series(1, 32),
+      |      b -> CASE WHEN list_sum(list_transform(md5s,
+      |             m -> CASE WHEN strpos('89abcdef', substr(m, b, 1)) > 0
+      |                  THEN 1 ELSE -1 END)) > 0
+      |           THEN '1' ELSE '0' END), '') AS simhash
+      |  FROM (SELECT doc_id,
+      |          list_transform(list_distinct(
+      |            CASE WHEN len(w) >= 3
+      |              THEN list_transform(generate_series(1, len(w)-2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |              ELSE w END), t -> md5(t)) AS md5s
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |bands AS (
+      |  SELECT doc_id, simhash,
+      |    CAST(b AS VARCHAR) || ':' || substr(simhash, 8*b+1, 8) AS band
+      |  FROM sigs, UNNEST(generate_series(0, 3)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS ha, b.simhash AS hb
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(list_sum(list_transform(generate_series(1, 32),
+      |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE list_sum(list_transform(generate_series(1, 32),
+      |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
+  ) { (spark, dir) =>
+    val sigs = simhash.fn(spark, dir).persist() // referenced by both join sides
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3)," +
+        " b -> concat(cast(b as string), ':', substring(simhash, 8*b+1, 8)))")).as("band"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    val hamming = expr("aggregate(sequence(1, 32), 0," +
+      " (acc, i) -> acc + if(substring(ha, i, 1) <> substring(hb, i, 1), 1, 0))")
+      .cast("long")
+    cand.withColumn("hamming", hamming)
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  val ops: Seq[Op] = Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs)
 }

@@ -122,6 +122,47 @@ object WindowOps {
       .select("user_id", "event_id", "value")
   }
 
+  /** Sliding event-time window: RANGE frame over the timestamp — frame
+    * membership is defined by ts VALUES (ties wholly included), so the
+    * result is deterministic without a tiebreak; sums stay decimal.
+    */
+  val slidingWindow: Op = Op(
+    "q_window_sliding",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(38,2)) AS sum_10m
+      |FROM events""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,2)) AS sum_10m
+        |FROM graft_events""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles (both engines: linear interpolation
+    * over the sorted values — same formula, bit-identical on these
+    * integral quantities).
+    */
+  val percentiles: Op = Op(
+    "q_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.95) AS p95_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+  }
+
   val ops: Seq[Op] =
-    Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp)
+    Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp,
+      slidingWindow, percentiles)
 }

@@ -44,6 +44,9 @@ object Tables {
     * and normalize to a micros timestamp — same truncation DuckDB applies.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // self-sufficiency on sessions that didn't set it at build time (the
+    // conf is runtime-settable and consulted at schema conversion)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

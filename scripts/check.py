@@ -1,40 +1,56 @@
 #!/usr/bin/env python3
 """Local driver-mimic: compare Verify output parquet against DuckDB oracles.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
-Mimics the driver's t2 gate: for each query, run the oracle SQL in DuckDB
-over the same parquet tables, sort columns by name, sort rows, and compare
-values (hash-style exact compare).
-"""
-import sys, json, glob, os
-import duckdb
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [only_query ...]
 
-def canon(rows, cols):
-    # sort columns by name, then rows; stringify values for a stable compare
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
-    out.sort()
-    return sorted(c for c in cols), out
+Mimics the driver's t2 gate as observed from CORRECTNESS_r01.json:
+  - Spark side loaded with pandas.read_parquet (pyarrow): DECIMAL columns
+    stay decimal.Decimal objects, ARRAY columns become numpy.ndarray.
+  - Oracle side fetched with duckdb .df(): DECIMAL becomes float64.
+  - Values are compared via their string form after sorting columns by
+    name and rows by value.
+So a Spark DECIMAL(38,2) "3651.00" vs oracle float "3651.0" FAILS here
+(exactly as in the driver), and any ndarray cell raises (driver's
+"unhashable numpy.ndarray"). Queries must emit DOUBLE / string / int /
+timestamp outputs only.
+"""
+import sys, json, glob
+import duckdb
+import numpy as np
+import pandas as pd
+
 
 def norm(v):
     import datetime, decimal
+    if isinstance(v, (list, tuple, np.ndarray)):
+        # the driver's pandas compare dies on array cells; surface it as a
+        # loud failure instead of silently tuple-izing like the old check
+        raise TypeError("driver-hostile array-typed output cell")
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, datetime.datetime):
+        return "dec:" + str(v)  # distinct from float repr, like the driver
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    return str(v)
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(norm(x) for x in r))
+    rows.sort()
+    return cols, rows
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
@@ -42,23 +58,21 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        pq = f"{out_dir}/{name}"
-        if not glob.glob(f"{pq}/*.parquet"):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            orc = con.execute(sql)
-            ocols = [d[0] for d in orc.description]
-            orows = orc.fetchall()
-            got = con.execute(f"SELECT * FROM '{pq}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
+            spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                                 ignore_index=True)
+            oracle_df = con.execute(sql).df()
+            gc, grr = canon(spark_df)
+            oc, orr = canon(oracle_df)
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        oc, orr = canon(orows, ocols)
-        gc, grr = canon(grows, gcols)
-        if oc != gc:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+            continue
+        if gc != oc:
             print(f"FAIL {name}: cols {gc} != oracle {oc}"); n_fail += 1
-        elif orr != grr:
+        elif grr != orr:
             diff = [(a, b) for a, b in zip(grr, orr) if a != b][:3]
             print(f"FAIL {name}: rows {len(grr)} vs {len(orr)}; first diffs {diff}")
             n_fail += 1
@@ -66,6 +80,7 @@ def main():
             print(f"PASS {name} ({len(grr)} rows)"); n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()

@@ -18,7 +18,7 @@ object Extended {
   val indexByLookup: Op = Op(
     "q_indexby_lookup",
     """SELECT n_name, COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_bal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin,
   ) { (spark, dir) =>
@@ -26,7 +26,7 @@ object Extended {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_bal"))
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
   }
 
   /** typeFilter (traversableOps.scala:54, TypeFilterOptim.scala): the
@@ -84,13 +84,17 @@ object Extended {
     */
   val unzipPairs: Op = Op(
     "q_unzip",
-    """SELECT lang, list_sort(list(doc_id)) AS ids, list_sort(list(source)) AS sources
+    """SELECT lang,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS ids,
+      |  array_to_string(list_sort(list(source)), ',') AS sources
       |FROM documents GROUP BY lang""".stripMargin,
   ) { (spark, dir) =>
     Tables.documents(spark, dir)
       .groupBy(col("lang"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-        sort_array(collect_list(col("source"))).as("sources"))
+      .agg(
+        array_join(expr("transform(sort_array(collect_list(doc_id)), x -> cast(x as string))"), ",")
+          .as("ids"),
+        array_join(sort_array(collect_list(col("source"))), ",").as("sources"))
   }
 
   /** view/force lazy pipelines (traversableOps.scala:37,89,272): a chain of
@@ -175,7 +179,7 @@ object Extended {
     """SELECT l_orderkey, l_linenumber,
       |  CAST(l_quantity AS INTEGER) AS qty_int,
       |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
-      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
       |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
       |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
   ) { (spark, dir) =>
@@ -184,7 +188,7 @@ object Extended {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("int").as("qty_int"),
         col("l_linenumber").cast("double").as("ln_dbl"),
-        col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price_dec"),
         col("l_shipdate").cast("date").cast("string").as("ship_str"))
   }
 

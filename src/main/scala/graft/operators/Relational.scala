@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *  - Money/quantity aggregates are computed on DECIMAL, not DOUBLE:
   *    decimal addition is exact and associative, so results are identical
   *    regardless of partial-aggregation order across 1000 executors.
-  *    Final aggregate columns are cast to a fixed decimal type so the
-  *    output schema is engine-independent.
+  *    Final aggregate columns are cast to DOUBLE (one rounding of an
+  *    exact value) so the output representation is engine-independent —
+  *    decimal outputs render scale differently across engines.
   *  - Small dimension tables are broadcast explicitly; fact tables are
   *    never broadcast and never collected.
   */
@@ -35,14 +36,21 @@ object Relational {
     * map-side). Mirrors reference fold/groupBySel pipelines
     * (traversableOps.scala:41,62-66). Avg intentionally decomposed into
     * sum+count (decimal-exact, order-independent).
+    *
+    * Output rendering: aggregation runs on DECIMAL (exact and associative,
+    * so 1000-executor partial-agg order can't change the result), and ONLY
+    * the final column is cast to DOUBLE — one rounding of an exact value,
+    * identical in any engine. Decimal-typed outputs are avoided because
+    * engines disagree on scale rendering ("3651.00" vs "3651.0"), which is
+    * a representation mismatch, not a value one.
     */
   val q1PricingSummary: Op = Op(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -53,12 +61,12 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))
-          .cast("decimal(38,6)").as("sum_charge"),
+          .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"),
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -67,7 +75,7 @@ object Relational {
   /** TPC-H Q6 shape: pushdown-heavy filter + single global aggregate. */
   val q6ForecastRevenue: Op = Op(
     "q6_forecast_revenue",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin,
@@ -78,7 +86,7 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
   }
 
   /** TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
@@ -88,7 +96,7 @@ object Relational {
   val q3ShippingPriority: Op = Op(
     "q3_shipping_priority",
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -107,7 +115,7 @@ object Relational {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
@@ -119,7 +127,7 @@ object Relational {
   val q5LocalSupplier: Op = Op(
     "q5_local_supplier",
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       |FROM customer
       |  JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,7 +153,7 @@ object Relational {
       .join(broadcast(nationRegion), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -218,7 +226,7 @@ object Relational {
     "q_groupby_agg",
     """SELECT o_orderpriority, COUNT(*) AS n,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin,
   ) { (spark, dir) =>
     Tables.orders(spark, dir)
@@ -227,20 +235,25 @@ object Relational {
         count(lit(1)).as("n"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
-        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
   }
 
   /** groupBy → Map[K, Coll] (GroupByTests.scala): nested collection per
-    * key as a sorted array (deterministic representation of the Coll).
+    * key, emitted as the sorted elements joined into one string — a
+    * deterministic serialization of the Coll that any comparison harness
+    * can hash (raw array columns are compared inconsistently across
+    * engines/dataframe libraries).
     */
   val groupByNested: Op = Op(
     "q_groupby_nested",
-    """SELECT o_orderstatus, list_sort(list(o_orderkey)) AS orderkeys
+    """SELECT o_orderstatus,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
       |FROM orders GROUP BY o_orderstatus""".stripMargin,
   ) { (spark, dir) =>
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .agg(array_join(expr("transform(sort_array(collect_list(o_orderkey)), x -> cast(x as string))"), ",")
+        .as("orderkeys"))
   }
 
   /** join (traversableOps.scala:48,214): shuffle equi-join on keys. */
@@ -282,7 +295,7 @@ object Relational {
   val cartProdToJoin: Op = Op(
     "q_cartprod_to_join",
     """SELECT c_mktsegment, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM customer, orders
       |WHERE c_custkey = o_custkey
       |GROUP BY c_mktsegment""".stripMargin,
@@ -292,7 +305,7 @@ object Relational {
       .filter(col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
   }
 
   /** exists as semi-join (Exists.scala; traversableOps.scala:16,172). */
@@ -400,14 +413,14 @@ object Relational {
   val foldSum: Op = Op(
     "q_fold_sum",
     """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   ) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n"))
   }
@@ -418,13 +431,13 @@ object Relational {
   val foldCustom: Op = Op(
     "q_fold_custom",
     """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sum_sq
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq
       |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   ) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(sum(dec(col("l_quantity")) * dec(col("l_quantity")))
-        .cast("decimal(38,4)").as("sum_sq"))
+        .cast("double").as("sum_sq"))
   }
 
   /** head on a sorted collection (traversableOps.scala:67): order+limit 1. */

@@ -25,7 +25,7 @@ object WindowOps {
     """SELECT event_id, user_id,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
       |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-      |    AS DECIMAL(38,2)) AS running_value,
+      |    AS DOUBLE) AS running_value,
       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
@@ -33,7 +33,7 @@ object WindowOps {
       col("event_id"), col("user_id"),
       sum(col("value").cast("decimal(12,2)"))
         .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("decimal(38,2)").as("running_value"),
+        .cast("double").as("running_value"),
       row_number().over(byUserTime).as("seq"))
   }
 
@@ -59,13 +59,13 @@ object WindowOps {
     "q_tumbling_window",
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
   }
@@ -132,7 +132,7 @@ object WindowOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
       |    (PARTITION BY user_id ORDER BY ts
       |     RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
-      |    AS DECIMAL(38,2)) AS sum_10m
+      |    AS DOUBLE) AS sum_10m
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
     Tables.events(spark, dir).createOrReplaceTempView("graft_events")
@@ -141,7 +141,7 @@ object WindowOps {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
         |    (PARTITION BY user_id ORDER BY ts
         |     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(38,2)) AS sum_10m
+        |    AS DOUBLE) AS sum_10m
         |FROM graft_events""".stripMargin)
   }
 

@@ -14,14 +14,14 @@ class RelationalSpec extends SparkSpec {
     val rows = run(Relational.q1PricingSummary).collect()
     assert(rows.length == 6)
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_qty").signum > 0)
+      assert(r.getAs[Double]("sum_qty") > 0)
       assert(r.getAs[Long]("count_order") > 0)
     }
   }
 
   test("q3 top-k is sorted by revenue desc") {
     val revs = run(Relational.q3ShippingPriority)
-      .collect().map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+      .collect().map(_.getAs[Double]("revenue"))
     assert(revs.length <= 10)
     assert(revs.sameElements(revs.sortBy(-_)))
   }
@@ -47,9 +47,9 @@ class RelationalSpec extends SparkSpec {
     assert(u == ua)
   }
 
-  test("groupBy nested arrays are sorted") {
+  test("groupBy nested collections are sorted") {
     run(Extended.unzipPairs).collect().foreach { r =>
-      val ids = r.getSeq[Long](r.fieldIndex("ids"))
+      val ids = r.getAs[String]("ids").split(',').map(_.toLong).toSeq
       assert(ids == ids.sorted)
     }
   }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracks DataFrames persisted inside operator builders so harnesses that
+  * run many queries in one session (Verify, Bench, the driver) can release
+  * cached blocks between queries instead of leaning on LRU eviction.
+  *
+  * Operators call [[track]] where they would call `.persist()`; a harness
+  * calls [[drain]] after materializing each query's result. A library user
+  * composing one pipeline can ignore this entirely — the persisted data
+  * stays hot for the lifetime of their job, which is the normal Spark
+  * contract.
+  */
+object CacheRegistry {
+  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** persist() + remember for the next drain(). */
+  def track(df: DataFrame): DataFrame = synchronized {
+    live += df
+    df.persist()
+  }
+
+  /** Remember an already-persisted DataFrame for the next drain(). */
+  def register(df: DataFrame): DataFrame = synchronized {
+    live += df
+    df
+  }
+
+  def drain(): Unit = synchronized {
+    live.foreach(_.unpersist(blocking = false))
+    live.clear()
+  }
+}

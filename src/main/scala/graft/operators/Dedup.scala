@@ -82,8 +82,8 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
       |FROM verified WHERE jaccard >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val sh = withShingles(Tables.documents(spark, dir))
-      .select("doc_id", "shingles").persist() // referenced 4× (see minhashLsh)
+    val sh = graft.CacheRegistry.track( // referenced 4× (see minhashLsh)
+      withShingles(Tables.documents(spark, dir)).select("doc_id", "shingles"))
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select("g")
@@ -140,11 +140,11 @@ object Dedup {
     // scan+shingle+md5 pipeline per reference. At scale this is the
     // materialized signature table every dedup pipeline keeps (the
     // reference's addIndex precomputation, Optimization.scala:31).
-    val sk = withShingles(Tables.documents(spark, dir))
-      .withColumn("sketch",
-        expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
-      .select("doc_id", "shingles", "sketch")
-      .persist()
+    val sk = graft.CacheRegistry.track(
+      withShingles(Tables.documents(spark, dir))
+        .withColumn("sketch",
+          expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
+        .select("doc_id", "shingles", "sketch"))
     // distinct over ids only — carrying the shingle arrays through the
     // dedup shuffle would move kilobytes per candidate row
     val buckets = sk.select(col("doc_id"), explode(col("sketch")).as("h"))
@@ -239,7 +239,7 @@ object Dedup {
       |WHERE list_sum(list_transform(generate_series(1, 32),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
   ) { (spark, dir) =>
-    val sigs = simhash.fn(spark, dir).persist() // referenced by both join sides
+    val sigs = graft.CacheRegistry.track(simhash.fn(spark, dir)) // referenced by both join sides
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3)," +
         " b -> concat(cast(b as string), ':', substring(simhash, 8*b+1, 8)))")).as("band"))

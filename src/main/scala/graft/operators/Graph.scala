@@ -53,6 +53,9 @@ object Graph {
       it += 1
     }
     edges.unpersist()
+    // the final labels stay persisted for the caller's consumption; the
+    // registry releases them once the caller has materialized its result
+    graft.CacheRegistry.register(labels)
     vertices.as("v")
       .join(labels.as("l"), col("v.id") === col("l.id"), "left")
       .select(col("v.id").as("id"),

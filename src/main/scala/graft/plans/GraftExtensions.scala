@@ -22,10 +22,11 @@ object GraftExtensions {
     * IntersectSize — the same fuse-the-consumer rewrite the reference
     * performs in FoldPhysicalOperators.scala (e.g. Size∘View folding,
     * sizeToEmpty): the intersection array is never built when only its
-    * cardinality is consumed. Safe for non-null elements; arrays with
-    * null elements keep the stock path (ArrayIntersect treats nulls as
-    * joinable values, IntersectSize via HashSet would too — but stay
-    * conservative and only rewrite !containsNull inputs).
+    * cardinality is consumed. Fires only for non-null elements of
+    * integral/string-like types: float/double are excluded because the
+    * java.util.HashSet path would distinguish -0.0 from 0.0 while
+    * ArrayIntersect normalizes them equal — and this rule is injected
+    * session-wide, so it must never change ANY query's results.
     */
   object RewriteSizeOfIntersect extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
@@ -33,12 +34,18 @@ object GraftExtensions {
         // legacySizeOfNull=false only: the legacy flag makes size(null) = -1,
         // IntersectSize returns null there, so don't rewrite under legacy.
         case Size(ArrayIntersect(a, b), false)
-          if elementsNonNull(a) && elementsNonNull(b) =>
+          if rewritableElems(a) && rewritableElems(b) =>
           IntersectSize(a, b)
       }
 
-    private def elementsNonNull(e: Expression): Boolean = e.dataType match {
-      case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull
+    private def rewritableElems(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, containsNull) =>
+        import org.apache.spark.sql.types._
+        !containsNull && (et match {
+          case StringType | IntegerType | LongType | ShortType | ByteType |
+               BooleanType | DateType | TimestampType => true
+          case _ => false // float/double (-0.0), interval, nested, decimal
+        })
       case _ => false
     }
   }

@@ -48,10 +48,22 @@ case class TopKPerKeyExec(key: Expression, order: Expression,
     val orderExpr = BindReferences.bindReference(order, child.output)
     val tieExpr = BindReferences.bindReference(tiebreak, child.output)
     val kk = k
-    val orderOrd = PhysicalDataType.ordering(orderExpr.dataType)
-      .asInstanceOf[Ordering[Any]]
-    val tieOrd = PhysicalDataType.ordering(tieExpr.dataType)
-      .asInstanceOf[Ordering[Any]]
+    // Null-aware orderings, matching the window-function equivalence
+    // (order DESC NULLS LAST, tiebreak ASC NULLS FIRST): under both, a
+    // null sorts BELOW every non-null in the base ordering, so one
+    // nulls-first wrapper serves both roles (PhysicalDataType.ordering
+    // alone would NPE unboxing a null).
+    def nullsFirst(base: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else base.compare(x, y)
+    }
+    val orderOrd = nullsFirst(
+      PhysicalDataType.ordering(orderExpr.dataType).asInstanceOf[Ordering[Any]])
+    val tieOrd = nullsFirst(
+      PhysicalDataType.ordering(tieExpr.dataType).asInstanceOf[Ordering[Any]])
 
     child.execute().mapPartitions({ rows =>
       // heap entry: (orderVal, tieVal, row); the heap is a MIN-heap under
@@ -90,11 +102,11 @@ case class TopKPerKeyExec(key: Expression, order: Expression,
     }, preservesPartitioning = true)
   }
 
-  /** eval() results may point into the current row's buffers; detach. */
-  private def copyKey(v: Any): Any = v match {
-    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-    case other => other
-  }
+  /** eval() results may point into the current row's buffers; detach.
+    * InternalRow.copyValue deep-copies every buffer-backed type
+    * (UTF8String, arrays, maps, structs, binary), not just strings.
+    */
+  private def copyKey(v: Any): Any = InternalRow.copyValue(v)
   private object NullKey
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =

@@ -50,4 +50,32 @@ class TopKPerKeySpec extends SparkSpec {
     // ties on v resolved by smallest id; null key is its own group
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 4L), ("NULL", 5L), ("NULL", 6L)))
   }
+
+  test("null order/tiebreak values match the window-function null placement") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0), Some(1L)), ("a", None, Some(2L)), ("a", Some(3.0), None),
+      ("b", None, None), ("b", None, Some(7L)), ("b", Some(0.0), Some(8L)),
+    ).toDF("k", "v", "id")
+    val custom = GraftApi.topKPerKey(df, "k", "v", "id", k = 2)
+      .select("k", "v", "id")
+    val windowed = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 2).select("k", "v", "id")
+    assert(custom.collect().toSet == windowed.collect().toSet)
+  }
+
+  test("array-typed keys are deep-copied, not aliased into the scan buffer") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (Seq(s"g${i % 5}", "x"), i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val custom = GraftApi.topKPerKey(df, "k", "v", "id", k = 3)
+      .select(col("k")(0).as("g"), col("id"))
+    val windowed = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 3).select(col("k")(0).as("g"), col("id"))
+    assert(custom.collect().toSet == windowed.collect().toSet)
+  }
 }

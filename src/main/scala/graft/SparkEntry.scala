@@ -11,9 +11,9 @@ import graft.operators._
 object SparkEntry {
 
   def allOps: Seq[Op] =
-    Relational.ops ++ Extended.ops ++ WindowOps.ops ++
+    Relational.ops ++ Extended.ops ++ WindowOps.ops ++ Temporal.ops ++
       TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++ Multimodal.ops ++
-      Graph.ops ++ Sources.ops ++ Pipeline.ops ++ Sampling.ops
+      Graph.ops ++ Sources.ops ++ Pipeline.ops ++ Sampling.ops ++ Skew.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -312,10 +312,28 @@ object Extended {
         .as("priorities"))
   }
 
+  /** Hierarchical aggregation (ROLLUP): the multi-granularity face of
+    * groupBySel — detail rows, per-flag subtotals, and a grand total in
+    * ONE pass (Spark expands grouping sets map-side; no rescan per
+    * level). NULL marks the aggregated-out level, as in standard SQL.
+    */
+  val rollupAgg: Op = Op(
+    "q_rollup_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
   val ops: Seq[Op] = Seq(
     indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs, mkStringAgg,
     viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
     optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
-    paperTutorial,
+    paperTutorial, rollupAgg,
   )
 }

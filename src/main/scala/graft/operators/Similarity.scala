@@ -146,5 +146,86 @@ object Similarity {
       .select("q_id", "cand_id", "cosine")
   }
 
-  val ops: Seq[Op] = Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK)
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to LSH: pick centroids, assign every vector to its nearest
+    * centroid (the "inverted lists"), then have each query probe only its
+    * nprobe=2 nearest cells. At 100 TB the assignment is one broadcast
+    * pass over the fleet (centroids are tiny), the lists are just a
+    * partitioning of the vector table by cell id, and query cost is
+    * |cells probed| not |N|. Centroid choice here is a deterministic
+    * subset (every 25th id) so the oracle can restate it; production
+    * would k-means, which changes only how `cents` is produced.
+    * Final ranking runs through the custom TopKPerKeyExec operator.
+    */
+  val annIvfTopK: Op = Op(
+    "ann_ivf_topk",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      |      FROM v WHERE vec_id % 25 = 0),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(v.embedding)),
+      |            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))),
+      |          (acc, p) -> acc + p) / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM v, c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      |      FROM v WHERE vec_id < 8),
+      |probes AS (
+      |  SELECT q_id, cent_id FROM (
+      |    SELECT q.q_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(q.q_emb)),
+      |            i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))),
+      |          (acc, p) -> acc + p) / (q.q_nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM q, c) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT q.q_id, v.vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q.q_emb)),
+      |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q.q_nrm * v.nrm) AS cosine
+      |  FROM q JOIN probes pr ON pr.q_id = q.q_id
+      |       JOIN assign a ON a.cent_id = pr.cent_id
+      |       JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> q.q_id)
+      |SELECT q_id, cand_id, cosine FROM (
+      |  SELECT q_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
+    val cents = v.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    import org.apache.spark.sql.expressions.Window
+    val assign = v.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(
+        (vec_dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).desc,
+        col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("a_vec"), col("cent_id").as("a_cent"))
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
+        (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
+        col("cent_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
+    val scored = q
+      .join(broadcast(probes), col("p_qid") === col("q_id"))
+      .join(assign, col("a_cent") === col("p_cent"))
+      .join(v, col("vec_id") === col("a_vec") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (vec_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cosine"))
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
+      .select("q_id", "cand_id", "cosine")
+  }
+
+  val ops: Seq[Op] =
+    Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Op, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -45,4 +46,25 @@ object Skew {
     partial.groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
   }
+
+  /** The salted two-phase aggregation as a driver-gated operator: events
+    * has only 5 event_type values, i.e. EVERY key is a hot key — the
+    * worst case for a single-phase final merge. The salt spreads each
+    * key's partials over 8 reducers; decimal partial sums keep the result
+    * independent of merge order, so the oracle is the plain GROUP BY.
+    */
+  val saltedAgg: Op = Op(
+    "q_skew_salted_agg",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    saltedSumCount(Tables.events(spark, dir), "event_type",
+        col("value").cast("decimal(12,2)"), salts = 8)
+      .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
+        col("n"))
+  }
+
+  val ops: Seq[Op] = Seq(saltedAgg)
 }

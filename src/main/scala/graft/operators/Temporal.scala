@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no dedicated node for — as-of joins
+  * and bounded range (interval) joins — built as scale-safe compositions,
+  * the tier-(a) path of the extension ladder (SURVEY §2): both plans are
+  * single keyed shuffles, never an inequality-only join that would
+  * degenerate to a broadcast-nested-loop over the fact table.
+  *
+  * Reference analog: SQuOpt's optimizer turns filtered cross products
+  * into keyed joins (Optimization.scala:211 cartProdToJoin); these
+  * operators apply the same discipline to time predicates, which Catalyst
+  * alone does NOT convert (a pure inequality join plans as BNL).
+  */
+object Temporal {
+
+  /** As-of join: for every purchase event, the same user's most recent
+    * click at-or-before it (ties on ts broken by the larger click id —
+    * the window-function null/tie placement, stated explicitly in the
+    * oracle).
+    *
+    * Implementation is the union-of-sides trick: tag click/purchase rows,
+    * sort within user by (ts, side, id), and carry the last non-null
+    * click id forward — ONE shuffle on user_id, no join at all, O(n log n)
+    * per partition regardless of how many clicks precede each purchase.
+    * The naive correlated-subquery formulation (the oracle) would be a
+    * per-row rescan; an inequality join would be quadratic in the hot
+    * user's history at 100 TB.
+    */
+  val asofJoin: Op = Op(
+    "q_asof_join",
+    """SELECT p.event_id, p.user_id,
+      |  (SELECT c.event_id FROM events c
+      |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |     AND c.ts <= p.ts
+      |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("click_id"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("click_id"), col("event_id"))
+    // order: clicks sort before purchases at equal ts (side 0 < 1) so a
+    // click at exactly p.ts is visible; equal-ts clicks sort by id so the
+    // LAST carried value is the max click id.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_click").as("click_id"))
+  }
+
+  /** Bounded range (interval) join: purchases within 30 minutes after a
+    * signup by the same user. The bound is what makes it scale: both
+    * sides are binned to 30-minute buckets, the signup side is exploded
+    * to the (at most 2) buckets its window overlaps, and the join runs as
+    * an EQUI-join on (user_id, bucket) with the exact range predicate as
+    * a post-filter — shuffle is keyed, candidate sets are bucket-local.
+    * Catalyst would otherwise plan the raw inequality as a nested-loop.
+    */
+  val rangeJoin: Op = Op(
+    "q_range_join",
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  epoch_ms(p.ts) - epoch_ms(s.ts) AS delay_ms
+      |FROM events s JOIN events p
+      |  ON s.user_id = p.user_id
+      | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val bucketMs = 30L * 60 * 1000
+    def bkt(ts: org.apache.spark.sql.Column) =
+      floor(unix_millis(ts) / lit(bucketMs))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withColumn("bkt", explode(array_distinct(
+        array(bkt(col("s_ts")), bkt(col("s_ts")) + 1))))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withColumn("bkt", bkt(col("p_ts")))
+    signups.join(purchases, Seq("bkt"))
+      .filter(col("user_id") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("signup_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("s_ts"))).as("delay_ms"))
+  }
+
+  /** lead/lag deltas (IncrementalResult's per-update delta view, batch
+    * face): previous event id and millisecond gap per user timeline.
+    */
+  val leadLag: Op = Op(
+    "q_lead_lag",
+    """SELECT event_id, user_id,
+      |  LAG(event_id) OVER w AS prev_event_id,
+      |  epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS gap_ms,
+      |  LEAD(event_id) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      lag(col("event_id"), 1).over(w).as("prev_event_id"),
+      (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))).as("gap_ms"),
+      lead(col("event_id"), 1).over(w).as("next_event_id"))
+  }
+
+  val ops: Seq[Op] = Seq(asofJoin, rangeJoin, leadLag)
+}

@@ -19,43 +19,109 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components over an (a,b) pair DataFrame; vertices not in
-    * any pair keep their own id. Returns (id, cluster).
+  /** Component labels over ONLY the vertices that appear in some pair:
+    * the near-dup graph is a sliver of the corpus (dozens of docs out of
+    * millions at production scale), so the fixpoint loop never touches
+    * the full vertex set. Returns (id, cluster) for pair-graph vertices;
+    * every other vertex is implicitly its own cluster. The convergence
+    * flag is computed inside the propagation step itself (old vs new
+    * label in one row) — no extra join per iteration.
     */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    // iterate only over vertices that appear in some pair: the near-dup
-    // graph is a sliver of the corpus (dozens of docs out of millions at
-    // production scale), so the fixpoint loop never touches the full
-    // vertex set; isolated vertices get identity labels in one final
-    // left join.
-    val edges = pairs.select(col("a"), col("b"))
+  /** Adaptive entry point: the near-dup pair graph is tiny BY DESIGN
+    * (pairs exist only after LSH candidate generation + exact-Jaccard
+    * verification), so when it fits comfortably on the driver the
+    * fixpoint runs as local union-find — the same small-side reasoning
+    * that makes a broadcast join correct. Past the threshold (long-id
+    * graphs only; ~64 MB of edges at the default) it falls back to the
+    * distributed propagation loop, whose per-iteration cost is what a
+    * billion-edge graph actually needs. The pair DataFrame is counted
+    * once and cached for whichever path runs.
+    */
+  def componentLabels(pairs0: DataFrame, maxIter: Int = 20,
+      localEdgeLimit: Long = 4000000L): DataFrame = {
+    val pairs = graft.CacheRegistry.track(pairs0)
+    val isLongIds = pairs.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongIds && pairs.count() <= localEdgeLimit) localUnionFind(pairs)
+    else distributedLabels(pairs, maxIter)
+  }
+
+  /** Union-find with path compression; representative = component min.
+    * Runs on the collected edge list (guarded by localEdgeLimit above).
+    */
+  private def localUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val verts = scala.collection.mutable.SortedSet.empty[Long]
+    pairs.select(col("a").cast("long"), col("b").cast("long")).collect()
+      .foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        verts += a; verts += b
+        val (ra, rb) = (find(a), find(b))
+        // min id becomes the root, so roots ARE the canonical cluster ids
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    val labels = verts.toSeq.map(v => (v, find(v)))
+    spark.createDataset(labels).toDF("id", "cluster")
+  }
+
+  private def distributedLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // Symmetric closure PLUS a self-loop per vertex: one propagation step
+    // is then a single join+groupBy — min over in-neighbors' labels
+    // (self included) — instead of a neighbor join followed by a
+    // least(own, neighbors) left join. Convergence check rides the same
+    // materialization: labels only ever decrease, so the label SUM is
+    // stationary exactly at the fixpoint (no second join to diff against
+    // the previous iteration).
+    val sym = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val edges = sym
+      .union(sym.select(col("a"), col("a").as("b")).distinct())
       .persist()
-    val connected = edges.select(col("a").as("id")).distinct()
-    var labels = connected.select(col("id"), col("id").as("cluster")).persist()
-    var changed = 1L
+    var cached = edges.filter(col("a") === col("b"))
+      .select(col("a").as("id"), col("a").as("cluster")).persist()
+    var labels = cached
+    var prevSum = Long.MaxValue
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val viaNeighbor = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.as("l")
-        .join(viaNeighbor.as("n"), col("l.id") === col("n.id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.cluster"), coalesce(col("n.nbr_min"), col("l.cluster"))).as("cluster"))
+    var converged = false
+    while (!converged && it < maxIter) {
+      val stepped = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id"))
+        .agg(min(col("cluster")).as("cluster"))
         .persist()
-      changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
-        .filter(col("x.cluster") =!= col("y.cluster")).count()
-      labels.unpersist()
-      labels = next
+      val s = stepped.agg(coalesce(sum(col("cluster")), lit(0L)))
+        .head.getLong(0) // materializes the persist
+
+      converged = s == prevSum
+      prevSum = s
+      cached.unpersist()
+      cached = stepped
+      labels = stepped
       it += 1
     }
     edges.unpersist()
     // the final labels stay persisted for the caller's consumption; the
     // registry releases them once the caller has materialized its result
-    graft.CacheRegistry.register(labels)
+    graft.CacheRegistry.register(cached)
+    labels
+  }
+
+  /** Connected components over an (a,b) pair DataFrame; vertices not in
+    * any pair keep their own id. Returns (id, cluster).
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val labels = componentLabels(pairs, maxIter)
+    // isolated vertices get identity labels in one final left join
     vertices.as("v")
       .join(labels.as("l"), col("v.id") === col("l.id"), "left")
       .select(col("v.id").as("id"),

@@ -31,19 +31,25 @@ object Pipeline {
       |  AND q.punct_ratio < 0.2""".stripMargin,
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val clusters = Graph.dedupClusters.fn(spark, dir)
-      .withColumnRenamed("doc_id", "c_doc_id")
-    val quality = docs.filter(length(col("text")) > 0).select(
-      col("doc_id").as("q_doc_id"),
-      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tokens"),
-      (size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double") /
-        length(col("text"))).as("punct_ratio"))
+    // A doc is dropped iff it sits in the near-dup graph AND lost its
+    // cluster's min-id election. That drop list is a sliver of the corpus
+    // (only near-duplicates), so the representative filter is a broadcast
+    // ANTI join against it — the full doc_id→cluster map (corpus-sized!)
+    // is never materialized, never broadcast. Quality features are
+    // computed in the same scan's project, no self-join.
+    val pairs = Dedup.minhashLsh.fn(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val dropped = Graph.componentLabels(pairs)
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as("dropped_id"))
     docs
-      .join(broadcast(clusters), col("c_doc_id") === col("doc_id"))
-      .join(quality, col("q_doc_id") === col("doc_id"))
-      .filter(col("cluster") === col("doc_id") &&
-        col("tokens") >= 10 && col("punct_ratio") < 0.2)
-      .select("doc_id", "lang", "tokens", "punct_ratio")
+      .join(broadcast(dropped), col("doc_id") === col("dropped_id"), "left_anti")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tokens"),
+        (size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+      .filter(col("tokens") >= 10 && col("punct_ratio") < 0.2)
   }
 
   val ops: Seq[Op] = Seq(curate)

@@ -44,29 +44,43 @@ object Relational {
     * engines disagree on scale rendering ("3651.00" vs "3651.0"), which is
     * a representation mismatch, not a value one.
     */
+  /** Fixed-point long "cents" of a ≤2-decimal-place money/rate column:
+    * round(x*100) kills the float representation error, the long is then
+    * EXACT. Long sums are exact, associative, overflow-checked, and stay
+    * in whole-stage codegen — unlike wide-decimal sums, whose >18-digit
+    * accumulators fall off Spark's compact-long decimal representation
+    * into boxed BigDecimal arithmetic (~3× slower on the q1 hot loop).
+    * Headroom: ±9.2e18. The scaled product below peaks at ~1e11 per row,
+    * so overflow needs ~1e8 rows PER GROUP at e6 scaling before the
+    * checked sum would error (never silently) — at that magnitude,
+    * switch the accumulator to decimal(38,x) as in `dec`.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
   val q1PricingSummary: Op = Op(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   ) { (spark, dir) =>
+    val price = cents(col("l_extendedprice"))
+    val discFactor = lit(100L) - cents(col("l_discount"))   // (1-d) ×100
+    val taxFactor = lit(100L) + cents(col("l_tax"))         // (1+t) ×100
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))
-          .cast("double").as("sum_charge"),
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        (sum(price).cast("double") / 100.0).as("sum_base_price"),
+        (sum(price * discFactor).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(price * discFactor * taxFactor).cast("double") / 1000000.0).as("sum_charge"),
         count(lit(1)).as("count_order"),
       )
       .orderBy("l_returnflag", "l_linestatus")

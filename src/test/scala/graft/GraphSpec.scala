@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** The adaptive connected-components operator: the local union-find path
+  * and the distributed label-propagation path must produce identical
+  * labels (min reachable id) on graphs with chains (diameter > 1),
+  * cliques, and isolated pairs.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def labelSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("local union-find and distributed propagation agree") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),     // chain, diameter 4
+      (10L, 11L),                                 // isolated pair
+      (20L, 21L), (21L, 22L), (20L, 22L),         // clique
+      (31L, 30L),                                 // reversed order pair
+    ).toDF("a", "b")
+    val expected = Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L),
+      (30L, 30L), (31L, 30L))
+    val local = Graph.componentLabels(pairs)                      // small → local
+    val dist = Graph.componentLabels(pairs, localEdgeLimit = 0L)  // forced distributed
+    assert(labelSet(local) == expected)
+    assert(labelSet(dist) == expected)
+    CacheRegistry.drain()
+  }
+
+  test("empty pair graph yields empty labels on both paths") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.componentLabels(none).count() == 0)
+    assert(Graph.componentLabels(none, localEdgeLimit = 0L).count() == 0)
+    CacheRegistry.drain()
+  }
+}

@@ -463,6 +463,63 @@ object Relational {
       .orderBy(col("o_orderkey")).limit(1)
   }
 
+  /** head + last in one aggregate pass (traversableOps.scala:67-70
+    * head/headOption/last/lastOption): min_by/max_by pick the extreme
+    * row's payload without sorting anything — a full orderBy for a
+    * first/last element is the classic anti-pattern at scale.
+    */
+  val firstLast: Op = Op(
+    "q_first_last",
+    """SELECT MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+      |  MIN_BY(o_totalprice, o_orderkey) AS first_price,
+      |  MAX_BY(o_totalprice, o_orderkey) AS last_price
+      |FROM orders""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).agg(
+      min(col("o_orderkey")).as("first_key"),
+      max(col("o_orderkey")).as("last_key"),
+      min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+      max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"))
+  }
+
+  /** :+ element append (traversableOps.scala:28): a one-row literal
+    * relation unioned on — no shuffle, the appended row lives in a
+    * LocalRelation partition.
+    */
+  val appendElem: Op = Op(
+    "q_append",
+    """SELECT DISTINCT event_type FROM events
+      |UNION ALL
+      |SELECT 'synthetic' AS event_type""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir).select("event_type").distinct()
+      .union(Seq("synthetic").toDF("event_type"))
+  }
+
+  /** product fold (traversableOps.scala:66): no native Spark product
+    * aggregate — the exact path is an integer product over the group's
+    * collected elements (orders have ≤7 lines, quantities ≤ 50, so the
+    * product ≤ 50^7 ≈ 7.8e11 is exactly representable in long AND in
+    * double, making the cross-engine compare exact; multiplication is
+    * commutative so collect_list order can't matter).
+    */
+  val foldProduct: Op = Op(
+    "q_fold_product",
+    """SELECT o_orderkey, CAST(product(l_quantity) AS DOUBLE) AS qty_product
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey < 1000
+      |GROUP BY o_orderkey""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).filter(col("o_orderkey") < 1000)
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(expr(
+        "cast(aggregate(collect_list(cast(l_quantity as bigint))," +
+          " cast(1 as bigint), (acc, x) -> acc * x) as double)")
+        .as("qty_product"))
+  }
+
   /** Deterministic top-k: TakeOrderedAndProject, not a global sort. */
   val sortTopK: Op = Op(
     "q_sort_topk",
@@ -480,5 +537,6 @@ object Relational {
     semiJoinExists, antiJoinNotExists, forallAgg, existsAgg,
     unionDistinct, unionAll, distinctToSet, sizeCount,
     foldSum, foldCustom, headLimit, sortTopK,
+    firstLast, appendElem, foldProduct,
   )
 }

@@ -95,4 +95,40 @@ object EventStreams {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Incrementally-maintained JOIN view (the reference's IVM maintains
+    * join results under deltas too — IVMTest1's join cases): stream-stream
+    * inner join of clicks to purchases by the same user within 30 minutes.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can expire buffered state — the unbounded-state
+    * failure mode is designed out, same reasoning as q_range_join's
+    * bucketing in batch.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  /** Native session-window aggregation — the built-in operator face of
+    * [[sessionize]]: same 30-minute-gap semantics, state merged by the
+    * engine instead of hand-rolled flatMapGroupsWithState.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
 }

@@ -69,6 +69,69 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-arrivals of the same content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val query = EventStreams.streamingDedup(docs, "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), "alpha"), (ts(2), "alpha"), (ts(3), "beta"))
+      query.processAllAvailable()
+      input.addData((ts(4), "alpha"), (ts(5), "gamma")) // alpha within watermark → dropped
+      query.processAllAvailable()
+      val texts = spark.table("dedup_stream").collect().map(_.getAs[String]("text"))
+      assert(texts.sorted.toSeq == Seq("alpha", "beta", "gamma"), texts.mkString(","))
+    } finally query.stop()
+  }
+
+  test("stream-stream join maintains click-to-purchase pairs incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.clickToPurchase(input.toDF())
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(0), 1L, "click", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("cp_join").count() == 0) // no purchase yet
+      input.addData(
+        Event(ts(10), 1L, "purchase", 9.0),  // within 30 min → joins
+        Event(ts(50), 1L, "purchase", 5.0),  // outside 30 min → no pair
+        Event(ts(10), 2L, "purchase", 7.0))  // other user → no pair
+      query.processAllAvailable()
+      val rows = spark.table("cp_join").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows.head.getAs[Double]("purchase_value") == 9.0)
+    } finally query.stop()
+  }
+
+  test("native session_window agrees with flatMapGroupsWithState sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("sw_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(ts(0), 7L, "click", 1.0), Event(ts(5), 7L, "click", 2.0),
+        Event(ts(65), 7L, "view", 4.0))
+      query.processAllAvailable()
+      // close both sessions by pushing the watermark far forward
+      input.addData(Event(ts(500), 99L, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(ts(900), 99L, "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("sw_counts").filter($"user_id" === 7L).collect()
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("batch sessionize (WindowOps) and streaming agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -86,6 +86,61 @@ object GraftApi {
       attr(key), attr(order), attr(tiebreak), k, child))
   }
 
+  /** Generic as-of join: every `left` row gains `asof_<payload>` — the
+    * `payload` value of the latest `right` row with the same `key` whose
+    * `rightTime` <= the row's `leftTime` (ties on time: larger payload
+    * wins). One shuffle on key, no join operator: both sides are tagged,
+    * unioned, and the payload is carried forward by a window `last(...,
+    * ignoreNulls)`; the left row rides along as a struct so nothing needs
+    * joining back. A correlated-subquery or inequality-join formulation
+    * would rescan or go quadratic in a hot key's history at 100 TB.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: String): DataFrame = {
+    val payloadType = right.schema(payload).dataType
+    val leftStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l = left.select(col(key).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"), lit(null).cast(payloadType).as("_p"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_row"))
+    val r = right.select(col(key).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"), col(payload).as("_p"),
+      lit(null).cast(leftStruct).as("_row"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$payload")): _*)
+  }
+
+  /** Generic bounded range join: pairs (left, right) with equal `key`
+    * where `rightTime` lands in [leftTime+lowerMs, leftTime+upperMs].
+    * Both sides are binned to windows of the range width and joined on
+    * (key, bucket) — left rows explode to the (usually 2) buckets their
+    * window overlaps — with the exact predicate as a post-filter. The
+    * bound is mandatory: it is what keeps the join an equi-join instead
+    * of the nested loop Catalyst plans for a bare inequality.
+    * Column names must be disjoint between the two sides.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      lowerMs: Long, upperMs: Long): DataFrame = {
+    require(upperMs > lowerMs, "empty range")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"overlapping columns: ${overlap.mkString(",")}")
+    val widthMs = upperMs - lowerMs
+    val lMs = unix_millis(col(leftTime).cast("timestamp"))
+    val rMs = unix_millis(col(rightTime).cast("timestamp"))
+    val l = left.withColumn("_bkt", explode(sequence(
+      floor((lMs + lowerMs) / widthMs), floor((lMs + upperMs) / widthMs))))
+    val r = right.withColumn("_rbkt", floor(rMs / widthMs))
+    l.join(r, col("_bkt") === col("_rbkt") && col(leftKey) === col(rightKey))
+      .filter(rMs >= lMs + lowerMs && rMs <= lMs + upperMs)
+      .drop("_bkt", "_rbkt")
+  }
+
   implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
 
     /** typeCase (traversableOps.scala:72): ordered (tag → projection)

@@ -40,22 +40,12 @@ object Temporal {
       |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
   ) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("event_id").as("click_id"), lit(null).cast("long").as("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        lit(null).cast("long").as("click_id"), col("event_id"))
-    // order: clicks sort before purchases at equal ts (side 0 < 1) so a
-    // click at exactly p.ts is visible; equal-ts clicks sort by id so the
-    // LAST carried value is the max click id.
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("event_id")))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
-      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(col("event_id"), col("user_id"), col("asof_click").as("click_id"))
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+    graft.api.GraftApi.asofJoin(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts", payload = "event_id")
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_id"))
   }
 
   /** Bounded range (interval) join: purchases within 30 minutes after a
@@ -76,21 +66,15 @@ object Temporal {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'""".stripMargin,
   ) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
-    val bucketMs = 30L * 60 * 1000
-    def bkt(ts: org.apache.spark.sql.Column) =
-      floor(unix_millis(ts) / lit(bucketMs))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
-      .withColumn("bkt", explode(array_distinct(
-        array(bkt(col("s_ts")), bkt(col("s_ts")) + 1))))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
-      .withColumn("bkt", bkt(col("p_ts")))
-    signups.join(purchases, Seq("bkt"))
-      .filter(col("user_id") === col("p_user") &&
-        col("p_ts") >= col("s_ts") &&
-        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+    graft.api.GraftApi.rangeJoin(signups, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "s_ts", rightTime = "p_ts",
+        lowerMs = 0L, upperMs = 30L * 60 * 1000)
       .select(col("signup_id"), col("purchase_id"),
         (unix_millis(col("p_ts")) - unix_millis(col("s_ts"))).as("delay_ms"))
   }

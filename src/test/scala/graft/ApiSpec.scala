@@ -1,5 +1,6 @@
 package graft
 
+import graft.api.GraftApi
 import graft.api.GraftApi._
 import org.apache.spark.sql.functions._
 
@@ -79,5 +80,38 @@ class ApiSpec extends SparkSpec {
       ev.toDF().typeCase($"event_type",
         "purchase" -> $"value", "click" -> lit(1.0))(lit(0.0)).as("w"))
     assert(weighted.agg(sum($"w")).head.getDouble(0) > 0)
+  }
+
+  test("generic asofJoin: latest at-or-before payload, null when none") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val quotes = Seq((1L, t(1), 10L), (1L, t(5), 50L), (1L, t(5), 51L), (2L, t(9), 90L))
+      .toDF("qk", "q_ts", "quote_id")
+      .select(col("qk").as("k"), col("q_ts").as("ts"), col("quote_id"))
+    val trades = Seq((1L, t(0), "a"), (1L, t(5), "b"), (1L, t(7), "c"), (3L, t(4), "d"))
+      .toDF("k", "ts", "trade")
+    val got = GraftApi.asofJoin(trades, quotes, "k", "ts", "ts", "quote_id")
+      .select("trade", "asof_quote_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(
+      "a" -> None,        // no quote at-or-before t0
+      "b" -> Some(51L),   // tie at t5 → larger payload wins
+      "c" -> Some(51L),
+      "d" -> None))       // key 3 has no quotes
+  }
+
+  test("generic rangeJoin equals the naive inequality join") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val l = (0L to 40L by 7).map(i => (1L, i, t(i))).toDF("lk", "lid", "lts")
+    val r = (0L to 40L by 3).map(i => (1L, 100 + i, t(i))).toDF("rk", "rid", "rts")
+    val got = GraftApi.rangeJoin(l, r, "lk", "rk", "lts", "rts",
+        lowerMs = 2 * 60000L, upperMs = 11 * 60000L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.join(r, col("lk") === col("rk") &&
+        col("rts") >= col("lts") + expr("INTERVAL 2 MINUTES") &&
+        col("rts") <= col("lts") + expr("INTERVAL 11 MINUTES"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
   }
 }

@@ -75,4 +75,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), p)
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
+
+  test("as-of join plans as one window pass — no join operator at all") {
+    val p = plan(Temporal.asofJoin)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange: the user_id hash partitioning for the window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("range join is an equi-join on (bucket), never a nested loop") {
+    val p = plan(Temporal.rangeJoin)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("IVF ANN: centroid assignment and probes broadcast the tiny sides") {
+    val p = plan(graft.operators.Similarity.annIvfTopK)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
 }

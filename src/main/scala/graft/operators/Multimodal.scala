@@ -21,7 +21,7 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, n_bytes: Int, magic: String,
       width: Int, height: Int, format: String)
-  case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
+  case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Int, frame_md5: String)
 
   /** Deterministic fake of a media-header decode: derives dimensions from
     * payload bytes the way a real decoder would read them from the header.
@@ -38,15 +38,50 @@ object Multimodal {
     (width, height, format)
   }
 
-  private def md5Hex(bytes: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+  private def hexLower(bytes: Array[Byte]): String =
+    bytes.map("%02x".format(_)).mkString
+
+  /** md5 of the LOWERCASE-HEX rendering of the bytes (not of the raw
+    * bytes): a string-domain fingerprint every engine can restate —
+    * which is what makes these binary ops oracle-checkable rather than
+    * rows-only.
+    */
+  private def md5OfHex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexLower(bytes).getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
   }
+
+  /** Byte-level oracle preamble: the payload's hex string + byte length,
+    * and the first two byte VALUES recovered by hex-digit arithmetic
+    * (DuckDB has no blob indexing; the hex string is the portable view
+    * of the binary column).
+    */
+  private val encSql =
+    """enc AS (SELECT doc_id, hex(encode(text)) AS h,
+      |               octet_length(encode(text)) AS n FROM documents),
+      |bytes AS (SELECT doc_id, h, n,
+      |  CASE WHEN length(h) >= 2 THEN
+      |    (strpos('0123456789ABCDEF', substr(h,1,1))-1)*16
+      |     + (strpos('0123456789ABCDEF', substr(h,2,1))-1) ELSE 0 END AS b0,
+      |  CASE WHEN length(h) >= 4 THEN
+      |    (strpos('0123456789ABCDEF', substr(h,3,1))-1)*16
+      |     + (strpos('0123456789ABCDEF', substr(h,4,1))-1) ELSE 0 END AS b1
+      |  FROM enc)""".stripMargin
 
   /** Binary metadata extraction: text bytes stand in for media payloads;
     * one mapPartitions pass "decodes" headers in batch.
     */
-  val metaExtract: Op = Op.noOracle("mm_meta_extract") { (spark, dir) =>
+  val metaExtract: Op = Op(
+    "mm_meta_extract",
+    s"""WITH $encSql
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+      |  lower(substr(h, 1, 8)) AS magic,
+      |  CAST(16*(1+(b0%40)) AS INTEGER) AS width,
+      |  CAST(16*(1+(b1%30)) AS INTEGER) AS height,
+      |  CASE b0%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      |FROM bytes""".stripMargin,
+  ) { (spark, dir) =>
     import spark.implicits._
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -55,7 +90,7 @@ object Multimodal {
       // simulate per-partition decoder initialization (expensive in real codecs)
       rows.map { r =>
         val (w, h, fmt) = stubDecodeHeader(r.payload)
-        val magic = r.payload.take(4).map("%02x".format(_)).mkString
+        val magic = hexLower(r.payload.take(4))
         MediaMeta(r.doc_id, r.payload.length, magic, w, h, fmt)
       }
     }.toDF()
@@ -65,7 +100,16 @@ object Multimodal {
     * "frame" fingerprinted. Batch iterator shape matches a real
     * frame-extraction pass (decoder state reused across frames of a doc).
     */
-  val frameSample: Op = Op.noOracle("mm_frame_sample") { (spark, dir) =>
+  val frameSample: Op = Op(
+    "mm_frame_sample",
+    s"""WITH $encSql,
+      |framed AS (SELECT doc_id, h,
+      |  greatest(1, CAST(ceil(n / 64.0) AS BIGINT)) AS nf FROM bytes)
+      |SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS frame_idx,
+      |  CAST((t.i - 1) * 64 AS INTEGER) AS byte_offset,
+      |  md5(lower(substr(h, (t.i - 1) * 128 + 1, 128))) AS frame_md5
+      |FROM framed, UNNEST(generate_series(1, nf)) AS t(i)""".stripMargin,
+  ) { (spark, dir) =>
     import spark.implicits._
     val stride = 64
     val media = Tables.documents(spark, dir)
@@ -77,7 +121,7 @@ object Multimodal {
         (0 until n).iterator.map { i =>
           val off = i * stride
           val slice = r.payload.slice(off, math.min(off + stride, r.payload.length))
-          Frame(r.doc_id, i, off, md5Hex(slice))
+          Frame(r.doc_id, i, off, md5OfHex(slice))
         }
       }
     }.toDF()

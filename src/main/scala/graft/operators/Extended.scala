@@ -320,13 +320,16 @@ object Extended {
   val rollupAgg: Op = Op(
     "q_rollup_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
   ) { (spark, dir) =>
+    // exact long-cents accumulator (see Relational.cents): stays in
+    // codegen where a >18-digit decimal sum would box per row
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+        .as("sum_qty"),
         count(lit(1)).as("n"))
   }
 

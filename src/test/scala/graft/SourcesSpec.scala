@@ -40,6 +40,19 @@ class SourcesSpec extends SparkSpec {
       Tables.lineitem(spark, sfTiny).where(col("l_returnflag") === "R").count())
   }
 
+  test("orc round-trip preserves values and pushes filters into the scan") {
+    val dir = tmpDir()
+    val orders = Tables.orders(spark, sfTiny)
+    orders.write.mode("overwrite").orc(s"$dir/orders_orc")
+    val back = spark.read.orc(s"$dir/orders_orc")
+      .where(col("o_totalprice") > 300000)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(o_totalprice"), plan)
+    assert(back.count() ==
+      orders.where(col("o_totalprice") > 300000).count())
+  }
+
   test("streaming file sink appends windowed aggregates") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

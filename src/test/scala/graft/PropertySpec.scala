@@ -54,4 +54,46 @@ class PropertySpec extends SparkSpec {
     }
     assert(got.toSeq == expected)
   }
+
+  test("asofJoin matches the naive per-row scan on random timelines") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 50L))
+    val leftRows = samples(Gen.zip(gen, Gen.chooseNum(0L, 4L)), 60)
+      .zipWithIndex.map { case (((k, t), _), i) => (k, t, i.toLong) }
+    val rightRows = samples(gen, 60)
+      .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+    val left = leftRows.toDF("k", "lt", "lid")
+      .select(col("k"), expr("timestamp_millis(lt * 60000)").as("lts"), col("lid"))
+    val right = rightRows.toDF("k", "rt", "payload")
+      .select(col("k"), expr("timestamp_millis(rt * 60000)").as("rts"), col("payload"))
+    val got = graft.api.GraftApi.asofJoin(left, right, "k", "lts", "rts", "payload")
+      .select("lid", "asof_payload").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val naive = leftRows.map { case (k, lt, lid) =>
+      val cands = rightRows.filter { case (rk, rt, _) => rk == k && rt <= lt }
+      // latest at-or-before; ties on time → larger payload
+      lid -> cands.sortBy { case (_, rt, p) => (rt, p) }.lastOption.map(_._3)
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("rangeJoin matches the naive inequality scan on random timelines") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 120L))
+    val leftRows = samples(gen, 50).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val rightRows = samples(gen, 50).zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+    val left = leftRows.toDF("lk", "lt", "lid")
+      .select(col("lk"), expr("timestamp_millis(lt * 60000)").as("lts"), col("lid"))
+    val right = rightRows.toDF("rk", "rt", "rid")
+      .select(col("rk"), expr("timestamp_millis(rt * 60000)").as("rts"), col("rid"))
+    val (lo, hi) = (3 * 60000L, 17 * 60000L)
+    val got = graft.api.GraftApi.rangeJoin(left, right, "lk", "rk", "lts", "rts", lo, hi)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (lk, lt, lid) <- leftRows
+      (rk, rt, rid) <- rightRows
+      if rk == lk && rt * 60000 >= lt * 60000 + lo && rt * 60000 <= lt * 60000 + hi
+    } yield (lid, rid)).toSet
+    assert(got == naive && naive.nonEmpty)
+  }
 }

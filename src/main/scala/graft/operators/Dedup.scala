@@ -82,16 +82,21 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
       |FROM verified WHERE jaccard >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val sh = graft.CacheRegistry.track( // referenced 4× (see minhashLsh)
+    val sh = graft.CacheRegistry.track( // referenced 3× (see minhashLsh)
       withShingles(Tables.documents(spark, dir)).select("doc_id", "shingles"))
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64).select("g")
-    val kept = grams.join(rare, "g")
-    val cand = kept.alias("a")
-      .join(kept.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs in ONE shuffle: group the posting list per shingle,
+    // drop ultra-common shingles (df cap — quadratic candidate mass,
+    // zero discrimination), and expand each remaining list's pairs
+    // IN-GROUP with array HOFs (≤ 64·63/2 pairs per group) — replacing
+    // the df-count + rare-filter join + self-join triple shuffle. The
+    // pair set is identical: docs sharing a rare shingle.
+    val cand = grams.groupBy("g").agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 64))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1)," +
+          " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
+      .select("p.doc_a", "p.doc_b")
       .distinct()
     val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
     val jac = interSz.cast("double") /

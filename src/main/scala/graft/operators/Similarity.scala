@@ -201,12 +201,15 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     import org.apache.spark.sql.expressions.Window
+    // nearest centroid as a map-side min_by aggregate: the |N|·|cells|
+    // scored rows collapse to one row per vector BEFORE the shuffle
+    // (a row_number window would move all of them, embeddings included);
+    // min over (-cosine, cent_id) = max cosine with min-id tiebreak.
     val assign = v.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(
-        (vec_dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).desc,
-        col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("a_vec"), col("cent_id").as("a_cent"))
+      .groupBy(col("vec_id").as("a_vec"))
+      .agg(min_by(col("cent_id"), struct(
+        (vec_dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")) * -1).as("negcos"),
+        col("cent_id"))).as("a_cent"))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val probes = q.crossJoin(broadcast(cents))

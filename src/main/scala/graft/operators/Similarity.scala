@@ -229,6 +229,81 @@ object Similarity {
       .select("q_id", "cand_id", "cosine")
   }
 
+  /** Random-hyperplane LSH (the production form of the sign-sketch ops
+    * above): 8 pseudo-random hyperplanes with components derived
+    * deterministically from md5 digits — h(j,d) ∈ [-1,1] — so every
+    * engine can rebuild the SAME planes (a seeded PRNG would not be
+    * portable). Bucket key = the 8 sign bits of the hyperplane dot
+    * products; queries rank true cosine within their bucket only.
+    * The planes are computed ONCE into a one-row broadcast (not per
+    * row — 512 md5 calls per vector would swamp the scan).
+    */
+  private val rhPlanesExpr =
+    "transform(sequence(0, 7), j -> transform(sequence(1, 64), d -> " +
+      "cast((locate(substring(md5(concat('rh', j, ':', d)), 1, 1), '0123456789abcdef') - 1) * 16 " +
+      "+ (locate(substring(md5(concat('rh', j, ':', d)), 2, 1), '0123456789abcdef') - 1) as double)" +
+      " / 127.5 - 1.0))"
+
+  private val rhSketchExpr =
+    "concat_ws('', transform(sequence(1, 8), j -> " +
+      "if(aggregate(sequence(1, 64), cast(0.0 as double), (acc, d) -> " +
+      "acc + element_at(element_at(w, j), d) * cast(element_at(embedding, d) as double)) >= 0.0D," +
+      " '1', '0')))"
+
+  private val rhOracleSketch =
+    """w AS (SELECT j, list_transform(generate_series(1, 64), d ->
+      |        CAST(  (strpos('0123456789abcdef', substr(md5('rh' || j || ':' || d), 1, 1)) - 1) * 16
+      |             + (strpos('0123456789abcdef', substr(md5('rh' || j || ':' || d), 2, 1)) - 1)
+      |             AS DOUBLE) / 127.5 - 1.0) AS wv
+      |      FROM UNNEST(generate_series(0, 7)) AS t(j)),
+      |sk AS (SELECT vec_id, string_agg(CASE WHEN dot >= 0.0 THEN '1' ELSE '0' END, ''
+      |                                 ORDER BY j) AS sk
+      |       FROM (SELECT e.vec_id, w.j,
+      |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                 list_transform(generate_series(1, 64),
+      |                   d -> w.wv[d] * CAST(e.embedding[d] AS DOUBLE))),
+      |                 (acc, p) -> acc + p) AS dot
+      |             FROM embeddings e, w) GROUP BY vec_id)""".stripMargin
+
+  val annRandomHyperplaneTopK: Op = Op(
+    "ann_rh_lsh_topk",
+    s"""WITH $rhOracleSketch,
+      |v AS (SELECT e.vec_id, e.embedding, $normSql AS nrm, sk.sk
+      |      FROM embeddings e JOIN sk ON sk.vec_id = e.vec_id),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, sk AS q_sk
+      |      FROM v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q_id, vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q_emb)),
+      |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q_nrm * nrm) AS cosine
+      |  FROM q JOIN v ON q_sk = sk AND q_id <> vec_id)
+      |SELECT q_id, cand_id, cosine FROM (
+      |  SELECT q_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val planes = spark.range(1).select(expr(rhPlanesExpr).as("w"))
+    val v = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(planes))
+      .withColumn("nrm", nrmCol)
+      .withColumn("sk", expr(rhSketchExpr))
+      .select("vec_id", "embedding", "nrm", "sk")
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
+    val dot = vec_dot(col("q_emb"), col("embedding"))
+    v.join(broadcast(q), col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "cand_id", "cosine")
+  }
+
   val ops: Seq[Op] =
-    Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK)
+    Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,
+      annRandomHyperplaneTopK)
 }

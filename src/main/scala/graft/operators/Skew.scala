@@ -66,5 +66,26 @@ object Skew {
         col("n"))
   }
 
-  val ops: Seq[Op] = Seq(saltedAgg)
+  /** The salted replicated-build join as a driver-gated operator: events'
+    * 150 distinct user_ids against 1500 customers means every probe key
+    * is hot (~670 rows each at sf0.1). The build side replicates 8×, the
+    * probe side salts, and the result is provably identical to the
+    * direct join — the oracle is the plain SQL join aggregate.
+    */
+  val saltedJoinOp: Op = Op(
+    "q_skew_salted_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin,
+  ) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select(
+      col("user_id"), col("value").cast("decimal(12,2)").as("v"))
+    val build = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    saltedJoin(probe, build, "user_id", "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
+  }
+
+  val ops: Seq[Op] = Seq(saltedAgg, saltedJoinOp)
 }

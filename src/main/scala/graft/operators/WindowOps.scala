@@ -162,7 +162,70 @@ object WindowOps {
         expr("percentile(l_quantity, 0.95)").as("p95_qty"))
   }
 
+  /** Distribution-position window functions: ntile buckets + cumulative
+    * distribution, deterministic because the ordering (value, event_id)
+    * is total.
+    */
+  val windowNtile: Op = Op(
+    "q_window_ntile",
+    """SELECT event_id, user_id,
+      |  NTILE(4) OVER w AS quartile,
+      |  CUME_DIST() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      ntile(4).over(w).as("quartile"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  /** Pearson correlation decomposed into EXACT integer sums — the
+    * at-scale pattern for non-associative statistics: a direct corr()
+    * accumulates doubles in partition order (answers drift run to run on
+    * a cluster); decomposing into Σx, Σy, Σxy, Σx², Σy² over exact
+    * integers makes every partial exact and associative, with ONE final
+    * double formula evaluated identically everywhere. Inputs are
+    * quantity (integral) and discount cents, so all sums fit long with
+    * orders of magnitude to spare.
+    */
+  val corrExact: Op = Op(
+    "q_corr_exact",
+    """SELECT l_returnflag,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_qty_disc,
+      |  n
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(q) AS sx, SUM(d) AS sy, SUM(q * d) AS sxy,
+      |    SUM(q * q) AS sxx, SUM(d * d) AS syy
+      |  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+      |               CAST(round(l_discount * 100) AS BIGINT) AS d
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)""".stripMargin,
+  ) { (spark, dir) =>
+    val q = round(col("l_quantity")).cast("long")
+    val d = round(col("l_discount") * 100).cast("long")
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), q.as("q"), d.as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sx"), sum(col("d")).as("sy"),
+        sum(col("q") * col("d")).as("sxy"),
+        sum(col("q") * col("q")).as("sxx"),
+        sum(col("d") * col("d")).as("syy"))
+    val nD = col("n").cast("double")
+    base.select(col("l_returnflag"),
+      ((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx").cast("double") * col("sx")) *
+         sqrt(nD * col("syy") - col("sy").cast("double") * col("sy"))))
+        .as("corr_qty_disc"),
+      col("n"))
+  }
+
   val ops: Seq[Op] =
     Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp,
-      slidingWindow, percentiles)
+      slidingWindow, percentiles, windowNtile, corrExact)
 }

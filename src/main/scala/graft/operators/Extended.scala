@@ -277,6 +277,37 @@ object Extended {
       .agg(count(lit(1)).as("multiplicity"))
   }
 
+  /** Bag ALGEBRA (collections/Bag.scala): multiset union/intersection/
+    * difference over two bags, computed as ONE conditional aggregation
+    * pass — union adds multiplicities, intersection takes the min,
+    * difference saturates at zero. No join: both bags ride the same scan
+    * with a membership tag.
+    */
+  val bagAlgebra: Op = Op(
+    "q_bag_algebra",
+    """SELECT element, cnt_r, cnt_a,
+      |  cnt_r + cnt_a AS union_cnt,
+      |  LEAST(cnt_r, cnt_a) AS inter_cnt,
+      |  GREATEST(cnt_r - cnt_a, 0) AS diff_cnt
+      |FROM (
+      |  SELECT l_quantity AS element,
+      |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cnt_r,
+      |    COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS cnt_a
+      |  FROM lineitem WHERE l_returnflag IN ('R','A')
+      |  GROUP BY l_quantity)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_quantity").as("element"))
+      .agg(
+        count(when(col("l_returnflag") === "R", 1)).as("cnt_r"),
+        count(when(col("l_returnflag") === "A", 1)).as("cnt_a"))
+      .select(col("element"), col("cnt_r"), col("cnt_a"),
+        (col("cnt_r") + col("cnt_a")).as("union_cnt"),
+        least(col("cnt_r"), col("cnt_a")).as("inter_cnt"),
+        greatest(col("cnt_r") - col("cnt_a"), lit(0L)).as("diff_cnt"))
+  }
+
   /** The paper's Fig.2 query shape (tests/PaperTutorial.scala:24-28):
     * filter on the outer entity, flatMap its children, yield
     * (outer key, child attr, sibling count - 1) — the "number of coauthors"
@@ -337,6 +368,6 @@ object Extended {
     indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs, mkStringAgg,
     viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
     optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
-    paperTutorial, rollupAgg,
+    bagAlgebra, paperTutorial, rollupAgg,
   )
 }

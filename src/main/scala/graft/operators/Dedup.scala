@@ -150,13 +150,18 @@ object Dedup {
         .withColumn("sketch",
           expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
         .select("doc_id", "shingles", "sketch"))
-    // distinct over ids only — carrying the shingle arrays through the
-    // dedup shuffle would move kilobytes per candidate row
+    // Candidates via one-shuffle posting lists (see ngramJaccard): group
+    // doc ids per sketch hash, expand pairs in-group. Bucket sizes here
+    // are near-dup cluster sizes (max 4 at sf0.1); a corpus with
+    // mega-duplicate clusters makes the pair set quadratic under ANY
+    // formulation — that pathology is dedup_exact's job to remove first.
     val buckets = sk.select(col("doc_id"), explode(col("sketch")).as("h"))
-    val cand = buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = buckets.groupBy("h").agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1)," +
+          " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
+      .select("p.doc_a", "p.doc_b")
       .distinct()
     val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
     val jac = interSz.cast("double") /

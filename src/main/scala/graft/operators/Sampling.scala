@@ -56,9 +56,11 @@ object Sampling {
     * SamplingSpec bounds the estimate against the exact count.
     */
   val approxDistinct: Op = Op.noOracle("q_approx_distinct") { (spark, dir) =>
+    // rsd 0.02: 4× smaller HLL registers than 0.01 for the same
+    // SamplingSpec 5% bound — sketch size is the whole cost here
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n"))
   }
 

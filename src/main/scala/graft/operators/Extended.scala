@@ -145,15 +145,23 @@ object Extended {
     """SELECT l_orderkey, l_linenumber,
       |  l_quantity * 2 * 3 AS q6,
       |  ((l_linenumber + 1) + 2) + 3 AS ln6,
-      |  l_quantity * 0 + 42 AS const42
+      |  l_quantity * 0 + 42 AS const42,
+      |  -l_quantity AS negq,
+      |  CAST(l_quantity AS BIGINT) % 7 AS qmod7,
+      |  CAST(CAST(l_quantity AS BIGINT) // 4 AS BIGINT) AS qdiv4
       |FROM lineitem WHERE l_quantity <= 5""".stripMargin,
   ) { (spark, dir) =>
+    // full numericOps surface (reference numericOps.scala Plus/Times/
+    // Negate/Div/Mod); integer div/mod are exact cross-engine
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") <= 5)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_quantity") * 2 * 3).as("q6"),
         (((col("l_linenumber") + 1) + 2) + 3).as("ln6"),
-        (col("l_quantity") * 0 + 42).as("const42"))
+        (col("l_quantity") * 0 + 42).as("const42"),
+        (-col("l_quantity")).as("negq"),
+        (col("l_quantity").cast("long") % 7).as("qmod7"),
+        (col("l_quantity").cast("long") / 4).cast("long").as("qdiv4"))
   }
 
   /** String operators (StringConcat.scala, ToString.scala). */

@@ -91,6 +91,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("CNF conversion pushes the common conjunct of an OR through the join") {
+    // reference BooleanOperators.scala/cnf: (p∧q)∨(p∧r) ⇒ p∧(q∨r) so p
+    // reaches the orders-side scan — Catalyst's CNF predicate pushdown
+    // does the same rewrite.
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfTiny)
+    val customer = Tables.customer(spark, sfTiny)
+    val joined = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .filter((col("o_totalprice") > 100000 && col("c_acctbal") > 5000) ||
+              (col("o_totalprice") > 100000 && col("c_acctbal") < 0))
+    val formatted = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("GreaterThan(o_totalprice,100000"), formatted)
+  }
+
   test("IVF ANN: centroid assignment and probes broadcast the tiny sides") {
     val p = plan(graft.operators.Similarity.annIvfTopK)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)

@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("let-bindings fuse into one codegen stage (inlining without duplication)") {
+    // reference Inlining.scala/letTransformer: CollapseProject inlines
+    // cheap intermediates and deliberately KEEPS a binding that is
+    // referenced twice (disc_price feeds both the output and charge —
+    // collapsing would duplicate the multiply, the same share-vs-inline
+    // tradeoff the reference's letTransformer manages). Either way the
+    // whole chain must stay one WholeStageCodegen span over the scan.
+    val p = formatted(Extended.letBinding)
+    val stages = "codegen id : (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(stages == Set("1"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("CNF conversion pushes the common conjunct of an OR through the join") {
     // reference BooleanOperators.scala/cnf: (p∧q)∨(p∧r) ⇒ p∧(q∨r) so p
     // reaches the orders-side scan — Catalyst's CNF predicate pushdown

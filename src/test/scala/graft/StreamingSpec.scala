@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maintained aggregate view tracks base-collection deltas (IVMTest1 analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.typeCounts(input.toDF())
+      .writeStream.format("memory").queryName("type_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 1.0))
+      query.processAllAvailable()
+      def counts() = spark.table("type_counts").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(counts() == Map("click" -> 2L))
+      // the delta updates the maintained view without recomputing history
+      input.addData(Event(ts(3), 1L, "view", 1.0), Event(ts(4), 3L, "click", 1.0))
+      query.processAllAvailable()
+      assert(counts() == Map("click" -> 3L, "view" -> 1L))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops re-arrivals of the same content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -99,7 +99,7 @@ object Graph {
         .agg(min(col("cluster")).as("cluster"))
         .persist()
       val s = stepped.agg(coalesce(sum(col("cluster")), lit(0L)))
-        .head.getLong(0) // materializes the persist
+        .head().getLong(0) // materializes the persist
 
       converged = s == prevSum
       prevSum = s

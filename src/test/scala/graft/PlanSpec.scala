@@ -91,6 +91,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("commuted expressions normalize to the same plan (NormalizationTests)") {
+    import org.apache.spark.sql.functions._
+    val a = Tables.orders(spark, sfTiny)
+      .filter(col("o_totalprice") * 2 > 100).select("o_orderkey")
+    val b = Tables.orders(spark, sfTiny)
+      .filter(lit(2) * col("o_totalprice") > 100).select("o_orderkey")
+    assert(a.queryExecution.optimizedPlan.sameResult(b.queryExecution.optimizedPlan))
+  }
+
+  test("identity projections are removed (RemoveIdentityMapsTests)") {
+    val base = Tables.orders(spark, sfTiny)
+    val mapped = base.select(base.columns.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*).select("*")
+    val p = mapped.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Project"), p)
+  }
+
   test("let-bindings fuse into one codegen stage (inlining without duplication)") {
     // reference Inlining.scala/letTransformer: CollapseProject inlines
     // cheap intermediates and deliberately KEEPS a binding that is

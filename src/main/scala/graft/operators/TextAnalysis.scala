@@ -111,5 +111,30 @@ object TextAnalysis {
         " i -> md5(substring(text, i, 8))))").as("winnow_min"))
   }
 
-  val ops: Seq[Op] = Seq(tokenCount, quality, langId, fingerprint)
+  /** Normalization/cleaning pass (the pre-tokenization scrub step of a
+    * training pipeline): drop stopwords and empty tokens, re-join — all
+    * with array HOFs over one split, no UDF, plus before/after counts so
+    * the reduction is auditable.
+    */
+  val normalize: Op = Op(
+    "text_normalize",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tokens_before,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w <> '' AND w <> 'a' AND w <> 'the')) AS BIGINT) AS tokens_after,
+      |  array_to_string(list_filter(string_split(text, ' '),
+      |        w -> w <> '' AND w <> 'a' AND w <> 'the'), ' ') AS normalized
+      |FROM documents""".stripMargin,
+  ) { (spark, dir) =>
+    val words = split(col("text"), " ")
+    val nonEmptyCount = size(expr("filter(split(text, ' '), w -> w != '')"))
+    val kept = expr("filter(split(text, ' '), w -> w != '' AND w != 'a' AND w != 'the')")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nonEmptyCount.cast("long").as("tokens_before"),
+      size(kept).cast("long").as("tokens_after"),
+      array_join(kept, " ").as("normalized"))
+  }
+
+  val ops: Seq[Op] = Seq(tokenCount, quality, langId, fingerprint, normalize)
 }

@@ -52,6 +52,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("asofJoin with an empty right side yields all-null payloads") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val left = Seq((1L, t(1), "x")).toDF("k", "ts", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "ts", "payload")
+    val out = graft.api.GraftApi.asofJoin(left, right, "k", "ts", "ts", "payload").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_payload")))
+  }
+
+  test("rangeJoin with an empty side yields no pairs") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val left = Seq((1L, t(1), 1L)).toDF("lk", "lts", "lid")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("rk", "rts", "rid")
+    assert(graft.api.GraftApi.rangeJoin(left, right, "lk", "rk", "lts", "rts",
+      0L, 60000L).count() == 0)
+  }
+
   test("vec_dot on empty and mismatched arrays") {
     import spark.implicits._
     import graft.functions.vec._

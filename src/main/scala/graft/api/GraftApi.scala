@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object GraftApi {
 
+  /** asSquopt for plain in-memory collections: the reference lifts any
+    * local Traversable into a queryable Exp; here a local Seq lifts into
+    * a Dataset (a LocalRelation — Catalyst folds/prunes it like any
+    * other plan node, and it broadcasts cheaply into joins).
+    */
+  implicit class GraftCollectionOps[T](private val seq: Seq[T]) extends AnyVal {
+    def asGraft(implicit spark: SparkSession, enc: Encoder[T]): Dataset[T] =
+      spark.createDataset(seq)
+  }
+
   implicit class GraftDatasetOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** asSquopt analog: entry point named for discoverability; the Dataset

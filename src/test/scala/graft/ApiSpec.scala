@@ -82,6 +82,16 @@ class ApiSpec extends SparkSpec {
     assert(weighted.agg(sum($"w")).head.getDouble(0) > 0)
   }
 
+  test("local collections lift into queryable Datasets (asSquopt analog)") {
+    import spark.implicits._
+    implicit val s = spark
+    val lifted = Seq(("x", 1), ("y", 2), ("y", 3)).asGraft
+    val out = lifted.toDF("k", "v").groupBy("k")
+      .agg(sum($"v").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 1L, "y" -> 5L))
+  }
+
   test("generic asofJoin: latest at-or-before payload, null when none") {
     import spark.implicits._
     def t(m: Long) = new java.sql.Timestamp(m * 60000L)

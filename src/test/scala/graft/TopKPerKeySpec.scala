@@ -66,6 +66,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(custom.collect().toSet == windowed.collect().toSet)
   }
 
+  test("bounded heaps hold at 1M rows over 100k keys") {
+    import spark.implicits._
+    val df = spark.range(1000000L).select(
+      (col("id") % 100000).as("k"),
+      (col("id") % 997).cast("double").as("v"),
+      col("id").as("tie"))
+    val out = GraftApi.topKPerKey(df, "k", "v", "tie", k = 3)
+    assert(out.count() == 300000L) // 3 per key, memory O(keys·k) not O(rows)
+    val worst = out.filter(col("k") === 0L).select("v").collect().map(_.getDouble(0)).sorted
+    // per key 0: ids 0, 100000, ..., values (id % 997) — top-3 must be the 3 largest
+    val expect = (0L until 1000000L by 100000L).map(id => (id % 997).toDouble).sorted.takeRight(3)
+    assert(worst.toSeq == expect)
+  }
+
   test("array-typed keys are deep-copied, not aliased into the scan buffer") {
     import spark.implicits._
     val df = (1 to 100).map(i => (Seq(s"g${i % 5}", "x"), i.toDouble, i.toLong))

@@ -120,6 +120,15 @@ object EventStreams {
         col("purchase_value"))
   }
 
+  /** Stream-static join: each micro-batch of events enriches against a
+    * static dimension (broadcast per batch, no streaming state at all) —
+    * the IVM view over a join where only one side receives deltas.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey), "left")
+
   /** Native session-window aggregation — the built-in operator face of
     * [[sessionize]]: same 30-minute-gap semantics, state merged by the
     * engine instead of hand-rolled flatMapGroupsWithState.

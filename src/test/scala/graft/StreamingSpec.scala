@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static join enriches each micro-batch against the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrichWithDim(input.toDF(), dim, "user_id", "cust_id")
+      .select("user_id", "event_type", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 9L, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 9L -> None)) // left join keeps unmatched
+    } finally query.stop()
+  }
+
   test("native session_window agrees with flatMapGroupsWithState sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

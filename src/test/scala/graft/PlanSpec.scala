@@ -91,6 +91,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("chained filters merge into one predicate (MergeFilterTests)") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(spark, sfTiny)
+      .filter(col("o_totalprice") > 1000)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .filter(col("o_custkey") > 10)
+    val filters = "Filter".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString).size
+    assert(filters == 1, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("union with a provably-empty side collapses (simplifications)") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfTiny)
+    val df = orders.union(orders.filter(lit(false)))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Union"), p) // PropagateEmptyRelation removed it
+  }
+
   test("commuted expressions normalize to the same plan (NormalizationTests)") {
     import org.apache.spark.sql.functions._
     val a = Tables.orders(spark, sfTiny)

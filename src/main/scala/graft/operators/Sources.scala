@@ -41,5 +41,31 @@ object Sources {
           .getField("k").as("k"))
   }
 
-  val ops: Seq[Op] = Seq(jsonExtract, jsonStruct)
+  /** CSV round-trip under the exact-hash gate: write customer to CSV,
+    * read it back schema-on-read, aggregate — the result must equal the
+    * oracle computed from the original parquet, proving the text format
+    * preserves keys, strings, and decimal-rendered doubles bit-exactly
+    * for this schema. (Doubles survive because Spark writes shortest
+    * round-trip representations.)
+    */
+  val csvRoundTrip: Op = Op(
+    "q_csv_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+      |  MIN(c_name) AS first_name
+      |FROM customer GROUP BY c_mktsegment""".stripMargin,
+  ) { (spark, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.customer(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    spark.read.option("header", "true")
+      .schema(Tables.customer(spark, dir).schema)
+      .csv(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"),
+        min(col("c_name")).as("first_name"))
+  }
+
+  val ops: Seq[Op] = Seq(jsonExtract, jsonStruct, csvRoundTrip)
 }

@@ -530,6 +530,44 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
   }
 
+  /** Set intersection/difference (the toSet algebra the reference's Set
+    * collections get for free): INTERSECT and EXCEPT are first-class
+    * relational operators (hash-dedup + co-partitioned probe), emitted
+    * here tagged in one result.
+    */
+  val setOps: Op = Op(
+    "q_set_ops",
+    """SELECT 'inter' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |UNION ALL
+      |SELECT 'except' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    building.intersect(rich).select(lit("inter").as("op"), col("c_custkey"))
+      .union(building.except(rich).select(lit("except").as("op"), col("c_custkey")))
+  }
+
+  /** Deterministic pagination: total-order sort + OFFSET/LIMIT — the
+    * take/drop surface over a sorted collection. (At scale, keyset
+    * pagination beats deep offsets; the operator semantics are the same.)
+    */
+  val limitOffset: Op = Op(
+    "q_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(40).limit(20)
+  }
+
   val ops: Seq[Op] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     selectMap, filterWhere, flatMapExplode, collectPartial,
@@ -537,6 +575,6 @@ object Relational {
     semiJoinExists, antiJoinNotExists, forallAgg, existsAgg,
     unionDistinct, unionAll, distinctToSet, sizeCount,
     foldSum, foldCustom, headLimit, sortTopK,
-    firstLast, appendElem, foldProduct,
+    firstLast, appendElem, foldProduct, setOps, limitOffset,
   )
 }

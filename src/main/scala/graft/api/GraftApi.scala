@@ -125,6 +125,29 @@ object GraftApi {
       .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$payload")): _*)
   }
 
+  /** Generic gap-based sessionization (batch): appends a dense per-key
+    * `session_id` (1..n) — a new session starts after `gapMs` of
+    * inactivity. One shuffle on key; `tiebreak` makes the timeline a
+    * total order. The streaming face is
+    * [[graft.streaming.EventStreams.sessionize]].
+    */
+  def sessionize(df: DataFrame, key: String, time: String, tiebreak: String,
+      gapMs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      .orderBy(col(time), col(tiebreak))
+    val prev = lag(col(time), 1).over(w)
+    df.withColumn("_new_session",
+        when(prev.isNull ||
+          unix_millis(col(time).cast("timestamp")) -
+            unix_millis(prev.cast("timestamp")) > gapMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("_new_session"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("long"))
+      .drop("_new_session")
+  }
+
   /** Generic bounded range join: pairs (left, right) with equal `key`
     * where `rightTime` lands in [leftTime+lowerMs, leftTime+upperMs].
     * Both sides are binned to windows of the range width and joined on

@@ -92,14 +92,8 @@ object WindowOps {
       |  COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM sessions GROUP BY user_id, session_id""".stripMargin,
   ) { (spark, dir) =>
-    val prev = lag(col("ts"), 1).over(byUserTime)
-    Tables.events(spark, dir)
-      .withColumn("new_session",
-        when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
-      .withColumn("session_id",
-        sum(col("new_session"))
-          .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+    graft.api.GraftApi.sessionize(Tables.events(spark, dir),
+        key = "user_id", time = "ts", tiebreak = "event_id", gapMs = 30L * 60 * 1000)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))

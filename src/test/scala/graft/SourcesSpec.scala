@@ -40,6 +40,20 @@ class SourcesSpec extends SparkSpec {
       Tables.lineitem(spark, sfTiny).where(col("l_returnflag") === "R").count())
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("append").parquet(s"$dir/evolving")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(s"$dir/evolving")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/evolving")
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = merged.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("v2")))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5))) // old files read nulls
+  }
+
   test("orc round-trip preserves values and pushes filters into the scan") {
     val dir = tmpDir()
     val orders = Tables.orders(spark, sfTiny)

@@ -99,5 +99,22 @@ object Temporal {
       lead(col("event_id"), 1).over(w).as("next_event_id"))
   }
 
-  val ops: Seq[Op] = Seq(asofJoin, rangeJoin, leadLag)
+  /** Calendar-part extraction + per-month rollup: the date scalar surface
+    * (year/month/day arithmetic) with a deterministic grouped count.
+    */
+  val dateParts: Op = Op(
+    "q_date_parts",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS first_day
+      |FROM orders GROUP BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        min(dayofmonth(col("o_orderdate"))).as("first_day"))
+  }
+
+  val ops: Seq[Op] = Seq(asofJoin, rangeJoin, leadLag, dateParts)
 }

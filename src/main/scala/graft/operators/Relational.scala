@@ -530,10 +530,11 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
   }
 
-  /** Set intersection/difference (the toSet algebra the reference's Set
-    * collections get for free): INTERSECT and EXCEPT are first-class
-    * relational operators (hash-dedup + co-partitioned probe), emitted
-    * here tagged in one result.
+  /** Set intersection/difference — the algebra the reference's Set
+    * collections get from `toSet` (traversableOps.scala:57,237) plus
+    * Scala Set ops: INTERSECT and EXCEPT are first-class relational
+    * operators (hash-dedup + co-partitioned probe), emitted here tagged
+    * in one result.
     */
   val setOps: Op = Op(
     "q_set_ops",
@@ -555,8 +556,9 @@ object Relational {
   }
 
   /** Deterministic pagination: total-order sort + OFFSET/LIMIT — the
-    * take/drop surface over a sorted collection. (At scale, keyset
-    * pagination beats deep offsets; the operator semantics are the same.)
+    * take/drop surface over a sorted collection (traversableOps.scala:
+    * 67-70 head/take family). (At scale, keyset pagination beats deep
+    * offsets; the operator semantics are the same.)
     */
   val limitOffset: Op = Op(
     "q_limit_offset",

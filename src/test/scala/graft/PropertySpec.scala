@@ -77,6 +77,29 @@ class PropertySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("sessionize matches a naive sequential grouping on random timelines") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 300L))
+    val rows = samples(gen, 80).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val df = rows.toDF("k", "tmin", "id")
+      .select(col("k"), expr("timestamp_millis(tmin * 60000)").as("ts"), col("id"))
+    val gapMs = 40 * 60000L
+    val got = graft.api.GraftApi.sessionize(df, "k", "ts", "id", gapMs)
+      .select("k", "id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val naive = rows.groupBy(_._1).flatMap { case (k, g) =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { case (_, t, id) =>
+        if (prev == Long.MinValue || (t - prev) * 60000L > gapMs) sid += 1
+        prev = t
+        (k, id) -> sid
+      }
+    }.toMap
+    assert(got == naive)
+  }
+
   test("rangeJoin matches the naive inequality scan on random timelines") {
     import spark.implicits._
     val gen = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 120L))

@@ -26,14 +26,16 @@ def norm(v):
         # the driver's pandas compare dies on array cells; surface it as a
         # loud failure instead of silently tuple-izing like the old check
         raise TypeError("driver-hostile array-typed output cell")
+    # null check FIRST: a float NaN must normalize to the same token as
+    # None, or a Spark null vs DuckDB-NaN column falsely mismatches
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return "dec:" + str(v)  # distinct from float repr, like the driver
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return v.isoformat()
-    if v is None or (isinstance(v, float) and np.isnan(v)):
-        return "NULL"
     return str(v)
 
 

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line to stdout with per-query seconds at
@@ -16,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   * line survives log-tail truncation on the consumer side, and the
   * headline queries span the plan shapes that matter (scan+agg, multi-way
   * join, LSH dedup, ANN, text scoring, end-to-end curation). Set
-  * SPARK_GRAFT_BENCH_QUERIES=all (or a comma list) for wider runs.
+  * SPARK_GRAFT_BENCH_QUERIES=all (or a comma list) for wider runs; `all`
+  * additionally writes bench_full.json (per-query seconds + per-query
+  * peak task execution memory — the reference's MemoryUsage.scala
+  * analog) so per-op regressions stay visible round over round without
+  * relying on the truncation-prone stdout tail.
   */
 object Bench {
 
@@ -24,6 +29,12 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "dedup_minhash_lsh", "ann_bruteforce_topk",
     "text_quality", "pipeline_curate")
+
+  /** Locale-pinned number rendering: `f"$v%.3f"` uses the JVM default
+    * locale, and a comma-decimal locale would emit invalid JSON.
+    */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,11 +50,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Peak task execution memory (unsafe shuffle/agg/sort buffers) across
+    // the tasks of the current query — the executor-memory face of the
+    // bench. Max-of-tasks, not sum: it bounds the per-slot memory a real
+    // executor must provision at this SF.
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+      }
+    })
+
     def materialize(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       finally CacheRegistry.drain()
 
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("all")
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some("all") => SparkEntry.queries.keys.toSeq.sorted
       case Some(list)  => list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -57,6 +81,7 @@ object Bench {
     // carry transient-load noise (observed 2-4x swings between whole
     // runs); the min is the standard de-noised estimate of query cost
     val results = names.map { name =>
+      peak.set(0L)
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -66,14 +91,24 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      (name, runs.map(_._1).min, runs.forall(_._2), peak.get())
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    // failed queries are listed in `failed` and EXCLUDED from both the
+    // queries map and the total, so the three fields stay consistent
+    val good = results.filter(_._3)
+    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = f"${results.collect { case (_, v, true) => v }.sum}%.3f"
+    val total = f3(good.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    if (benchAll) {
+      val rows = results.map { case (k, v, ok, pk) =>
+        s"""  "$k": {"sec": ${f3(v)}, "ok": $ok, "peak_exec_mem_bytes": $pk}"""
+      }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "bench_full.json")), rows)
+    }
     spark.stop()
   }
 }

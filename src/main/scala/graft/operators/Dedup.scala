@@ -237,10 +237,12 @@ object Dedup {
       |  SELECT doc_id, simhash,
       |    CAST(b AS VARCHAR) || ':' || substr(simhash, 8*b+1, 8) AS band
       |  FROM sigs, UNNEST(generate_series(0, 3)) AS t(b)),
+      |small AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 64),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.simhash AS ha, b.simhash AS hb
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      |  WHERE a.band IN (SELECT band FROM small))
       |SELECT doc_a, doc_b,
       |  CAST(list_sum(list_transform(generate_series(1, 32),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END))
@@ -249,15 +251,25 @@ object Dedup {
       |WHERE list_sum(list_transform(generate_series(1, 32),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
   ) { (spark, dir) =>
-    val sigs = graft.CacheRegistry.track(simhash.fn(spark, dir)) // referenced by both join sides
+    val sigs = simhash.fn(spark, dir)
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3)," +
         " b -> concat(cast(b as string), ':', substring(simhash, 8*b+1, 8)))")).as("band"))
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+    // Candidates via the same one-shuffle posting-list pattern as
+    // ngramJaccard/minhashLsh: group per band, cap the bucket at 64
+    // members (a hot band — e.g. near-zero signatures from short or
+    // templated docs — makes in-bucket pairs quadratic while
+    // discriminating nothing; real near-dups also share a non-degenerate
+    // band), expand pairs in-group. array_sort on (doc_id, simhash)
+    // structs gives doc_a < doc_b for free.
+    val cand = bands.groupBy("band")
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, 64))
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1)," +
+          " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b," +
+          " x.simhash as ha, y.simhash as hb))))")).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
       .distinct()
     val hamming = expr("aggregate(sequence(1, 32), 0," +
       " (acc, i) -> acc + if(substring(ha, i, 1) <> substring(hb, i, 1), 1, 0))")

@@ -61,9 +61,12 @@ object Graph {
       r
     }
     val verts = scala.collection.mutable.SortedSet.empty[Long]
-    pairs.select(col("a").cast("long"), col("b").cast("long")).collect()
-      .foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+    // primitive tuple encoder, not Row: 4M boxed Rows would cost the
+    // driver ~1 GB of heap; Long pairs keep the guard's "small side"
+    // promise at ~tens of MB
+    pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
         verts += a; verts += b
         val (ra, rb) = (find(a), find(b))
         // min id becomes the root, so roots ARE the canonical cluster ids

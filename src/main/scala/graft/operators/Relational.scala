@@ -50,12 +50,24 @@ object Relational {
     * in whole-stage codegen — unlike wide-decimal sums, whose >18-digit
     * accumulators fall off Spark's compact-long decimal representation
     * into boxed BigDecimal arithmetic (~3× slower on the q1 hot loop).
-    * Headroom: ±9.2e18. The scaled product below peaks at ~1e11 per row,
-    * so overflow needs ~1e8 rows PER GROUP at e6 scaling before the
-    * checked sum would error (never silently) — at that magnitude,
-    * switch the accumulator to decimal(38,x) as in `dec`.
+    * Headroom: ±9.2e18 on a single long sum. Scaled PRODUCTS (up to
+    * ~1e11 per row) would overflow that at ~1e8 rows per group — real at
+    * 100 TB — so product sums go through `bigSum` below instead.
     */
   private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** 64-bit-safe exact sum of a non-negative scaled-long product: each row
+    * splits x = (x >> 20)·2²⁰ + (x & 0xFFFFF) — two codegen'd bit ops — so
+    * BOTH partial long sums gain ~2²⁰ headroom (overflow now needs ~8e13
+    * rows per group, petabyte scale, vs ~1e8 for a single long sum of a
+    * ~1e11 product). The partials recombine EXACTLY in decimal(38,0)
+    * arithmetic once per GROUP (a handful of rows — off the hot path), so
+    * the hot loop never touches boxed decimals and the result is still
+    * bit-identical to an arbitrary-precision sum.
+    */
+  private def bigSum(x: Column): Column =
+    sum(shiftright(x, 20)).cast("decimal(38,0)") * lit(1048576L) +
+      sum(x.bitwiseAND(lit(1048575L))).cast("decimal(38,0)")
 
   val q1PricingSummary: Op = Op(
     "q1_pricing_summary",
@@ -77,10 +89,12 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // qty cents ≤ 5e3/row → a plain long sum has ~2e15 rows/group
+        // of headroom; the price/product sums take the bigSum split
         (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
-        (sum(price).cast("double") / 100.0).as("sum_base_price"),
-        (sum(price * discFactor).cast("double") / 10000.0).as("sum_disc_price"),
-        (sum(price * discFactor * taxFactor).cast("double") / 1000000.0).as("sum_charge"),
+        (bigSum(price).cast("double") / 100.0).as("sum_base_price"),
+        (bigSum(price * discFactor).cast("double") / 10000.0).as("sum_disc_price"),
+        (bigSum(price * discFactor * taxFactor).cast("double") / 1000000.0).as("sum_charge"),
         count(lit(1)).as("count_order"),
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -137,6 +151,18 @@ object Relational {
 
   /** TPC-H Q5 shape: multi-way join, dims broadcast, fact tables shuffled
     * on join keys only.
+    *
+    * Join order is chosen for the 100 TB plan, not left to the optimizer:
+    *  1. region(ASIA) ⋈ nation ⋈ supplier collapses to ONE tiny broadcast
+    *     of the ~1/5 of suppliers in ASIA — applied to lineitem BEFORE its
+    *     shuffle, so the biggest table ships 5× fewer rows to the only
+    *     exchanges it pays.
+    *  2. customer ⋈ orders joins the two smaller facts on custkey first;
+    *     the (order, nation-of-customer) intermediate — not the wide
+    *     lineitem join — is what re-shuffles onto orderkey.
+    * The previous formulation joined lineitem⋈orders first and re-shuffled
+    * that widest intermediate on custkey; under the driver's loaded-machine
+    * bench that plan ran 3.98 s vs ~0.9 s for this one (see PLANS.md).
     */
   val q5LocalSupplier: Op = Op(
     "q5_local_supplier",
@@ -153,18 +179,29 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin,
   ) { (spark, dir) =>
-    val nationRegion = Tables.nation(spark, dir)
-      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
-        col("n_regionkey") === col("r_regionkey"))
+    // dims collapse into one broadcast: ASIA region → its nations → the
+    // suppliers in them (supplier count is ~1e-5 of lineitem at any SF)
+    val asiaSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
     val orders = Tables.orders(spark, dir).filter(
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
       col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // smaller facts first: orders ⋈ customer shuffles on custkey without
+    // dragging lineitem columns through the exchange
+    val custOrders = orders.select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
     Tables.lineitem(spark, dir)
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nationRegion), col("s_nationkey") === col("n_nationkey"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(custOrders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
         .cast("double").as("revenue"))

@@ -17,11 +17,21 @@ object Skew {
     * Result set is identical to `probe.join(build, probeKey === buildKey)`.
     * Use when the build side is too big to broadcast but small enough to
     * replicate S times.
+    *
+    * Retry safety: the salt is derived from ROW CONTENT (hash of every
+    * probe column), never from `monotonically_increasing_id`/`rand` —
+    * nondeterministic salts re-deal rows across partitions when a lost
+    * shuffle-map output is recomputed while sibling outputs survive,
+    * double-counting or dropping rows (the classic repartition-
+    * nondeterminism hazard). A content hash replays identically on any
+    * stage re-attempt, and spreads hot keys just as well as long as their
+    * non-key columns vary (if ALL columns are identical the rows are
+    * interchangeable and their placement can't matter for skew).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String, salts: Int): DataFrame = {
     val salted = probe.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(probe.columns.map(col).toSeq: _*), lit(salts)))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,
@@ -36,11 +46,15 @@ object Skew {
     * key still lands on one reducer for the final merge of its partials —
     * with salting the heavy partial work spreads over S reducers and the
     * final pass merges only S rows per key.
+    *
+    * Salt = hash(key, value) — deterministic under stage re-attempt (see
+    * saltedJoin's retry-safety note); value entropy spreads a hot key's
+    * rows across reducers.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
       salts: Int): DataFrame = {
     val partial = df
-      .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+      .withColumn("_salt", pmod(hash(col(key), valueCol), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
     partial.groupBy(col(key))

@@ -55,7 +55,12 @@ object Sources {
       |  MIN(c_name) AS first_name
       |FROM customer GROUP BY c_mktsegment""".stripMargin,
   ) { (spark, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // deterministic per-sfDir scratch path, reused (and overwritten)
+    // across invocations instead of accumulating fresh temp dirs on every
+    // plan-lint/warmup/bench/verify pass; on a real cluster this would be
+    // a shared-filesystem staging path, not a driver-local one
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_csv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     Tables.customer(spark, dir)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     spark.read.option("header", "true")

@@ -52,5 +52,73 @@ object Pipeline {
       .filter(col("tokens") >= 10 && col("punct_ratio") < 0.2)
   }
 
-  val ops: Seq[Op] = Seq(curate)
+  /** Rule-based quality gate with audit trail (the Gopher/C4-style filter
+    * list): every document gets a verdict — the FIRST failing rule in a
+    * fixed order, or 'ok' — plus the features the rules read, so a
+    * pipeline owner can see both what was dropped and why, and re-tune
+    * thresholds without recomputing features. One codegen'd scan, zero
+    * shuffles: at 100 TB this runs embarrassingly parallel over splits.
+    * Ratio denominators are greatest(·,1)-guarded so empty docs take the
+    * 'too_short' rule rather than a divide-by-zero NaN.
+    */
+  val qualityFilter: Op = Op(
+    "pipeline_quality_filter",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+      |    CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+      |      / greatest(length(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
+      |    CASE WHEN len(bi) > 0
+      |      THEN CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)
+      |      ELSE 0.0 END AS dup_bigram_frac
+      |  FROM (SELECT doc_id, text,
+      |          CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+      |            i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bi
+      |        FROM (SELECT doc_id, text,
+      |                list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |              FROM documents)))
+      |SELECT doc_id, verdict,
+      |  CAST(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |  tokens, punct_ratio, stopword_ratio, dup_bigram_frac
+      |FROM (SELECT doc_id, tokens, punct_ratio, stopword_ratio, dup_bigram_frac,
+      |  CASE WHEN tokens < 5 THEN 'too_short'
+      |       WHEN tokens > 5000 THEN 'too_long'
+      |       WHEN punct_ratio > 0.2 THEN 'over_punctuated'
+      |       WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+      |       WHEN dup_bigram_frac > 0.2 THEN 'repetitive'
+      |       ELSE 'ok' END AS verdict
+      |  FROM f)""".stripMargin,
+  ) { (spark, dir) =>
+    val tokens = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    val punctRatio = size(expr("regexp_extract_all(text, '[.,;:!?]', 0)"))
+      .cast("double") / greatest(length(col("text")), lit(1))
+    val stopRatio = size(expr(
+      "regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)"))
+      .cast("double") / greatest(tokens, lit(1L))
+    Tables.documents(spark, dir)
+      .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("bi", expr(
+        "case when size(w) >= 2 then transform(sequence(1, size(w)-1)," +
+          " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1)))" +
+          " else array() end"))
+      .select(col("doc_id"), tokens.as("tokens"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+        when(size(col("bi")) > 0,
+          (size(col("bi")) - size(array_distinct(col("bi")))).cast("double") /
+            size(col("bi"))).otherwise(0.0).as("dup_bigram_frac"))
+      .withColumn("verdict",
+        when(col("tokens") < 5, "too_short")
+          .when(col("tokens") > 5000, "too_long")
+          .when(col("punct_ratio") > 0.2, "over_punctuated")
+          .when(col("stopword_ratio") < 0.01, "low_stopword")
+          .when(col("dup_bigram_frac") > 0.2, "repetitive")
+          .otherwise("ok"))
+      .withColumn("kept", when(col("verdict") === "ok", 1L).otherwise(0L))
+      .select("doc_id", "verdict", "kept", "tokens", "punct_ratio",
+        "stopword_ratio", "dup_bigram_frac")
+  }
+
+  val ops: Seq[Op] = Seq(curate, qualityFilter)
 }

@@ -136,5 +136,60 @@ object TextAnalysis {
       array_join(kept, " ").as("normalized"))
   }
 
-  val ops: Seq[Op] = Seq(tokenCount, quality, langId, fingerprint, normalize)
+  /** Repetition scoring (the Gopher-family "fraction of duplicate
+    * n-grams" quality rule): templated/spammy documents repeat word
+    * n-grams far above natural prose rates. Duplicate fraction =
+    * (total − distinct) / total over word 2-grams and 3-grams — pure
+    * per-row array HOFs, one codegen'd scan, no explode/shuffle.
+    * Short docs (< n words) get an empty gram list and fraction 0.
+    */
+  val repetition: Op = Op(
+    "text_repetition",
+    """SELECT doc_id,
+      |  CAST(len(bi) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct_bigrams,
+      |  CASE WHEN len(bi) > 0
+      |    THEN CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi)
+      |    ELSE 0.0 END AS dup_bigram_frac,
+      |  CAST(len(tri) AS BIGINT) AS n_trigrams,
+      |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct_trigrams,
+      |  CASE WHEN len(tri) > 0
+      |    THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+      |    ELSE 0.0 END AS dup_trigram_frac
+      |FROM (SELECT doc_id,
+      |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bi,
+      |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tri
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents))""".stripMargin,
+  ) { (spark, dir) =>
+    def dupFrac(grams: String) =
+      when(size(col(grams)) > 0,
+        (size(col(grams)) - size(array_distinct(col(grams)))).cast("double") /
+          size(col(grams)))
+        .otherwise(0.0)
+    Tables.documents(spark, dir)
+      .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+      // guard n-gram windows explicitly: Spark's sequence(1, n) DESCENDS
+      // for n < 1 while DuckDB's generate_series is empty — the CASE keeps
+      // both engines on the same (empty) result for short docs
+      .withColumn("bi", expr(
+        "case when size(w) >= 2 then transform(sequence(1, size(w)-1)," +
+          " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1)))" +
+          " else array() end"))
+      .withColumn("tri", expr(
+        "case when size(w) >= 3 then transform(sequence(1, size(w)-2)," +
+          " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))" +
+          " else array() end"))
+      .select(col("doc_id"),
+        size(col("bi")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bi"))).cast("long").as("n_distinct_bigrams"),
+        dupFrac("bi").as("dup_bigram_frac"),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("long").as("n_distinct_trigrams"),
+        dupFrac("tri").as("dup_trigram_frac"))
+  }
+
+  val ops: Seq[Op] = Seq(tokenCount, quality, langId, fingerprint, normalize, repetition)
 }

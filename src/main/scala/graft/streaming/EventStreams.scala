@@ -129,6 +129,33 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       col(eventKey) === col(dimKey), "left")
 
+  /** Incrementally-maintained FLATMAP view (reference
+    * IVMFlatMapTest1.scala: a flatMap result kept current under base
+    * deltas): each micro-batch's documents explode into token rows with
+    * no state at all — a flatMap view is stateless to maintain, each
+    * delta's image is just appended. The companion aggregate below is
+    * the "view over the view" the reference test layers on top.
+    */
+  def explodedTokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("ts"), explode(split(col(textCol), " ")).as("token"))
+
+  /** Maintained aggregate OVER the flatMap view (token counts): deltas
+    * flow explode → partial count → state update; history is never
+    * recomputed.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    explodedTokens(docs, textCol).groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Incrementally-maintained DISTINCT view (reference IVMTest1's
+    * distinct/union cases): first arrival of each key is emitted, later
+    * arrivals update nothing. State is one row per distinct key — bounded
+    * by the DOMAIN size, so this form suits low-cardinality keys (event
+    * types, language codes); for unbounded domains use
+    * [[streamingDedup]]'s watermark-bounded variant instead.
+    */
+  def distinctTypes(events: DataFrame): DataFrame =
+    events.select(col("event_type")).dropDuplicates("event_type")
+
   /** Native session-window aggregation — the built-in operator face of
     * [[sessionize]]: same 30-minute-gap semantics, state merged by the
     * engine instead of hand-rolled flatMapGroupsWithState.

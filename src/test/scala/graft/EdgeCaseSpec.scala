@@ -38,6 +38,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(q.count() == 4) // empty text filtered by length > 0
   }
 
+  test("repetition scoring: fractions bounded, short docs score zero") {
+    val rep = TextAnalysis.repetition.fn(spark, weirdDocsDir).collect()
+    assert(rep.length == 5)
+    rep.foreach { r =>
+      val (bi, tri) = (r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("dup_trigram_frac"))
+      assert(bi >= 0.0 && bi < 1.0 && tri >= 0.0 && tri < 1.0, r)
+    }
+    // docs with < 2 words have no bigrams and fraction 0 by definition
+    rep.filter(_.getAs[Long]("n_bigrams") == 0L)
+      .foreach(r => assert(r.getAs[Double]("dup_bigram_frac") == 0.0))
+    // a genuinely repetitive doc scores high
+    import spark.implicits._
+    val dir = tmpDir()
+    writeTable(dir, "documents", Seq(
+      (0L, ("spam ham " * 50).trim, "en", "s", 449L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextAnalysis.repetition.fn(spark, dir).collect().head
+    assert(r.getAs[Double]("dup_bigram_frac") > 0.9, r)
+  }
+
+  test("quality filter: verdict is the first failing rule, kept iff ok") {
+    val out = Pipeline.qualityFilter.fn(spark, weirdDocsDir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert((r.getAs[String]("verdict") == "ok") == (r.getAs[Long]("kept") == 1L))
+    }
+    // the empty and sub-5-token docs all fail the FIRST rule (too_short),
+    // never a later ratio rule — division guards keep rule order stable
+    assert(out.filter(_.getAs[Long]("tokens") < 5)
+      .forall(_.getAs[String]("verdict") == "too_short"))
+  }
+
   test("multimodal ops tolerate empty payloads") {
     assert(Multimodal.metaExtract.fn(spark, weirdDocsDir).count() == 5)
     assert(Multimodal.frameSample.fn(spark, weirdDocsDir).count() >= 5)

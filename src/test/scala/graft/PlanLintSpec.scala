@@ -14,6 +14,43 @@ class PlanLintSpec extends SparkSpec {
     // one-row hyperplane matrix / centroid set cross the scan by design
     "ann_rh_lsh_topk", "ann_ivf_topk")
 
+  /** The reference's headline claim is COMPILED query evaluation
+    * (Compile.scala, CompileCSETest.scala); ours delegates to
+    * WholeStageCodegen — so pin the delegation: after execution (AQE
+    * final plan), the headline queries must run their scans and hash
+    * aggregates INSIDE codegen'd spans (`*(n)` node prefixes), not
+    * interpreted. Ops built on collect_set/collect_list legitimately plan
+    * ObjectHashAggregate (never codegen'd) and only need a span present.
+    */
+  test("headline queries execute inside WholeStageCodegen spans") {
+    // every HashAggregate must be codegen'd, i.e. prefixed "*(n) "
+    val strict = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q5_local_supplier", "q6_forecast_revenue", "text_quality")
+    val spanOnly = Seq("dedup_minhash_lsh", "ann_bruteforce_topk", "pipeline_curate")
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfTiny)
+      // collect() (NOT a write: that builds its own QueryExecution and
+      // leaves this one un-finalized) drives AQE to the final plan, whose
+      // tree string carries the codegen markers; results are tiny at
+      // sfTiny. Lint only the "Final Plan" section — the "Initial Plan"
+      // echo below it never has markers.
+      df.collect()
+      try df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      finally CacheRegistry.drain()
+    }
+    val offenders = (strict ++ spanOnly).flatMap { name =>
+      val plan = finalPlan(name)
+      val noSpan = !plan.contains("*(")
+      val interpretedAgg = strict.contains(name) &&
+        plan.linesIterator.exists(l =>
+          l.contains("HashAggregate(") && !l.contains("*("))
+      if (noSpan || interpretedAgg)
+        Some(s"$name: codegenSpan=${!noSpan} interpretedHashAgg=$interpretedAgg")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no operator plans a cartesian product; BNL only on tiny-broadcast ops") {
     val offenders = SparkEntry.allOps.flatMap { op =>
       val plan =

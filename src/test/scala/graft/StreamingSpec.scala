@@ -170,6 +170,55 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maintained flatMap view tracks deltas without recompute (IVMFlatMapTest1 analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    // the exploded (flatMap) view itself: stateless, rows append per delta
+    val flat = EventStreams.explodedTokens(docs, "text")
+      .writeStream.format("memory").queryName("flat_view")
+      .outputMode(OutputMode.Append()).start()
+    // the aggregate maintained over it
+    val agg = EventStreams.tokenCounts(docs, "text")
+      .writeStream.format("memory").queryName("token_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), "a b a"), (ts(2), "b c"))
+      flat.processAllAvailable(); agg.processAllAvailable()
+      assert(spark.table("flat_view").count() == 5) // 3 + 2 exploded rows
+      def counts() = spark.table("token_counts").collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("n")).toMap
+      assert(counts() == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+      // a delta updates both views incrementally
+      input.addData((ts(3), "c c d"))
+      flat.processAllAvailable(); agg.processAllAvailable()
+      assert(spark.table("flat_view").count() == 8)
+      assert(counts() == Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+    } finally { flat.stop(); agg.stop() }
+  }
+
+  test("maintained distinct view emits each key once (IVMTest1 distinct analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.distinctTypes(input.toDF())
+      .writeStream.format("memory").queryName("distinct_types")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 1.0),
+        Event(ts(3), 3L, "view", 1.0))
+      query.processAllAvailable()
+      def types() = spark.table("distinct_types").collect()
+        .map(_.getAs[String]("event_type")).sorted.toSeq
+      assert(types() == Seq("click", "view"))
+      // re-arrivals add nothing; a new key appears exactly once
+      input.addData(Event(ts(4), 4L, "view", 1.0), Event(ts(5), 5L, "purchase", 1.0))
+      query.processAllAvailable()
+      assert(types() == Seq("click", "purchase", "view"))
+    } finally query.stop()
+  }
+
   test("batch sessionize (WindowOps) and streaming agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

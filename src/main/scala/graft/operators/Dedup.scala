@@ -251,8 +251,13 @@ object Dedup {
       |WHERE list_sum(list_transform(generate_series(1, 32),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
   ) { (spark, dir) =>
+    // numeric signature once per doc: Hamming distance then costs ONE
+    // codegen'd bit_count(xor) per candidate pair instead of a 32-round
+    // interpreted substring-compare HOF (that HOF was 7/8 of this
+    // operator's wall time at sf0.1)
     val sigs = simhash.fn(spark, dir)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+      .withColumn("num", conv(col("simhash"), 2, 10).cast("long"))
+    val bands = sigs.select(col("doc_id"), col("num"),
       explode(expr("transform(sequence(0, 3)," +
         " b -> concat(cast(b as string), ':', substring(simhash, 8*b+1, 8)))")).as("band"))
     // Candidates via the same one-shuffle posting-list pattern as
@@ -260,23 +265,21 @@ object Dedup {
     // members (a hot band — e.g. near-zero signatures from short or
     // templated docs — makes in-bucket pairs quadratic while
     // discriminating nothing; real near-dups also share a non-degenerate
-    // band), expand pairs in-group. array_sort on (doc_id, simhash)
-    // structs gives doc_a < doc_b for free.
-    val cand = bands.groupBy("band")
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("ms"))
+    // band), expand pairs in-group. array_sort on (doc_id, num) structs
+    // gives doc_a < doc_b for free, and the Hamming filter runs INSIDE
+    // the expansion — only true near-dup pairs (a sliver) ever reach the
+    // dedup shuffle.
+    bands.groupBy("band")
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("num")))).as("ms"))
       .filter(size(col("ms")).between(2, 64))
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1)," +
           " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b," +
-          " x.simhash as ha, y.simhash as hb))))")).as("p"))
-      .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
-      .distinct()
-    val hamming = expr("aggregate(sequence(1, 32), 0," +
-      " (acc, i) -> acc + if(substring(ha, i, 1) <> substring(hb, i, 1), 1, 0))")
-      .cast("long")
-    cand.withColumn("hamming", hamming)
+          " cast(bit_count(x.num ^ y.num) as bigint) as hamming))))")).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.hamming")
       .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), col("hamming").as("hamming"))
   }
 
   val ops: Seq[Op] = Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs)

@@ -62,7 +62,10 @@ object Tables {
     */
   private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count proxies split count WITHOUT forcing physical planning of
+    // the scan (df.rdd.getNumPartitions planned the query per load); a
+    // multi-file table at 100 TB has natural scan parallelism → no-op
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spread(spark, load(spark, dir, "documents"))

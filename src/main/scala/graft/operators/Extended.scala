@@ -245,11 +245,17 @@ object Extended {
       |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
       |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
   ) { (spark, dir) =>
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    // inline parquet table refs, not a temp view: registering a session-
+    // global view is mutable catalog state that races when two queries
+    // run concurrently in one session. The correlated scalar subquery
+    // stays in SQL because Catalyst's decorrelation rewrite IS the
+    // operator being demonstrated.
     spark.sql(
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM graft_orders o
-        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM graft_orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+      s"""SELECT o_custkey, o_orderkey, o_totalprice
+         |FROM parquet.`$dir/orders.parquet` o
+         |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+         |                      FROM parquet.`$dir/orders.parquet` o2
+         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
   /** TypeMapping (collections/TypeMapping.scala): one scan partitioned into

@@ -129,14 +129,16 @@ object WindowOps {
       |    AS DOUBLE) AS sum_10m
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
-    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
-    spark.sql(
-      """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
-        |    (PARTITION BY user_id ORDER BY ts
-        |     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE) AS sum_10m
-        |FROM graft_events""".stripMargin)
+    // Dataset window instead of a temp view + SQL string (session-global
+    // view registration races under concurrent queries). RANGE frame over
+    // unix_micros(ts) ≡ INTERVAL 10 MINUTES PRECEDING at the engines'
+    // shared micros precision, ties (equal ts) wholly included.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-600L * 1000000L, Window.currentRow)
+    Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(12,2)")).over(w)
+        .cast("double").as("sum_10m"))
   }
 
   /** Exact interpolated percentiles (both engines: linear interpolation

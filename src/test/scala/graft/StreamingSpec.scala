@@ -219,6 +219,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-sink round-trip: streamed micro-batches land as readable parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = tmpDir() + "/sink"
+    val ckpt = tmpDir() + "/ckpt"
+    // exactly-once file sink: the checkpoint + _spark_metadata log is what
+    // makes re-run batches idempotent on a real cluster
+    val query = input.toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(ts(3), 3L, "click", 3.0))
+      query.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      assert(back.select(org.apache.spark.sql.functions.sum($"value"))
+        .as[Double].head() == 6.0)
+    } finally query.stop()
+  }
+
   test("batch sessionize (WindowOps) and streaming agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -303,7 +303,49 @@ object Similarity {
       .select("q_id", "cand_id", "cosine")
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage/
+    * bandwidth-reduction step every 100 TB embedding pipeline runs before
+    * indexing (scalar-quantization family; PQ is the codebook'd cousin).
+    * Per vector: symmetric scale = max|x|/127, elementwise
+    * round(x/scale), plus the audit outputs a pipeline owner needs:
+    * quantized checksum and max reconstruction error. Pure per-row array
+    * HOFs (transform/zip_with/aggregate) — no UDF, no shuffle; the
+    * all-zero vector takes scale 0 and an explicitly-zero quantized
+    * vector rather than a 0/0 division.
+    */
+  val embedQuantize: Op = Op(
+    "q_embed_quantize",
+    """SELECT vec_id, scale,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, v) -> a + v)
+      |    AS BIGINT) AS q_sum,
+      |  CASE WHEN scale = 0 THEN 0.0
+      |    ELSE list_max(list_transform(generate_series(1, len(d)),
+      |           i -> abs(d[i] - q[i] * scale))) END AS max_abs_err
+      |FROM (
+      |  SELECT vec_id, scale, d,
+      |    CASE WHEN scale = 0 THEN list_transform(d, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(d, x -> CAST(round(x / scale) AS BIGINT))
+      |    END AS q
+      |  FROM (SELECT vec_id, d,
+      |          list_max(list_transform(d, x -> abs(x))) / 127.0 AS scale
+      |        FROM (SELECT vec_id,
+      |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |              FROM embeddings)))""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .withColumn("d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("scale", expr("array_max(transform(d, x -> abs(x))) / 127.0"))
+      .withColumn("q", expr(
+        "case when scale = 0D then transform(d, x -> 0L)" +
+          " else transform(d, x -> cast(round(x / scale) as bigint)) end"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
+        expr("case when scale = 0D then 0.0D" +
+          " else array_max(zip_with(d, q, (x, qi) -> abs(x - qi * scale))) end")
+          .as("max_abs_err"))
+  }
+
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,
-      annRandomHyperplaneTopK)
+      annRandomHyperplaneTopK, embedQuantize)
 }

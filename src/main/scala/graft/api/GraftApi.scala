@@ -174,6 +174,44 @@ object GraftApi {
       .drop("_bkt", "_rbkt")
   }
 
+  // -------------------------------------------------------------------
+  // LLM-pipeline operators as generic library functions: the registered
+  // SURVEY §2.2 ops bind these to the test tables; a library user calls
+  // them on any frame with the right shape.
+  // -------------------------------------------------------------------
+
+  /** Exact content dedup over any frame: rows grouped by the md5 of
+    * `contentCol`; keeper = min id. Shuffle key is the uniform digest.
+    */
+  def dedupExact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup pairs over any (id, text) frame — columns are
+    * renamed into the (doc_id, text) shape the pipeline expects, and the
+    * id columns of the result keep the caller's id values.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double = 0.2): DataFrame =
+    graft.operators.Dedup.minhashPairs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), jaccardMin)
+
+  /** Int8 scalar quantization of any (id, float-array) frame — see
+    * graft.operators.Similarity.quantize.
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    graft.operators.Similarity.quantize(df, idCol, embCol)
+
+  /** Salted aggregation / join re-exports (graft.operators.Skew): the
+    * hot-key mitigation pair, content-derived salts (retry-safe).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, salts: Int): DataFrame =
+    graft.operators.Skew.saltedJoin(probe, build, probeKey, buildKey, salts)
+  def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
+      salts: Int): DataFrame =
+    graft.operators.Skew.saltedSumCount(df, key, valueCol, salts)
+
   implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
 
     /** typeCase (traversableOps.scala:72): ordered (tag → projection)

@@ -139,14 +139,22 @@ object Dedup {
       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |    (len(sa.shingles) + len(sb.shingles)
       |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2""".stripMargin,
-  ) { (spark, dir) =>
+  ) { (spark, dir) => minhashPairs(Tables.documents(spark, dir), 0.2) }
+
+  /** The MinHash+LSH pipeline as a generic library function over any
+    * frame with `doc_id` and `text` columns (the user-facing form; the
+    * registered operator above binds it to the documents table).
+    * Emits (doc_a, doc_b, jaccard) for pairs with exact Jaccard ≥
+    * `jaccardMin`.
+    */
+  def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
     // persist: the sketch table is referenced 4× in this plan (bucket
     // self-join + two verify probes); without it Spark recomputes the
     // scan+shingle+md5 pipeline per reference. At scale this is the
     // materialized signature table every dedup pipeline keeps (the
     // reference's addIndex precomputation, Optimization.scala:31).
     val sk = graft.CacheRegistry.track(
-      withShingles(Tables.documents(spark, dir))
+      withShingles(docs)
         .withColumn("sketch",
           expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
         .select("doc_id", "shingles", "sketch"))
@@ -169,7 +177,7 @@ object Dedup {
     cand
       .join(sk.alias("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sk.alias("sb"), col("sb.doc_id") === col("doc_b"))
-      .filter(jac >= 0.2)
+      .filter(jac >= jaccardMin)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 

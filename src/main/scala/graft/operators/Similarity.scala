@@ -331,19 +331,23 @@ object Similarity {
       |        FROM (SELECT vec_id,
       |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |              FROM embeddings)))""".stripMargin,
-  ) { (spark, dir) =>
-    Tables.embeddings(spark, dir)
-      .withColumn("d", expr("transform(embedding, x -> cast(x as double))"))
+  ) { (spark, dir) => quantize(Tables.embeddings(spark, dir), "vec_id", "embedding") }
+
+  /** The scalar quantization as a generic library function over any
+    * (id, float-array) frame — the user-facing form of q_embed_quantize.
+    */
+  def quantize(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb
+      .withColumn("d", expr(s"transform($embCol, x -> cast(x as double))"))
       .withColumn("scale", expr("array_max(transform(d, x -> abs(x))) / 127.0"))
       .withColumn("q", expr(
         "case when scale = 0D then transform(d, x -> 0L)" +
           " else transform(d, x -> cast(round(x / scale) as bigint)) end"))
-      .select(col("vec_id"), col("scale"),
+      .select(col(idCol), col("scale"),
         expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
         expr("case when scale = 0D then 0.0D" +
           " else array_max(zip_with(d, q, (x, qi) -> abs(x - qi * scale))) end")
           .as("max_abs_err"))
-  }
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,

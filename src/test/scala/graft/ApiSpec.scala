@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
   */
 class ApiSpec extends SparkSpec {
 
+  test("generic pipeline functions work on arbitrary frames") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (20L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (30L, "completely different content with nothing shared at all here whatsoever ok"),
+      (40L, "the quick brown fox jumps over the lazy dog again and again today"),
+    ).toDF("id", "body")
+    // exact dedup: 10 and 40 share content, keeper = min id
+    val keepers = GraftApi.dedupExact(docs, "id", "body")
+    assert(keepers.count() == 3)
+    assert(keepers.filter($"n_copies" === 2)
+      .select("keeper").as[Long].head() == 10L)
+    // near-dup pairs on the caller's own column names
+    val pairs = GraftApi.nearDupPairs(docs, "id", "body", 0.5).collect()
+    CacheRegistry.drain()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((10L, 20L)) && pairSet.contains((10L, 40L)), pairSet)
+    assert(!pairSet.exists(p => p._1 == 30L || p._2 == 30L), pairSet)
+    // int8 quantization: 1.0 → 127, -0.5 → -64 (half-up), 0.25 → 32;
+    // the all-zero vector takes the explicit zero path
+    val emb = Seq((1L, Array(1.0f, -0.5f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vid", "v")
+    val qz = GraftApi.quantizeEmbeddings(emb, "vid", "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(qz(1L).getAs[Long]("q_sum") == 127L - 64L + 32L, qz(1L))
+    assert(qz(2L).getAs[Double]("scale") == 0.0 && qz(2L).getAs[Long]("q_sum") == 0L)
+  }
+
   // Figure 1 analog: books with nested authors, as a nested DataFrame
   private lazy val books = {
     import spark.implicits._

@@ -156,6 +156,13 @@ object EventStreams {
   def distinctTypes(events: DataFrame): DataFrame =
     events.select(col("event_type")).dropDuplicates("event_type")
 
+  /** Incrementally-maintained UNION view (reference IVMTest1's union
+    * case): two delta streams merge into one maintained view — stateless,
+    * each micro-batch appends both sides' deltas. Layering the distinct
+    * view on top gives the set-union semantics of the reference.
+    */
+  def unionView(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
   /** Native session-window aggregation — the built-in operator face of
     * [[sessionize]]: same 30-minute-gap semantics, state merged by the
     * engine instead of hand-rolled flatMapGroupsWithState.

@@ -219,6 +219,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maintained union view merges two delta streams (IVMTest1 union analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (inA, inB) = (MemoryStream[Event], MemoryStream[Event])
+    val query = EventStreams.unionView(inA.toDF(), inB.toDF())
+      .groupBy($"event_type").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("union_view")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      inA.addData(Event(ts(1), 1L, "click", 1.0))
+      inB.addData(Event(ts(2), 2L, "click", 1.0), Event(ts(3), 3L, "view", 1.0))
+      query.processAllAvailable()
+      def counts() = spark.table("union_view").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(counts() == Map("click" -> 2L, "view" -> 1L))
+      // a delta on either side updates the merged view
+      inA.addData(Event(ts(4), 4L, "view", 1.0))
+      query.processAllAvailable()
+      assert(counts() == Map("click" -> 2L, "view" -> 2L))
+    } finally query.stop()
+  }
+
   test("file-sink round-trip: streamed micro-batches land as readable parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -42,6 +42,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q5 shape: supplier cut broadcast pre-shuffle, five keyed exchanges") {
+    // disable size-based broadcasts so only the EXPLICIT hints remain —
+    // this is the 100 TB shape, where no fact side fits the threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q5LocalSupplier)
+      // region→nation, nation⋈region→supplier, asiaSuppliers→lineitem
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+      // orders + customer (custkey), both sides of the final orderkey
+      // SMJ, and the 5-group aggregate — lineitem pays exactly one,
+      // AFTER the broadcast cut
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 5, s"expected 5 keyed exchanges, got $exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q1 aggregates partially before the shuffle (map-side combine)") {
     val p = plan(Relational.q1PricingSummary)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)

@@ -64,5 +64,21 @@ object Sampling {
         count(lit(1)).as("n"))
   }
 
-  val ops: Seq[Op] = Seq(stratifiedSample, vocabTopK, approxDistinct)
+  /** Approximate per-group percentiles (Greenwald-Khanna / t-digest
+    * family): the sketch path for quantiles over groups too large to sort
+    * — bounded-memory mergeable summaries instead of a per-group global
+    * sort. Like q_approx_distinct, sketch estimates are implementation-
+    * specific, so there is no cross-engine oracle; SamplingSpec bounds
+    * the estimates against the exact interpolated percentiles.
+    */
+  val approxPercentile: Op = Op.noOracle("q_approx_percentile") { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.95, 1000)").as("p95_approx"),
+        count(lit(1)).as("n"))
+  }
+
+  val ops: Seq[Op] = Seq(stratifiedSample, vocabTopK, approxDistinct, approxPercentile)
 }

@@ -29,6 +29,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles land within 5% of the exact interpolated values") {
+    val exact = Tables.events(spark, sfTiny)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.95)").as("p95_exact"))
+    val joined = Sampling.approxPercentile.fn(spark, sfTiny)
+      .join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      for ((a, e) <- Seq("p50_approx" -> "p50_exact", "p95_approx" -> "p95_exact")) {
+        val (approx, ex) = (r.getAs[Double](a), r.getAs[Double](e))
+        assert(math.abs(approx - ex) / math.max(math.abs(ex), 1e-9) < 0.05,
+          s"$a=$approx vs $e=$ex in $r")
+      }
+    }
+  }
+
   test("vocab top-k is sorted and within corpus bounds") {
     val rows = Sampling.vocabTopK.fn(spark, sfTiny).collect()
     assert(rows.length == 20)

@@ -127,5 +127,97 @@ object Multimodal {
     }.toDF()
   }
 
-  val ops: Seq[Op] = Seq(metaExtract, frameSample)
+  case class Resized(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, resized_md5: String)
+  case class Features(doc_id: Long, n_bytes: Int, mean_byte: Double,
+      max_byte: Int, printable_frac: Double)
+
+  /** Aspect-preserving resize to a 224-box: the fit arithmetic (the part
+    * a pipeline owner actually reasons about) is real integer math; the
+    * pixel resample is the stub — a deterministic byte downsample whose
+    * fingerprint the oracle restates from the hex view. Same
+    * mapPartitions batch shape as a real resampler (kernel state
+    * amortized across the partition).
+    */
+  val resize: Op = Op(
+    "mm_resize",
+    s"""WITH $encSql,
+      |dims AS (SELECT doc_id, h, n,
+      |    16*(1+(b0%40)) AS w, 16*(1+(b1%30)) AS hh FROM bytes),
+      |fitted AS (SELECT doc_id, h, n, w, hh,
+      |    CASE WHEN w >= hh THEN 224 ELSE greatest(1, (w*224)//hh) END AS out_w,
+      |    CASE WHEN w >= hh THEN greatest(1, (hh*224)//w) ELSE 224 END AS out_h
+      |  FROM dims)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(hh AS INTEGER) AS height,
+      |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+      |  CASE WHEN n = 0 THEN md5('')
+      |    ELSE md5(array_to_string(list_transform(generate_series(1, out_w),
+      |      i -> lower(substr(h, (((i-1)*n)//out_w)*2 + 1, 2))), '')) END AS resized_md5
+      |FROM fitted""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = stubDecodeHeader(r.payload)
+        val (outW, outH) =
+          if (w >= h) (224, math.max(1, h * 224 / w))
+          else (math.max(1, w * 224 / h), 224)
+        val n = r.payload.length
+        val sampled =
+          if (n == 0) Array.empty[Byte]
+          else Array.tabulate(outW)(i => r.payload(i * n / outW))
+        Resized(r.doc_id, w, h, outW, outH, md5OfHex(sampled))
+      }
+    }.toDF()
+  }
+
+  /** Batch feature extraction over the binary payload (the embedding-
+    * model-input stand-in): per-payload summary statistics computed in
+    * one iterator pass. Double arithmetic is a single sum/divide per
+    * payload in both engines — bit-identical.
+    */
+  val featureExtract: Op = Op(
+    "mm_feature_extract",
+    s"""WITH $encSql,
+      |vals AS (SELECT doc_id, n,
+      |    list_transform(generate_series(1, n),
+      |      i -> (strpos('0123456789ABCDEF', substr(h, (i-1)*2+1, 1))-1)*16
+      |         + (strpos('0123456789ABCDEF', substr(h, (i-1)*2+2, 1))-1)) AS bs
+      |  FROM bytes)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+      |  CASE WHEN n = 0 THEN 0.0
+      |    ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS mean_byte,
+      |  CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(bs) END AS INTEGER) AS max_byte,
+      |  CASE WHEN n = 0 THEN 0.0
+      |    ELSE CAST(len(list_filter(bs, b -> b >= 32 AND b <= 126)) AS DOUBLE) / n
+      |  END AS printable_frac
+      |FROM vals""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        if (n == 0) Features(r.doc_id, 0, 0.0, 0, 0.0)
+        else {
+          var sum = 0L; var mx = 0; var printable = 0
+          var i = 0
+          while (i < n) {
+            val b = r.payload(i) & 0xff
+            sum += b; if (b > mx) mx = b
+            if (b >= 32 && b <= 126) printable += 1
+            i += 1
+          }
+          Features(r.doc_id, n, sum.toDouble / n, mx, printable.toDouble / n)
+        }
+      }
+    }.toDF()
+  }
+
+  val ops: Seq[Op] = Seq(metaExtract, frameSample, resize, featureExtract)
 }

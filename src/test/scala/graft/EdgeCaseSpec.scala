@@ -72,6 +72,17 @@ class EdgeCaseSpec extends SparkSpec {
   test("multimodal ops tolerate empty payloads") {
     assert(Multimodal.metaExtract.fn(spark, weirdDocsDir).count() == 5)
     assert(Multimodal.frameSample.fn(spark, weirdDocsDir).count() >= 5)
+    val rz = Multimodal.resize.fn(spark, weirdDocsDir).collect()
+    assert(rz.length == 5)
+    rz.foreach { r =>
+      assert(r.getAs[Int]("out_w") >= 1 && r.getAs[Int]("out_w") <= 224, r)
+      assert(r.getAs[Int]("out_h") >= 1 && r.getAs[Int]("out_h") <= 224, r)
+      assert(math.max(r.getAs[Int]("out_w"), r.getAs[Int]("out_h")) == 224, r)
+    }
+    val fx = Multimodal.featureExtract.fn(spark, weirdDocsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fx(0L).getAs[Double]("mean_byte") == 0.0) // empty text
+    assert(fx(1L).getAs[Double]("printable_frac") == 1.0) // "one"
   }
 
   test("connected components on an empty pair set is the identity labeling") {

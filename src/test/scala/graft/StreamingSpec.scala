@@ -266,6 +266,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("signed-delta view maintenance handles removals (IncrementalResult -= analog)") {
+    import spark.implicits._
+    import graft.streaming.DeltaViews
+    val base = Seq(
+      ("click", 1.0), ("click", 2.0), ("view", 3.0), ("view", 4.0), ("buy", 5.0),
+    ).toDF("event_type", "value")
+    val view0 = DeltaViews.recompute(base, "event_type", "value")
+    // insert two rows, remove three (one emptying the 'buy' group entirely)
+    val inserts = Seq(("click", 10.0), ("scroll", 7.0)).toDF("event_type", "value")
+    val removes = Seq(("view", 3.0), ("view", 4.0), ("buy", 5.0)).toDF("event_type", "value")
+    val maintained = DeltaViews.applyDelta(
+      DeltaViews.applyDelta(view0, DeltaViews.aggDelta(inserts, "event_type", "value", 1)),
+      DeltaViews.aggDelta(removes, "event_type", "value", -1))
+    val expected = DeltaViews.recompute(
+      base.unionByName(inserts).exceptAll(removes), "event_type", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"key", $"n".cast("long"), $"sum_value".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(canon(maintained) == canon(expected), s"${canon(maintained)} vs ${canon(expected)}")
+    // the emptied group left the view entirely
+    assert(!canon(maintained).exists(_._1 == "buy"))
+  }
+
   test("batch sessionize (WindowOps) and streaming agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -85,6 +85,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fx(1L).getAs[Double]("printable_frac") == 1.0) // "one"
   }
 
+  test("operators run concurrently in one session (no shared mutable catalog state)") {
+    // the round-2 review flagged temp-view registration as a race; after
+    // the rewrite every operator must be safe to interleave freely
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = Seq("q_nested_unnest", "q_window_sliding", "q_select_map",
+      "q_groupby_agg", "q_join_equi", "text_quality")
+    val futures = (1 to 2).flatMap(_ => names.map { n =>
+      Future(SparkEntry.queries(n)(spark, sfTiny).count())
+    })
+    val counts = Await.result(Future.sequence(futures),
+      scala.concurrent.duration.Duration(180, "s"))
+    assert(counts.forall(_ > 0), counts)
+  }
+
   test("connected components on an empty pair set is the identity labeling") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L).toDF("id")

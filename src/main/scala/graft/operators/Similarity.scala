@@ -303,6 +303,139 @@ object Similarity {
       .select("q_id", "cand_id", "cosine")
   }
 
+  /** IVF with one Lloyd (k-means) refinement iteration — the index-build
+    * loop real IVF indexes run, on top of [[annIvfTopK]]'s probe shape.
+    *
+    * Cross-engine exactness of the refined centroids is the crux: a
+    * naive per-cell AVG of doubles depends on partial-aggregation order
+    * (different between 1000 Spark executors and DuckDB), so the mean is
+    * computed over FIXED-POINT components — round(x·1e6) per dimension,
+    * summed exactly as longs, divided back once — making every refined
+    * centroid bit-identical in both engines regardless of parallelism.
+    * The per-(cell,dim) sums are the scalable shape too: one keyed
+    * shuffle of (cells·64) longs, never a collect of vectors.
+    *
+    * Assignment stays the map-side min_by collapse (argmax cosine with
+    * cent_id tiebreak, |N|·|cells| rows collapse before the shuffle);
+    * probes = top-2 refined cells per query; final ranking through
+    * TopKPerKeyExec on true cosine.
+    */
+  val annIvfKmeansTopK: Op = Op(
+    "ann_ivf_kmeans_topk",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |c0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      |       FROM v WHERE vec_id % 25 = 0),
+      |assign0 AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c0.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(v.embedding)),
+      |            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c0.c_emb[i] AS DOUBLE))),
+      |          (acc, p) -> acc + p) / (v.nrm * c0.c_nrm) DESC, c0.cent_id) AS rn
+      |    FROM v, c0) WHERE rn = 1),
+      |contrib AS (
+      |  SELECT a.cent_id, t.d,
+      |    CAST(round(CAST(v.embedding[t.d] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM v JOIN assign0 a ON a.vec_id = v.vec_id,
+      |       UNNEST(generate_series(1, 64)) AS t(d)),
+      |c1 AS (
+      |  SELECT cent_id, list(mean ORDER BY d) AS c_emb FROM (
+      |    SELECT cent_id, d,
+      |      CAST(SUM(qv) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean
+      |    FROM contrib GROUP BY cent_id, d) GROUP BY cent_id),
+      |c1n AS (SELECT cent_id, c_emb,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(c_emb, x -> x * x)), (acc, p) -> acc + p)) AS c_nrm
+      |  FROM c1),
+      |assign1 AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(v.embedding)),
+      |            i -> CAST(v.embedding[i] AS DOUBLE) * c.c_emb[i])),
+      |          (acc, p) -> acc + p) / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM v, c1n c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      |      FROM v WHERE vec_id < 8),
+      |probes AS (
+      |  SELECT q_id, cent_id FROM (
+      |    SELECT q.q_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(q.q_emb)),
+      |            i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])),
+      |          (acc, p) -> acc + p) / (q.q_nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM q, c1n c) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT q.q_id, v.vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q.q_emb)),
+      |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q.q_nrm * v.nrm) AS cosine
+      |  FROM q JOIN probes pr ON pr.q_id = q.q_id
+      |       JOIN assign1 a ON a.cent_id = pr.cent_id
+      |       JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> q.q_id)
+      |SELECT q_id, cand_id, cosine FROM (
+      |  SELECT q_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // fold of a float vector against a double-array centroid — identical
+    // left-to-right sequential sum as the oracle's list_reduce
+    def mixDot(fv: String, dv: String) = expr(
+      s"aggregate(zip_with($fv, $dv, (x, c) -> cast(x as double) * c)," +
+        " cast(0.0 as double), (acc, p) -> acc + p)")
+    val v = graft.CacheRegistry.track(
+      Tables.embeddings(spark, dir).withColumn("nrm", nrmCol))
+    val c0 = v.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assign0 = v.crossJoin(broadcast(c0))
+      .groupBy(col("vec_id").as("a_vec"))
+      .agg(min_by(col("cent_id"), struct(
+        (vec_dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")) * -1).as("negcos"),
+        col("cent_id"))).as("a_cent"))
+    // Lloyd step: fixed-point component sums per (cell, dim) — one keyed
+    // shuffle of longs — then the exact mean and the rebuilt centroid array
+    val contrib = v.join(assign0, col("a_vec") === col("vec_id"))
+      .select(col("a_cent"), posexplode(col("embedding")))
+      .select(col("a_cent"), col("pos"),
+        round(col("col").cast("double") * 1000000).cast("long").as("qv"))
+    val c1 = contrib.groupBy(col("a_cent"), col("pos"))
+      .agg((sum(col("qv")).cast("double") / 1000000.0 / count(lit(1))).as("mean"))
+      .groupBy(col("a_cent").as("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), s -> s.mean)")
+        .as("c_emb"))
+      .withColumn("c_nrm", sqrt(expr(
+        "aggregate(transform(c_emb, x -> x * x), cast(0.0 as double), (acc, p) -> acc + p)")))
+    val c1b = broadcast(c1)
+    val assign1 = v.crossJoin(c1b)
+      .groupBy(col("vec_id").as("a_vec"))
+      .agg(min_by(col("cent_id"), struct(
+        (mixDot("embedding", "c_emb") / (col("nrm") * col("c_nrm")) * -1).as("negcos"),
+        col("cent_id"))).as("a_cent"))
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val probes = q.crossJoin(c1b)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
+        (mixDot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm"))).desc,
+        col("cent_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
+    val scored = q
+      .join(broadcast(probes), col("p_qid") === col("q_id"))
+      .join(assign1, col("a_cent") === col("p_cent"))
+      .join(v, col("vec_id") === col("a_vec") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (vec_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cosine"))
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
+      .select("q_id", "cand_id", "cosine")
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage/
     * bandwidth-reduction step every 100 TB embedding pipeline runs before
     * indexing (scalar-quantization family; PQ is the codebook'd cousin).
@@ -351,5 +484,5 @@ object Similarity {
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,
-      annRandomHyperplaneTopK, embedQuantize)
+      annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize)
 }

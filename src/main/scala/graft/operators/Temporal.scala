@@ -116,5 +116,46 @@ object Temporal {
         min(dayofmonth(col("o_orderdate"))).as("first_day"))
   }
 
-  val ops: Seq[Op] = Seq(asofJoin, rangeJoin, leadLag, dateParts)
+  /** Time-bucket resampling with gap fill: every user's timeline becomes
+    * a dense hourly spine between their first and last observation; empty
+    * buckets carry the last observed value forward (the feature-
+    * engineering resample every timeseries pipeline runs). The spine is
+    * generated per key from that key's own range — never a global
+    * calendar cross join — and the carry-forward is one keyed window
+    * pass, so the cost is O(observed range), not O(corpus × calendar).
+    * Bucket arithmetic is integer micros division; the per-bucket
+    * reduction (max) and the carry-forward are order-insensitive, so the
+    * result is engine-exact.
+    */
+  val timeResample: Op = Op(
+    "q_time_resample",
+    """WITH b AS (SELECT user_id, epoch_us(ts)//3600000000 AS bkt, value FROM events),
+      |rng AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM b GROUP BY user_id),
+      |spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bkt FROM rng),
+      |obs AS (SELECT user_id, bkt, COUNT(*) AS n_obs, MAX(value) AS vmax
+      |        FROM b GROUP BY user_id, bkt)
+      |SELECT s.user_id,
+      |  make_timestamp(s.bkt * 3600000000) AS hour_start,
+      |  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+      |  LAST_VALUE(o.vmax IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.bkt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bkt = s.bkt""".stripMargin,
+  ) { (spark, dir) =>
+    val b = Tables.events(spark, dir).select(col("user_id"),
+      expr("unix_micros(ts) div 3600000000").as("bkt"), col("value"))
+    val spine = b.groupBy("user_id")
+      .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("bkt"))
+    val obs = b.groupBy("user_id", "bkt")
+      .agg(count(lit(1)).as("n_obs"), max(col("value")).as("vmax"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("user_id", "bkt"), "left")
+      .select(col("user_id"),
+        timestamp_micros(col("bkt") * 3600000000L).as("hour_start"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("vmax"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
+  val ops: Seq[Op] = Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample)
 }

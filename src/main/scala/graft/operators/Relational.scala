@@ -208,6 +208,40 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): pre-aggregate the fact table
+    * and FILTER IT (HAVING) before any join — the qualifying set is a
+    * sliver, so the orders/customer joins see thousands of rows, not the
+    * full lineitem. Aggregate-then-join is the at-scale ordering; the
+    * naive join-then-aggregate ships every lineitem row through two
+    * joins first. Quantity sums ride the exact long-cents accumulator
+    * and the top-100 goes through TakeOrderedAndProject.
+    */
+  val q18LargeOrders: Op = Op(
+    "q18_large_orders",
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+  ) { (spark, dir) =>
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+      .filter(col("qty_cents") > 15000L)
+      .select(col("l_orderkey"),
+        (col("qty_cents").cast("double") / 100.0).as("sum_qty"))
+    Tables.orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // ---------------------------------------------------------------------
   // §2.1 micro-operators
   // ---------------------------------------------------------------------
@@ -609,6 +643,7 @@ object Relational {
 
   val ops: Seq[Op] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
+    q18LargeOrders,
     selectMap, filterWhere, flatMapExplode, collectPartial,
     groupByAgg, groupByNested, joinEqui, joinBroadcast, cartProdToJoin,
     semiJoinExists, antiJoinNotExists, forallAgg, existsAgg,

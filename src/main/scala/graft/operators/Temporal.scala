@@ -157,5 +157,29 @@ object Temporal {
         last(col("vmax"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
-  val ops: Seq[Op] = Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample)
+  /** Burst detection (bot/scraper signal for training-data curation):
+    * events per user in the trailing 5 minutes via a RANGE window over
+    * integer micros — ties included by value, so no tiebreak is needed
+    * for determinism — flagged when the trailing count exceeds the
+    * threshold. One keyed window pass, integer arithmetic end to end.
+    */
+  val burstDetect: Op = Op(
+    "q_burst_detect",
+    """SELECT event_id, user_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5m,
+      |  CAST(CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) > 10
+      |    THEN 1 ELSE 0 END AS BIGINT) AS burst
+      |FROM events""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-300L * 1000000L, Window.currentRow)
+    Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_5m"))
+      .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
+  }
+
+  val ops: Seq[Op] =
+    Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect)
 }

@@ -100,6 +100,33 @@ class PropertySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("delta-maintained views equal recompute under random insert/remove sequences") {
+    import spark.implicits._
+    import graft.streaming.DeltaViews
+    // random batches of (key, value in cents); removals always remove rows
+    // that exist (multiset semantics: track live rows as we go)
+    val gen = Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(1, 999))
+    var live = samples(gen, 30).toVector
+    var view = DeltaViews.recompute(
+      live.toDF("k", "cents").select($"k", ($"cents" / 100.0).as("v")), "k", "v")
+    val rnd = new scala.util.Random(7)
+    for (step <- 1 to 4) {
+      val inserts = samples(gen, 10 + step).toVector
+      val removes = rnd.shuffle(live).take(8)
+      val insDf = inserts.toDF("k", "cents").select($"k", ($"cents" / 100.0).as("v"))
+      val remDf = removes.toDF("k", "cents").select($"k", ($"cents" / 100.0).as("v"))
+      view = DeltaViews.applyDelta(view, DeltaViews.aggDelta(insDf, "k", "v", 1))
+      view = DeltaViews.applyDelta(view, DeltaViews.aggDelta(remDf, "k", "v", -1))
+      live = (live ++ inserts).diff(removes)
+    }
+    val expected = DeltaViews.recompute(
+      live.toDF("k", "cents").select($"k", ($"cents" / 100.0).as("v")), "k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"key", $"n".cast("long"), $"sum_value".cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(canon(view) == canon(expected))
+  }
+
   test("rangeJoin matches the naive inequality scan on random timelines") {
     import spark.implicits._
     val gen = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 120L))

@@ -80,5 +80,39 @@ object Sampling {
         count(lit(1)).as("n"))
   }
 
-  val ops: Seq[Op] = Seq(stratifiedSample, vocabTopK, approxDistinct, approxPercentile)
+  /** Adaptive mixture balancing: downsample every language to the size of
+    * the SMALLEST one — the rates come from the data (per-group counts →
+    * a tiny broadcast), not from config, which is how a real training-mix
+    * rebalance runs. Keep decisions are deterministic integer arithmetic
+    * on an md5 bucket (reproducible on any engine/cluster); the threshold
+    * per group is integer-division exact, so both engines keep the
+    * identical document set. Two aggregates + one broadcast join — no
+    * second scan of the corpus per group.
+    */
+  val mixBalance: Op = Op(
+    "q_mix_balance",
+    """WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+      |rates AS (SELECT lang, cnt, (m.min_cnt * 10000) // cnt AS keep_bp
+      |          FROM counts, m)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r ON r.lang = d.lang
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      |      % 10000 < r.keep_bp""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang").as("r_lang"),
+        expr("(min_cnt * 10000) div cnt").as("keep_bp"))
+    val bucket = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+      .cast("int") % 10000
+    docs.join(broadcast(rates), col("lang") === col("r_lang"))
+      .filter(bucket < col("keep_bp"))
+      .select("doc_id", "lang")
+  }
+
+  val ops: Seq[Op] =
+    Seq(stratifiedSample, vocabTopK, approxDistinct, approxPercentile, mixBalance)
 }

@@ -141,6 +141,32 @@ object WindowOps {
         .cast("double").as("sum_10m"))
   }
 
+  /** PIVOT to wide schema: per-user event-type value sums as columns —
+    * the long→wide projection feature pipelines run before model joins.
+    * Pivot values are ENUMERATED (the 5 known types), which is the
+    * at-scale form: an unenumerated pivot needs a blocking distinct scan
+    * to discover the schema before planning. One partial-agg shuffle;
+    * decimal-exact sums; absent combinations surface as 0, not null.
+    */
+  val pivotWide: Op = Op(
+    "q_pivot_wide",
+    """SELECT user_id,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS click,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS error,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS purchase,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS signup,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS view
+      |FROM events GROUP BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast("decimal(12,2)")))
+    wide.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0)).cast("double").as(t)): _*)
+  }
+
   /** Exact interpolated percentiles (both engines: linear interpolation
     * over the sorted values — same formula, bit-identical on these
     * integral quantities).
@@ -223,5 +249,5 @@ object WindowOps {
 
   val ops: Seq[Op] =
     Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp,
-      slidingWindow, percentiles, windowNtile, corrExact)
+      slidingWindow, percentiles, windowNtile, corrExact, pivotWide)
 }

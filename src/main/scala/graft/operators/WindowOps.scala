@@ -167,6 +167,27 @@ object WindowOps {
       types.map(t => coalesce(col(t), lit(0)).cast("double").as(t)): _*)
   }
 
+  /** UNPIVOT (melt) back to long form — the inverse projection, via
+    * Spark's native `unpivot` (an Expand node: each input row emits its
+    * 5 type rows map-side, no join and no shuffle beyond the pivot's
+    * own aggregate). The oracle enumerates user×type combinations so the
+    * absent-combination-as-0 rows match exactly.
+    */
+  val unpivotLong: Op = Op(
+    "q_unpivot_long",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |s AS (SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(12,2))) AS sv
+      |      FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, t.event_type, CAST(COALESCE(s.sv, 0) AS DOUBLE) AS sum_value
+      |FROM u CROSS JOIN t
+      |LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = t.event_type""".stripMargin,
+  ) { (spark, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotWide.fn(spark, dir).unpivot(
+      Array(col("user_id")), types.map(col).toArray, "event_type", "sum_value")
+  }
+
   /** Exact interpolated percentiles (both engines: linear interpolation
     * over the sorted values — same formula, bit-identical on these
     * integral quantities).
@@ -249,5 +270,5 @@ object WindowOps {
 
   val ops: Seq[Op] =
     Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp,
-      slidingWindow, percentiles, windowNtile, corrExact, pivotWide)
+      slidingWindow, percentiles, windowNtile, corrExact, pivotWide, unpivotLong)
 }

@@ -48,4 +48,52 @@ object DeltaViews {
     */
   def recompute(events: DataFrame, keyCol: String, valueCol: String): DataFrame =
     aggDelta(events, keyCol, valueCol, 1)
+
+  // -------------------------------------------------------------------
+  // Maintained JOIN views under signed deltas (reference
+  // IncrementalResult join maintenance, insertions AND removals).
+  // All frames are counted multisets: value columns + an `n`
+  // multiplicity column (states carry n > 0; deltas carry signed n).
+  // -------------------------------------------------------------------
+
+  /** Merge a signed counted-multiset delta into a counted view keyed by
+    * `keys`; rows whose multiplicity reaches zero leave the view.
+    */
+  def mergeCounted(view: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    view.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Delta of the join view A⋈B for side deltas dA/dB — the bilinear
+    * rule ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB with multiplicity products
+    * (signs ride the products, so removals fall out of the same
+    * algebra). Cost is O(|delta| ⋈ state) keyed joins — never a rescan
+    * of the join's history, which is the whole point of IVM at 100 TB:
+    * the states are big keyed tables, the deltas are slivers that join
+    * against them in place.
+    *
+    * All three frames must share `key` and `n`; value columns must be
+    * disjoint between the A side and B side.
+    */
+  def joinDelta(aOld: DataFrame, bOld: DataFrame,
+      dA: DataFrame, dB: DataFrame, key: String): DataFrame = {
+    def part(l: DataFrame, r: DataFrame): DataFrame = {
+      val ln = l.withColumnRenamed("n", "_ln")
+      val rn = r.withColumnRenamed("n", "_rn").withColumnRenamed(key, "_rk")
+      ln.join(rn, col(key) === col("_rk"))
+        .withColumn("n", col("_ln") * col("_rn"))
+        .drop("_ln", "_rn", "_rk")
+    }
+    part(dA, bOld)
+      .unionByName(part(aOld, dB))
+      .unionByName(part(dA, dB))
+  }
+
+  /** Recompute the counted join view from counted states (spec baseline). */
+  def recomputeJoin(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val joined = joinDelta(a.limit(0), b, a, b.limit(0), key) // dA⋈B_old only
+    val keys = joined.columns.filterNot(_ == "n").toSeq
+    mergeCounted(joined.limit(0), joined, keys)
+  }
 }

@@ -289,6 +289,36 @@ class StreamingSpec extends SparkSpec {
     assert(!canon(maintained).exists(_._1 == "buy"))
   }
 
+  test("maintained join view tracks deltas on BOTH sides incl. removals (bilinear rule)") {
+    import spark.implicits._
+    import graft.streaming.DeltaViews._
+    def counted(rows: Seq[(Long, String)], side: String) =
+      rows.toDF("k", side).groupBy("k", side).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    def signed(rows: Seq[(Long, String)], side: String, sign: Int) =
+      counted(rows, side).withColumn("n", $"n" * sign)
+    var aRows = Seq(1L -> "a1", 1L -> "a2", 2L -> "a3")
+    var bRows = Seq(1L -> "b1", 2L -> "b2", 2L -> "b2") // b2 multiplicity 2
+    var aState = counted(aRows, "av")
+    var bState = counted(bRows, "bv")
+    var view = recomputeJoin(aState, bState, "k")
+    // delta: add one A row under key 2, REMOVE one of the duplicated B rows
+    val dA = signed(Seq(2L -> "a4"), "av", 1)
+    val dB = signed(Seq(2L -> "b2"), "bv", -1)
+    view = mergeCounted(view, joinDelta(aState, bState, dA, dB, "k"),
+      Seq("k", "av", "bv"))
+    aState = mergeCounted(aState, dA, Seq("k", "av"))
+    bState = mergeCounted(bState, dB, Seq("k", "bv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("av"),
+        r.getAs[String]("bv"), r.getAs[Long]("n"))).toSet
+    assert(canon(view) == canon(recomputeJoin(aState, bState, "k")),
+      s"${canon(view)} vs ${canon(recomputeJoin(aState, bState, "k"))}")
+    // key-2 pairs now: (a3,b2) and (a4,b2) each with multiplicity 1
+    assert(canon(view).count(t => t._1 == 2L && t._4 == 1L) == 2)
+  }
+
   test("batch sessionize (WindowOps) and streaming agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

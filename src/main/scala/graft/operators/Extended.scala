@@ -378,10 +378,29 @@ object Extended {
         count(lit(1)).as("n"))
   }
 
+  /** CUBE: all 2^k grouping-set combinations in one pass — the rollup's
+    * sibling for cross-dimensional summaries (Spark expands grouping
+    * sets map-side; the shuffle carries per-set partials, never a rescan
+    * per set). NULL marks each aggregated-out dimension.
+    */
+  val cubeAgg: Op = Op(
+    "q_cube_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+        .as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
   val ops: Seq[Op] = Seq(
     indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs, mkStringAgg,
     viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
     optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
-    bagAlgebra, paperTutorial, rollupAgg,
+    bagAlgebra, paperTutorial, rollupAgg, cubeAgg,
   )
 }

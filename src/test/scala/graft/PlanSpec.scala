@@ -59,6 +59,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q18 aggregates lineitem before any join and takes top-k without a global sort") {
+    val p = plan(Relational.q18LargeOrders)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the HAVING aggregate (partial+final) exists independent of the joins
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q1 aggregates partially before the shuffle (map-side combine)") {
     val p = plan(Relational.q1PricingSummary)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)

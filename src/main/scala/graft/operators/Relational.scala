@@ -118,6 +118,16 @@ object Relational {
   }
 
   /** TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+    *
+    * Join order is the pre-shuffle-reduction shape (same pattern as q5/q18):
+    * the BUILDING mktsegment filter keeps ~1/5 of customers, so orders is
+    * FIRST cut by `⋈ broadcast(customer BUILDING)` — a map-side broadcast
+    * probe with no exchange — and only the surviving ~1/5 of orders rides
+    * the orderkey shuffle against lineitem. The previous formulation joined
+    * lineitem⋈orders before the customer cut, shipping 5× more orders rows
+    * through the big exchange (r3 verdict's one `weak` plan; reference
+    * analog: the index-the-small-side rewrite in
+    * ivm/optimization/HashJoinExperiments.scala and Optimization.scala:211).
     * Top-k goes through TakeOrderedAndProject — no global sort of the
     * aggregate output at scale.
     */
@@ -133,14 +143,19 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
   ) { (spark, dir) =>
-    val customer = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
-    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    // cut orders by the broadcast customer sliver BEFORE the orderkey
+    // shuffle; project to the three columns the rest of the query needs
+    val buildingOrders = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
     val lineitem = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
     lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
         .cast("double").as("revenue"))

@@ -35,8 +35,8 @@ object Similarity {
 
   /** Exact cosine top-k: a small query set (vec_id < 8) against all
     * vectors. The query side is tiny → broadcast; per (query, candidate)
-    * the dot product is a sequential fold; ranking is row_number with a
-    * vec_id tiebreak.
+    * the dot product is a sequential fold; ranking runs through the house
+    * TopKPerKeyExec (bounded heaps — a window would sort each group).
     */
   val annBruteForceTopK: Op = Op(
     "ann_bruteforce_topk",
@@ -54,17 +54,16 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 10""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val dot = vec_dot(col("q_emb"), col("embedding"))
-    v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rn") <= 10)
+    // rank through the house TopKPerKeyExec (bounded per-key heaps) —
+    // a row_number window would fully sort every (query, candidate) group
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 10)
       .select("q_id", "cand_id", "cosine")
   }
 
@@ -130,19 +129,17 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val v = Tables.embeddings(spark, dir)
       .withColumn("nrm", nrmCol)
       .withColumn("sk", expr(sketchExpr))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
     val dot = vec_dot(col("q_emb"), col("embedding"))
-    v.join(broadcast(q), col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
+    val scored = v.join(broadcast(q),
+        col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rn") <= 5)
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
       .select("q_id", "cand_id", "cosine")
   }
 
@@ -284,7 +281,6 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val planes = spark.range(1).select(expr(rhPlanesExpr).as("w"))
     val v = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(planes))
@@ -294,12 +290,11 @@ object Similarity {
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
     val dot = vec_dot(col("q_emb"), col("embedding"))
-    v.join(broadcast(q), col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
+    val scored = v.join(broadcast(q),
+        col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rn") <= 5)
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
       .select("q_id", "cand_id", "cosine")
   }
 

@@ -59,6 +59,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q3 shape: customer cut broadcast into orders BEFORE the orderkey shuffle") {
+    // disable size-based broadcasts so only the EXPLICIT hint remains —
+    // the 100 TB shape, where no fact side fits the threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q3ShippingPriority)
+      // exactly one broadcast: customer(BUILDING) → orders, pre-shuffle
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+      // exactly two keyed exchanges: lineitem and the REDUCED orders onto
+      // orderkey; the aggregate reuses the orderkey partitioning (its group
+      // keys contain the join key) and top-k is TakeOrderedAndProject
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 2, s"expected 2 keyed exchanges, got $exchanges:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), p)
+      // the broadcast join must sit UNDER the orders-side exchange, i.e.
+      // the customer cut happens before orders pays its shuffle
+      val bhjIdx = p.indexOf("BroadcastHashJoin")
+      val smjIdx = p.indexOf("SortMergeJoin")
+      assert(smjIdx >= 0 && bhjIdx > smjIdx, s"broadcast not under the SMJ:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q18 aggregates lineitem before any join and takes top-k without a global sort") {
     val p = plan(Relational.q18LargeOrders)
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -178,6 +201,15 @@ class PlanSpec extends SparkSpec {
     val formatted = joined.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(formatted.contains("GreaterThan(o_totalprice,100000"), formatted)
+  }
+
+  test("every ANN top-k ranks through TopKPerKeyExec, not a window sort") {
+    import graft.operators.Similarity._
+    for (op <- Seq(annBruteForceTopK, annLshTopK, annRandomHyperplaneTopK)) {
+      val p = plan(op)
+      assert(p.contains("TopKPerKey"), s"${op.name} missing TopKPerKey:\n$p")
+      assert(!p.contains("Window"), s"${op.name} still uses a Window sort:\n$p")
+    }
   }
 
   test("IVF ANN: centroid assignment and probes broadcast the tiny sides") {

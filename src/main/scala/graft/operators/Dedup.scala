@@ -290,5 +290,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").as("hamming"))
   }
 
-  val ops: Seq[Op] = Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs)
+  /** The MinHash sketch of any (doc_id, text) frame — the persisted
+    * signature table an incremental dedup pipeline keeps per corpus
+    * (the reference's addIndex precomputation; at warehouse scale it is
+    * stored `bucketBy(hash)` so re-runs never reshuffle it).
+    */
+  def sketchTable(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .withColumn("sketch",
+        expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
+      .select("doc_id", "shingles", "sketch")
+
+  /** Incremental dedup: near-dup pairs INVOLVING an arriving delta shard,
+    * against an existing corpus whose sketch table already exists — the
+    * DeltaViews face of dedup (reference analog: IncrementalResult.scala
+    * maintaining a query result under `+=`). Only the delta's shingles
+    * and sketches are computed fresh; the corpus contributes its persisted
+    * posting lists. Output ≡ the full-recompute pair set restricted to
+    * pairs touching the delta (spec-proven in DedupSpec): candidate
+    * generation shares a sketch hash in both formulations and the verify
+    * is the same exact Jaccard, so neither recall nor precision moves.
+    *
+    * Scale shape: corpus sketches are read, never rebuilt; the bucket
+    * join is keyed on the sketch hash, so at 100 TB the arriving shard's
+    * (tiny) posting lists shuffle while the corpus side streams from its
+    * bucketed layout with no exchange (see BucketingSpec).
+    */
+  def incrementalPairs(corpusSk: DataFrame, deltaSk: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    val dSk = graft.CacheRegistry.track(deltaSk)
+    val corpusBuckets = corpusSk.select(col("doc_id"), explode(col("sketch")).as("h"))
+    val deltaBuckets = dSk.select(col("doc_id"), explode(col("sketch")).as("h"))
+    // delta×corpus candidates: keyed equi-join on the sketch hash
+    val crossCand = deltaBuckets.alias("d")
+      .join(corpusBuckets.alias("c"), col("d.h") === col("c.h"))
+      .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
+    // delta×delta candidates: in-group posting-list expansion, delta only
+    val deltaCand = deltaBuckets.groupBy("h")
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1)," +
+          " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
+      .select("p.doc_a", "p.doc_b")
+    val cand = crossCand.union(deltaCand).distinct()
+    val all = corpusSk.select("doc_id", "shingles")
+      .union(dSk.select("doc_id", "shingles"))
+    val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val jac = interSz.cast("double") /
+      (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
+    cand
+      .join(all.alias("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(all.alias("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= jaccardMin)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  /** Registered form: the doc_id % 10 = 0 sliver plays the arriving shard,
+    * the rest the existing corpus. Oracle = the full MinHash pair query
+    * restricted to pairs touching the delta — the equivalence the
+    * incremental formulation must (and does) preserve.
+    */
+  val incremental: Op = Op(
+    "dedup_incremental",
+    s"""WITH sh AS ($shinglesSql),
+      |sk AS (SELECT doc_id, shingles,
+      |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
+      |       FROM sh),
+      |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+      |SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |     - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      |FROM cand JOIN sk sa ON sa.doc_id = doc_a
+      |          JOIN sk sb ON sb.doc_id = doc_b
+      |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val corpusSk = graft.CacheRegistry.track(
+      sketchTable(docs.filter(col("doc_id") % 10 =!= 0)))
+    val deltaSk = sketchTable(docs.filter(col("doc_id") % 10 === 0))
+    incrementalPairs(corpusSk, deltaSk, 0.2)
+  }
+
+  val ops: Seq[Op] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, incremental)
 }

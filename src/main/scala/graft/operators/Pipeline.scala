@@ -120,5 +120,60 @@ object Pipeline {
         "stopword_ratio", "dup_bigram_frac")
   }
 
-  val ops: Seq[Op] = Seq(curate, qualityFilter)
+  /** Train/eval decontamination — the standard contamination gate every
+    * LLM data pipeline runs before training: flag training documents whose
+    * n-gram overlap with a benchmark/eval set exceeds a threshold, so
+    * benchmark answers never leak into the training corpus. The "benchmark"
+    * here is the deterministic doc_id % 97 sliver of the corpus (a stand-in
+    * for a real eval set, which is always tiny relative to training data).
+    *
+    * The 100 TB shape: the benchmark's distinct shingle set is collected by
+    * ONE tiny aggregate and broadcast as a single-row array; every training
+    * document then scores its overlap via per-row array_intersect in the
+    * same codegen'd scan that built its shingles — zero extra shuffle, no
+    * join of corpus-sized sides. (An eval set of thousands of documents is
+    * a few MB of n-grams — broadcastable by construction; were it not,
+    * the fallback is the posting-list equi-join the dedup ops use.)
+    */
+  val decontamNgram: Op = Op(
+    "decontam_ngram",
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+      |bench AS (SELECT list_distinct(flatten(list(shingles))) AS bg
+      |          FROM sh WHERE doc_id % 97 = 0),
+      |scored AS (
+      |  SELECT s.doc_id,
+      |    CAST(len(list_intersect(s.shingles, b.bg)) AS BIGINT) AS n_overlap,
+      |    CAST(len(list_intersect(s.shingles, b.bg)) AS DOUBLE)
+      |      / len(s.shingles) AS overlap_frac
+      |  FROM sh s, bench b WHERE s.doc_id % 97 <> 0)
+      |SELECT doc_id, n_overlap, overlap_frac,
+      |  CAST(CASE WHEN overlap_frac >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM scored""".stripMargin,
+  ) { (spark, dir) =>
+    val sh = Dedup.withShingles(Tables.documents(spark, dir))
+      .select("doc_id", "shingles")
+    decontaminate(sh.filter(col("doc_id") % 97 =!= 0),
+      sh.filter(col("doc_id") % 97 === 0), tau = 0.5)
+  }
+
+  /** Generic decontamination: score every `train` row's shingle overlap
+    * against the union of `bench`'s shingles. Both frames carry
+    * (doc_id, shingles); `bench` must be eval-set-sized (its distinct
+    * n-grams are broadcast).
+    */
+  def decontaminate(train: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+    val bg = bench.agg(
+      array_distinct(flatten(collect_list(col("shingles")))).as("bg"))
+    val overlap = size(array_intersect(col("shingles"), col("bg")))
+    train.crossJoin(broadcast(bg))
+      .select(col("doc_id"),
+        overlap.cast("long").as("n_overlap"),
+        (overlap.cast("double") / size(col("shingles"))).as("overlap_frac"))
+      .withColumn("contaminated",
+        when(col("overlap_frac") >= tau, 1L).otherwise(0L))
+  }
+
+  val ops: Seq[Op] = Seq(curate, qualityFilter, decontamNgram)
 }

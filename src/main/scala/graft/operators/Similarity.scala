@@ -385,33 +385,18 @@ object Similarity {
         " cast(0.0 as double), (acc, p) -> acc + p)")
     val v = graft.CacheRegistry.track(
       Tables.embeddings(spark, dir).withColumn("nrm", nrmCol))
-    val c0 = v.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val assign0 = v.crossJoin(broadcast(c0))
-      .groupBy(col("vec_id").as("a_vec"))
-      .agg(min_by(col("cent_id"), struct(
-        (vec_dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")) * -1).as("negcos"),
-        col("cent_id"))).as("a_cent"))
-    // Lloyd step: fixed-point component sums per (cell, dim) — one keyed
-    // shuffle of longs — then the exact mean and the rebuilt centroid array
-    val contrib = v.join(assign0, col("a_vec") === col("vec_id"))
-      .select(col("a_cent"), posexplode(col("embedding")))
-      .select(col("a_cent"), col("pos"),
-        round(col("col").cast("double") * 1000000).cast("long").as("qv"))
-    val c1 = contrib.groupBy(col("a_cent"), col("pos"))
-      .agg((sum(col("qv")).cast("double") / 1000000.0 / count(lit(1))).as("mean"))
-      .groupBy(col("a_cent").as("cent_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), s -> s.mean)")
-        .as("c_emb"))
-      .withColumn("c_nrm", sqrt(expr(
-        "aggregate(transform(c_emb, x -> x * x), cast(0.0 as double), (acc, p) -> acc + p)")))
-    val c1b = broadcast(c1)
-    val assign1 = v.crossJoin(c1b)
-      .groupBy(col("vec_id").as("a_vec"))
-      .agg(min_by(col("cent_id"), struct(
-        (mixDot("embedding", "c_emb") / (col("nrm") * col("c_nrm")) * -1).as("negcos"),
-        col("cent_id"))).as("a_cent"))
+    // Lloyd step through the generic n-iteration loop (iters=1 keeps the
+    // oracle restatable as one unrolled SQL pass; see lloyd's scaladoc for
+    // the fixed-point exactness argument)
+    val pts = v.select(col("vec_id").as("pid"), lit(0).as("part"),
+      col("embedding").as("emb"), col("nrm"))
+    val c0 = pts.filter(col("pid") % 25 === 0)
+      .select(col("pid").as("cent_id"), col("part"),
+        col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val c1p = lloyd(pts, c0, iters = 1, negCosCost)
+    val assign1 = assignTo(pts, c1p, negCosCost)
+      .select(col("pid").as("a_vec"), col("a_cent"))
+    val c1b = broadcast(c1p.drop("part"))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val probes = q.crossJoin(c1b)
@@ -429,6 +414,151 @@ object Similarity {
           .as("cosine"))
     graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
       .select("q_id", "cand_id", "cosine")
+  }
+
+  // ---- generic Lloyd (k-means) machinery --------------------------------
+  //
+  // The reference's Fix.scala fixpoint generalized to n Lloyd iterations:
+  // assign each point to its best centroid, recompute centroids as means,
+  // repeat. Centroid means ride FIXED-POINT long accumulators
+  // (round(x·1e6) summed exactly, divided back once), so every iteration's
+  // centroids are bit-identical across engines and parallelism levels —
+  // the property the single-iteration version established, now closed
+  // under composition. Frames are keyed by a `part` column so one call
+  // trains many independent codebooks at once (PQ's per-subvector case);
+  // single-codebook callers pass a constant.
+  //
+  // points: (pid, part, emb, ...); centroids: (cent_id, part, c_emb,
+  // c_nrm, ...). `cost` is any column expression over those names to
+  // MINIMIZE (negated cosine, squared L2); ties break on cent_id, same
+  // as every oracle's ORDER BY cost, cent_id.
+
+  /** Squared-L2 cost — a left-to-right fold over zip_with differences,
+    * bit-identical to the oracle's index fold.
+    */
+  val l2Cost: Column = expr(
+    "aggregate(zip_with(emb, c_emb, (x, c) -> (cast(x as double) - cast(c as double))" +
+      " * (cast(x as double) - cast(c as double)))," +
+      " cast(0.0 as double), (acc, p) -> acc + p)")
+
+  /** Negated cosine cost over precomputed `nrm`/`c_nrm` norm columns. */
+  val negCosCost: Column = expr(
+    "aggregate(zip_with(emb, c_emb, (x, c) -> cast(x as double) * cast(c as double))," +
+      " cast(0.0 as double), (acc, p) -> acc + p)") / (col("nrm") * col("c_nrm")) * -1
+
+  /** Assign every point to its argmin-cost centroid within its `part`:
+    * centroids broadcast, the |N|·|cells| scored rows collapse to one row
+    * per point BEFORE any shuffle (map-side min aggregate). Returns
+    * (pid, part, a_cent, a_cost).
+    */
+  def assignTo(points: DataFrame, cents: DataFrame, cost: Column): DataFrame =
+    points.join(broadcast(cents), "part")
+      .groupBy(col("pid"), col("part"))
+      .agg(min(struct(cost.as("cost"), col("cent_id"))).as("b"))
+      .select(col("pid"), col("part"),
+        col("b.cent_id").as("a_cent"), col("b.cost").as("a_cost"))
+
+  /** `iters` Lloyd iterations from `init`; returns the refined centroids
+    * (cent_id, part, c_emb, c_nrm). Per iteration: one broadcast
+    * assignment pass + ONE keyed shuffle of (parts·cells·dims) longs —
+    * never a vector collect, the 100 TB index-build shape. Callers should
+    * cache `points` (it is scanned twice per iteration).
+    */
+  def lloyd(points: DataFrame, init: DataFrame, iters: Int, cost: Column): DataFrame = {
+    var c = init
+    for (_ <- 1 to iters) {
+      val a = assignTo(points, c, cost)
+        .select(col("pid").as("a_pid"), col("part").as("a_part"), col("a_cent"))
+      val contrib = points
+        .join(a, col("a_pid") === col("pid") && col("a_part") === col("part"))
+        .select(col("part"), col("a_cent"), posexplode(col("emb")))
+        .select(col("part"), col("a_cent"), col("pos"),
+          round(col("col").cast("double") * 1000000).cast("long").as("qv"))
+      c = contrib.groupBy(col("part"), col("a_cent"), col("pos"))
+        .agg((sum(col("qv")).cast("double") / 1000000.0 / count(lit(1))).as("mean"))
+        .groupBy(col("part"), col("a_cent").as("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), s -> s.mean)")
+          .as("c_emb"))
+        .withColumn("c_nrm", sqrt(expr(
+          "aggregate(transform(c_emb, x -> x * x), cast(0.0 as double), (acc, p) -> acc + p)")))
+    }
+    c
+  }
+
+  /** Product quantization: split each vector into 4 subvectors of 16 dims,
+    * train a per-subspace codebook with [[lloyd]] (init = the vec_id % 25
+    * subset, one fixed-point refinement iteration — same recipe as
+    * [[annIvfKmeansTopK]]), then assign every subvector its nearest
+    * codeword. Output per vector: the 4 codes (joined as a string — a
+    * 64-dim float vector compressed to 4 small ints) plus the
+    * reconstruction error audit, computed as a part-ordered sequential
+    * fold so it is bit-identical across engines. The codebooks are tiny
+    * and broadcast; assignment is map-side — at 100 TB this is one scan
+    * over the fleet per Lloyd pass and one for the final encoding.
+    */
+  val pqCodes: Op = Op(
+    "ann_pq_codes",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      |           FROM embeddings),
+      |sub AS (SELECT vec_id, s, list_slice(d, 16*s+1, 16*(s+1)) AS sv
+      |        FROM v, UNNEST(generate_series(0, 3)) AS t(s)),
+      |c0 AS (SELECT s, vec_id AS code, sv AS c_emb FROM sub WHERE vec_id % 25 = 0),
+      |a0 AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT sub.vec_id, sub.s, c0.code,
+      |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, 16),
+      |            i -> (sub.sv[i] - c0.c_emb[i]) * (sub.sv[i] - c0.c_emb[i]))),
+      |          (acc, p) -> acc + p), c0.code) AS rn
+      |    FROM sub JOIN c0 ON c0.s = sub.s) WHERE rn = 1),
+      |contrib AS (
+      |  SELECT a0.s, a0.code, t.d AS dim,
+      |    CAST(round(sub.sv[t.d] * 1000000) AS BIGINT) AS qv
+      |  FROM sub JOIN a0 ON a0.vec_id = sub.vec_id AND a0.s = sub.s,
+      |       UNNEST(generate_series(1, 16)) AS t(d)),
+      |c1 AS (
+      |  SELECT s, code, list(mean ORDER BY dim) AS c_emb FROM (
+      |    SELECT s, code, dim,
+      |      CAST(SUM(qv) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean
+      |    FROM contrib GROUP BY s, code, dim) GROUP BY s, code),
+      |a1 AS (
+      |  SELECT vec_id, s, code, dist FROM (
+      |    SELECT sub.vec_id, sub.s, c1.code,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(1, 16),
+      |          i -> (sub.sv[i] - c1.c_emb[i]) * (sub.sv[i] - c1.c_emb[i]))),
+      |        (acc, p) -> acc + p) AS dist,
+      |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, 16),
+      |            i -> (sub.sv[i] - c1.c_emb[i]) * (sub.sv[i] - c1.c_emb[i]))),
+      |          (acc, p) -> acc + p), c1.code) AS rn
+      |    FROM sub JOIN c1 ON c1.s = sub.s) WHERE rn = 1)
+      |SELECT vec_id,
+      |  string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY s)),
+      |    (acc, p) -> acc + p)) AS recon_err
+      |FROM a1 GROUP BY vec_id""".stripMargin,
+  ) { (spark, dir) =>
+    val pts = graft.CacheRegistry.track(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+        .select(col("vec_id").as("pid"), explode(expr(
+          "transform(sequence(0, 3), s -> struct(s as part, slice(d, 16*s+1, 16) as emb))")).as("p"))
+        .select(col("pid"), col("p.part"), col("p.emb")))
+    val c0 = pts.filter(col("pid") % 25 === 0)
+      .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
+    val c1 = lloyd(pts, c0, iters = 1, l2Cost)
+    assignTo(pts, c1, l2Cost)
+      .groupBy(col("pid").as("vec_id"))
+      .agg(
+        concat_ws("-", expr(
+          "transform(array_sort(collect_list(struct(part, a_cent))), s -> cast(s.a_cent as string))"))
+          .as("codes"),
+        sqrt(expr(
+          "aggregate(transform(array_sort(collect_list(struct(part, a_cost))), s -> s.a_cost)," +
+            " cast(0.0 as double), (acc, p) -> acc + p)")).as("recon_err"))
   }
 
   /** Int8 scalar quantization of the embedding column — the storage/
@@ -479,5 +609,5 @@ object Similarity {
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,
-      annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize)
+      annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize, pqCodes)
 }

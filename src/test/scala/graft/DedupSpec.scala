@@ -54,6 +54,24 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 1L)))
   }
 
+  test("incremental dedup of a delta shard ≡ full recompute restricted to the delta") {
+    // delta = docs {1, 3} arriving against corpus {0, 2}: both the
+    // delta-vs-corpus pairs (0,1),(0,3) and nothing delta-vs-delta at the
+    // 0.2 threshold — compare against the full recompute ground truth
+    val docs = Tables.documents(spark, docsDir)
+    val corpusSk = Dedup.sketchTable(docs.filter(col("doc_id") % 2 === 0))
+    val deltaSk = Dedup.sketchTable(docs.filter(col("doc_id") % 2 === 1))
+    val incr = Dedup.incrementalPairs(corpusSk, deltaSk, 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = Dedup.minhashPairs(docs, 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1).toSet
+    assert(incr == full, s"incremental $incr != full-restricted $full")
+    assert(incr.exists(p => p._1 == 0L && p._2 == 1L), "must find delta-vs-corpus near dup")
+  }
+
   test("simhash: identical docs identical signatures; near dups within small hamming") {
     val sh = Dedup.simhash.fn(spark, docsDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
@@ -98,6 +116,68 @@ class DedupSpec extends SparkSpec {
         r.getAs[Double]("cosine"))).toMap
     assert(pairs.keySet.contains((0L, 1L)))
     assert(pairs((0L, 1L)) > 0.999)
+  }
+
+  test("lloyd k-means: inertia is monotone non-increasing over iterations") {
+    import org.apache.spark.sql.DataFrame
+    val pts = Tables.embeddings(spark, vecsDir)
+      .select(col("vec_id").as("pid"), lit(0).as("part"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val c0 = pts.filter(col("pid") =!= 1L) // 2 centroids for 3 points
+      .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
+    def inertia(c: DataFrame): Double =
+      Similarity.assignTo(pts, c, Similarity.l2Cost)
+        .agg(sum(col("a_cost"))).head.getDouble(0)
+    val i0 = inertia(c0)
+    val i1 = inertia(Similarity.lloyd(pts, c0, 1, Similarity.l2Cost))
+    val i2 = inertia(Similarity.lloyd(pts, c0, 2, Similarity.l2Cost))
+    val i3 = inertia(Similarity.lloyd(pts, c0, 3, Similarity.l2Cost))
+    // Lloyd with L2 cost + mean update is monotone; the 1e-6 fixed-point
+    // snap of centroid means can wiggle within rounding, hence the epsilon
+    val eps = 1e-9
+    assert(i1 <= i0 + eps, s"i0=$i0 i1=$i1")
+    assert(i2 <= i1 + eps, s"i1=$i1 i2=$i2")
+    assert(i3 <= i2 + eps, s"i2=$i2 i3=$i3")
+    // fixpoint on this tiny instance: assignments stable by iteration 2
+    val a2 = Similarity.assignTo(pts, Similarity.lloyd(pts, c0, 2, Similarity.l2Cost),
+      Similarity.l2Cost).select("pid", "a_cent").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a3 = Similarity.assignTo(pts, Similarity.lloyd(pts, c0, 3, Similarity.l2Cost),
+      Similarity.l2Cost).select("pid", "a_cent").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2 == a3, s"assignments not stable: $a2 vs $a3")
+  }
+
+  test("pq codes: near-identical vectors share codes, orthogonal vector does not") {
+    val dim = 16
+    import spark.implicits._
+    // 64-dim vectors for the 4×16 PQ layout: 0 and 1 near-identical, 2 far
+    val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val nearA = a.clone(); nearA(0) = a(0) + 0.001f
+    val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 2).toFloat)
+    // ids 0 and 50 are codebook members (% 25); 1 is not — it must land
+    // on codeword 0 in every subspace, giving it vector 0's exact codes
+    val df = Seq((0L, a.toSeq, 0), (1L, nearA.toSeq, 0), (50L, far.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = tmpDir(); writeTable(dir, "embeddings", df)
+    val out = Similarity.pqCodes.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("codes"), r.getAs[Double]("recon_err"))).toMap
+    assert(out.size == 3)
+    assert(out(0L)._1 == out(1L)._1, "near-dup must quantize to the same codes")
+    assert(out(0L)._1 != out(50L)._1, "distant vector must take different codes")
+    out.values.foreach(v => assert(v._2 >= 0.0 && !v._2.isNaN))
+    // centroid vectors (ids 0,25,50 are the %25 init set) reconstruct near-exactly
+    assert(out(50L)._2 < 0.01, s"codebook member recon err ${out(50L)._2}")
+  }
+
+  test("decontamination flags the benchmark's near-duplicates only") {
+    val sh = Dedup.sketchTable(Tables.documents(spark, docsDir))
+      .select("doc_id", "shingles")
+    // benchmark = doc 0; near-dup 1 and exact-dup 3 are contaminated, 2 is not
+    val out = graft.operators.Pipeline.decontaminate(
+      sh.filter(col("doc_id") =!= 0L), sh.filter(col("doc_id") === 0L), tau = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("contaminated")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 1L), out.toString)
   }
 
   test("multimodal meta extract emits one typed row per doc") {

@@ -51,10 +51,26 @@ object GraftApi {
     /** indexBy (traversableOps.scala:39): materialize a keyed index.
       * The returned frame is marked broadcastable — downstream joins
       * become map-side hash lookups, the reference's index-lookup rewrite.
+      *
+      * Contract: the input must be DIMENSION-sized — the index is grouped
+      * and broadcast, so its distinct-key count times average group size
+      * must fit one executor/driver heap. `maxKeys` makes the contract
+      * enforceable instead of an OOM: the key count is checked with one
+      * cheap aggregate before the broadcast and a hostile cardinality
+      * fails fast with a sizing message. Pass a larger bound explicitly
+      * when the caller knows better; fact-sized inputs should use a plain
+      * shuffled join instead of an index.
       */
-    def indexBy(key: Column, value: Column): DataFrame =
-      broadcast(ds.toDF().groupBy(key.as("key"))
-        .agg(collect_list(value).as("values")))
+    def indexBy(key: Column, value: Column, maxKeys: Long = 1000000L): DataFrame = {
+      val grouped = ds.toDF().groupBy(key.as("key"))
+        .agg(collect_list(value).as("values"))
+      val n = grouped.count()
+      require(n <= maxKeys,
+        s"indexBy: $n distinct keys exceeds maxKeys=$maxKeys — this index " +
+          "would be broadcast; use a shuffled join for fact-sized inputs " +
+          "or raise maxKeys if the groups are known to be small")
+      broadcast(grouped)
+    }
 
     /** addIndex (Optimization.scala:31): persist + register so Catalyst's
       * CacheManager substitutes the precomputed plan into any later query

@@ -38,7 +38,7 @@ object GraftExtensions {
           IntersectSize(a, b)
       }
 
-    private def rewritableElems(e: Expression): Boolean = e.dataType match {
+    private[plans] def rewritableElems(e: Expression): Boolean = e.dataType match {
       case org.apache.spark.sql.types.ArrayType(et, containsNull) =>
         import org.apache.spark.sql.types._
         !containsNull && (et match {
@@ -48,6 +48,62 @@ object GraftExtensions {
         })
       case _ => false
     }
+  }
+
+  /** Eliminate/commute array_sort when its order cannot be observed — the
+    * composition partner of [[RewriteSizeOfIntersect]], showing the
+    * extension point carries a RULE SET, not one rewrite (the reference's
+    * composable TransformationCombinators,
+    * ivm/optimization/TransformationCombinators.scala):
+    *
+    *  - `size(array_sort(x))`           → `size(x)`           (sort is a no-op under cardinality)
+    *  - `array_contains(array_sort(x))` → `array_contains(x)` (membership is order-blind)
+    *  - `array_sort(array_sort(x))`     → `array_sort(x)`     (idempotent)
+    *  - `array_distinct(array_sort(x))` → `array_sort(array_distinct(x))`
+    *    (both produce the sorted distinct elements; distinct-first sorts
+    *     the smaller array — the cheaper evaluation order)
+    *
+    * Only default-comparator sorts are touched (a custom lambda can
+    * observe anything), and the commute fires only for the same
+    * non-float element types as RewriteSizeOfIntersect (float/double
+    * -0.0/NaN normalization differs between sort- and hash-based paths).
+    */
+  object EliminateRedundantArraySort extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArrayDistinct, ArraySort, GreaterThan, If, LambdaFunction, LessThan, Literal, NamedExpression}
+    import org.apache.spark.sql.types.IntegerType
+
+    /** The ANALYZED form of ArraySort.defaultComparator:
+      * (l, r) -> if (l < r) -1 else if (l > r) 1 else 0 over the bound
+      * lambda variables. Matched structurally — the unresolved
+      * defaultComparator object can't semanticEquals a resolved lambda.
+      */
+    private def isDefaultComparator(f: Expression): Boolean = f match {
+      case LambdaFunction(
+          If(LessThan(a1, b1), Literal(-1, IntegerType),
+            If(GreaterThan(a2, b2), Literal(1, IntegerType), Literal(0, IntegerType))),
+          Seq(l: NamedExpression, r: NamedExpression), _) =>
+        a1.semanticEquals(l) && b1.semanticEquals(r) &&
+          a2.semanticEquals(l) && b2.semanticEquals(r)
+      case _ => false
+    }
+
+    private def isDefault(s: ArraySort): Boolean = isDefaultComparator(s.function)
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case Size(s: ArraySort, legacy) if isDefault(s) =>
+          Size(s.argument, legacy)
+        case ArrayContains(s: ArraySort, v) if isDefault(s) =>
+          ArrayContains(s.argument, v)
+        case outer @ ArraySort(inner: ArraySort, _, _)
+          if isDefault(outer) && isDefault(inner) =>
+          inner
+        // reuse the matched sort's RESOLVED lambda — the optimizer must
+        // never introduce unresolved expressions
+        case ArrayDistinct(s: ArraySort)
+          if isDefault(s) && RewriteSizeOfIntersect.rewritableElems(s) =>
+          s.copy(argument = ArrayDistinct(s.argument))
+      }
   }
 
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -64,6 +120,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => graft.functions.SimHashBits(children.head)))
     ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
+    ext.injectOptimizerRule(_ => EliminateRedundantArraySort)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

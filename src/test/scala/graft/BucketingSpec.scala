@@ -51,4 +51,48 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("bucketed sketch posting table: incremental dedup shuffles ONLY the delta") {
+    // the warehouse-native addIndex: the corpus's MinHash posting lists are
+    // persisted bucketBy(hash), so every arriving shard's candidate join
+    // reads the corpus with ZERO exchange — only the (tiny) delta side
+    // repartitions to the bucket layout
+    import graft.operators.Dedup
+    val wh = tmpDir()
+    val db = "graft_sk"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sfTiny)
+      Dedup.sketchTable(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id"), explode(col("sketch")).as("h"))
+        .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+        .saveAsTable(s"$db.corpus_postings")
+      val deltaBuckets = Dedup.sketchTable(docs.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id").as("d_id"), explode(col("sketch")).as("h"))
+      val cand = spark.table(s"$db.corpus_postings")
+        .join(deltaBuckets, "h")
+        .select(least(col("doc_id"), col("d_id")).as("doc_a"),
+          greatest(col("doc_id"), col("d_id")).as("doc_b"))
+        .distinct()
+      val plan = cand.queryExecution.executedPlan.toString
+      // exchanges: the delta side aligning to the bucket layout + the
+      // distinct — the corpus posting table pays NONE
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2, s"expected delta+distinct exchanges only, got $exchanges:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // and the candidate set matches the non-bucketed formulation
+      val direct = Dedup.sketchTable(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id"), explode(col("sketch")).as("h"))
+        .join(deltaBuckets, "h")
+        .select(least(col("doc_id"), col("d_id")).as("doc_a"),
+          greatest(col("doc_id"), col("d_id")).as("doc_b"))
+        .distinct()
+      assert(cand.collect().toSet == direct.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
 }

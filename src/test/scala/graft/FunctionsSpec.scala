@@ -62,4 +62,28 @@ class FunctionsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(p.contains("intersect_size"), p.take(2000))
   }
+
+  test("redundant array_sort is eliminated under size/contains and commuted under distinct") {
+    val words = Tables.documents(spark, sfTiny)
+      .select(split(col("text"), " ").as("w"))
+    // order-blind consumers: the sort disappears entirely
+    val sized = words.select(size(array_sort(col("w"))).as("n"))
+    assert(!sized.queryExecution.optimizedPlan.toString.contains("array_sort"),
+      sized.queryExecution.optimizedPlan.toString)
+    val contains = words.select(array_contains(array_sort(col("w")), "the").as("has"))
+    assert(!contains.queryExecution.optimizedPlan.toString.contains("array_sort"),
+      contains.queryExecution.optimizedPlan.toString)
+    // idempotence: one sort survives, not two
+    val twice = words.select(array_sort(array_sort(col("w"))).as("s"))
+    assert("array_sort".r.findAllIn(
+      twice.queryExecution.optimizedPlan.toString).size == 1)
+    // distinct∘sort commutes to sort∘distinct (sort the smaller array)
+    val ds = words.select(array_distinct(array_sort(col("w"))).as("d"))
+    val opt = ds.queryExecution.optimizedPlan.toString
+    assert(opt.contains("array_sort(array_distinct"), opt)
+    // and results are unchanged vs the un-optimized formulation
+    val a = ds.collect().map(_.getSeq[String](0))
+    val b = words.collect().map(_.getSeq[String](0).distinct.sorted)
+    assert(a.map(_.toList).toSet == b.map(_.toList).toSet)
+  }
 }

@@ -15,7 +15,10 @@ class PlanLintSpec extends SparkSpec {
     "ann_rh_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     // one-row global-min aggregate crossed onto the per-lang counts
     // (a handful of rows), never the corpus
-    "q_mix_balance")
+    "q_mix_balance",
+    // one-row broadcast of the benchmark's distinct n-gram array crossed
+    // onto the corpus scan — the eval set is tiny by definition
+    "decontam_ngram")
 
   /** The reference's headline claim is COMPILED query evaluation
     * (Compile.scala, CompileCSETest.scala); ours delegates to

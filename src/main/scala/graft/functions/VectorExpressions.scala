@@ -19,31 +19,53 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * swapping it in changes no results, bit for bit — but without
   * materializing the zipped intermediate array per row.
   */
+/** Shared float/double element handling for the vector fold expressions:
+  * each side may be array<float> or array<double>; floats are cast to
+  * double per element BEFORE the arithmetic, exactly like the HOF form.
+  */
+trait VectorFold { self: BinaryExpression =>
+
+  protected def foldName: String
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$foldName expects array<float|double> on both sides, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  protected def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def elem(x: ArrayData, fl: Boolean, i: Int): Double =
+    if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+
+  protected def elemCode(arr: String, fl: Boolean, i: String): String =
+    if (fl) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+}
+
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VectorFold {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"vec_dot expects (array<float>, array<float>), got " +
-            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-    }
-  }
+  override protected def foldName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += elem(x, lf, i) * elem(y, rf, i)
       i += 1
     }
     acc
@@ -58,7 +80,7 @@ case class DotProductD(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ${elemCode(a, isFloat(left), i)} * ${elemCode(b, isFloat(right), i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -66,6 +88,55 @@ case class DotProductD(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance — the same left-to-right sequential double fold as
+  * `aggregate(zip_with(a, b, (x,c) -> (double(x)-double(c))*(double(x)-double(c))), 0d, +)`,
+  * bit-identical results, no intermediate array. The hot inner loop of
+  * the k-means / PQ assignment passes.
+  */
+case class DistSqD(left: Expression, right: Expression)
+    extends BinaryExpression with VectorFold {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_distsq"
+  override protected def foldName: String = "vec_distsq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = elem(x, lf, i) - elem(y, rf, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${elemCode(a, isFloat(left), i)} - ${elemCode(b, isFloat(right), i)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DistSqD =
     copy(left = newLeft, right = newRight)
 }
 
@@ -138,6 +209,9 @@ case class IntersectSize(left: Expression, right: Expression)
 object vec {
   def vec_dot(a: Column, b: Column): Column =
     Shim.column(DotProductD(Shim.expression(a), Shim.expression(b)))
+
+  def vec_distsq(a: Column, b: Column): Column =
+    Shim.column(DistSqD(Shim.expression(a), Shim.expression(b)))
 
   def intersect_size(a: Column, b: Column): Column =
     Shim.column(IntersectSize(Shim.expression(a), Shim.expression(b)))

@@ -378,11 +378,6 @@ object Similarity {
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    // fold of a float vector against a double-array centroid — identical
-    // left-to-right sequential sum as the oracle's list_reduce
-    def mixDot(fv: String, dv: String) = expr(
-      s"aggregate(zip_with($fv, $dv, (x, c) -> cast(x as double) * c)," +
-        " cast(0.0 as double), (acc, p) -> acc + p)")
     val v = graft.CacheRegistry.track(
       Tables.embeddings(spark, dir).withColumn("nrm", nrmCol))
     // Lloyd step through the generic n-iteration loop (iters=1 keeps the
@@ -401,7 +396,7 @@ object Similarity {
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val probes = q.crossJoin(c1b)
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
-        (mixDot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm"))).desc,
+        (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
         col("cent_id"))))
       .filter(col("rn") <= 2)
       .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
@@ -433,18 +428,15 @@ object Similarity {
   // MINIMIZE (negated cosine, squared L2); ties break on cent_id, same
   // as every oracle's ORDER BY cost, cent_id.
 
-  /** Squared-L2 cost — a left-to-right fold over zip_with differences,
-    * bit-identical to the oracle's index fold.
+  /** Squared-L2 cost — the codegen'd native fold (graft.functions.DistSqD),
+    * bit-identical to the oracle's index fold; the interpreted HOF form
+    * was the hot loop of the assignment pass.
     */
-  val l2Cost: Column = expr(
-    "aggregate(zip_with(emb, c_emb, (x, c) -> (cast(x as double) - cast(c as double))" +
-      " * (cast(x as double) - cast(c as double)))," +
-      " cast(0.0 as double), (acc, p) -> acc + p)")
+  val l2Cost: Column = graft.functions.vec.vec_distsq(col("emb"), col("c_emb"))
 
   /** Negated cosine cost over precomputed `nrm`/`c_nrm` norm columns. */
-  val negCosCost: Column = expr(
-    "aggregate(zip_with(emb, c_emb, (x, c) -> cast(x as double) * cast(c as double))," +
-      " cast(0.0 as double), (acc, p) -> acc + p)") / (col("nrm") * col("c_nrm")) * -1
+  val negCosCost: Column =
+    vec_dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")) * -1
 
   /** Assign every point to its argmin-cost centroid within its `part`:
     * centroids broadcast, the |N|·|cells| scored rows collapse to one row

@@ -112,6 +112,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProductD].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProductD(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("vec_distsq"),
+      new ExpressionInfo(classOf[graft.functions.DistSqD].getName, "vec_distsq"),
+      (children: Seq[Expression]) => graft.functions.DistSqD(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSize(children(0), children(1))))

@@ -397,10 +397,38 @@ object Extended {
         count(lit(1)).as("n"))
   }
 
+  /** Cross-stage persistence of compiled queries
+    * (ivm/expressiontree/CrossStagePersistence.scala, Compile.scala:1-):
+    * the reference compiles a query once and rebinds its embedded
+    * constants across stages instead of recompiling. Here
+    * [[graft.api.Prepared]] persists the ANALYZED plan and each `bind`
+    * is one literal-swap transform — the same skeleton executes at two
+    * thresholds below, and because binding produces plain literals both
+    * executions keep full predicate pushdown into the parquet scan
+    * (pinned in PreparedSpec).
+    */
+  val preparedParam: Op = Op(
+    "q_prepared_param",
+    """SELECT CAST(150000.0 AS DOUBLE) AS cut, o_orderpriority, COUNT(*) AS n
+      |FROM orders WHERE o_totalprice > 150000.0 GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT CAST(250000.0 AS DOUBLE) AS cut, o_orderpriority, COUNT(*) AS n
+      |FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val p = graft.api.Prepared.compile(
+      Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > graft.api.Prepared.param("cut", 0.0))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n")))
+    def run(c: Double) = p.bind("cut" -> c)
+      .select(lit(c).as("cut"), col("o_orderpriority"), col("n"))
+    run(150000.0).unionAll(run(250000.0))
+  }
+
   val ops: Seq[Op] = Seq(
     indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs, mkStringAgg,
     viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
     optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
-    bagAlgebra, paperTutorial, rollupAgg, cubeAgg,
+    bagAlgebra, paperTutorial, rollupAgg, cubeAgg, preparedParam,
   )
 }

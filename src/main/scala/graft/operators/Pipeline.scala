@@ -175,5 +175,59 @@ object Pipeline {
         when(col("overlap_frac") >= tau, 1L).otherwise(0L))
   }
 
-  val ops: Seq[Op] = Seq(curate, qualityFilter, decontamNgram)
+  /** Quality-aware representative selection: within every near-dup
+    * cluster keep the BEST document (most tokens; ties to the lowest
+    * doc_id), not the arbitrary min-id canonical that pipeline_curate
+    * elects — the standard "keep the longest/cleanest copy" curation
+    * verb. Output labels every document with its cluster, its token
+    * count, and a kept/dropped audit flag.
+    *
+    * Scale shape (same discipline as pipeline_curate): the corpus never
+    * shuffles. Cluster labels exist only for docs in the near-dup graph —
+    * a sliver — so the election joins that sliver's token counts through
+    * one TopKPerKeyExec (bounded heaps, k=1, no per-group sort) and the
+    * final pass is the document scan plus two sliver-sized broadcast
+    * lookups (cluster label, loser flag). The corpus-sized doc→cluster
+    * map is never materialized; singletons keep themselves by
+    * construction.
+    */
+  val keepBest: Op = Op(
+    "pipeline_keep_best",
+    s"""WITH RECURSIVE ${Graph.clustersCteBody},
+      |toks AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.doc_id, c.cluster, t.tokens,
+      |    row_number() OVER (PARTITION BY c.cluster
+      |                       ORDER BY t.tokens DESC, c.doc_id) AS rn
+      |  FROM clusters c JOIN toks t ON t.doc_id = c.doc_id)
+      |SELECT doc_id, cluster, tokens,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM ranked""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toks = size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+    val pairs = Dedup.minhashLsh.fn(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // (id, cluster) for near-dup docs only — persisted by componentLabels
+    val labels = Graph.componentLabels(pairs)
+    val sliver = docs.join(broadcast(labels), col("doc_id") === col("id"))
+      .select(col("doc_id"), col("cluster"), toks.as("tokens"))
+    val winners = graft.api.GraftApi
+      .topKPerKey(sliver, "cluster", "tokens", "doc_id", 1)
+      .select(col("doc_id").as("w_id"))
+    val losers = sliver
+      .join(broadcast(winners), col("doc_id") === col("w_id"), "left_anti")
+      .select(col("doc_id").as("l_id"))
+    docs
+      .join(broadcast(labels), col("doc_id") === col("id"), "left")
+      .join(broadcast(losers), col("doc_id") === col("l_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        toks.as("tokens"),
+        when(col("l_id").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  val ops: Seq[Op] = Seq(curate, qualityFilter, decontamNgram, keepBest)
 }

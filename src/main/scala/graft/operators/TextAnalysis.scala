@@ -191,5 +191,62 @@ object TextAnalysis {
         dupFrac("tri").as("dup_trigram_frac"))
   }
 
-  val ops: Seq[Op] = Seq(tokenCount, quality, langId, fingerprint, normalize, repetition)
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before a corpus ships: emails, IPv4 addresses, and phone-shaped
+    * numbers are replaced with typed placeholder tags, with a per-doc
+    * match count for audit. One codegen'd scan, three sequential
+    * `regexp_replace`s, zero shuffle — the shape holds at any corpus
+    * size because nothing leaves the row.
+    *
+    * The synthetic corpus carries no PII, so both engines first graft a
+    * deterministic contact block onto every third document (same
+    * expression in the oracle) — the regexes are exercised on real
+    * matches AND on guaranteed non-matches. Patterns stay in the
+    * RE2 ∩ java.util.regex dialect (no lookaround/backrefs) so Spark and
+    * DuckDB compile them identically.
+    */
+  val piiRedact: Op = Op(
+    "text_pii_redact",
+    """WITH enriched AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |           || '@mail.example.com at 10.0.'
+      |           || CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-'
+      |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+      |    ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    + CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+      |    + CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_pii,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text
+      |FROM enriched""".stripMargin,
+  ) { (spark, dir) =>
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phone = """\b\d{3}-\d{3}-\d{4}\b"""
+    val enriched = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-0199")))
+      .otherwise(col("text"))
+    def matches(pat: String) =
+      size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("t", enriched)
+      .select(col("doc_id"),
+        (matches(email) + matches(ipv4) + matches(phone)).as("n_pii"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(email), lit("<EMAIL>")),
+          lit(ipv4), lit("<IP>")),
+          lit(phone), lit("<PHONE>")).as("red_text"))
+  }
+
+  val ops: Seq[Op] =
+    Seq(tokenCount, quality, langId, fingerprint, normalize, repetition, piiRedact)
 }

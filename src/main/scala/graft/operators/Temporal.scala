@@ -141,20 +141,38 @@ object Temporal {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
       |FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.bkt = s.bkt""".stripMargin,
   ) { (spark, dir) =>
+    // Round-4 shape: no dense spine join. The old formulation exploded a
+    // per-user hour spine, LEFT-joined the observations back onto it, and
+    // ran the fill window over the DENSE spine — the window sort carried
+    // users×hours rows (the registry's peak-memory outlier, 113 MB tasks
+    // at sf0.1). Instead: aggregate observations once, run the fill +
+    // lead window over the (sparse) observed hours only, then explode
+    // each observation's gap range [bkt, next_bkt) with its forward-
+    // filled value. Same result (oracle unchanged — it still spells the
+    // spine formulation); the sort/exchange now scale with observed
+    // hours, not calendar hours, and the join is gone entirely.
     val b = Tables.events(spark, dir).select(col("user_id"),
       expr("unix_micros(ts) div 3600000000").as("bkt"), col("value"))
-    val spine = b.groupBy("user_id")
-      .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
-      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("bkt"))
     val obs = b.groupBy("user_id", "bkt")
       .agg(count(lit(1)).as("n_obs"), max(col("value")).as("vmax"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(obs, Seq("user_id", "bkt"), "left")
+    val filled = obs.select(col("user_id"), col("bkt"), col("n_obs"),
+      last(col("vmax"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("filled_value"),
+      lead(col("bkt"), 1).over(w).as("nxt"))
+    // gap range is never descending: nxt > bkt within a user, and the
+    // last observation coalesces to its own bkt (sequence() would happily
+    // DESCEND on an inverted range — see q_time_resample's oracle notes)
+    filled
+      .select(col("user_id"), col("bkt"), col("n_obs"), col("filled_value"),
+        explode(sequence(col("bkt"), coalesce(col("nxt") - 1, col("bkt"))))
+          .as("hour_bkt"))
       .select(col("user_id"),
-        timestamp_micros(col("bkt") * 3600000000L).as("hour_start"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        last(col("vmax"), ignoreNulls = true).over(w).as("filled_value"))
+        timestamp_micros(col("hour_bkt") * 3600000000L).as("hour_start"),
+        when(col("hour_bkt") === col("bkt"), col("n_obs")).otherwise(lit(0L))
+          .as("n_obs"),
+        col("filled_value"))
   }
 
   /** Burst detection (bot/scraper signal for training-data curation):

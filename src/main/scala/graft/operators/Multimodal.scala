@@ -219,5 +219,82 @@ object Multimodal {
     }.toDF()
   }
 
-  val ops: Seq[Op] = Seq(metaExtract, frameSample, resize, featureExtract)
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash near-dup detection over media payloads — the image/
+    * video face of dedup (real pipelines pHash decoded frames; the decode
+    * + DCT is the stub here, a deterministic 14-nibble byte downsample
+    * into a 56-bit signature). The pairing is the SAME banded shape as
+    * dedup_simhash_pairs: by pigeonhole, Hamming ≤ 3 over 56 bits means
+    * at least one of four 14-bit bands matches exactly, so candidates
+    * come from a numeric band-key equi-join (one keyed shuffle, posting
+    * lists capped at 64) and only candidates pay one codegen'd
+    * `bit_count(xor)`. 56 bits (not 64) keeps the signature — and every
+    * band weight — exactly representable in a signed BIGINT in both
+    * engines.
+    */
+  val dedupPhash: Op = Op(
+    "mm_dedup_phash",
+    s"""WITH $encSql,
+      |sigs AS (SELECT doc_id,
+      |    CASE WHEN n = 0 THEN 0 ELSE
+      |      list_sum(list_transform(generate_series(0, 13),
+      |        k -> CAST(power(16, 13 - k) AS BIGINT) *
+      |          (strpos('0123456789ABCDEF',
+      |             substr(h, least(k * greatest(1, n // 14), n - 1) * 2 + 2, 1)) - 1)))
+      |    END AS phash
+      |  FROM bytes),
+      |bands AS (
+      |  SELECT doc_id, phash, b * 16384 + ((phash >> (14 * b)) & 16383) AS band_key
+      |  FROM sigs, UNNEST(generate_series(0, 3)) AS t(b)),
+      |small AS (SELECT band_key FROM bands GROUP BY band_key
+      |          HAVING COUNT(*) BETWEEN 2 AND 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.phash AS pa, b.phash AS pb
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |  WHERE a.band_key IN (SELECT band_key FROM small))
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    // the "decoder": 14 bytes sampled at fixed stride, low nibble each —
+    // stands in for downsample+DCT; the banded join below is the real
+    // 100 TB machinery and is decoder-agnostic
+    val sigs = media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        var sig = 0L
+        if (n > 0) {
+          val stride = math.max(1, n / 14)
+          var k = 0
+          while (k < 14) {
+            val idx = math.min(k * stride, n - 1)
+            sig = (sig << 4) | (r.payload(idx) & 0x0fL)
+            k += 1
+          }
+        }
+        PHash(r.doc_id, sig)
+      }
+    }.toDF()
+    val bands = sigs.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3)," +
+        " b -> b * 16384 + shiftright(phash, 14 * b) % 16384)")).as("band_key"))
+    bands.groupBy("band_key")
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")).between(2, 64))
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1)," +
+          " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b," +
+          " cast(bit_count(x.phash ^ y.phash) as bigint) as hamming))))")).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.hamming")
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  val ops: Seq[Op] = Seq(metaExtract, frameSample, resize, featureExtract, dedupPhash)
 }

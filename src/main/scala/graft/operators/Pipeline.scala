@@ -229,5 +229,46 @@ object Pipeline {
         when(col("l_id").isNull, 1L).otherwise(0L).as("kept"))
   }
 
-  val ops: Seq[Op] = Seq(curate, qualityFilter, decontamNgram, keepBest)
+  /** Sequence packing — the batch-assembly step between a curated corpus
+    * and a pretraining run: documents are laid end-to-end into a token
+    * stream and cut into fixed-budget packs; each doc records its pack
+    * and its offset inside it (a doc straddling a cut belongs to the pack
+    * where it starts). Packing is inherently sequential, so the stream is
+    * sharded first by a deterministic doc_id residue and each shard packs
+    * independently — one window pass per shard, all shards in parallel,
+    * no global order anywhere. At 100 TB the shard count is the
+    * parallelism knob (here 8); the running-sum window inside a shard is
+    * the standard partitioned cumsum, never a single-partition window.
+    */
+  val packSequences: Op = Op(
+    "pipeline_pack_sequences",
+    """WITH toks AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, shard, tokens,
+      |    SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS start_tok
+      |  FROM toks)
+      |SELECT doc_id, shard, tokens,
+      |  CAST(start_tok // 512 AS BIGINT) AS pack_id,
+      |  CAST(start_tok % 512 AS BIGINT) AS pack_offset
+      |FROM cum""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        expr(s"start_tok div $budget").as("pack_id"),
+        pmod(col("start_tok"), lit(budget)).as("pack_offset"))
+  }
+
+  val ops: Seq[Op] = Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences)
 }

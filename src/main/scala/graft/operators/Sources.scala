@@ -72,5 +72,37 @@ object Sources {
         min(col("c_name")).as("first_name"))
   }
 
-  val ops: Seq[Op] = Seq(jsonExtract, jsonStruct, csvRoundTrip)
+  /** ORC round-trip with a PARTITIONED layout — the second columnar
+    * format plus the partition-pruning contract in one op: supplier is
+    * written `partitionBy(s_nationkey)` to ORC, read back schema-on-read,
+    * and only two partition directories survive the filter — at scale
+    * the pruned partitions are never listed, let alone read (the same
+    * hive-layout pruning a 100 TB warehouse table relies on). The
+    * aggregate must equal the oracle computed from the original parquet
+    * under the exact-hash gate, proving values AND the partition column
+    * (which ORC stores in the directory name, not the file) round-trip
+    * losslessly.
+    */
+  val orcRoundTrip: Op = Op(
+    "q_orc_roundtrip",
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+      |  MIN(s_name) AS first_name
+      |FROM supplier WHERE s_nationkey IN (3, 7) GROUP BY s_nationkey""".stripMargin,
+  ) { (spark, dir) =>
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_orc_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Tables.supplier(spark, dir)
+      .write.mode("overwrite").partitionBy("s_nationkey").orc(tmp)
+    spark.read.orc(tmp)
+      .filter(col("s_nationkey").isin(3, 7))
+      // partition columns come back from the directory names at the
+      // inferred (int) type — restate the original long for the gate
+      .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"),
+        min(col("s_name")).as("first_name"))
+  }
+
+  val ops: Seq[Op] = Seq(jsonExtract, jsonStruct, csvRoundTrip, orcRoundTrip)
 }

@@ -174,4 +174,47 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  case class BucketArrival(h: String, doc_id: Long)
+  case class BucketState(ids: List[Long])
+  case class CandidatePair(doc_a: Long, doc_b: Long, h: String)
+
+  /** Streaming NEAR-dup candidate generation — the streaming face of
+    * dedup_incremental: each arriving document's MinHash sketch hashes
+    * are keyed to their posting bucket, whose state holds the doc ids
+    * seen there so far; a new arrival emits one candidate pair per
+    * co-bucketed prior doc. This is exactly the batch posting-list
+    * expansion run incrementally (state = the corpus posting table,
+    * micro-batch = the arriving shard), so candidates ≡ the batch
+    * bucket self-join — StreamingSpec proves the equivalence. State per
+    * bucket is capped (as in every batch dedup op here): a hot bucket
+    * stops emitting rather than going quadratic, and its cap is the same
+    * 64 the batch caps use. The exact-Jaccard verify stays downstream —
+    * candidate generation is the part whose state must live in the
+    * stream.
+    */
+  def nearDupCandidates(sketchBuckets: Dataset[BucketArrival],
+      cap: Int = 64): Dataset[CandidatePair] = {
+    import sketchBuckets.sparkSession.implicits._
+    sketchBuckets
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[BucketArrival], state: GroupState[BucketState]) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = List.newBuilder[CandidatePair]
+          // in-batch arrival order pinned by doc_id so replays emit the
+          // same pair set regardless of partition-internal row order
+          rows.map(_.doc_id).toSeq.distinct.sorted.foreach { id =>
+            if (ids.size < cap && !ids.contains(id)) {
+              ids.foreach { prev =>
+                out += CandidatePair(math.min(prev, id), math.max(prev, id), h)
+              }
+              ids = id :: ids
+            }
+          }
+          state.update(BucketState(ids))
+          out.result().iterator
+      }
+  }
 }

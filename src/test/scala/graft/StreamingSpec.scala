@@ -337,4 +337,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length == 2)
     assert(batch.map(_.getAs[Long]("n_events")).sum == 3)
   }
+
+  test("streaming near-dup candidates equal the batch posting-list self-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, max => smax}
+    implicit val sqlCtx = spark.sqlContext
+    val sk = graft.operators.Dedup.sketchTable(Tables.documents(spark, sfTiny))
+      .select(col("doc_id"), explode(col("sketch")).as("h"))
+    // the equivalence below is exact only while no bucket hits the cap —
+    // pin that precondition on this corpus
+    val maxBucket = sk.groupBy("h").count().agg(smax("count")).head().getLong(0)
+    assert(maxBucket <= 64, s"corpus has a hot bucket ($maxBucket) — pick a smaller SF")
+    val arrivals = sk.as[(Long, String)].collect()
+      .map { case (id, h) => EventStreams.BucketArrival(h, id) }
+    val input = MemoryStream[EventStreams.BucketArrival]
+    val query = EventStreams.nearDupCandidates(input.toDS())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two shards: the even-id "corpus" first, the odd-id "delta" second
+      val (corpus, delta) = arrivals.partition(_.doc_id % 2 == 0)
+      input.addData(corpus.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(delta.toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val batch = sk.as("a").join(sk.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    } finally query.stop()
+  }
 }

@@ -31,6 +31,31 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_dot(a, b) FROM graft_vecs").head.getDouble(0) == 5.0)
   }
 
+  test("vec_distsq is bit-identical to the HOF squared-difference fold") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    // float vector vs a double-array centroid — the mixed-type shape the
+    // k-means assignment pass actually runs
+    val centroid = emb.selectExpr(
+      "transform(embedding, x -> cast(x as double) + 0.25) as c_emb", "embedding")
+    val hof = expr(
+      "aggregate(zip_with(embedding, c_emb, (x, c) -> (cast(x as double) - c)" +
+        " * (cast(x as double) - c)), cast(0.0 as double), (acc, p) -> acc + p)")
+    val mismatches = centroid
+      .select(graft.functions.vec.vec_distsq(col("embedding"), col("c_emb")).as("native"),
+        hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("vec_distsq evaluates on known vectors and is SQL-registered") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(4.0, 6.0))).toDF("a", "b")
+    assert(df.select(graft.functions.vec.vec_distsq(col("a"), col("b")))
+      .head.getDouble(0) == 25.0)
+    df.createOrReplaceTempView("graft_vecs_dd")
+    assert(spark.sql("SELECT vec_distsq(a, b) FROM graft_vecs_dd").head.getDouble(0) == 25.0)
+  }
+
   test("intersect_size equals size(array_intersect)") {
     import spark.implicits._
     val df = Seq(

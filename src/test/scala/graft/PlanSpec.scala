@@ -217,4 +217,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("TopKPerKey"), p)
   }
+
+  test("q3: the BUILDING customer cut applies BELOW the lineitem⋈orders join") {
+    // pre-shuffle reduction: the orders⋈customer broadcast join must be a
+    // DESCENDANT of the lineitem⋈orders join, so the segment cut happens
+    // before orders rides the orderkey exchange (r3 verdict's weak plan,
+    // fixed in r4)
+    val p = plan(graft.operators.Relational.q3ShippingPriority)
+    val lines = p.linesIterator.toIndexedSeq
+    val orderJoinIdx = lines.indexWhere(l =>
+      l.contains("Join [l_orderkey") && l.contains("[o_orderkey"))
+    val custJoinIdx = lines.indexWhere(l =>
+      l.contains("Join [o_custkey") && l.contains("[c_custkey"))
+    assert(orderJoinIdx >= 0 && custJoinIdx >= 0, p)
+    // pre-order print: a descendant appears after its ancestor
+    assert(custJoinIdx > orderJoinIdx, s"customer cut not below the orderkey join:\n$p")
+    // and the customer edge never pays an exchange
+    assert(!p.contains("hashpartitioning(o_custkey"), p)
+  }
+
+  test("keep-best election runs through TopKPerKeyExec with broadcast corpus edges") {
+    val p = plan(graft.operators.Pipeline.keepBest)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), s"keep-best fell back to a window sort:\n$p")
+    // the final corpus pass must only see broadcast joins — a sort-merge
+    // join there would mean the corpus-sized side is being shuffled
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled:\n$p")
+  }
+
+  test("sequence packing is one partitioned window — no global sort, no single-partition window") {
+    val df = graft.operators.Pipeline.packSequences.fn(spark, sfTiny)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    // a missing PARTITION BY would plan a single-partition window whose
+    // exchange is SinglePartition — the non-scalable shape
+    assert(!p.contains("SinglePartition"), s"single-partition window:\n$p")
+  }
 }

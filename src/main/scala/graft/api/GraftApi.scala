@@ -218,6 +218,65 @@ object GraftApi {
   def quantizeEmbeddings(df: DataFrame, idCol: String, embCol: String): DataFrame =
     graft.operators.Similarity.quantize(df, idCol, embCol)
 
+  /** Train/eval decontamination over any (id, shingles) frames — see
+    * graft.operators.Pipeline.decontaminate (benchmark n-grams broadcast,
+    * per-row overlap, zero extra shuffle).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, tau: Double = 0.5): DataFrame =
+    graft.operators.Pipeline.decontaminate(train, bench, tau)
+
+  /** Incremental near-dup pairs of a delta frame against a persisted
+    * corpus sketch table — see graft.operators.Dedup.incrementalPairs.
+    * Build sketch tables with [[sketchTable]].
+    */
+  def incrementalNearDupPairs(corpusSketches: DataFrame, deltaSketches: DataFrame,
+      jaccardMin: Double = 0.2): DataFrame =
+    graft.operators.Dedup.incrementalPairs(corpusSketches, deltaSketches, jaccardMin)
+
+  /** The persisted MinHash sketch/posting table of any (doc_id, text)
+    * frame (store it bucketed by doc_id for exchange-free re-runs).
+    */
+  def sketchTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.sketchTable(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Sequence packing of any (id, tokens) frame: docs laid into a token
+    * stream per shard (id residue), cut every `budget` tokens; returns
+    * (id, shard, tokens, pack_id, pack_offset). Shard count is the
+    * parallelism knob — each shard is one partitioned running-sum window.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long = 2048L, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        col(tokensCol).cast("long").as("tokens"))
+      .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
+      .select(col(idCol), col("shard"), col("tokens"),
+        expr(s"start_tok div $budget").as("pack_id"),
+        pmod(col("start_tok"), lit(budget)).as("pack_offset"))
+  }
+
+  /** PII redaction of any text column: emails/IPv4s/phone-shaped numbers
+    * replaced by typed tags, plus a per-row match count — one codegen'd
+    * projection, no shuffle. Returns the frame with `<textCol>_redacted`
+    * and `n_pii` appended.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phone = """\b\d{3}-\d{3}-\d{4}\b"""
+    def matches(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    df.withColumn("n_pii", matches(email) + matches(ipv4) + matches(phone))
+      .withColumn(s"${textCol}_redacted",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          lit(email), lit("<EMAIL>")),
+          lit(ipv4), lit("<IP>")),
+          lit(phone), lit("<PHONE>")))
+  }
+
   /** Salted aggregation / join re-exports (graft.operators.Skew): the
     * hot-key mitigation pair, content-derived salts (retry-safe).
     */

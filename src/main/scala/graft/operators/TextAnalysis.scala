@@ -226,25 +226,15 @@ object TextAnalysis {
       |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text
       |FROM enriched""".stripMargin,
   ) { (spark, dir) =>
-    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-    val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-    val phone = """\b\d{3}-\d{3}-\d{4}\b"""
     val enriched = when(col("doc_id") % 3 === 0,
       concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com at 10.0."), (col("doc_id") % 256).cast("string"),
         lit(".7 or 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
         lit("-0199")))
       .otherwise(col("text"))
-    def matches(pat: String) =
-      size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long")
-    Tables.documents(spark, dir)
-      .withColumn("t", enriched)
-      .select(col("doc_id"),
-        (matches(email) + matches(ipv4) + matches(phone)).as("n_pii"),
-        regexp_replace(regexp_replace(regexp_replace(col("t"),
-          lit(email), lit("<EMAIL>")),
-          lit(ipv4), lit("<IP>")),
-          lit(phone), lit("<PHONE>")).as("red_text"))
+    graft.api.GraftApi.redactPii(
+        Tables.documents(spark, dir).withColumn("t", enriched), "t")
+      .select(col("doc_id"), col("n_pii"), col("t_redacted").as("red_text"))
   }
 
   val ops: Seq[Op] =

@@ -153,4 +153,29 @@ class ApiSpec extends SparkSpec {
       .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got == naive && got.nonEmpty)
   }
+
+  test("generic packSequences: contiguous fill per shard, budget-aligned cuts") {
+    import spark.implicits._
+    // one shard (ids ≡ 0 mod 64 not needed — shards=1), budget 10:
+    // tokens 4,4,4 → doc 3 starts at 8, still pack 0; doc 4 starts at 12 → pack 1
+    val df = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 7L)).toDF("id", "tk")
+    val got = GraftApi.packSequences(df, "id", "tk", budget = 10L, shards = 1)
+      .orderBy("id")
+      .select("pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (0L, 4L), (0L, 8L), (1L, 2L)), got)
+  }
+
+  test("generic redactPii tags emails, IPs, phones and counts matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.na+x@ex-a.mple.org or 192.168.0.1 or 555-123-4567"),
+      (2L, "no pii here, just 1.5 and v2.0")).toDF("id", "txt")
+    val got = GraftApi.redactPii(df, "txt").orderBy("id")
+      .select("n_pii", "txt_redacted").collect()
+    assert(got(0).getLong(0) == 3L, got(0).toString)
+    assert(got(0).getString(1) == "reach me at <EMAIL> or <IP> or <PHONE>", got(0).getString(1))
+    assert(got(1).getLong(0) == 0L)
+    assert(got(1).getString(1) == "no pii here, just 1.5 and v2.0")
+  }
 }

@@ -269,7 +269,10 @@ object GraftApi {
     val phone = """\b\d{3}-\d{3}-\d{4}\b"""
     def matches(pat: String) =
       size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
-    df.withColumn("n_pii", matches(email) + matches(ipv4) + matches(phone))
+    // null text → 0 matches and null redacted text (not a null count —
+    // downstream sums over n_pii must not silently drop rows)
+    df.withColumn("n_pii",
+        coalesce(matches(email) + matches(ipv4) + matches(phone), lit(0L)))
       .withColumn(s"${textCol}_redacted",
         regexp_replace(regexp_replace(regexp_replace(col(textCol),
           lit(email), lit("<EMAIL>")),

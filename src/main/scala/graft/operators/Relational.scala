@@ -434,6 +434,34 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
+  /** Outer join with null-extension semantics (the reference's Option-
+    * valued lookup joins — OptionOps + the groupBy-Map access pattern
+    * where a missing key yields None): every customer keeps a row whether
+    * or not big orders exist; the unmatched side surfaces as NULL and is
+    * aggregated with null-aware counts. Same shuffle shape as the inner
+    * equi-join — outer-ness changes emission, not partitioning.
+    */
+  val joinOuter: Op = Op(
+    "q_join_outer",
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  COUNT(o_orderkey) AS n_big_orders,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_without
+      |FROM customer c LEFT OUTER JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON o.o_custkey = c.c_custkey
+      |GROUP BY c_mktsegment""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        count(col("o_orderkey")).as("n_big_orders"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_without"))
+  }
+
   /** forall per group (traversableOps.scala:17,174) → bool_and. */
   val forallAgg: Op = Op(
     "q_forall",
@@ -661,7 +689,7 @@ object Relational {
     q18LargeOrders,
     selectMap, filterWhere, flatMapExplode, collectPartial,
     groupByAgg, groupByNested, joinEqui, joinBroadcast, cartProdToJoin,
-    semiJoinExists, antiJoinNotExists, forallAgg, existsAgg,
+    semiJoinExists, antiJoinNotExists, joinOuter, forallAgg, existsAgg,
     unionDistinct, unionAll, distinctToSet, sizeCount,
     foldSum, foldCustom, headLimit, sortTopK,
     firstLast, appendElem, foldProduct, setOps, limitOffset,

@@ -138,4 +138,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(0) == 0.0)
     assert(got(1) == 3.0) // min-length semantics
   }
+
+  test("round-4 pipeline ops tolerate short/empty documents") {
+    // keep-best: degenerate docs form no near-dup pairs → everyone kept
+    val kb = Pipeline.keepBest.fn(spark, weirdDocsDir).collect()
+    assert(kb.length == 5)
+    assert(kb.forall(_.getAs[Long]("kept") == 1L))
+    assert(kb.forall(r => r.getAs[Long]("cluster") == r.getAs[Long]("doc_id")))
+    // packing: empty/whitespace docs are zero-token, still packed
+    val pk = Pipeline.packSequences.fn(spark, weirdDocsDir).collect()
+    assert(pk.length == 5)
+    assert(pk.forall(_.getAs[Long]("pack_offset") >= 0))
+    // pii redaction: empty text is a no-op with zero matches
+    val pii = TextAnalysis.piiRedact.fn(spark, weirdDocsDir).collect()
+    assert(pii.length == 5)
+    assert(pii.forall(_.getAs[Long]("n_pii") >= 0))
+    // phash: empty payload hashes to 0; no pairs required, must not throw
+    Multimodal.dedupPhash.fn(spark, weirdDocsDir).collect()
+    // decontamination: the % 97 bench sliver here is doc 0 (empty text,
+    // empty shingles) — overlap 0 everywhere, nothing contaminated
+    val dc = Pipeline.decontamNgram.fn(spark, weirdDocsDir).collect()
+    assert(dc.forall(_.getAs[Long]("contaminated") == 0L))
+  }
+
+  test("redactPii and packSequences handle null text / null tokens") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a@b.co x")), (2L, Option.empty[String]))
+      .toDF("id", "txt")
+    val red = graft.api.GraftApi.redactPii(df, "txt").orderBy("id").collect()
+    assert(red(0).getAs[Long]("n_pii") == 1L)
+    assert(red(1).getAs[Long]("n_pii") == 0L)   // null text → 0, not null
+    assert(red(1).isNullAt(red(1).fieldIndex("txt_redacted")))
+  }
 }

@@ -146,4 +146,46 @@ class PropertySpec extends SparkSpec {
     } yield (lid, rid)).toSet
     assert(got == naive && naive.nonEmpty)
   }
+
+  test("packSequences matches a sequential packing reference on random token lists") {
+    import spark.implicits._
+    val gen = Gen.chooseNum(0L, 50L)
+    val tokens = samples(gen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val budget = 64L
+    val shards = 4
+    val got = graft.api.GraftApi.packSequences(
+        tokens.toDF("id", "tk"), "id", "tk", budget, shards)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // reference: per shard in id order, a running offset cut every `budget`
+    val expected = tokens.groupBy(_._1 % shards).flatMap { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, tk) =>
+        val out = (id, (shard, tk, cum / budget, cum % budget))
+        cum += tk
+        out
+      }
+    }.toMap
+    assert(got == expected)
+    // invariants: offsets inside the budget, tokens preserved
+    assert(got.values.forall { case (_, _, _, off) => off >= 0 && off < budget })
+    assert(got.values.map(_._2).sum == tokens.map(_._2).sum)
+  }
+
+  test("vec_distsq matches a sequential reference fold on random mixed-type vectors") {
+    import spark.implicits._
+    import graft.functions.vec._
+    val gen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    val pairs = samples(Gen.zip(gen, gen), 20)
+    val df = pairs.map { case (a, b) => (a.toArray, b.map(_.toDouble).toArray) }
+      .toDF("a", "b")
+    val got = df.select(vec_distsq(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val expected = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val d = x.toDouble - y.toDouble; acc + d * d
+      }
+    }
+    assert(got.toSeq == expected) // bit-exact, same fold order
+  }
 }

@@ -217,4 +217,28 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** The verify stage on top of [[nearDupCandidates]]: each streamed
+    * candidate pair joins the STATIC persisted shingle/sketch table
+    * twice (stream-static joins are stateless — the static side is the
+    * warehouse sketch table the batch pipeline already maintains,
+    * bucketed for exchange-free probes) and pays the same exact-Jaccard
+    * check as every batch dedup op. Candidates repeated across buckets
+    * re-verify rather than growing dedup state; the sink dedupes, or a
+    * downstream `dropDuplicatesWithinWatermark` bounds it — the same
+    * at-scale tradeoff streamingDedup documents.
+    */
+  def nearDupVerified(cands: Dataset[CandidatePair], sketches: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val jac = interSz.cast("double") /
+      (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
+    cands.toDF()
+      .join(sketches.select(col("doc_id"), col("shingles")).alias("sa"),
+        col("sa.doc_id") === col("doc_a"))
+      .join(sketches.select(col("doc_id"), col("shingles")).alias("sb"),
+        col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= jaccardMin)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
 }

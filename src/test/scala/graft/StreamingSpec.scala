@@ -342,8 +342,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax}
     implicit val sqlCtx = spark.sqlContext
-    val sk = graft.operators.Dedup.sketchTable(Tables.documents(spark, sfTiny))
-      .select(col("doc_id"), explode(col("sketch")).as("h"))
+    val sketchTable = graft.operators.Dedup.sketchTable(Tables.documents(spark, sfTiny))
+    val sk = sketchTable.select(col("doc_id"), explode(col("sketch")).as("h"))
     // the equivalence below is exact only while no bucket hits the cap —
     // pin that precondition on this corpus
     val maxBucket = sk.groupBy("h").count().agg(smax("count")).head().getLong(0)
@@ -351,16 +351,22 @@ class StreamingSpec extends SparkSpec {
     val arrivals = sk.as[(Long, String)].collect()
       .map { case (id, h) => EventStreams.BucketArrival(h, id) }
     val input = MemoryStream[EventStreams.BucketArrival]
-    val query = EventStreams.nearDupCandidates(input.toDS())
+    val candidates = EventStreams.nearDupCandidates(input.toDS())
+    val query = candidates
       .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    // the verify stage rides the same stream: candidates ⋈ static sketch
+    // table (twice) + exact Jaccard — the full streaming dedup pipeline
+    val verified = EventStreams.nearDupVerified(candidates, sketchTable, 0.2)
+      .writeStream.format("memory").queryName("neardup_verified")
       .outputMode(OutputMode.Append()).start()
     try {
       // two shards: the even-id "corpus" first, the odd-id "delta" second
       val (corpus, delta) = arrivals.partition(_.doc_id % 2 == 0)
       input.addData(corpus.toIndexedSeq)
-      query.processAllAvailable()
+      query.processAllAvailable(); verified.processAllAvailable()
       input.addData(delta.toIndexedSeq)
-      query.processAllAvailable()
+      query.processAllAvailable(); verified.processAllAvailable()
       val streamed = spark.table("neardup_stream")
         .select("doc_a", "doc_b").distinct()
         .as[(Long, Long)].collect().toSet
@@ -370,6 +376,15 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(streamed === batch,
         s"streamed ${streamed.size} pairs vs batch ${batch.size}")
-    } finally query.stop()
+      // verified stream ≡ the batch minhash pair set over the same corpus
+      val streamedVerified = spark.table("neardup_verified")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val batchVerified = graft.operators.Dedup.minhashLsh.fn(spark, sfTiny)
+        .select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(streamedVerified === batchVerified,
+        s"verified ${streamedVerified.size} vs batch ${batchVerified.size}")
+    } finally { query.stop(); verified.stop() }
   }
 }

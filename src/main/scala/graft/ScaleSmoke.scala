@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-robustness smoke: amplify the sf0.1 tables N× (id-offset unions —
+  * same value distributions, N× the rows) and run the shuffle-heavy
+  * operators against the amplified copy. This is NOT a benchmark (the
+  * amplified corpus duplicates content, which stresses dedup posting
+  * lists far HARDER than a real corpus — every bucket is at least N
+  * deep); it exists to catch super-linear blowups, cap violations, and
+  * driver-side collects that small-SF runs can't see.
+  *
+  * Usage: runMain graft.ScaleSmoke [N] [opName ...]
+  * Writes the amplified tables under /tmp/graft_scale_N (reused across
+  * runs), prints per-op seconds and row counts.
+  */
+object ScaleSmoke {
+
+  private val defaultOps = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_clusters", "pipeline_curate", "pipeline_keep_best",
+    "pipeline_pack_sequences", "mm_dedup_phash", "decontam_ngram",
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_codes",
+    "q_time_resample", "q_skew_salted_join", "q3_shipping_priority",
+    "q5_local_supplier", "q18_large_orders")
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq else defaultOps
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_$n"
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplify(name: String, idCols: Seq[String]): Unit = {
+      val base = Tables.load(spark, src, name)
+      // ids get a per-replica offset so keys stay unique where they were
+      // unique; content repeats N× (worst case for posting lists)
+      val step = 1000000000L
+      val copies = (0 until n).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * step)))
+      }
+      copies.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    val done = new java.io.File(s"$out/_AMPLIFIED_$n")
+    if (!done.exists()) {
+      amplify("documents", Seq("doc_id"))
+      amplify("embeddings", Seq("vec_id"))
+      amplify("events", Seq("event_id"))     // user_id repeats: hot keys
+      amplify("lineitem", Seq("l_orderkey"))
+      amplify("orders", Seq("o_orderkey", "o_custkey"))
+      amplify("customer", Seq("c_custkey"))
+      // dims stay 1×: at scale dimensions don't grow with the fact tables
+      Seq("supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, src, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+      done.createNewFile()
+    }
+
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          try {
+            val rows = fn(spark, out).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[scale $n%dx] $name%-28s ${sec}%8.2f s  $rows%12d rows")
+          } catch {
+            case e: Throwable =>
+              println(s"[scale ${n}x] $name FAILED: ${e.getMessage}")
+          } finally CacheRegistry.drain()
+        case None => System.err.println(s"unknown op: $name")
+      }
+    }
+    spark.stop()
+  }
+}

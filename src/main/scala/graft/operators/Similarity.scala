@@ -150,15 +150,19 @@ object Similarity {
     * pass over the fleet (centroids are tiny), the lists are just a
     * partitioning of the vector table by cell id, and query cost is
     * |cells probed| not |N|. Centroid choice here is a deterministic
-    * subset (every 25th id) so the oracle can restate it; production
-    * would k-means, which changes only how `cents` is produced.
+    * subset — the 256 LOWEST ids, a BOUNDED count, not a fixed fraction:
+    * a %-of-N seeding makes |cells| grow with N and the assignment pass
+    * O(N²) (ScaleSmoke caught exactly that at 10× — 0.6 s → 29 s);
+    * bounded cells keep assignment O(N·cells) with a constant broadcast.
+    * Production would k-means a sampled seed set, which changes only how
+    * `cents` is produced.
     * Final ranking runs through the custom TopKPerKeyExec operator.
     */
   val annIvfTopK: Op = Op(
     "ann_ivf_topk",
     s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
       |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      |      FROM v WHERE vec_id % 25 = 0),
+      |      FROM v WHERE vec_id < 256),
       |assign AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT v.vec_id, c.cent_id,
@@ -194,7 +198,7 @@ object Similarity {
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
     val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
-    val cents = v.filter(col("vec_id") % 25 === 0)
+    val cents = v.filter(col("vec_id") < 256)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     import org.apache.spark.sql.expressions.Window
@@ -319,7 +323,7 @@ object Similarity {
     "ann_ivf_kmeans_topk",
     s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
       |c0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      |       FROM v WHERE vec_id % 25 = 0),
+      |       FROM v WHERE vec_id < 256),
       |assign0 AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT v.vec_id, c0.cent_id,
@@ -385,7 +389,7 @@ object Similarity {
     // the fixed-point exactness argument)
     val pts = v.select(col("vec_id").as("pid"), lit(0).as("part"),
       col("embedding").as("emb"), col("nrm"))
-    val c0 = pts.filter(col("pid") % 25 === 0)
+    val c0 = pts.filter(col("pid") < 256)
       .select(col("pid").as("cent_id"), col("part"),
         col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val c1p = lloyd(pts, c0, iters = 1, negCosCost)
@@ -478,8 +482,9 @@ object Similarity {
   }
 
   /** Product quantization: split each vector into 4 subvectors of 16 dims,
-    * train a per-subspace codebook with [[lloyd]] (init = the vec_id % 25
-    * subset, one fixed-point refinement iteration — same recipe as
+    * train a per-subspace codebook with [[lloyd]] (init = the 16 lowest
+    * vec_ids' subvectors — a bounded codebook, never a fraction of N —
+    * one fixed-point refinement iteration, same recipe as
     * [[annIvfKmeansTopK]]), then assign every subvector its nearest
     * codeword. Output per vector: the 4 codes (joined as a string — a
     * 64-dim float vector compressed to 4 small ints) plus the
@@ -494,7 +499,7 @@ object Similarity {
       |           FROM embeddings),
       |sub AS (SELECT vec_id, s, list_slice(d, 16*s+1, 16*(s+1)) AS sv
       |        FROM v, UNNEST(generate_series(0, 3)) AS t(s)),
-      |c0 AS (SELECT s, vec_id AS code, sv AS c_emb FROM sub WHERE vec_id % 25 = 0),
+      |c0 AS (SELECT s, vec_id AS code, sv AS c_emb FROM sub WHERE vec_id < 16),
       |a0 AS (
       |  SELECT vec_id, s, code FROM (
       |    SELECT sub.vec_id, sub.s, c0.code,
@@ -539,7 +544,7 @@ object Similarity {
         .select(col("vec_id").as("pid"), explode(expr(
           "transform(sequence(0, 3), s -> struct(s as part, slice(d, 16*s+1, 16) as emb))")).as("p"))
         .select(col("pid"), col("p.part"), col("p.emb")))
-    val c0 = pts.filter(col("pid") % 25 === 0)
+    val c0 = pts.filter(col("pid") < 16)
       .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
     val c1 = lloyd(pts, c0, iters = 1, l2Cost)
     assignTo(pts, c1, l2Cost)

@@ -153,9 +153,10 @@ class DedupSpec extends SparkSpec {
     val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val nearA = a.clone(); nearA(0) = a(0) + 0.001f
     val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 2).toFloat)
-    // ids 0 and 50 are codebook members (% 25); 1 is not — it must land
-    // on codeword 0 in every subspace, giving it vector 0's exact codes
-    val df = Seq((0L, a.toSeq, 0), (1L, nearA.toSeq, 0), (50L, far.toSeq, 1))
+    // ids 0 and 2 are codebook members (the bounded vec_id < 16 init
+    // set); 20 is not — it must land on codeword 0 in every subspace,
+    // giving it vector 0's exact codes
+    val df = Seq((0L, a.toSeq, 0), (20L, nearA.toSeq, 0), (2L, far.toSeq, 1))
       .toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     val dir = tmpDir(); writeTable(dir, "embeddings", df)
@@ -163,11 +164,12 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[String]("codes"), r.getAs[Double]("recon_err"))).toMap
     assert(out.size == 3)
-    assert(out(0L)._1 == out(1L)._1, "near-dup must quantize to the same codes")
-    assert(out(0L)._1 != out(50L)._1, "distant vector must take different codes")
+    assert(out(0L)._1 == out(20L)._1, "near-dup must quantize to the same codes")
+    assert(out(0L)._1 != out(2L)._1, "distant vector must take different codes")
     out.values.foreach(v => assert(v._2 >= 0.0 && !v._2.isNaN))
-    // centroid vectors (ids 0,25,50 are the %25 init set) reconstruct near-exactly
-    assert(out(50L)._2 < 0.01, s"codebook member recon err ${out(50L)._2}")
+    // the far vector is alone in its cells: after the Lloyd refinement its
+    // codewords are exactly its own subvector means → near-exact recon
+    assert(out(2L)._2 < 0.01, s"codebook member recon err ${out(2L)._2}")
   }
 
   test("decontamination flags the benchmark's near-duplicates only") {

@@ -62,7 +62,9 @@ object ScaleSmoke {
       done.createNewFile()
     }
 
-    names.foreach { name =>
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           val t0 = System.nanoTime()
@@ -70,13 +72,18 @@ object ScaleSmoke {
             val rows = fn(spark, out).count()
             val sec = (System.nanoTime() - t0) / 1e9
             println(f"[scale $n%dx] $name%-28s ${sec}%8.2f s  $rows%12d rows")
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true}""")
           } catch {
             case e: Throwable =>
               println(s"[scale ${n}x] $name FAILED: ${e.getMessage}")
+              Some(s"""  "$name": {"ok": false}""")
           } finally CacheRegistry.drain()
-        case None => System.err.println(s"unknown op: $name")
+        case None => System.err.println(s"unknown op: $name"); None
       }
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"scale_smoke_${n}x.json"),
+      results.mkString(s"""{\n  "amplification": $n,\n""", ",\n", "\n}"))
     spark.stop()
   }
 }

@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object DeltaViews {
 
+  /** The reference's derivation module made explicit
+    * (ivm/derivation/Prototype.scala, PrototypeTest.scala: `derive(q, l)`
+    * returns x => q(l) ∪ q'(x)): for LINEAR operators — map, flatMap,
+    * filter, union, i.e. any per-row pipeline — the derivative of q with
+    * respect to a base-collection insert IS q itself applied to the
+    * arriving rows: q(B ∪ X) = q(B) ∪ q(X). On Spark that means a
+    * maintained linear view never recomputes the base: each micro-batch
+    * runs the same plan over the delta alone (exactly how Structured
+    * Streaming executes stateless transforms). Named here so callers can
+    * state the intent; PropertySpec proves the law on a representative
+    * filter∘select∘explode chain, and the streaming flatMap/union view
+    * specs are its incremental execution.
+    *
+    * Non-linear operators (aggregates, joins, distinct) need the signed
+    * machinery below ([[aggDelta]]/[[applyDelta]]/[[joinDelta]]) — the
+    * reference splits along the same line.
+    */
+  def linearDelta(q: DataFrame => DataFrame)(delta: DataFrame): DataFrame =
+    q(delta)
+
   /** Delta-ize a batch of events-shaped rows into signed per-key aggregate
     * deltas: `sign` = +1 for insertions, -1 for removals.
     */

@@ -188,4 +188,23 @@ class PropertySpec extends SparkSpec {
     }
     assert(got.toSeq == expected) // bit-exact, same fold order
   }
+
+  test("linear-view derivation law: q(B ∪ X) = q(B) ∪ q(X) on random splits") {
+    import spark.implicits._
+    // a representative linear pipeline: filter ∘ select ∘ explode
+    def q(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.filter(col("v") % 3 =!= 0)
+        .select(col("k"), explode(sequence(lit(1), col("v") % 4 + 1)).as("e"),
+          (col("v") * 2).as("w"))
+    val gen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 40L))
+    val rows = samples(gen, 60)
+    val (b, x) = rows.splitAt(37)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap // multiset equality
+    val whole = canon(q(rows.toDF("k", "v")))
+    val derived = canon(q(b.toDF("k", "v")).unionByName(
+      graft.streaming.DeltaViews.linearDelta(q)(x.toDF("k", "v"))))
+    assert(whole == derived)
+  }
 }

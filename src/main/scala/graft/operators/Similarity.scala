@@ -202,15 +202,14 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     import org.apache.spark.sql.expressions.Window
-    // nearest centroid as a map-side min_by aggregate: the |N|·|cells|
-    // scored rows collapse to one row per vector BEFORE the shuffle
-    // (a row_number window would move all of them, embeddings included);
-    // min over (-cosine, cent_id) = max cosine with min-id tiebreak.
-    val assign = v.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id").as("a_vec"))
-      .agg(min_by(col("cent_id"), struct(
-        (vec_dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")) * -1).as("negcos"),
-        col("cent_id"))).as("a_cent"))
+    // nearest centroid through the codegen'd argmin kernel (assignTo):
+    // codebook packed + broadcast, one input row → one output row — no
+    // |N|·|cells| expansion, no aggregate, no window.
+    val assign = assignTo(
+        v.select(col("vec_id").as("pid"), lit(0).as("part"),
+          col("embedding").as("emb"), col("nrm")),
+        cents.withColumn("part", lit(0)), NegCos)
+      .select(col("pid").as("a_vec"), col("a_cent"))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val probes = q.crossJoin(broadcast(cents))
@@ -392,8 +391,8 @@ object Similarity {
     val c0 = pts.filter(col("pid") < 256)
       .select(col("pid").as("cent_id"), col("part"),
         col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val c1p = lloyd(pts, c0, iters = 1, negCosCost)
-    val assign1 = assignTo(pts, c1p, negCosCost)
+    val c1p = lloyd(pts, c0, iters = 1, NegCos)
+    val assign1 = assignTo(pts, c1p, NegCos)
       .select(col("pid").as("a_vec"), col("a_cent"))
     val c1b = broadcast(c1p.drop("part"))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -432,27 +431,49 @@ object Similarity {
   // MINIMIZE (negated cosine, squared L2); ties break on cent_id, same
   // as every oracle's ORDER BY cost, cent_id.
 
-  /** Squared-L2 cost — the codegen'd native fold (graft.functions.DistSqD),
-    * bit-identical to the oracle's index fold; the interpreted HOF form
-    * was the hot loop of the assignment pass.
+  /** Assignment cost selector: squared L2 (PQ codebooks) or negated
+    * cosine over precomputed norms (IVF cells). Both are computed inside
+    * [[graft.functions.ArgminCost]] as the exact DistSqD / DotProductD
+    * folds — bit-identical to the oracles' index folds.
     */
-  val l2Cost: Column = graft.functions.vec.vec_distsq(col("emb"), col("c_emb"))
+  sealed trait CostKind
+  case object L2 extends CostKind
+  case object NegCos extends CostKind
 
-  /** Negated cosine cost over precomputed `nrm`/`c_nrm` norm columns. */
-  val negCosCost: Column =
-    vec_dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")) * -1
+  /** Pack a (cent_id, part, c_emb[, c_nrm]) centroid frame into one
+    * cent_id-sorted codebook array per `part` — the broadcast payload of
+    * the assignment kernel. Missing c_nrm (L2 codebooks) packs as 0.0;
+    * float c_emb casts to double (exact).
+    */
+  private def packCents(cents: DataFrame): DataFrame = {
+    val cn = if (cents.columns.contains("c_nrm")) col("c_nrm") else lit(0.0)
+    cents
+      .select(col("part"), col("cent_id"),
+        expr("cast(c_emb as array<double>)").as("c_emb"), cn.as("c_nrm"))
+      .groupBy(col("part"))
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("c_emb"),
+        col("c_nrm")))).as("cbook"))
+  }
 
   /** Assign every point to its argmin-cost centroid within its `part`:
-    * centroids broadcast, the |N|·|cells| scored rows collapse to one row
-    * per point BEFORE any shuffle (map-side min aggregate). Returns
-    * (pid, part, a_cent, a_cost).
+    * the codebook is packed to one array row per part and broadcast, and
+    * the whole argmin runs inside ONE codegen'd projection
+    * ([[graft.functions.ArgminCost]]) — one input row, one output row,
+    * no |N|·|cells| intermediate rows and no aggregate. Same result (and
+    * tiebreak: lowest cent_id) as the previous min(struct(cost,
+    * cent_id)) collapse, bit for bit. Returns (pid, part, a_cent,
+    * a_cost).
     */
-  def assignTo(points: DataFrame, cents: DataFrame, cost: Column): DataFrame =
-    points.join(broadcast(cents), "part")
-      .groupBy(col("pid"), col("part"))
-      .agg(min(struct(cost.as("cost"), col("cent_id"))).as("b"))
+  def assignTo(points: DataFrame, cents: DataFrame, kind: CostKind): DataFrame = {
+    val nrmCol0 =
+      if (kind == NegCos) col("nrm") else lit(0.0).cast("double")
+    points.join(broadcast(packCents(cents)), "part")
+      .select(col("pid"), col("part"),
+        graft.functions.vec.vec_argmin(col("emb"), nrmCol0, col("cbook"),
+          l2 = kind == L2).as("b"))
       .select(col("pid"), col("part"),
         col("b.cent_id").as("a_cent"), col("b.cost").as("a_cost"))
+  }
 
   /** `iters` Lloyd iterations from `init`; returns the refined centroids
     * (cent_id, part, c_emb, c_nrm). Per iteration: one broadcast
@@ -460,10 +481,10 @@ object Similarity {
     * never a vector collect, the 100 TB index-build shape. Callers should
     * cache `points` (it is scanned twice per iteration).
     */
-  def lloyd(points: DataFrame, init: DataFrame, iters: Int, cost: Column): DataFrame = {
+  def lloyd(points: DataFrame, init: DataFrame, iters: Int, kind: CostKind): DataFrame = {
     var c = init
     for (_ <- 1 to iters) {
-      val a = assignTo(points, c, cost)
+      val a = assignTo(points, c, kind)
         .select(col("pid").as("a_pid"), col("part").as("a_part"), col("a_cent"))
       val contrib = points
         .join(a, col("a_pid") === col("pid") && col("a_part") === col("part"))
@@ -546,8 +567,8 @@ object Similarity {
         .select(col("pid"), col("p.part"), col("p.emb")))
     val c0 = pts.filter(col("pid") < 16)
       .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
-    val c1 = lloyd(pts, c0, iters = 1, l2Cost)
-    assignTo(pts, c1, l2Cost)
+    val c1 = lloyd(pts, c0, iters = 1, L2)
+    assignTo(pts, c1, L2)
       .groupBy(col("pid").as("vec_id"))
       .agg(
         concat_ws("-", expr(

@@ -126,12 +126,12 @@ class DedupSpec extends SparkSpec {
     val c0 = pts.filter(col("pid") =!= 1L) // 2 centroids for 3 points
       .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
     def inertia(c: DataFrame): Double =
-      Similarity.assignTo(pts, c, Similarity.l2Cost)
+      Similarity.assignTo(pts, c, Similarity.L2)
         .agg(sum(col("a_cost"))).head.getDouble(0)
     val i0 = inertia(c0)
-    val i1 = inertia(Similarity.lloyd(pts, c0, 1, Similarity.l2Cost))
-    val i2 = inertia(Similarity.lloyd(pts, c0, 2, Similarity.l2Cost))
-    val i3 = inertia(Similarity.lloyd(pts, c0, 3, Similarity.l2Cost))
+    val i1 = inertia(Similarity.lloyd(pts, c0, 1, Similarity.L2))
+    val i2 = inertia(Similarity.lloyd(pts, c0, 2, Similarity.L2))
+    val i3 = inertia(Similarity.lloyd(pts, c0, 3, Similarity.L2))
     // Lloyd with L2 cost + mean update is monotone; the 1e-6 fixed-point
     // snap of centroid means can wiggle within rounding, hence the epsilon
     val eps = 1e-9
@@ -139,10 +139,10 @@ class DedupSpec extends SparkSpec {
     assert(i2 <= i1 + eps, s"i1=$i1 i2=$i2")
     assert(i3 <= i2 + eps, s"i2=$i2 i3=$i3")
     // fixpoint on this tiny instance: assignments stable by iteration 2
-    val a2 = Similarity.assignTo(pts, Similarity.lloyd(pts, c0, 2, Similarity.l2Cost),
-      Similarity.l2Cost).select("pid", "a_cent").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val a3 = Similarity.assignTo(pts, Similarity.lloyd(pts, c0, 3, Similarity.l2Cost),
-      Similarity.l2Cost).select("pid", "a_cent").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Similarity.assignTo(pts, Similarity.lloyd(pts, c0, 2, Similarity.L2),
+      Similarity.L2).select("pid", "a_cent").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a3 = Similarity.assignTo(pts, Similarity.lloyd(pts, c0, 3, Similarity.L2),
+      Similarity.L2).select("pid", "a_cent").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a2 == a3, s"assignments not stable: $a2 vs $a3")
   }
 

@@ -189,6 +189,36 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq == expected) // bit-exact, same fold order
   }
 
+  test("vec_argmin equals the min(struct(cost, cent_id)) collapse on random codebooks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, min, struct}
+    val vgen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+    val points = samples(vgen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val cents = samples(vgen, 7).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toDouble).toArray) }
+    val pts = points.toDF("pid", "emb")
+    val cs = cents.toDF("cent_id", "c_emb")
+      .withColumn("c_nrm", expr("sqrt(aggregate(transform(c_emb, x -> x * x)," +
+        " cast(0.0 as double), (acc, p) -> acc + p))"))
+    // reference: the old crossJoin + min(struct(cost, cent_id)) collapse
+    val refCost = graft.functions.vec.vec_distsq(col("emb"), col("c_emb"))
+    val expected = pts.crossJoin(broadcast(cs))
+      .groupBy(col("pid"))
+      .agg(min(struct(refCost.as("cost"), col("cent_id"))).as("b"))
+      .select(col("pid"), col("b.cent_id"), col("b.cost")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val packed = cs.select(expr("0").as("part"), col("cent_id"), col("c_emb"), col("c_nrm"))
+      .groupBy("part").agg(sort_array(collect_list(
+        struct(col("cent_id"), col("c_emb"), col("c_nrm")))).as("cbook"))
+    val got = pts.crossJoin(broadcast(packed))
+      .select(col("pid"), graft.functions.vec.vec_argmin(
+        col("emb"), lit(0.0), col("cbook"), l2 = true).as("b"))
+      .select(col("pid"), col("b.cent_id"), col("b.cost")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected) // ids AND costs bit-exact, ties to lowest cent_id
+  }
+
   test("linear-view derivation law: q(B ∪ X) = q(B) ∪ q(X) on random splits") {
     import spark.implicits._
     // a representative linear pipeline: filter ∘ select ∘ explode

@@ -116,6 +116,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.DistSqD].getName, "vec_distsq"),
       (children: Seq[Expression]) => graft.functions.DistSqD(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("vec_argmin"),
+      new ExpressionInfo(classOf[graft.functions.ArgminCost].getName, "vec_argmin"),
+      (children: Seq[Expression]) => {
+        // 4th arg selects the cost and must be a compile-time boolean
+        // (true = squared L2, false = negated cosine over norms)
+        require(children.length == 4 && children(3).foldable,
+          "vec_argmin(emb, nrm, cbook, l2) needs a literal boolean 4th arg")
+        graft.functions.ArgminCost(children(0), children(1), children(2),
+          children(3).eval(null) == true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSize(children(0), children(1))))

@@ -56,6 +56,18 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_distsq(a, b) FROM graft_vecs_dd").head.getDouble(0) == 25.0)
   }
 
+  test("vec_argmin is SQL-registered and picks the nearest codeword") {
+    import spark.implicits._
+    Seq((Array(1.0, 0.0), 0)).toDF("emb", "x").createOrReplaceTempView("graft_am")
+    val r = spark.sql(
+      """SELECT vec_argmin(emb, 0.0d,
+        |  array(struct(7L as cent_id, array(0.9d, 0.1d) as c_emb, 0.0d as c_nrm),
+        |        struct(9L as cent_id, array(-1.0d, 0.0d) as c_emb, 0.0d as c_nrm)),
+        |  true) AS b FROM graft_am""".stripMargin).select("b.cent_id", "b.cost").head()
+    assert(r.getLong(0) == 7L)
+    assert(math.abs(r.getDouble(1) - 0.02) < 1e-12)
+  }
+
   test("intersect_size equals size(array_intersect)") {
     import spark.implicits._
     val df = Seq(

@@ -219,6 +219,44 @@ class PropertySpec extends SparkSpec {
     assert(got == expected) // ids AND costs bit-exact, ties to lowest cent_id
   }
 
+  test("mm_dedup_phash pairs match a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta"))
+    val texts = samples(wordGen, 25).map(_.mkString(" "))
+    // exact duplicates guarantee hamming-0 pairs exist
+    val all = (texts ++ texts.take(5)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    val dir = tmpDir()
+    writeTable(dir, "documents",
+      all.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = graft.operators.Multimodal.dedupPhash.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // reference: stride-sampled 14-nibble 56-bit signature, 4×14-bit
+    // numeric bands, buckets of 2..64, Hamming ≤ 3
+    def phash(t: String): Long = {
+      val p = t.getBytes("UTF-8")
+      if (p.isEmpty) 0L
+      else {
+        val stride = math.max(1, p.length / 14)
+        (0 until 14).foldLeft(0L)((s, k) =>
+          (s << 4) | (p(math.min(k * stride, p.length - 1)) & 0x0fL))
+      }
+    }
+    val sigs = all.map { case (id, t, _, _, _) => id -> phash(t) }
+    val buckets = sigs.flatMap { case (id, s) =>
+      (0 until 4).map(b => (b * 16384L + ((s >> (14 * b)) & 16383L), id, s))
+    }.groupBy(_._1).values.filter(g => g.size >= 2 && g.size <= 64)
+    val expected = buckets.flatMap { g =>
+      for {
+        (_, a, sa) <- g; (_, b, sb) <- g
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (a, b)
+    }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the planted duplicates must pair
+  }
+
   test("linear-view derivation law: q(B ∪ X) = q(B) ∪ q(X) on random splits") {
     import spark.implicits._
     // a representative linear pipeline: filter ∘ select ∘ explode

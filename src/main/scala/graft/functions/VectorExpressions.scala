@@ -346,6 +346,95 @@ case class ArgminCost(emb: Expression, nrm: Expression, cents: Expression,
     copy(emb = newFirst, nrm = newSecond, cents = newThird)
 }
 
+/** Sign-bit sketch against a set of hyperplanes in one codegen'd pass —
+  * the random-hyperplane LSH bucket key. `planes` is
+  * array<array<double>> (a one-row broadcast, built once); each plane's
+  * dot with the vector is the same left-to-right double fold as the
+  * `aggregate(sequence(...))` HOF it replaces (mixed float/double
+  * handled per element, `>= 0.0` sign including -0.0 → '1'), so the
+  * emitted '0'/'1' string is bit-identical — but the per-row cost drops
+  * from planes·dims interpreted lambda calls to one fused loop.
+  */
+case class SignSketch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "vec_signs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val embOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val planesOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (embOk && planesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_signs expects (array<float|double>, array<array<double>>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def embIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(e: Any, p: Any): Any = {
+    val x = e.asInstanceOf[ArrayData]
+    val ps = p.asInstanceOf[ArrayData]
+    val fl = embIsFloat
+    val m = ps.numElements()
+    val sb = new java.lang.StringBuilder(m)
+    var j = 0
+    while (j < m) {
+      val w = ps.getArray(j)
+      val n = math.min(x.numElements(), w.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val ev = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += w.getDouble(i) * ev
+        i += 1
+      }
+      sb.append(if (acc >= 0.0) '1' else '0')
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, p) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val acc = ctx.freshName("acc")
+      val sb = ctx.freshName("sb")
+      val elem = if (embIsFloat) s"((double) $e.getFloat($i))" else s"$e.getDouble($i)"
+      s"""
+         |int $m = $p.numElements();
+         |java.lang.StringBuilder $sb = new java.lang.StringBuilder($m);
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $w = $p.getArray($j);
+         |  int $n = java.lang.Math.min($e.numElements(), $w.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $w.getDouble($i) * $elem; }
+         |  $sb.append($acc >= 0.0 ? '1' : '0');
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString());
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignSketch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points usable on any session (no registration
   * needed); `GraftExtensions` additionally registers them for SQL use.
   */
@@ -359,6 +448,9 @@ object vec {
   def vec_argmin(emb: Column, nrm: Column, cents: Column, l2: Boolean): Column =
     Shim.column(ArgminCost(Shim.expression(emb), Shim.expression(nrm),
       Shim.expression(cents), l2))
+
+  def vec_signs(emb: Column, planes: Column): Column =
+    Shim.column(SignSketch(Shim.expression(emb), Shim.expression(planes)))
 
   def intersect_size(a: Column, b: Column): Column =
     Shim.column(IntersectSize(Shim.expression(a), Shim.expression(b)))

@@ -244,11 +244,18 @@ object Similarity {
       "+ (locate(substring(md5(concat('rh', j, ':', d)), 2, 1), '0123456789abcdef') - 1) as double)" +
       " / 127.5 - 1.0))"
 
-  private val rhSketchExpr =
+  /** The interpreted-HOF formulation of the sign sketch, kept ONLY as the
+    * bit-identity reference for graft.functions.SignSketch (vec_signs) —
+    * FunctionsSpec asserts both produce the same string on the real
+    * embeddings; the operator itself runs the codegen'd kernel.
+    */
+  private[graft] val rhSketchHofReference =
     "concat_ws('', transform(sequence(1, 8), j -> " +
       "if(aggregate(sequence(1, 64), cast(0.0 as double), (acc, d) -> " +
       "acc + element_at(element_at(w, j), d) * cast(element_at(embedding, d) as double)) >= 0.0D," +
       " '1', '0')))"
+
+  private[graft] val rhPlanesExprForSpec = rhPlanesExpr
 
   private val rhOracleSketch =
     """w AS (SELECT j, list_transform(generate_series(1, 64), d ->
@@ -288,7 +295,7 @@ object Similarity {
     val v = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(planes))
       .withColumn("nrm", nrmCol)
-      .withColumn("sk", expr(rhSketchExpr))
+      .withColumn("sk", graft.functions.vec.vec_signs(col("embedding"), col("w")))
       .select("vec_id", "embedding", "nrm", "sk")
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)

@@ -127,6 +127,10 @@ object GraftExtensions {
           children(3).eval(null) == true)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("vec_signs"),
+      new ExpressionInfo(classOf[graft.functions.SignSketch].getName, "vec_signs"),
+      (children: Seq[Expression]) => graft.functions.SignSketch(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (children: Seq[Expression]) => IntersectSize(children(0), children(1))))

@@ -56,6 +56,26 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_distsq(a, b) FROM graft_vecs_dd").head.getDouble(0) == 25.0)
   }
 
+  test("vec_signs is bit-identical to the HOF sign-sketch fold on real embeddings") {
+    import graft.operators.Similarity
+    val planes = spark.range(1).select(expr(Similarity.rhPlanesExprForSpec).as("w"))
+    val mismatches = Tables.embeddings(spark, sfTiny)
+      .crossJoin(broadcast(planes))
+      .select(graft.functions.vec.vec_signs(col("embedding"), col("w")).as("native"),
+        expr(Similarity.rhSketchHofReference).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("vec_signs is SQL-registered") {
+    import spark.implicits._
+    Seq((Array(1.0f, -2.0f), 0)).toDF("v", "x").createOrReplaceTempView("graft_signs")
+    val got = spark.sql(
+      "SELECT vec_signs(v, array(array(1.0d, 0.0d), array(0.0d, 1.0d), array(-1.0d, 0.0d))) AS s" +
+        " FROM graft_signs").head.getString(0)
+    assert(got == "100") // dots: +1 → '1', −2 → '0', −1 → '0'
+  }
+
   test("vec_argmin is SQL-registered and picks the nearest codeword") {
     import spark.implicits._
     Seq((Array(1.0, 0.0), 0)).toDF("emb", "x").createOrReplaceTempView("graft_am")

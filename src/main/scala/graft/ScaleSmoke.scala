@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleSmoke [N] [opName ...]
   * Writes the amplified tables under /tmp/graft_scale_N (reused across
   * runs), prints per-op seconds and row counts.
+  *
+  * No warmup pass (unlike Bench): timings include first-run JIT/codegen
+  * and cold page cache, so compare ops WITHIN one full sweep — a solo
+  * run of one op reads several× slower than its slot in a sweep. The
+  * signal this tool exists for is growth ACROSS amplification levels,
+  * which the constant warmup cost does not bend.
   */
 object ScaleSmoke {
 

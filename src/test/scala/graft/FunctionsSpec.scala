@@ -88,6 +88,24 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 0.02) < 1e-12)
   }
 
+  test("vec_argmin on an empty codebook is null (both eval paths)") {
+    import spark.implicits._
+    Seq((Array(1.0, 2.0), 0)).toDF("emb", "x").createOrReplaceTempView("graft_am_empty")
+    val sql = "SELECT vec_argmin(emb, 0.0d, " +
+      "array()::array<struct<cent_id:bigint,c_emb:array<double>,c_nrm:double>>, true) AS b " +
+      "FROM graft_am_empty"
+    // codegen'd path
+    assert(spark.sql(sql).head.isNullAt(0))
+    // interpreted path (codegen off for this one query)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(spark.sql(sql).head.isNullAt(0))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("intersect_size equals size(array_intersect)") {
     import spark.implicits._
     val df = Seq(

@@ -219,6 +219,31 @@ class PropertySpec extends SparkSpec {
     assert(got == expected) // ids AND costs bit-exact, ties to lowest cent_id
   }
 
+  test("incremental dedup ≡ restricted full recompute on random corpora and splits") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(40, Gen.oneOf("spark", "query", "scan", "table",
+      "join", "merge", "batch", "row", "fast", "value"))
+    val texts = samples(wordGen, 20).map(_.mkString(" "))
+    // planted near-dups: one-word edits of the first five documents
+    val edited = texts.take(5).map(t => t.replaceFirst("spark", "flink"))
+    val all = (texts ++ edited).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = all.toDF("doc_id", "text")
+    val (corpusIds, deltaIds) = all.map(_._1).partition(_ % 3 != 0)
+    val corpusSk = graft.operators.Dedup.sketchTable(
+      docs.filter(col("doc_id").isin(corpusIds: _*)))
+    val deltaSk = graft.operators.Dedup.sketchTable(
+      docs.filter(col("doc_id").isin(deltaIds: _*)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val incr = canon(graft.operators.Dedup.incrementalPairs(corpusSk, deltaSk, 0.2))
+    val full = canon(graft.operators.Dedup.minhashPairs(docs, 0.2))
+      .filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(incr == full, s"incr ${incr.size} vs full-restricted ${full.size}")
+    assert(incr.nonEmpty) // planted near-dups must cross the split somewhere
+  }
+
   test("mm_dedup_phash pairs match a plain-Scala reference on random corpora") {
     import spark.implicits._
     val wordGen = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta",

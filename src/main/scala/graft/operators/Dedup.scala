@@ -90,9 +90,15 @@ object Dedup {
     // zero discrimination), and expand each remaining list's pairs
     // IN-GROUP with array HOFs (≤ 64·63/2 pairs per group) — replacing
     // the df-count + rare-filter join + self-join triple shuffle. The
-    // pair set is identical: docs sharing a rare shingle.
-    val cand = grams.groupBy("g").agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 64))
+    // pair set is identical: docs sharing a rare shingle. The cap is
+    // enforced INSIDE the aggregation buffer (collect_set_bounded →
+    // NULL on overflow), so a boilerplate shingle shared by 100 M docs
+    // costs O(cap) buffer memory, not O(df) — same answer as
+    // collect_set + size filter, proven in CollectSetBoundedSpec.
+    val cand = grams.groupBy("g")
+      .agg(graft.functions.CollectSetBounded
+        .collect_set_bounded(col("doc_id"), 64).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1)," +
           " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
@@ -273,13 +279,15 @@ object Dedup {
     // members (a hot band — e.g. near-zero signatures from short or
     // templated docs — makes in-bucket pairs quadratic while
     // discriminating nothing; real near-dups also share a non-degenerate
-    // band), expand pairs in-group. array_sort on (doc_id, num) structs
-    // gives doc_a < doc_b for free, and the Hamming filter runs INSIDE
-    // the expansion — only true near-dup pairs (a sliver) ever reach the
-    // dedup shuffle.
+    // band), expand pairs in-group. The cap lives in the aggregation
+    // buffer (collect_set_bounded — O(cap) memory on a hot band, NULL on
+    // overflow), array_sort on (doc_id, num) structs gives doc_a < doc_b
+    // for free, and the Hamming filter runs INSIDE the expansion — only
+    // true near-dup pairs (a sliver) ever reach the dedup shuffle.
     bands.groupBy("band")
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("num")))).as("ms"))
-      .filter(size(col("ms")).between(2, 64))
+      .agg(array_sort(graft.functions.CollectSetBounded
+        .collect_set_bounded(struct(col("doc_id"), col("num")), 64)).as("ms"))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1)," +
           " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b," +

@@ -138,6 +138,18 @@ object GraftExtensions {
       new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => graft.functions.SimHashBits(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("collect_set_bounded"),
+      new ExpressionInfo(classOf[graft.functions.CollectSetBounded].getName,
+        "collect_set_bounded"),
+      (children: Seq[Expression]) => {
+        // cap must be a compile-time positive int — it sizes agg buffers
+        require(children.length == 2 && children(1).foldable,
+          "collect_set_bounded(col, cap) needs a literal int cap")
+        graft.functions.CollectSetBounded(children(0),
+          children(1).eval(null).asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
     ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
     ext.injectOptimizerRule(_ => EliminateRedundantArraySort)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

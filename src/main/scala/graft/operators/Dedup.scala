@@ -388,6 +388,110 @@ object Dedup {
     incrementalPairs(corpusSk, deltaSk, 0.2)
   }
 
+  /** Exact substring (duplicated-span) detection — the third classic
+    * dedup granularity next to whole-document (dedup_exact) and
+    * near-document (MinHash/SimHash): flag every 8-word span that occurs
+    * MORE THAN ONCE anywhere in the corpus (including repeats inside one
+    * document) and score each document by the fraction of its spans that
+    * are duplicated. This is the distributed formulation of
+    * suffix-array-based training-data dedup (published as "exact
+    * substring deduplication"): a suffix array finds repeated substrings
+    * on one machine; at 100 TB the same repeats surface as 8-gram
+    * position keys with global occurrence count ≥ 2.
+    *
+    * Scale shape — three KEYED shuffles of strictly shrinking data, no
+    * posting lists, no joins back to the corpus:
+    *   1. (gram, doc_id) partial-count: map-side combine collapses
+    *      within-doc repeats before the exchange;
+    *   2. gram-keyed window sums local counts into the global occurrence
+    *      count (uniformly distributed key — a hot boilerplate gram
+    *      concentrates into ONE long-sum group, never a list);
+    *   3. doc_id-keyed rollup of span/duplicate counts.
+    * Every aggregate is a long count — bit-exact across engines and
+    * parallelism, so the score (one final double division) oracles
+    * exactly.
+    */
+  val substring: Op = Op(
+    "dedup_substring",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      |        FROM w, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      |        WHERE len(w) >= 8),
+      |x AS (SELECT g, doc_id, COUNT(*) AS n_local FROM pos GROUP BY g, doc_id),
+      |y AS (SELECT g, doc_id, n_local,
+      |        SUM(n_local) OVER (PARTITION BY g) AS n_total FROM x)
+      |SELECT doc_id,
+      |  CAST(SUM(n_local) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN n_total >= 2 THEN n_local ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN n_total >= 2 THEN n_local ELSE 0 END) AS DOUBLE)
+      |    / SUM(n_local) AS dup_frac
+      |FROM y GROUP BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
+    val local = pos.groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
+    val scored = local.withColumn("n_total",
+      sum(col("n_local")).over(Window.partitionBy(col("g"))))
+    val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
+    scored.groupBy("doc_id").agg(
+      sum(col("n_local")).cast("long").as("n_spans"),
+      sum(dupLocal).cast("long").as("n_dup"),
+      (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
+  }
+
+  /** Bloom-prefiltered membership dedup of an arriving shard: which delta
+    * documents are content-new vs already present in the corpus? The
+    * EXACT answer is the anti-join on text; the scale problem is that a
+    * naive anti-join shuffles the ENTIRE delta against the corpus. This
+    * operator builds a corpus bloom filter (Spark's own sketch — the one
+    * Catalyst injects for runtime row-level filtering) over xxhash64 of
+    * the content, then:
+    *   - `!might_contain` rows are PROVEN new (blooms have no false
+    *     negatives) — they skip the join entirely;
+    *   - `might_contain` rows (true dups + ~3% false positives, a
+    *     sliver when most arriving content is new) pay the exact
+    *     anti-join verify.
+    * Output = proven-new ∪ verified-new ≡ the plain anti-join, exactly —
+    * the bloom moves cost, never answers. The filter bytes ride to
+    * executors as a one-row literal (~1.2 bytes/expected item; the same
+    * shape as a DPP subquery result), built by a single-scalar collect —
+    * the addIndex-class driver action, not a data collect.
+    */
+  def bloomNewDocs(corpus: DataFrame, delta: DataFrame,
+      expectedItems: Long): DataFrame = {
+    import graft.functions.bloom._
+    val key = xxhash64(col("text"))
+    val bytes = corpus.select(bloom_filter_agg(key, expectedItems).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val provenNew = delta.filter(!might_contain(bytes, key))
+    val maybeDup = delta.filter(might_contain(bytes, key))
+    val verifiedNew = maybeDup.join(corpus.select(col("text").as("c_text")),
+      col("text") === col("c_text"), "left_anti")
+    provenNew.unionByName(verifiedNew)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  /** Registered form: doc_id % 10 = 0 is the arriving shard (same split
+    * convention as dedup_incremental); oracle = the plain NOT EXISTS.
+    */
+  val bloomNew: Op = Op(
+    "dedup_bloom_new",
+    """SELECT d.doc_id, md5(d.text) AS content_hash
+      |FROM documents d
+      |WHERE d.doc_id % 10 = 0
+      |  AND NOT EXISTS (SELECT 1 FROM documents c
+      |                  WHERE c.doc_id % 10 <> 0 AND c.text = d.text)""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    bloomNewDocs(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), expectedItems = 100000L)
+  }
+
   val ops: Seq[Op] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, incremental)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, incremental,
+      substring, bloomNew)
 }

@@ -270,5 +270,45 @@ object Pipeline {
         pmod(col("start_tok"), lit(budget)).as("pack_offset"))
   }
 
-  val ops: Seq[Op] = Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences)
+  /** Shard manifest — the write side of the pipeline: every document is
+    * assigned to one of 16 output shards by a content-stable hash
+    * (md5 of the stable doc_id, same engine-portable convention as
+    * q_sample_stratified), and the manifest aggregates what a shard
+    * writer must know before committing: document count, token count,
+    * byte-ish size (n_chars), and the id range per shard.
+    *
+    * At 100 TB the `shard` column IS the write plan:
+    * `repartition(n, col("shard")).write.partitionBy("shard")` gives
+    * hash-balanced output files regardless of how skewed doc_id ranges
+    * are (a range-based split would put one crawl snapshot's monotone
+    * ids into one hot shard). The manifest is one keyed aggregation over
+    * long counters — the balance proof is readable straight off it, and
+    * at this sf every shard lands within a few % of the mean.
+    */
+  val shardManifest: Op = Op(
+    "pipeline_shard_manifest",
+    """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 16 AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val shard = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+      .cast("int") % 16
+    Tables.documents(spark, dir)
+      .withColumn("shard", shard)
+      .withColumn("tokens",
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  val ops: Seq[Op] =
+    Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences,
+      shardManifest)
 }

@@ -72,6 +72,52 @@ class DedupSpec extends SparkSpec {
     assert(incr.exists(p => p._1 == 0L && p._2 == 1L), "must find delta-vs-corpus near dup")
   }
 
+  test("substring dedup counts duplicated 8-word spans, incl. within-doc repeats") {
+    import spark.implicits._
+    // A and B share exactly their first 8-word span; C repeats one
+    // 8-word phrase twice internally (9 spans, the repeated phrase at
+    // positions 1 and 9); D is too short to have any span
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 b9 b10"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7"),
+    ).map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir(); writeTable(dir, "documents", docs)
+    val got = Dedup.substring.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), got) // D has no 8-word span
+    assert(got(0L) == ((3L, 1L, 1.0 / 3)), got(0L))
+    assert(got(1L) == ((3L, 1L, 1.0 / 3)), got(1L))
+    assert(got(2L) == ((9L, 2L, 2.0 / 9)), got(2L))
+  }
+
+  test("bloom-prefiltered new-doc detection ≡ plain anti-join on a random corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // small vocabulary → guaranteed real overlaps between corpus and delta
+    def text() = (0 until 12).map(_ => s"t${rng.nextInt(30)}").mkString(" ")
+    val corpusTexts = (0 until 300).map(_ => text())
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // roughly half the delta re-ships an existing corpus text (dup), the
+    // rest is genuinely new content
+    val delta = (1000L until 1100L).map(i =>
+      (i, if (rng.nextBoolean()) corpusTexts(rng.nextInt(300))
+          else s"unique content for delta $i a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomNewDocs(corpus, delta, expectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val want = delta.join(corpus.select(col("text").as("c_text")),
+      col("text") === col("c_text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty && want.size < 100, want.size) // both paths exercised
+  }
+
   test("simhash: identical docs identical signatures; near dups within small hamming") {
     val sh = Dedup.simhash.fn(spark, docsDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Op, Tables}
 import graft.functions.vec.vec_dot
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.2 similarity search over the embeddings table
@@ -521,9 +521,12 @@ object Similarity {
     * and broadcast; assignment is map-side — at 100 TB this is one scan
     * over the fleet per Lloyd pass and one for the final encoding.
     */
-  val pqCodes: Op = Op(
-    "ann_pq_codes",
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  /** Shared oracle CTE: subvector split, bounded init codebook, one
+    * fixed-point Lloyd pass, final per-subvector code assignment (a1) —
+    * the training+encoding prefix of both PQ operators.
+    */
+  private val pqCteSql =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |           FROM embeddings),
       |sub AS (SELECT vec_id, s, list_slice(d, 16*s+1, 16*(s+1)) AS sv
       |        FROM v, UNNEST(generate_series(0, 3)) AS t(s)),
@@ -559,19 +562,18 @@ object Similarity {
       |          list_transform(generate_series(1, 16),
       |            i -> (sub.sv[i] - c1.c_emb[i]) * (sub.sv[i] - c1.c_emb[i]))),
       |          (acc, p) -> acc + p), c1.code) AS rn
-      |    FROM sub JOIN c1 ON c1.s = sub.s) WHERE rn = 1)
+      |    FROM sub JOIN c1 ON c1.s = sub.s) WHERE rn = 1)""".stripMargin
+
+  val pqCodes: Op = Op(
+    "ann_pq_codes",
+    s"""WITH $pqCteSql
       |SELECT vec_id,
       |  string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
       |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY s)),
       |    (acc, p) -> acc + p)) AS recon_err
       |FROM a1 GROUP BY vec_id""".stripMargin,
   ) { (spark, dir) =>
-    val pts = graft.CacheRegistry.track(
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
-        .select(col("vec_id").as("pid"), explode(expr(
-          "transform(sequence(0, 3), s -> struct(s as part, slice(d, 16*s+1, 16) as emb))")).as("p"))
-        .select(col("pid"), col("p.part"), col("p.emb")))
+    val pts = pqSubvectors(spark, dir)
     val c0 = pts.filter(col("pid") < 16)
       .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
     val c1 = lloyd(pts, c0, iters = 1, L2)
@@ -584,6 +586,88 @@ object Similarity {
         sqrt(expr(
           "aggregate(transform(array_sort(collect_list(struct(part, a_cost))), s -> s.a_cost)," +
             " cast(0.0 as double), (acc, p) -> acc + p)")).as("recon_err"))
+  }
+
+  /** Every vector split into its 4 16-dim subvectors as (pid, part, emb)
+    * rows — the shared input of PQ training, encoding, and search.
+    */
+  private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.track(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("d"))
+        .select(col("vec_id").as("pid"), explode(expr(
+          "transform(sequence(0, 3), s -> struct(s as part, slice(d, 16*s+1, 16) as emb))")).as("p"))
+        .select(col("pid"), col("p.part"), col("p.emb")))
+
+  /** ADC (asymmetric distance computation) top-k search over the PQ
+    * codes — the query side that makes [[pqCodes]] an index, and the
+    * standard way a 100 TB ANN serving path avoids touching raw vectors:
+    *
+    *   1. train/encode exactly as ann_pq_codes (same codebooks, same
+    *      fixed-point Lloyd pass);
+    *   2. per query, precompute the 4×16 lookup table of exact squared
+    *      distances from each query SUBVECTOR to each CODEWORD — 64
+    *      doubles per query, packed (part,code)-ordered and broadcast;
+    *   3. scan the codes table once: each candidate's approximate
+    *      distance is 4 LUT picks + 3 adds (a sequential s=0..3 fold —
+    *      bit-identical in both engines), never a 64-dim dot product;
+    *   4. rank through TopKPerKeyExec (bounded heaps) on the negated
+    *      distance; ties break on cand_id.
+    *
+    * The corpus never shuffles: codes ride one scan against the
+    * broadcast LUT, and only the top-k heap output (|Q|·k rows) moves.
+    */
+  val pqSearch: Op = Op(
+    "ann_pq_search",
+    s"""WITH $pqCteSql,
+      |q AS (SELECT vec_id AS q_id, s, sv FROM sub WHERE vec_id < 8),
+      |lut AS (SELECT q.q_id, q.s, c1.code,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, 16),
+      |        i -> (q.sv[i] - c1.c_emb[i]) * (q.sv[i] - c1.c_emb[i]))),
+      |      (acc, p) -> acc + p) AS dsq
+      |  FROM q JOIN c1 ON c1.s = q.s),
+      |adc AS (
+      |  SELECT l.q_id, a1.vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dsq ORDER BY l.s)),
+      |      (acc, p) -> acc + p) AS adc_dist
+      |  FROM a1 JOIN lut l ON l.s = a1.s AND l.code = a1.code
+      |  WHERE a1.vec_id <> l.q_id
+      |  GROUP BY l.q_id, a1.vec_id)
+      |SELECT q_id, cand_id, adc_dist FROM (
+      |  SELECT q_id, cand_id, adc_dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, cand_id) AS rn
+      |  FROM adc) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    val pts = pqSubvectors(spark, dir)
+    val c0 = pts.filter(col("pid") < 16)
+      .select(col("pid").as("cent_id"), col("part"), col("emb").as("c_emb"))
+    // referenced twice below (encoding + LUT) — keep one physical plan
+    val c1 = graft.CacheRegistry.track(lloyd(pts, c0, iters = 1, L2))
+    val codes = assignTo(pts, c1, L2)
+      .groupBy(col("pid"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(part, a_cent))), s -> s.a_cent)")
+        .as("codes"))
+    // 64 exact subvector→codeword distances per query, keyed part*16+code
+    // (codes are init pids < 16, so the key is injective); an exact-key
+    // map keeps the pick correct even when a part has <16 live codewords
+    val lut = pts.filter(col("pid") < 8)
+      .join(broadcast(c1), "part")
+      .select(col("pid").as("q_id"), col("part"), col("cent_id"),
+        graft.functions.vec.vec_distsq(col("emb"), col("c_emb")).as("dsq"))
+      .groupBy(col("q_id"))
+      .agg(expr(
+        "map_from_entries(collect_list(struct(int(part * 16 + cent_id), dsq)))")
+        .as("lut"))
+    val scored = codes.join(broadcast(lut), col("pid") =!= col("q_id"))
+      .select(col("q_id"), col("pid").as("cand_id"),
+        expr("aggregate(sequence(0, 3), cast(0.0 as double)," +
+          " (acc, s) -> acc + element_at(lut, int(s * 16 + element_at(codes, int(s) + 1))))")
+          .as("adc_dist"))
+      .withColumn("neg_dist", -col("adc_dist"))
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "neg_dist", "cand_id", k = 5)
+      .select("q_id", "cand_id", "adc_dist")
   }
 
   /** Int8 scalar quantization of the embedding column — the storage/
@@ -634,5 +718,6 @@ object Similarity {
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,
-      annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize, pqCodes)
+      annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize, pqCodes,
+      pqSearch)
 }

@@ -218,6 +218,27 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._2 < 0.01, s"codebook member recon err ${out(2L)._2}")
   }
 
+  test("pq adc search ranks the near-identical vector closest") {
+    import spark.implicits._
+    // 64-dim for the 4×16 PQ layout: query 0 near-identical to 1, 2 far
+    val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val nearA = a.clone(); nearA(0) = a(0) + 0.001f
+    val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 2).toFloat)
+    val df = Seq((0L, a.toSeq, 0), (1L, nearA.toSeq, 0), (2L, far.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = tmpDir(); writeTable(dir, "embeddings", df)
+    val rows = Similarity.pqSearch.fn(spark, dir).collect()
+    CacheRegistry.drain()
+    val q0 = rows.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Double]("adc_dist"))
+    assert(q0.nonEmpty, rows.mkString(","))
+    assert(q0.head.getAs[Long]("cand_id") == 1L, q0.mkString(","))
+    // the orthogonal vector must be strictly farther in ADC space
+    val d = q0.map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("adc_dist")).toMap
+    assert(d(1L) < d(2L), d)
+  }
+
   test("decontamination flags the benchmark's near-duplicates only") {
     val sh = Dedup.sketchTable(Tables.documents(spark, docsDir))
       .select("doc_id", "shingles")

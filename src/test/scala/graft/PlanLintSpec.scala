@@ -18,7 +18,9 @@ class PlanLintSpec extends SparkSpec {
     "q_mix_balance",
     // one-row broadcast of the benchmark's distinct n-gram array crossed
     // onto the corpus scan — the eval set is tiny by definition
-    "decontam_ngram")
+    "decontam_ngram",
+    // ≤8 packed query LUTs (64 doubles each) crossed onto the codes scan
+    "ann_pq_search")
 
   /** The reference's headline claim is COMPILED query evaluation
     * (Compile.scala, CompileCSETest.scala); ours delegates to

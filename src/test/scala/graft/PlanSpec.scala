@@ -253,4 +253,22 @@ class PlanSpec extends SparkSpec {
     // exchange is SinglePartition — the non-scalable shape
     assert(!p.contains("SinglePartition"), s"single-partition window:\n$p")
   }
+
+  test("substring dedup: keyed shuffles only, partial agg before the gram exchange, no joins") {
+    val p = plan(graft.operators.Dedup.substring)
+    // the (gram, doc_id) count must partial-aggregate map-side so
+    // within-doc repeats collapse BEFORE the exchange
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+    assert(!p.contains("Join"), s"substring dedup must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom new-doc dedup: might_contain gates both branches, verify join is anti") {
+    val p = plan(graft.operators.Dedup.bloomNew)
+    // proven-new filter + maybe-dup filter both carry the bloom probe
+    assert("might_contain".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("LeftAnti"), s"exact verify must be an anti-join:\n$p")
+  }
 }

@@ -660,11 +660,15 @@ object Similarity {
       .agg(expr(
         "map_from_entries(collect_list(struct(int(part * 16 + cent_id), dsq)))")
         .as("lut"))
+    // the s=0..3 fold unrolled into plain adds so the scan stays inside
+    // WholeStageCodegen (an aggregate() HOF here is interpreted — the
+    // same hot-loop cost the vec_distsq kernel removed from encoding);
+    // left-to-right double adds keep it bit-identical to the fold
+    val adc = (0 to 3).map(s =>
+      expr(s"element_at(lut, int(${s * 16} + element_at(codes, ${s + 1})))"))
+      .reduce(_ + _)
     val scored = codes.join(broadcast(lut), col("pid") =!= col("q_id"))
-      .select(col("q_id"), col("pid").as("cand_id"),
-        expr("aggregate(sequence(0, 3), cast(0.0 as double)," +
-          " (acc, s) -> acc + element_at(lut, int(s * 16 + element_at(codes, int(s) + 1))))")
-          .as("adc_dist"))
+      .select(col("q_id"), col("pid").as("cand_id"), adc.as("adc_dist"))
       .withColumn("neg_dist", -col("adc_dist"))
     graft.api.GraftApi.topKPerKey(scored, "q_id", "neg_dist", "cand_id", k = 5)
       .select("q_id", "cand_id", "adc_dist")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * deep); it exists to catch super-linear blowups, cap violations, and
   * driver-side collects that small-SF runs can't see.
   *
-  * Usage: runMain graft.ScaleSmoke [N] [opName ...]
+  * Usage: runMain graft.ScaleSmoke [N] [opName ... | all]
   * Writes the amplified tables under /tmp/graft_scale_N (reused across
   * runs), prints per-op seconds and row counts.
   *
@@ -33,7 +33,10 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
-    val names = if (args.length > 1) args.drop(1).toSeq else defaultOps
+    val names =
+      if (args.length > 1 && args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else defaultOps
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_$n"
     val spark = GraftSession.local()

@@ -90,9 +90,25 @@ object ScaleSmoke {
         case None => System.err.println(s"unknown op: $name"); None
       }
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"scale_smoke_${n}x.json"),
-      results.mkString(s"""{\n  "amplification": $n,\n""", ",\n", "\n}"))
+    // merge into the existing artifact so a targeted re-run of a few ops
+    // refreshes those entries without dropping the rest of the sweep
+    val path = java.nio.file.Paths.get(s"scale_smoke_${n}x.json")
+    val entryRe = """"([a-z0-9_]+)": (\{[^}]*\})""".r
+    val prior =
+      if (java.nio.file.Files.exists(path))
+        entryRe.findAllMatchIn(java.nio.file.Files.readString(path))
+          .map(m => m.group(1) -> m.group(2)).toSeq
+          .filterNot(_._1 == "amplification")
+      else Seq.empty
+    val fresh = results.map { r =>
+      val m = entryRe.findFirstMatchIn(r).get
+      m.group(1) -> m.group(2)
+    }
+    val merged = (prior.filterNot(p => fresh.exists(_._1 == p._1)) ++ fresh)
+      .sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": $v""" }
+    java.nio.file.Files.writeString(path,
+      merged.mkString(s"""{\n  "amplification": $n,\n""", ",\n", "\n}"))
     spark.stop()
   }
 }

@@ -10,33 +10,37 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass SimHash bit-vote kernel. */
 object SimHashUtil {
-  /** For each of the 32 hex positions of every digest, vote +1 if the hex
-    * digit's high bit is set ('8'..'9','a'..'f'), else -1; emit '1' where
-    * the tally is positive. Exactly the semantics of the 32-subexpression
-    * SQL formulation (strpos('89abcdef', substr(m, b, 1)) > 0) it
-    * replaces, in one pass over the digests.
+  /** 64-bit signature: each of the 32 hex digits of every digest casts
+    * TWO independent fair-coin votes — bit 2d from the digit's 8-bit
+    * (value ≥ 8, i.e. '8'..'9','a'..'f'), bit 2d+1 from its 4-bit
+    * (value & 4 ≠ 0, i.e. '4'..'7','c'..'f'); emit '1' where the tally
+    * is positive. 64 bits (vs the original 32) is what keeps banded
+    * near-dup search alive at scale: 16-bit bands have 65536 bucket
+    * values, so bucket occupancy stays small at millions of documents
+    * where 8-bit bands (256 values) overflow every bucket.
     */
   def compute(md5s: ArrayData): UTF8String = {
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](64)
     val n = md5s.numElements()
     var i = 0
     while (i < n) {
       val s = md5s.getUTF8String(i)
       if (s != null && s.numBytes() >= 32) {
         val bytes = s.getBytes
-        var b = 0
-        while (b < 32) {
-          val c = bytes(b)
-          val hi = (c >= '8' && c <= '9') || (c >= 'a' && c <= 'f')
-          counts(b) += (if (hi) 1 else -1)
-          b += 1
+        var d = 0
+        while (d < 32) {
+          val c = bytes(d)
+          val v = if (c <= '9') c - '0' else c - 'a' + 10
+          counts(2 * d) += (if ((v & 8) != 0) 1 else -1)
+          counts(2 * d + 1) += (if ((v & 4) != 0) 1 else -1)
+          d += 1
         }
       }
       i += 1
     }
-    val out = new Array[Byte](32)
+    val out = new Array[Byte](64)
     var b = 0
-    while (b < 32) {
+    while (b < 64) {
       out(b) = if (counts(b) > 0) '1' else '0'
       b += 1
     }
@@ -44,7 +48,7 @@ object SimHashUtil {
   }
 }
 
-/** simhash_bits(array<string of md5 hex>) → 32-char '0'/'1' signature. */
+/** simhash_bits(array<string of md5 hex>) → 64-char '0'/'1' signature. */
 case class SimHashBits(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType

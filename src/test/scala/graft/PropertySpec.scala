@@ -47,8 +47,9 @@ class PropertySpec extends SparkSpec {
     val df = inputs.map(Tuple1(_)).toDF("m")
     val got = df.select(simhash_bits(col("m"))).collect().map(_.getString(0))
     val expected = inputs.map { md5s =>
-      (0 until 32).map { b =>
-        val votes = md5s.map(m => if ("89abcdef".contains(m.charAt(b))) 1 else -1).sum
+      (0 until 64).map { b =>
+        val mask = if (b % 2 == 0) "89abcdef" else "4567cdef"
+        val votes = md5s.map(m => if (mask.contains(m.charAt(b / 2))) 1 else -1).sum
         if (votes > 0) '1' else '0'
       }.mkString
     }

@@ -54,6 +54,28 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 1L)))
   }
 
+  test("multiplicity contract: exact-first composition recovers near-dup structure past the caps") {
+    import spark.implicits._
+    // 80 copies of every doc — past the 64-cap, so capped pair-listing
+    // over the raw corpus is out of contract (see PLANS.md, near-dup
+    // family). The prescribed composition: dedupExact collapses the
+    // multiplicity, near-dup runs on the keepers, and the content-level
+    // pair structure is fully recovered.
+    val raw = Tables.documents(spark, docsDir)
+    val multiplied = (0 until 80).map(i =>
+        raw.withColumn("doc_id", col("doc_id") + lit(i * 1000L)))
+      .reduce(_.unionByName(_))
+    val keepers = graft.api.GraftApi.dedupExact(multiplied, "doc_id", "text")
+      .select(col("keeper"))
+    val survivors = multiplied.join(keepers, col("doc_id") === col("keeper"))
+      .select("doc_id", "text")
+    val got = graft.api.GraftApi.nearDupPairs(survivors, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    CacheRegistry.drain()
+    // keepers are the min-id per content: 0 (also covering 3's content), 1, 2
+    assert(got == Set((0L, 1L)), got)
+  }
+
   test("incremental dedup of a delta shard ≡ full recompute restricted to the delta") {
     // delta = docs {1, 3} arriving against corpus {0, 2}: both the
     // delta-vs-corpus pairs (0,1),(0,3) and nothing delta-vs-delta at the

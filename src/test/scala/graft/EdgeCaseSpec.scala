@@ -161,6 +161,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(dc.forall(_.getAs[Long]("contaminated") == 0L))
   }
 
+  test("substring/bloom dedup and pq search tolerate degenerate inputs") {
+    // substring: every weird doc is under the 8-word span width → no rows
+    assert(Dedup.substring.fn(spark, weirdDocsDir).count() == 0)
+    // bloom membership: delta = doc 0 (empty text), corpus = docs 1-4;
+    // empty text is absent from the corpus, so the delta doc is new
+    val bn = Dedup.bloomNew.fn(spark, weirdDocsDir).collect()
+    assert(bn.map(_.getAs[Long]("doc_id")).toSet == Set(0L))
+    // pq adc search on a 2-vector 64-dim corpus: sparse codebooks (2
+    // codewords per subspace), each query's only candidate is the other
+    import spark.implicits._
+    val va = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vb = Array.tabulate(64)(i => math.cos(2 * i + 1).toFloat)
+    val df = Seq((0L, va.toSeq, 0), (1L, vb.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = tmpDir(); writeTable(dir, "embeddings", df)
+    val rows = Similarity.pqSearch.fn(spark, dir).collect()
+    CacheRegistry.drain()
+    assert(rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet ==
+      Set((0L, 1L), (1L, 0L)), rows.mkString(","))
+  }
+
   test("redactPii and packSequences handle null text / null tokens") {
     import spark.implicits._
     val df = Seq((1L, Option("a@b.co x")), (2L, Option.empty[String]))

@@ -218,6 +218,94 @@ object GraftApi {
   def quantizeEmbeddings(df: DataFrame, idCol: String, embCol: String): DataFrame =
     graft.operators.Similarity.quantize(df, idCol, embCol)
 
+  // ---- product-quantization index lifecycle ------------------------------
+  //
+  // The three phases a PQ index actually lives through — train once,
+  // encode the corpus once, ADC-search many times — as composable
+  // library functions over any (id, float-array) frame. The registered
+  // ann_pq_codes / ann_pq_search operators are these functions bound to
+  // the embeddings table; ApiSpec pins the equivalence.
+
+  /** Every vector split into its numSubs subvectors of subDim dims as
+    * (pid, part, emb) rows — the shared input of PQ training, encoding,
+    * and the query-side LUT. Cache the result if feeding several phases.
+    */
+  private def pqSplit(df: DataFrame, idCol: String, embCol: String,
+      numSubs: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("pid"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("d"))
+      .select(col("pid"), explode(expr(
+        s"transform(sequence(0, ${numSubs - 1})," +
+          s" s -> struct(s as part, slice(d, $subDim*s+1, $subDim) as emb))")).as("p"))
+      .select(col("pid"), col("p.part"), col("p.emb"))
+
+  /** Train per-subspace PQ codebooks: seeds are the codebookSize SMALLEST
+    * ids per part — picked with the bounded-heap TopKPerKey, never a
+    * corpus-wide sort — densely relabeled 0..codebookSize-1 (so search
+    * LUTs pack as part·codebookSize + code), then refined by `iters`
+    * fixed-point Lloyd passes (bit-identical at any parallelism). A
+    * BOUNDED codebook: never a fraction of N. Returns (part, cent_id,
+    * c_emb, c_nrm).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
+      numSubs: Int, subDim: Int, codebookSize: Int = 16, iters: Int = 1): DataFrame = {
+    import graft.operators.Similarity
+    val pts = pqSplit(df, idCol, embCol, numSubs, subDim)
+    val seeds = topKPerKey(pts.withColumn("neg_pid", -col("pid")),
+      "part", "neg_pid", "pid", codebookSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("pid"))
+    val init = seeds
+      .withColumn("cent_id", row_number().over(w).cast("long") - 1)
+      .select(col("cent_id"), col("part"), col("emb").as("c_emb"))
+    Similarity.lloyd(pts, init, iters, Similarity.L2)
+  }
+
+  /** Encode a corpus against trained codebooks: per-subvector argmin in
+    * one codegen'd broadcast projection, codes collected part-ordered.
+    * Returns (<idCol>, codes array<long>).
+    */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+      codebooks: DataFrame, numSubs: Int, subDim: Int): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.assignTo(pqSplit(df, idCol, embCol, numSubs, subDim),
+        codebooks, Similarity.L2)
+      .groupBy(col("pid"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(part, a_cent))), s -> s.a_cent)")
+        .as("codes"))
+      .select(col("pid").as(idCol), col("codes"))
+  }
+
+  /** ADC top-k search over encoded codes: per query one exact
+    * subvector→codeword distance table (numSubs·codebookSize doubles,
+    * keyed part·codebookSize + code) broadcast against ONE codes scan —
+    * each candidate pays numSubs map picks + adds inside codegen, the
+    * corpus never shuffles, ranking through the bounded-heap TopKPerKey.
+    * Self-pairs (cand id = query id) are excluded. Returns (q_id,
+    * cand_id, adc_dist).
+    */
+  def pqSearchADC(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, numSubs: Int, subDim: Int,
+      codebookSize: Int = 16, k: Int = 5): DataFrame = {
+    val lut = pqSplit(queries, idCol, embCol, numSubs, subDim)
+      .join(broadcast(codebooks), "part")
+      .select(col("pid").as("q_id"), col("part"), col("cent_id"),
+        graft.functions.vec.vec_distsq(col("emb"), col("c_emb")).as("dsq"))
+      .groupBy(col("q_id"))
+      .agg(expr(
+        s"map_from_entries(collect_list(struct(int(part * $codebookSize + cent_id), dsq)))")
+        .as("lut"))
+    val adc = (0 until numSubs).map(s =>
+        expr(s"element_at(lut, int(${s * codebookSize} + element_at(codes, ${s + 1})))"))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(lut), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("cand_id"), adc.as("adc_dist"))
+      .withColumn("neg_dist", -col("adc_dist"))
+    topKPerKey(scored, "q_id", "neg_dist", "cand_id", k)
+      .select("q_id", "cand_id", "adc_dist")
+  }
+
   /** Train/eval decontamination over any (id, shingles) frames — see
     * graft.operators.Pipeline.decontaminate (benchmark n-grams broadcast,
     * per-row overlap, zero extra shuffle).

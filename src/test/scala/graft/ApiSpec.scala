@@ -166,6 +166,26 @@ class ApiSpec extends SparkSpec {
     assert(got == Seq((0L, 0L), (0L, 4L), (0L, 8L), (1L, 2L)), got)
   }
 
+  test("generic PQ lifecycle (codebooks/encode/search) equals the registered operators") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cbs = GraftApi.pqCodebooks(emb, "vec_id", "embedding",
+      numSubs = 4, subDim = 16)
+    val codes = GraftApi.pqEncode(emb, "vec_id", "embedding", cbs,
+      numSubs = 4, subDim = 16)
+    val got = GraftApi.pqSearchADC(codes, cbs,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        numSubs = 4, subDim = 16, codebookSize = 16, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    val want = graft.operators.Similarity.pqSearch.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    CacheRegistry.drain()
+    // same seeds (the 16 smallest ids, densely labeled), same fixed-point
+    // Lloyd pass, same ADC fold → bit-identical top-k including distances
+    assert(got == want, s"generic=${got.size} registered=${want.size}")
+  }
+
   test("generic redactPii tags emails, IPs, phones and counts matches") {
     import spark.implicits._
     val df = Seq(

@@ -205,7 +205,7 @@ class PlanSpec extends SparkSpec {
 
   test("every ANN top-k ranks through TopKPerKeyExec, not a window sort") {
     import graft.operators.Similarity._
-    for (op <- Seq(annBruteForceTopK, annLshTopK, annRandomHyperplaneTopK)) {
+    for (op <- Seq(annBruteForceTopK, annLshTopK, annRandomHyperplaneTopK, pqSearch)) {
       val p = plan(op)
       assert(p.contains("TopKPerKey"), s"${op.name} missing TopKPerKey:\n$p")
       assert(!p.contains("Window"), s"${op.name} still uses a Window sort:\n$p")

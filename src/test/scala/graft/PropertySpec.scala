@@ -283,6 +283,35 @@ class PropertySpec extends SparkSpec {
     assert(expected.nonEmpty) // the planted duplicates must pair
   }
 
+  test("ADC distance is exact squared L2 when every vector is a codeword") {
+    import spark.implicits._
+    // N ≤ codebookSize: the seeds are ALL vectors and each singleton
+    // Lloyd mean is the (fixed-point-rounded) vector itself, so a
+    // candidate's codeword chain reconstructs it and the per-subvector
+    // ADC sum must equal the true squared L2 distance (up to the 1e-6
+    // fixed-point centroid rounding and subvector-grouped fold order).
+    val gen = Gen.listOfN(64, Gen.chooseNum(-4.0f, 4.0f))
+    val vecs = samples(gen, 12)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+    val cbs = graft.api.GraftApi.pqCodebooks(df, "vec_id", "embedding",
+      numSubs = 4, subDim = 16)
+    val codes = graft.api.GraftApi.pqEncode(df, "vec_id", "embedding", cbs,
+      numSubs = 4, subDim = 16)
+    val got = graft.api.GraftApi.pqSearchADC(codes, cbs, df,
+        "vec_id", "embedding", numSubs = 4, subDim = 16, k = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("adc_dist")).toMap
+    val exact = (for {
+      (q, qi) <- vecs.zipWithIndex; (c, ci) <- vecs.zipWithIndex if qi != ci
+    } yield (qi.toLong, ci.toLong) ->
+      q.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum).toMap
+    assert(got.size == 12 * 11, got.size)
+    for ((k, d) <- got)
+      assert(math.abs(d - exact(k)) < 1e-3, s"$k adc=$d exact=${exact(k)}")
+  }
+
   test("linear-view derivation law: q(B ∪ X) = q(B) ∪ q(X) on random splits") {
     import spark.implicits._
     // a representative linear pipeline: filter ∘ select ∘ explode

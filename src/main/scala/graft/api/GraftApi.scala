@@ -240,22 +240,26 @@ object GraftApi {
       .select(col("pid"), col("p.part"), col("p.emb"))
 
   /** Train per-subspace PQ codebooks: seeds are the codebookSize SMALLEST
-    * ids per part — picked with the bounded-heap TopKPerKey, never a
-    * corpus-wide sort — densely relabeled 0..codebookSize-1 (so search
-    * LUTs pack as part·codebookSize + code), then refined by `iters`
-    * fixed-point Lloyd passes (bit-identical at any parallelism). A
-    * BOUNDED codebook: never a fraction of N. Returns (part, cent_id,
-    * c_emb, c_nrm).
+    * ids' subvectors, picked as `orderBy(id).limit(n)` — Spark plans
+    * that as TakeOrderedAndProject (map-side partial top-k, bounded
+    * merge), never a corpus-wide sort or a single-task funnel — densely
+    * relabeled 0..codebookSize-1 (so search LUTs pack as
+    * part·codebookSize + code), then refined by `iters` fixed-point
+    * Lloyd passes (bit-identical at any parallelism). A BOUNDED
+    * codebook: never a fraction of N. Returns (part, cent_id, c_emb,
+    * c_nrm).
     */
   def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
       numSubs: Int, subDim: Int, codebookSize: Int = 16, iters: Int = 1): DataFrame = {
     import graft.operators.Similarity
     val pts = pqSplit(df, idCol, embCol, numSubs, subDim)
-    val seeds = topKPerKey(pts.withColumn("neg_pid", -col("pid")),
-      "part", "neg_pid", "pid", codebookSize)
+    val seedIds = broadcast(
+      df.select(col(idCol).cast("long").as("seed_pid"))
+        .orderBy("seed_pid").limit(codebookSize))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("part")).orderBy(col("pid"))
-    val init = seeds
+    // the relabel window runs on numSubs·codebookSize rows, not the corpus
+    val init = pts.join(seedIds, col("pid") === col("seed_pid"))
       .withColumn("cent_id", row_number().over(w).cast("long") - 1)
       .select(col("cent_id"), col("part"), col("emb").as("c_emb"))
     Similarity.lloyd(pts, init, iters, Similarity.L2)
@@ -305,6 +309,17 @@ object GraftApi {
     topKPerKey(scored, "q_id", "neg_dist", "cand_id", k)
       .select("q_id", "cand_id", "adc_dist")
   }
+
+  /** Lloyd-refined IVF cosine top-k over any (id, float-array) corpus and
+    * query frames — see graft.operators.Similarity.ivfSearch (bounded
+    * seed cells, fixed-point Lloyd, broadcast argmin assignment,
+    * TopKPerKey re-rank).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, cells: Int = 256, nprobe: Int = 2, iters: Int = 1,
+      k: Int = 5): DataFrame =
+    graft.operators.Similarity.ivfSearch(corpus, queries, idCol, embCol,
+      cells, nprobe, iters, k)
 
   /** Train/eval decontamination over any (id, shingles) frames — see
     * graft.operators.Pipeline.decontaminate (benchmark n-grams broadcast,

@@ -477,6 +477,16 @@ object Dedup {
   def bloomNewDocs(corpus: DataFrame, delta: DataFrame,
       expectedItems: Long): DataFrame = {
     import graft.functions.bloom._
+    // Sizing contract (the indexBy treatment — fail fast, not OOM): the
+    // filter costs ~1.2 bytes per expected item and rides to executors
+    // as one literal, so the corpus cardinality it can sketch tops out
+    // around 2e8 (~240 MB). Past that, use the plain anti-join (the
+    // bloom only moves cost, the join is always the answer) or
+    // per-bucket filters joined on a bucket key.
+    require(expectedItems <= 200000000L,
+      s"bloomNewDocs: expectedItems=$expectedItems exceeds the one-literal " +
+        "bloom contract (~2e8 items / ~240 MB); use the plain anti-join or " +
+        "bucketed per-range filters at this corpus cardinality")
     val key = xxhash64(col("text"))
     val bytes = corpus.select(bloom_filter_agg(key, expectedItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")

@@ -387,28 +387,52 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    ivfSearch(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      cells = 256, nprobe = 2, iters = 1, k = 5)
+  }
+
+  /** Lloyd-refined IVF cosine top-k as a library function over any
+    * (id, float-array) corpus/queries frames — the registered
+    * [[annIvfKmeansTopK]] is this bound to the embeddings table.
+    *
+    * Index build: seeds are the `cells` smallest ids
+    * (TakeOrderedAndProject — map-side partial top-k, a BOUNDED cell
+    * count, never a fraction of N), refined by `iters` fixed-point
+    * Lloyd passes; assignment is the codegen'd broadcast argmin.
+    * Search: per query the top-`nprobe` refined cells (a |Q|·cells
+    * window over a broadcast — queries are the small side), candidates
+    * from the probed cells only, exact cosine re-rank through the
+    * bounded-heap TopKPerKey. Self-pairs excluded. Returns (q_id,
+    * cand_id, cosine).
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, cells: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def nrmOf(c: Column) = sqrt(vec_dot(c, c))
     val v = graft.CacheRegistry.track(
-      Tables.embeddings(spark, dir).withColumn("nrm", nrmCol))
-    // Lloyd step through the generic n-iteration loop (iters=1 keeps the
-    // oracle restatable as one unrolled SQL pass; see lloyd's scaladoc for
-    // the fixed-point exactness argument)
+      corpus.select(col(idCol).cast("long").as("vec_id"),
+          col(embCol).as("embedding"))
+        .withColumn("nrm", nrmOf(col("embedding"))))
     val pts = v.select(col("vec_id").as("pid"), lit(0).as("part"),
       col("embedding").as("emb"), col("nrm"))
-    val c0 = pts.filter(col("pid") < 256)
+    val seedIds = broadcast(v.select(col("vec_id").as("seed_id"))
+      .orderBy("seed_id").limit(cells))
+    val c0 = pts.join(seedIds, col("pid") === col("seed_id"))
       .select(col("pid").as("cent_id"), col("part"),
         col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val c1p = lloyd(pts, c0, iters = 1, NegCos)
+    val c1p = lloyd(pts, c0, iters, NegCos)
     val assign1 = assignTo(pts, c1p, NegCos)
       .select(col("pid").as("a_vec"), col("a_cent"))
     val c1b = broadcast(c1p.drop("part"))
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        col(embCol).as("q_emb"))
+      .withColumn("q_nrm", nrmOf(col("q_emb")))
     val probes = q.crossJoin(c1b)
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
         col("cent_id"))))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
     val scored = q
       .join(broadcast(probes), col("p_qid") === col("q_id"))
@@ -417,7 +441,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (vec_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
           .as("cosine"))
-    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k)
       .select("q_id", "cand_id", "cosine")
   }
 

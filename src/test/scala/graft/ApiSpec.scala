@@ -186,6 +186,20 @@ class ApiSpec extends SparkSpec {
     assert(got == want, s"generic=${got.size} registered=${want.size}")
   }
 
+  test("generic ivfTopK works on renamed columns and matches the registered op") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val renamed = emb.select(col("vec_id").as("item"), col("embedding").as("vec"))
+    val got = GraftApi.ivfTopK(renamed, renamed.filter(col("item") < 8),
+        "item", "vec", cells = 256, nprobe = 2, iters = 1, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val want = graft.operators.Similarity.annIvfKmeansTopK.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    CacheRegistry.drain()
+    assert(got == want, s"generic=${got.size} registered=${want.size}")
+  }
+
   test("generic redactPii tags emails, IPs, phones and counts matches") {
     import spark.implicits._
     val df = Seq(

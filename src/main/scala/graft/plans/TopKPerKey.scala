@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
@@ -30,17 +30,30 @@ case class TopKPerKeyNode(key: Expression, order: Expression,
     copy(child = newChild)
 }
 
+/** One heap pass. Planned as a PARTIAL/FINAL pair (the aggregation
+  * idiom): the partial instance runs on the child's existing partitioning
+  * and shrinks each partition to ≤ keys·k rows BEFORE the exchange, so
+  * the shuffle carries partitions·keys·k rows instead of the full input —
+  * per-key top-k is decomposable (a global top-k row is necessarily in
+  * its partition's local top-k). The final instance requires co-location
+  * and reduces the partial winners. For an ANN re-rank scoring |corpus|
+  * candidate rows per query this is the difference between shuffling the
+  * corpus and shuffling k rows per (partition, query).
+  */
 case class TopKPerKeyExec(key: Expression, order: Expression,
-    tiebreak: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+    tiebreak: Expression, k: Int, child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of one key must be co-located; the planner inserts the
+  /** Final: all rows of one key co-located; the planner inserts the
     * exchange (hash on key) only when the child isn't already partitioned
-    * compatibly — bucketed/pre-shuffled inputs skip it.
+    * compatibly — bucketed/pre-shuffled inputs skip it. Partial: runs
+    * wherever the rows already are.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(key)) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(Seq(key)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.BindReferences
@@ -116,7 +129,8 @@ case class TopKPerKeyExec(key: Expression, order: Expression,
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(key, order, tie, k, child) =>
-      TopKPerKeyExec(key, order, tie, k, planLater(child)) :: Nil
+      TopKPerKeyExec(key, order, tie, k,
+        TopKPerKeyExec(key, order, tie, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

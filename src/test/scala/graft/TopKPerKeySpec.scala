@@ -31,6 +31,21 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"no per-group sort expected:\n$plan")
   }
 
+  test("partial heaps run below the exchange — the shuffle carries winners only") {
+    val ev = Tables.events(spark, sfTiny)
+    val custom = GraftApi.topKPerKey(ev.toDF(),
+      "user_id", "value", "event_id", k = 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    // partial/final pair with the hash exchange BETWEEN them: per-key
+    // top-k is decomposable, so each input partition shrinks to ≤ keys·k
+    // rows before any data moves (the aggregation map-side-combine shape)
+    val i1 = plan.indexOf("TopKPerKey")
+    val i2 = plan.indexOf("TopKPerKey", i1 + 1)
+    assert(i2 > i1, s"expected a partial+final TopKPerKey pair:\n$plan")
+    val between = plan.substring(i1, i2)
+    assert(between.contains("Exchange"), s"exchange must sit between final and partial:\n$plan")
+  }
+
   test("k larger than any group returns everything") {
     val ev = Tables.events(spark, sfTiny)
     val custom = GraftApi.topKPerKey(ev.toDF(),

@@ -91,27 +91,42 @@ case class TopKPerKeyExec(key: Expression, order: Expression,
         }
       val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[(Any, Any, UnsafeRow)]]()
       val copier = UnsafeProjection.create(child.output, child.output)
-      rows.foreach { row =>
+      // Partial memory guard (the aggregation fallback idiom): pre-shuffle
+      // a partition can see EVERY key, so the heap map is capped — rows of
+      // keys beyond the cap pass through unreduced, which is always
+      // correct (the final phase reduces them; partial reduction is an
+      // optimization, never a requirement). The final phase is uncapped:
+      // its keys are hash-distributed, the same bound the single-phase
+      // operator always had.
+      val capKeys = if (partial) 65536 else Int.MaxValue
+      val passThrough = rows.flatMap { row =>
         val kv0 = keyExpr.eval(row)
         val kv = if (kv0 == null) NullKey else kv0
         val ov = orderExpr.eval(row)
         val tv = tieExpr.eval(row)
         var heap = heaps.get(kv)
-        if (heap == null) {
-          // PriorityQueue dequeues the MAX under its ordering; reverse so
-          // dequeue removes the weakest entry
-          heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any, UnsafeRow)](entryOrd.reverse)
-          heaps.put(copyKey(kv), heap)
-        }
-        if (heap.size < kk) {
-          heap.enqueue((copyKey(ov), copyKey(tv), copier(row).copy()))
-        } else if (entryOrd.compare((ov, tv, null), heap.head.copy(_3 = null)) > 0) {
-          heap.dequeue()
-          heap.enqueue((copyKey(ov), copyKey(tv), copier(row).copy()))
+        if (heap == null && heaps.size() >= capKeys) {
+          Iterator.single(copier(row).copy(): InternalRow)
+        } else {
+          if (heap == null) {
+            // PriorityQueue dequeues the MAX under its ordering; reverse so
+            // dequeue removes the weakest entry
+            heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any, UnsafeRow)](entryOrd.reverse)
+            heaps.put(copyKey(kv), heap)
+          }
+          if (heap.size < kk) {
+            heap.enqueue((copyKey(ov), copyKey(tv), copier(row).copy()))
+          } else if (entryOrd.compare((ov, tv, null), heap.head.copy(_3 = null)) > 0) {
+            heap.dequeue()
+            heap.enqueue((copyKey(ov), copyKey(tv), copier(row).copy()))
+          }
+          Iterator.empty
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._3))
+      // ++ evaluates its right side lazily, so the heap winners are read
+      // only after the pass-through stream (and thus the heaps) is complete
+      passThrough ++ heaps.values().iterator().asScala.flatMap(_.iterator.map(_._3))
     }, preservesPartitioning = true)
   }
 

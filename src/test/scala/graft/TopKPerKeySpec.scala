@@ -95,6 +95,27 @@ class TopKPerKeySpec extends SparkSpec {
     assert(worst.toSeq == expect)
   }
 
+  test("partial cap: key cardinality beyond the heap-map cap passes through, result exact") {
+    import spark.implicits._
+    // 100k distinct keys in ONE partition exceeds the 65536-key partial
+    // cap, so the overflow keys' rows pass through unreduced and the
+    // final phase must still produce the exact per-key top-k
+    val df = spark.range(400000L).select(
+        (col("id") % 100000).as("k"),
+        (col("id") % 991).cast("double").as("v"),
+        col("id").as("tie"))
+      .coalesce(1)
+    val got = GraftApi.topKPerKey(df, "k", "v", "tie", k = 2)
+    assert(got.count() == 200000L)
+    // spot-check one key against the window formulation
+    val w0 = df.filter(col("k") === 7L)
+      .orderBy(col("v").desc, col("tie")).limit(2)
+      .select("tie").collect().map(_.getLong(0)).toSet
+    val g0 = got.filter(col("k") === 7L)
+      .select("tie").collect().map(_.getLong(0)).toSet
+    assert(g0 == w0, s"got $g0 want $w0")
+  }
+
   test("array-typed keys are deep-copied, not aliased into the scan buffer") {
     import spark.implicits._
     val df = (1 to 100).map(i => (Seq(s"g${i % 5}", "x"), i.toDouble, i.toLong))

@@ -133,9 +133,11 @@ object Dedup {
       |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
       |       FROM sh),
       |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
+      |small AS (SELECT h FROM buckets GROUP BY h HAVING COUNT(*) <= 64),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id)
+      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.h IN (SELECT h FROM small))
       |SELECT doc_a, doc_b,
       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |    (len(sa.shingles) + len(sb.shingles)
@@ -169,9 +171,17 @@ object Dedup {
     // are near-dup cluster sizes (max 4 at sf0.1); a corpus with
     // mega-duplicate clusters makes the pair set quadratic under ANY
     // formulation — that pathology is dedup_exact's job to remove first.
+    // But NEAR-identical mega-clusters (templated pages sharing a sketch
+    // hash) survive exact dedup, so the bucket is capped INSIDE the
+    // aggregation buffer (collect_set_bounded — O(cap) memory, NULL on
+    // overflow drops the degenerate bucket): a >64-member LSH bucket is
+    // quadratic candidate mass with no discrimination, and true near-dup
+    // pairs also share a non-degenerate sketch value.
     val buckets = sk.select(col("doc_id"), explode(col("sketch")).as("h"))
-    val cand = buckets.groupBy("h").agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    val cand = buckets.groupBy("h")
+      .agg(graft.functions.CollectSetBounded
+        .collect_set_bounded(col("doc_id"), 64).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1)," +
           " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
@@ -347,10 +357,15 @@ object Dedup {
       .join(corpusBuckets.alias("c"), col("d.h") === col("c.h"))
       .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
-    // delta×delta candidates: in-group posting-list expansion, delta only
+    // delta×delta candidates: in-group posting-list expansion, delta
+    // only. Bounded like every posting list in this family: an arriving
+    // shard full of one templated page would otherwise buffer its whole
+    // bucket in one aggregation buffer (O(cap) memory, NULL on overflow
+    // drops the degenerate >64 bucket).
     val deltaCand = deltaBuckets.groupBy("h")
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(graft.functions.CollectSetBounded
+        .collect_set_bounded(col("doc_id"), 64).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1)," +
           " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
@@ -380,10 +395,16 @@ object Dedup {
       |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
       |       FROM sh),
       |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
+      |dbuckets AS (SELECT * FROM buckets WHERE doc_id % 10 = 0),
+      |dsmall AS (SELECT h FROM dbuckets GROUP BY h HAVING COUNT(*) <= 64),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+      |  WHERE (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)
+      |  UNION
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM dbuckets a JOIN dbuckets b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.h IN (SELECT h FROM dsmall))
       |SELECT doc_a, doc_b,
       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |    (len(sa.shingles) + len(sb.shingles)

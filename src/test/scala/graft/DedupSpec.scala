@@ -140,6 +140,64 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty && want.size < 100, want.size) // both paths exercised
   }
 
+  // ---- hot-bucket edge: every posting list in the near-dup family is
+  // bounded (collect_set_bounded(·, 64) — NULL on overflow), so a
+  // degenerate bucket of NEAR-identical templated content (which
+  // exact-first dedup does NOT collapse) costs O(cap) aggregation-buffer
+  // memory and is dropped, while pairs outside it are unaffected.
+
+  private def hotDocs(pairDocs: Seq[(Long, String)], hotText: String, n: Int = 80) = {
+    import spark.implicits._
+    (pairDocs ++ (0 until n).map(i => (1000L + i, hotText)))
+      .map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("minhash hot bucket: 80-member LSH bucket is dropped, outside pair kept") {
+    val nearDup = base.replace("fast", "quick")
+    val hot = "templated boilerplate page repeated across the whole mirror crawl " +
+      "with navigation header footer copyright notice and sidebar links intact"
+    val docs = hotDocs(Seq((0L, base), (1L, nearDup)), hot)
+    val got = Dedup.minhashPairs(docs, 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    CacheRegistry.drain()
+    // all 8 sketch buckets of the hot cluster hold 80 > 64 members → NULL
+    // → dropped; the (0,1) near-dup pair rides its own size-2 buckets
+    assert(got == Set((0L, 1L)), got)
+  }
+
+  test("incremental hot bucket: degenerate delta-delta bucket dropped, cross pair kept") {
+    val nearDup = base.replace("fast", "quick")
+    val hot = "templated boilerplate page repeated across the whole mirror crawl " +
+      "with navigation header footer copyright notice and sidebar links intact"
+    // corpus = {base}; delta = the near-dup + 80 identical templated docs
+    val docs = hotDocs(Seq((0L, base), (1L, nearDup)), hot)
+    val corpusSk = Dedup.sketchTable(docs.filter(col("doc_id") === 0L))
+    val deltaSk = Dedup.sketchTable(docs.filter(col("doc_id") =!= 0L))
+    val got = Dedup.incrementalPairs(corpusSk, deltaSk, 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    CacheRegistry.drain()
+    // delta×delta hot buckets (80 > 64) dropped; delta×corpus is a keyed
+    // equi-join (no posting buffer) and still lands the (0,1) pair
+    assert(got == Set((0L, 1L)), got)
+  }
+
+  test("phash hot bucket: 80 identical payloads dropped, 2-bit-flip pair kept") {
+    import spark.implicits._
+    // docA/docB: 28 bytes, stride 2 — index 26 is sampled; 'a'(0x61) vs
+    // 'b'(0x62) differ in the low nibble by xor 3 → hamming 2, and 3 of 4
+    // bands still agree → a size-2 candidate bucket
+    val docA = "a" * 28
+    val docB = "a" * 26 + "ba"
+    val hot = "z" * 40
+    val docs = hotDocs(Seq((0L, docA), (1L, docB)), hot)
+    val dir = tmpDir(); writeTable(dir, "documents", docs)
+    val got = Multimodal.dedupPhash.fn(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(got == Set((0L, 1L, 2L)), got)
+  }
+
   test("simhash: identical docs identical signatures; near dups within small hamming") {
     val sh = Dedup.simhash.fn(spark, docsDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap

@@ -95,6 +95,27 @@ object GraftApi {
       ds.where(tagCol === tag)
   }
 
+  /** Size-adaptive small-side hint — the Graph.componentLabels guard
+    * applied to joins. Dup-rate-proportional slivers (drop lists, cluster
+    * labels, election winners) are tiny on a clean corpus but reach
+    * billions of rows on a 30-50%-duplicate web crawl, where a FORCED
+    * broadcast() hint OOMs the driver. The frame is persisted and counted
+    * once (one cheap scan of an intermediate the join needs anyway); at or
+    * below `maxRows` it carries the broadcast hint (the common case — the
+    * corpus side never shuffles), above it the join runs un-hinted and the
+    * planner/AQE picks the strategy from measured sizes. Both paths are
+    * result-identical (PipelineAdaptiveSpec pins this on a high-dup-rate
+    * corpus).
+    */
+  def adaptiveBroadcast(df: DataFrame, maxRows: Long = 4000000L): DataFrame = {
+    // session conf overrides the code default — the ops knob for tests
+    // and for pipeline owners who know their dup rate
+    val limit = df.sparkSession.conf.getOption("graft.adaptiveBroadcast.maxRows")
+      .map(_.toLong).getOrElse(maxRows)
+    val cached = graft.CacheRegistry.track(df)
+    if (cached.count() <= limit) broadcast(cached) else cached
+  }
+
   /** Per-key top-k through the custom whole-operator plan
     * (graft.plans.TopKPerKeyNode → TopKPerKeyExec): bounded heap per key,
     * no per-group sort. Requires GraftExtensions (the planner strategy).

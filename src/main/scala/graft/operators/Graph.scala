@@ -144,9 +144,11 @@ object Graph {
       |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
       |       FROM sh),
       |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
+      |small AS (SELECT h FROM buckets GROUP BY h HAVING COUNT(*) <= 64),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.h IN (SELECT h FROM small)),
       |pairs AS (
       |  SELECT doc_a AS a, doc_b AS b
       |  FROM cand JOIN sk sa ON sa.doc_id = doc_a

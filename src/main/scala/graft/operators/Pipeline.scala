@@ -32,18 +32,21 @@ object Pipeline {
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     // A doc is dropped iff it sits in the near-dup graph AND lost its
-    // cluster's min-id election. That drop list is a sliver of the corpus
-    // (only near-duplicates), so the representative filter is a broadcast
-    // ANTI join against it — the full doc_id→cluster map (corpus-sized!)
-    // is never materialized, never broadcast. Quality features are
-    // computed in the same scan's project, no self-join.
+    // cluster's min-id election. That drop list is dup-rate-proportional:
+    // a sliver on a clean corpus, but potentially billions of rows on a
+    // heavily-mirrored crawl — so the representative filter is a
+    // SIZE-ADAPTIVE anti join (broadcast below the row threshold, plain
+    // shuffled anti-join above; see GraftApi.adaptiveBroadcast). The full
+    // doc_id→cluster map (corpus-sized!) is never materialized. Quality
+    // features are computed in the same scan's project, no self-join.
     val pairs = Dedup.minhashLsh.fn(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val dropped = Graph.componentLabels(pairs)
-      .filter(col("cluster") =!= col("id"))
-      .select(col("id").as("dropped_id"))
+    val dropped = graft.api.GraftApi.adaptiveBroadcast(
+      Graph.componentLabels(pairs)
+        .filter(col("cluster") =!= col("id"))
+        .select(col("id").as("dropped_id")))
     docs
-      .join(broadcast(dropped), col("doc_id") === col("dropped_id"), "left_anti")
+      .join(dropped, col("doc_id") === col("dropped_id"), "left_anti")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("lang"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tokens"),
@@ -210,19 +213,25 @@ object Pipeline {
     val toks = size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
     val pairs = Dedup.minhashLsh.fn(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    // (id, cluster) for near-dup docs only — persisted by componentLabels
-    val labels = Graph.componentLabels(pairs)
-    val sliver = docs.join(broadcast(labels), col("doc_id") === col("id"))
+    // (id, cluster) for near-dup docs only — dup-rate-proportional, so
+    // every sliver join below is size-adaptive (broadcast under the
+    // threshold, shuffled join past it) instead of a forced hint that
+    // would OOM on a 30-50%-duplicate crawl
+    val labels = graft.api.GraftApi.adaptiveBroadcast(
+      Graph.componentLabels(pairs))
+    val sliver = docs.join(labels, col("doc_id") === col("id"))
       .select(col("doc_id"), col("cluster"), toks.as("tokens"))
-    val winners = graft.api.GraftApi
-      .topKPerKey(sliver, "cluster", "tokens", "doc_id", 1)
-      .select(col("doc_id").as("w_id"))
-    val losers = sliver
-      .join(broadcast(winners), col("doc_id") === col("w_id"), "left_anti")
-      .select(col("doc_id").as("l_id"))
+    val winners = graft.api.GraftApi.adaptiveBroadcast(
+      graft.api.GraftApi
+        .topKPerKey(sliver, "cluster", "tokens", "doc_id", 1)
+        .select(col("doc_id").as("w_id")))
+    val losers = graft.api.GraftApi.adaptiveBroadcast(
+      sliver
+        .join(winners, col("doc_id") === col("w_id"), "left_anti")
+        .select(col("doc_id").as("l_id")))
     docs
-      .join(broadcast(labels), col("doc_id") === col("id"), "left")
-      .join(broadcast(losers), col("doc_id") === col("l_id"), "left")
+      .join(labels, col("doc_id") === col("id"), "left")
+      .join(losers, col("doc_id") === col("l_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
         toks.as("tokens"),

@@ -101,8 +101,11 @@ object ScaleSmoke {
           .filterNot(_._1 == "amplification")
       else Seq.empty
     val fresh = results.map { r =>
-      val m = entryRe.findFirstMatchIn(r).get
-      m.group(1) -> m.group(2)
+      entryRe.findFirstMatchIn(r) match {
+        case Some(m) => m.group(1) -> m.group(2)
+        case None => throw new IllegalStateException(
+          s"unparseable smoke entry (fix the result format or entryRe): $r")
+      }
     }
     val merged = (prior.filterNot(p => fresh.exists(_._1 == p._1)) ++ fresh)
       .sortBy(_._1)

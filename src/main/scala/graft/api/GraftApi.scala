@@ -274,14 +274,22 @@ object GraftApi {
       numSubs: Int, subDim: Int, codebookSize: Int = 16, iters: Int = 1): DataFrame = {
     import graft.operators.Similarity
     val pts = pqSplit(df, idCol, embCol, numSubs, subDim)
+    // distinct: a duplicated input id must not join the seed set twice —
+    // the dense relabel would then assign cent_id >= codebookSize and
+    // break part·codebookSize+code LUT-key injectivity in pqSearchADC.
+    // The cent_id < codebookSize guard bounds the codebook even when the
+    // input itself repeats an id row (the id column is expected unique;
+    // repeated ids beyond this keep the ROW_NUMBER pick engine-stable
+    // only up to the duplicate's tie order).
     val seedIds = broadcast(
-      df.select(col(idCol).cast("long").as("seed_pid"))
+      df.select(col(idCol).cast("long").as("seed_pid")).distinct()
         .orderBy("seed_pid").limit(codebookSize))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("part")).orderBy(col("pid"))
     // the relabel window runs on numSubs·codebookSize rows, not the corpus
     val init = pts.join(seedIds, col("pid") === col("seed_pid"))
       .withColumn("cent_id", row_number().over(w).cast("long") - 1)
+      .filter(col("cent_id") < codebookSize)
       .select(col("cent_id"), col("part"), col("emb").as("c_emb"))
     Similarity.lloyd(pts, init, iters, Similarity.L2)
   }

@@ -511,12 +511,19 @@ object Dedup {
     val key = xxhash64(col("text"))
     val bytes = corpus.select(bloom_filter_agg(key, expectedItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val provenNew = delta.filter(!might_contain(bytes, key))
-    val maybeDup = delta.filter(might_contain(bytes, key))
-    val verifiedNew = maybeDup.join(corpus.select(col("text").as("c_text")),
-      col("text") === col("c_text"), "left_anti")
-    provenNew.unionByName(verifiedNew)
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    if (bytes == null) {
+      // empty corpus: BloomFilterAggregate evaluates to NULL over zero
+      // rows, and filtering on a NULL sketch would drop every delta row —
+      // the bootstrap/first-shard answer is that ALL delta docs are new
+      delta.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    } else {
+      val provenNew = delta.filter(!might_contain(bytes, key))
+      val maybeDup = delta.filter(might_contain(bytes, key))
+      val verifiedNew = maybeDup.join(corpus.select(col("text").as("c_text")),
+        col("text") === col("c_text"), "left_anti")
+      provenNew.unionByName(verifiedNew)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    }
   }
 
   /** Registered form: doc_id % 10 = 0 is the arriving shard (same split

@@ -163,10 +163,24 @@ object Pipeline {
   /** Generic decontamination: score every `train` row's shingle overlap
     * against the union of `bench`'s shingles. Both frames carry
     * (doc_id, shingles); `bench` must be eval-set-sized (its distinct
-    * n-grams are broadcast).
+    * n-grams are broadcast as ONE array literal).
+    *
+    * Sizing contract (the bloomNewDocs treatment — fail fast, not OOM):
+    * the distinct gram count is checked with a keyed-shuffle count BEFORE
+    * the single-row array aggregate is built, because that aggregate
+    * itself buffers the whole gram set in one task. Past the bound, use
+    * the posting-list equi-join formulation the dedup family uses —
+    * the bound is the contract that this broadcast shape is legal.
     */
   def decontaminate(train: org.apache.spark.sql.DataFrame,
-      bench: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+      bench: org.apache.spark.sql.DataFrame, tau: Double,
+      maxBenchGrams: Long = 10000000L): org.apache.spark.sql.DataFrame = {
+    val n = bench.select(explode(col("shingles")).as("g")).distinct().count()
+    require(n <= maxBenchGrams,
+      s"decontaminate: benchmark set has $n distinct n-grams, exceeding " +
+        s"maxBenchGrams=$maxBenchGrams — the gram set is broadcast as one " +
+        "array literal; shrink the eval set, raise the bound explicitly, " +
+        "or switch to a posting-list equi-join at this cardinality")
     val bg = bench.agg(
       array_distinct(flatten(collect_list(col("shingles")))).as("bg"))
     val overlap = size(array_intersect(col("shingles"), col("bg")))

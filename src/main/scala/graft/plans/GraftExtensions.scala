@@ -146,9 +146,15 @@ object GraftExtensions {
         // cap must be a compile-time positive int — it sizes agg buffers
         require(children.length == 2 && children(1).foldable,
           "collect_set_bounded(col, cap) needs a literal int cap")
-        graft.functions.CollectSetBounded(children(0),
-          children(1).eval(null).asInstanceOf[Number].intValue())
-          .toAggregateExpression()
+        children(1).eval(null) match {
+          case n: Number =>
+            graft.functions.CollectSetBounded(children(0), n.intValue())
+              .toAggregateExpression()
+          case bad => // thrown during analysis — descriptive, not a ClassCast/NPE
+            throw new IllegalArgumentException(
+              "collect_set_bounded(col, cap) needs a literal int cap; got " +
+                (if (bad == null) "NULL" else s"'$bad'"))
+        }
       }))
     ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
     ext.injectOptimizerRule(_ => EliminateRedundantArraySort)

@@ -183,6 +183,65 @@ class EdgeCaseSpec extends SparkSpec {
       Set((0L, 1L), (1L, 0L)), rows.mkString(","))
   }
 
+  // ---- sizing contracts: every broadcast-shaped helper refuses a hostile
+  // cardinality with a descriptive message instead of OOMing (the
+  // bloomNewDocs house style), and degenerate inputs take defined paths
+
+  test("decontaminate refuses a benchmark past the gram bound, fail-fast") {
+    import spark.implicits._
+    val sh = Seq((0L, Seq("g1", "g2", "g3"))).toDF("doc_id", "shingles")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.decontaminate(sh, sh, tau = 0.5, maxBenchGrams = 2L)
+    }
+    assert(e.getMessage.contains("maxBenchGrams"), e.getMessage)
+    assert(Pipeline.decontaminate(sh, sh, 0.5).count() == 1) // within bound
+  }
+
+  test("indexBy refuses a fact-sized key set") {
+    import spark.implicits._
+    import graft.api.GraftApi._
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      df.indexBy(col("k"), col("v"), maxKeys = 10L)
+    }
+    assert(e.getMessage.contains("maxKeys"), e.getMessage)
+  }
+
+  test("bloomNewDocs: refuses past the one-literal contract; empty corpus → whole delta new") {
+    import spark.implicits._
+    val delta = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomNewDocs(corpus, delta, expectedItems = 300000000L)
+    }
+    assert(e.getMessage.contains("one-literal bloom contract"), e.getMessage)
+    // bootstrap/first-shard: the corpus sketch is NULL over zero rows —
+    // every delta doc must come back as proven-new, not silently dropped
+    val got = Dedup.bloomNewDocs(corpus, delta, expectedItems = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L), got)
+  }
+
+  test("collect_set_bounded SQL rejects a non-numeric cap with a descriptive error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT collect_set_bounded(x, 'x') FROM VALUES (1) t(x)").collect()
+    }
+    assert(e.getMessage.contains("literal int cap"), e.getMessage)
+  }
+
+  test("pqCodebooks: duplicated input ids keep the codebook bounded, LUT keys injective") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map(i => (i.toLong % 20, Seq.fill(8)(rng.nextFloat())))
+      .toDF("vec_id", "embedding") // every id appears twice
+    val cb = graft.api.GraftApi.pqCodebooks(rows, "vec_id", "embedding",
+      numSubs = 2, subDim = 4, codebookSize = 4)
+    val perPart = cb.groupBy("part").count().collect().map(_.getLong(1))
+    assert(perPart.forall(_ <= 4L), perPart.toSeq) // never cent_id >= codebookSize
+    val ids = cb.select("cent_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(Set(0L, 1L, 2L, 3L)), ids)
+  }
+
   test("redactPii and packSequences handle null text / null tokens") {
     import spark.implicits._
     val df = Seq((1L, Option("a@b.co x")), (2L, Option.empty[String]))

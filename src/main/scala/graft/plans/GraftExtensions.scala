@@ -106,6 +106,19 @@ object GraftExtensions {
       }
   }
 
+  /** The rule SET as one combinator expression (reference
+    * TransformationCombinators): sequence the two rewrites and run them
+    * to fixpoint, since one can expose the other (array_sort elimination
+    * can surface a size∘array_intersect; the intersect fuse can strip a
+    * Size consumer an array_sort rewrite keyed on). Injected rules
+    * already sit in a fixed-point batch — the explicit fixpoint makes the
+    * composition self-contained rather than batch-dependent.
+    */
+  private[plans] val optimizerRules: Rule[LogicalPlan] = {
+    import RuleCombinators._
+    fixpoint(RewriteSizeOfIntersect.andThenRule(EliminateRedundantArraySort))
+  }
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
@@ -156,8 +169,7 @@ object GraftExtensions {
                 (if (bad == null) "NULL" else s"'$bad'"))
         }
       }))
-    ext.injectOptimizerRule(_ => RewriteSizeOfIntersect)
-    ext.injectOptimizerRule(_ => EliminateRedundantArraySort)
+    ext.injectOptimizerRule(_ => optimizerRules)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

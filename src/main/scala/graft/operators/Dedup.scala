@@ -526,6 +526,72 @@ object Dedup {
     }
   }
 
+  /** Bucketed bloom membership — [[bloomNewDocs]] past the one-literal
+    * contract. The corpus is split into `buckets` ranges of the SAME
+    * content hash the filter probes (text equality ⇒ same xxhash64 ⇒
+    * same bucket), one bloom filter per bucket, built in ONE keyed
+    * aggregation pass (map-side partial ORs). Each delta row probes only
+    * its own bucket's filter, and each maybe-dup verifies against only
+    * its own corpus bucket — per-task memory is bounded by ONE bucket's
+    * filter (the one-literal contract applies per bucket), so corpus
+    * cardinality scales to buckets × 2e8.
+    *
+    * Why per-bucket literals and not "join the (bucket, filter) frame":
+    * a filter is ~1.2 bytes/item — joining it onto delta rows would copy
+    * up to 240 MB of binary PER ROW through the join (UnsafeRow binary
+    * access copies), and Spark's BloomFilterMightContain requires a
+    * foldable/scalar-subquery filter anyway. The driver holds all
+    * `buckets` filters while the plan exists (the totalItems contract
+    * below); past THAT bound, run buckets as separate jobs against a
+    * corpus persisted `partitionBy(bkt)` — each job then reads one
+    * bucket's files only (partition pruning; spec-pinned), which is the
+    * incremental form this function's per-bucket branches already take.
+    *
+    * If `corpus`/`delta` already carry a `bkt` column (a partitioned
+    * layout), it is trusted and must equal pmod(xxhash64(text), buckets).
+    */
+  def bloomNewDocsBucketed(corpus: DataFrame, delta: DataFrame,
+      expectedItemsPerBucket: Long, buckets: Int): DataFrame = {
+    import graft.functions.bloom._
+    require(buckets >= 1 && buckets <= 1024,
+      s"bloomNewDocsBucketed: buckets=$buckets out of range [1, 1024]")
+    require(expectedItemsPerBucket <= 200000000L,
+      s"bloomNewDocsBucketed: expectedItemsPerBucket=$expectedItemsPerBucket " +
+        "exceeds the per-bucket one-literal contract (~2e8); add buckets")
+    require(buckets.toLong * expectedItemsPerBucket <= 2000000000L,
+      "bloomNewDocsBucketed: the driver holds every bucket's filter while " +
+        s"the plan exists (${buckets}x$expectedItemsPerBucket items ~ " +
+        s"${buckets.toLong * expectedItemsPerBucket * 12 / 10 >> 20} MB); " +
+        "past this, run buckets as separate jobs over a partitionBy(bkt) layout")
+    val key = xxhash64(col("text"))
+    val bktOf = pmod(key, lit(buckets.toLong))
+    def withBkt(df: DataFrame) =
+      if (df.columns.contains("bkt")) df else df.withColumn("bkt", bktOf)
+    val corpusB = withBkt(corpus)
+    val deltaB = graft.CacheRegistry.track(withBkt(delta))
+    // one corpus pass → every bucket's filter (tiny result: `buckets` rows)
+    val filters = corpusB.groupBy("bkt")
+      .agg(bloom_filter_agg(key, expectedItemsPerBucket).as("bf"))
+      .collect() // Number: a partitionBy(bkt) layout reads back as int
+      .map(r => r.getAs[Number]("bkt").longValue -> r.getAs[Array[Byte]]("bf"))
+      .toMap
+    (0L until buckets.toLong).map { b =>
+      val dB = deltaB.filter(col("bkt") === b)
+      filters.get(b).filter(_ != null) match {
+        case None => // empty corpus bucket: every delta row in it is new
+          dB.select(col("doc_id"), md5(col("text")).as("content_hash"))
+        case Some(bytes) =>
+          val provenNew = dB.filter(!might_contain(bytes, key))
+          val maybeDup = dB.filter(might_contain(bytes, key))
+          val verifiedNew = maybeDup.join(
+            corpusB.filter(col("bkt") === b).select(col("text").as("c_text")),
+            col("text") === col("c_text"), "left_anti")
+          provenNew.unionByName(verifiedNew)
+            .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      }
+    }.reduce(_.unionByName(_))
+  }
+
   /** Registered form: doc_id % 10 = 0 is the arriving shard (same split
     * convention as dedup_incremental); oracle = the plain NOT EXISTS.
     */
@@ -542,7 +608,25 @@ object Dedup {
       docs.filter(col("doc_id") % 10 === 0), expectedItems = 100000L)
   }
 
+  /** Registered bucketed form: 8 buckets over the same shard split as
+    * dedup_bloom_new — and the SAME oracle, because bucketing moves
+    * memory, never answers.
+    */
+  val bloomNewBucketed: Op = Op(
+    "dedup_bloom_bucketed",
+    """SELECT d.doc_id, md5(d.text) AS content_hash
+      |FROM documents d
+      |WHERE d.doc_id % 10 = 0
+      |  AND NOT EXISTS (SELECT 1 FROM documents c
+      |                  WHERE c.doc_id % 10 <> 0 AND c.text = d.text)""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    bloomNewDocsBucketed(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      expectedItemsPerBucket = 20000L, buckets = 8)
+  }
+
   val ops: Seq[Op] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, incremental,
-      substring, bloomNew)
+      substring, bloomNew, bloomNewBucketed)
 }

@@ -222,6 +222,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == Set(1L, 2L), got)
   }
 
+  test("bloomNewDocsBucketed refuses hostile sizing on both contracts") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.bloomNewDocsBucketed(df, df, 300000000L, 4))
+    assert(e1.getMessage.contains("per-bucket"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.bloomNewDocsBucketed(df, df, 100000000L, 1000))
+    assert(e2.getMessage.contains("driver"), e2.getMessage)
+  }
+
   test("collect_set_bounded SQL rejects a non-numeric cap with a descriptive error") {
     val e = intercept[Exception] {
       spark.sql("SELECT collect_set_bounded(x, 'x') FROM VALUES (1) t(x)").collect()

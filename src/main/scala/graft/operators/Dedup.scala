@@ -232,16 +232,9 @@ object Dedup {
     // corpus — every document contains most of the vocabulary, so
     // token-set signatures collapse. simhash_bits
     // (graft.functions.SimHashBits) = the 32-subexpression HOF
-    // formulation in ONE codegen'd pass over the digests.
-    Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("md5s", expr(
-        "transform(array_distinct(case when size(words) >= 3" +
-          " then transform(sequence(1, size(words)-2)," +
-          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))" +
-          " else words end), t -> md5(t))"))
-      .select(col("doc_id"),
-        graft.functions.simhash.simhash_bits(col("md5s")).as("simhash"))
+    // formulation in ONE codegen'd pass over the digests (see
+    // simhashSignatures, the shared signature builder).
+    simhashSignatures(Tables.documents(spark, dir)).select("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs: by the pigeonhole principle two signatures
@@ -283,42 +276,108 @@ object Dedup {
       |WHERE list_sum(list_transform(generate_series(1, 64),
       |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
   ) { (spark, dir) =>
-    // numeric signature once per doc, as two 32-bit halves: Hamming then
-    // costs TWO codegen'd bit_count(xor)s per candidate pair instead of a
-    // 64-round interpreted substring-compare HOF (that HOF was 7/8 of
-    // this operator's wall time at sf0.1). Halves, not one long: conv of
-    // a 64-bit binary string wraps past Long.MaxValue, each 32-bit half
-    // is exact.
-    val sigs = simhash.fn(spark, dir)
+    // The m=4, d=3 instance of the multi-block machinery: combination
+    // keys ci·2^16 | block — numerically IDENTICAL to the b·65536 +
+    // value band keys this op has always shuffled on. Numeric signature
+    // as two exact 32-bit halves: Hamming costs TWO codegen'd
+    // bit_count(xor)s per candidate (a 64-round substring HOF was 7/8 of
+    // this operator's wall time at sf0.1); candidates via the family's
+    // bounded posting-list pattern, the Hamming filter inside the
+    // in-group expansion (see simhashPairsFromSigs).
+    simhashPairsFromSigs(
+      simhashSignatures(Tables.documents(spark, dir)), m = 4, d = 3)
+  }
+
+  /** SimHash signatures of any (doc_id, text) frame as the binary string
+    * plus its two exact 32-bit halves — the shared input of the banded
+    * pair generators (the persisted signature table at warehouse scale).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("md5s", expr(
+        "transform(array_distinct(case when size(words) >= 3" +
+          " then transform(sequence(1, size(words)-2)," +
+          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))" +
+          " else words end), t -> md5(t))"))
+      .select(col("doc_id"),
+        graft.functions.simhash.simhash_bits(col("md5s")).as("simhash"))
       .withColumn("hi", expr("cast(conv(substring(simhash, 1, 32), 2, 10) as long)"))
       .withColumn("lo", expr("cast(conv(substring(simhash, 33, 32), 2, 10) as long)"))
-    // numeric band key b·65536 + value — the shuffle key is a long, not a
-    // string (same convention as mm_dedup_phash)
+
+  /** Block boundaries for an m-block split of the 64-bit signature:
+    * bit positions (MSB-first, 0-based) `64·i/m` for i = 0..m.
+    */
+  private[operators] def blockBounds(m: Int): IndexedSeq[Int] =
+    (0 to m).map(i => 64 * i / m)
+
+  /** One block's value as a long, from the (hi, lo) 32-bit halves —
+    * pure bit arithmetic, codegen'd, handles blocks straddling the
+    * 32-bit split.
+    */
+  private def blockVal(hi: Column, lo: Column, start: Int, end: Int): Column = {
+    val w = end - start
+    if (end <= 32) shiftright(hi, 32 - end).bitwiseAND(lit((1L << w) - 1))
+    else if (start >= 32) shiftright(lo, 64 - end).bitwiseAND(lit((1L << w) - 1))
+    else { // hi tail ++ lo head
+      val hiBits = 32 - start
+      val loBits = end - 32
+      shiftleft(hi.bitwiseAND(lit((1L << hiBits) - 1)), loBits)
+        .bitwiseOR(shiftright(lo, 64 - end).bitwiseAND(lit((1L << loBits) - 1)))
+    }
+  }
+
+  /** Multi-block band keys (Manku et al.'s C(m, m−d) block combinations,
+    * the WWW'07 web-dedup table layout): every combination of m−d of the
+    * m blocks packs into ONE long key (combination index in the high
+    * bits, chosen blocks' values below). By pigeonhole, ≤ d differing
+    * bits leave ≥ m−d blocks untouched, so a true near-dup pair shares
+    * at least one full combination key. The m=4, d=3 single-block case
+    * IS the existing 4×16-bit layout; m=6, d=3 yields C(6,3)=20 keys of
+    * ~37 bits — 2^37 key space keeps bucket occupancy bounded where
+    * 16-bit bands saturate (≥15k docs/bucket at 1B docs: every bucket
+    * would overflow the cap and recall would collapse).
+    */
+  def simhashBandKeys(hi: Column, lo: Column, m: Int, d: Int): Column = {
+    require(m >= 2 && m <= 16 && d >= 1 && d < m,
+      s"simhashBandKeys: need 2 <= m <= 16 and 1 <= d < m, got m=$m d=$d")
+    val bounds = blockBounds(m)
+    val combos = (0 until m).combinations(m - d).toSeq
+    val widths = (0 until m).map(b => bounds(b + 1) - bounds(b))
+    val maxKeyBits = combos.map(_.map(widths).sum).max +
+      (32 - Integer.numberOfLeadingZeros(combos.size)) // + combo-index bits
+    require(maxKeyBits <= 62,
+      s"simhashBandKeys: m=$m d=$d packs $maxKeyBits bits — exceeds one long")
+    val keys = combos.zipWithIndex.map { case (blocks, ci) =>
+      blocks.foldLeft(lit(ci.toLong): Column) { (acc, b) =>
+        shiftleft(acc, bounds(b + 1) - bounds(b))
+          .bitwiseOR(blockVal(hi, lo, bounds(b), bounds(b + 1)))
+      }
+    }
+    array(keys: _*)
+  }
+
+  /** Near-dup pairs from a signature table via the multi-block band
+    * layout: explode the C(m, m−d) keys, posting lists bounded at
+    * `cap` per band (collect_set_bounded — the family invariant), the
+    * Hamming filter inside the in-group expansion. Emits
+    * (doc_a, doc_b, hamming) with hamming ≤ d.
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, m: Int, d: Int,
+      cap: Int = 64): DataFrame = {
     val bands = sigs.select(col("doc_id"), col("hi"), col("lo"),
-      explode(expr("transform(sequence(0, 3)," +
-        " b -> b * 65536L + cast(conv(substring(simhash, 16*b+1, 16), 2, 10) as long))")).as("band"))
-    // Candidates via the same one-shuffle posting-list pattern as
-    // ngramJaccard/minhashLsh: group per band, cap the bucket at 64
-    // members (a hot band — e.g. near-zero signatures from short or
-    // templated docs — makes in-bucket pairs quadratic while
-    // discriminating nothing; real near-dups also share a non-degenerate
-    // band), expand pairs in-group. The cap lives in the aggregation
-    // buffer (collect_set_bounded — O(cap) memory on a hot band, NULL on
-    // overflow), array_sort on (doc_id, num) structs gives doc_a < doc_b
-    // for free, and the Hamming filter runs INSIDE the expansion — only
-    // true near-dup pairs (a sliver) ever reach the dedup shuffle.
+      explode(simhashBandKeys(col("hi"), col("lo"), m, d)).as("band"))
     bands.groupBy("band")
       .agg(array_sort(graft.functions.CollectSetBounded
-        .collect_set_bounded(struct(col("doc_id"), col("hi"), col("lo")), 64)).as("ms"))
+        .collect_set_bounded(struct(col("doc_id"), col("hi"), col("lo")), cap)).as("ms"))
       .filter(col("ms").isNotNull && size(col("ms")) >= 2)
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1)," +
           " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b," +
           " cast(bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo) as bigint) as hamming))))")).as("p"))
       .select("p.doc_a", "p.doc_b", "p.hamming")
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= d)
       .distinct()
-      .select(col("doc_a"), col("doc_b"), col("hamming").as("hamming"))
   }
 
   /** The MinHash sketch of any (doc_id, text) frame — the persisted
@@ -608,6 +667,55 @@ object Dedup {
       docs.filter(col("doc_id") % 10 === 0), expectedItems = 100000L)
   }
 
+  /** Registered multi-block form: m=6, d=3 — C(6,3)=20 combination keys
+    * of ~33 bits each, the billion-doc band layout (16-bit bands carry
+    * ~15k docs per value at 1B docs: every bucket would overflow the cap
+    * and recall would collapse; 2^33 keys stay sparse). Same verified
+    * semantics as dedup_simhash_pairs (Hamming ≤ 3); the oracle mirrors
+    * the 20 combinations with string band keys (bucketing is a bijection
+    * of the packed long keys).
+    */
+  val simhashBlocks: Op = {
+    val bounds = blockBounds(6)
+    val bandSelects = (0 until 6).combinations(3).zipWithIndex.map {
+      case (bs, ci) =>
+        val parts = bs.map(b =>
+          s"substr(simhash, ${bounds(b) + 1}, ${bounds(b + 1) - bounds(b)})")
+        s"  SELECT doc_id, simhash, '$ci:' || ${parts.mkString(" || ")} AS band FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    Op(
+      "dedup_simhash_blocks",
+      s"""WITH sigs AS (
+        |  SELECT doc_id,
+        |    $simhashBitSql AS simhash
+        |  FROM (SELECT doc_id,
+        |          list_transform(list_distinct(
+        |            CASE WHEN len(w) >= 3
+        |              THEN list_transform(generate_series(1, len(w)-2),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |              ELSE w END), t -> md5(t)) AS md5s
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |bands AS (
+        |$bandSelects),
+        |small AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE a.band IN (SELECT band FROM small))
+        |SELECT doc_a, doc_b,
+        |  CAST(list_sum(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE list_sum(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END)) <= 3""".stripMargin,
+    ) { (spark, dir) =>
+      simhashPairsFromSigs(
+        simhashSignatures(Tables.documents(spark, dir)), m = 6, d = 3)
+    }
+  }
+
   /** Registered bucketed form: 8 buckets over the same shard split as
     * dedup_bloom_new — and the SAME oracle, because bucketing moves
     * memory, never answers.
@@ -627,6 +735,6 @@ object Dedup {
   }
 
   val ops: Seq[Op] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, incremental,
-      substring, bloomNew, bloomNewBucketed)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
+      incremental, substring, bloomNew, bloomNewBucketed)
 }

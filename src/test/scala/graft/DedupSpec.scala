@@ -198,6 +198,49 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L, 2L)), got)
   }
 
+  test("multi-block and single-block simhash layouts agree on an unsaturated corpus") {
+    // both layouts are COMPLETE for hamming ≤ 3 (pigeonhole) when no
+    // bucket overflows, so on a normal corpus they find identical pairs
+    val sigs = Dedup.simhashSignatures(Tables.documents(spark, sfTiny))
+      .select("doc_id", "hi", "lo")
+    def pairs(m: Int) = Dedup.simhashPairsFromSigs(sigs, m, 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(pairs(4) == pairs(6), s"4-block ${pairs(4)} != 6-block ${pairs(6)}")
+  }
+
+  test("multi-block bands keep recall where saturated 16-bit bands drop the pair") {
+    import spark.implicits._
+    // 100 docs agree on bits 0..47 (the crowd — saturates the three
+    // 16-bit bands covering those bits past the 64-cap) and carry random
+    // bits 48..63. The planted pair also agrees with the crowd on
+    // 0..47, and differs from each other in exactly ONE bit inside
+    // 48..63: its only agreeing 16-bit band buckets are the saturated
+    // ones → the 4×16 layout drops it. The 6-block layout's {·,·,4}
+    // combos key on bits the pair shares (the pair agrees on block 4 =
+    // bits 42..52) → a size-2 bucket finds it.
+    val rng = new scala.util.Random(5)
+    val hiF = 0x12345678L
+    val loTop = 0xABCDL
+    val crowd = (0 until 100).map(i =>
+      (i.toLong, hiF, (loTop << 16) | rng.nextInt(65536).toLong))
+    val rp = 0x7A51L
+    val pair = Seq((1000L, hiF, (loTop << 16) | rp),
+      (1001L, hiF, (loTop << 16) | (rp ^ 8L)))
+    val sigs = (crowd ++ pair).toDF("doc_id", "hi", "lo")
+    def pairsOf(m: Int) = Dedup.simhashPairsFromSigs(sigs, m, 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val single = pairsOf(4)
+    val multi = pairsOf(6)
+    assert(!single.contains((1000L, 1001L)),
+      s"16-bit layout unexpectedly survived saturation: $single")
+    assert(multi.contains((1000L, 1001L)),
+      s"multi-block lost the planted pair: $multi")
+    // recall is monotone on this corpus: everything the saturated layout
+    // still finds, the finer layout finds too
+    assert(single.subsetOf(multi), single -- multi)
+  }
+
   test("bucketed bloom new-doc detection ≡ plain anti-join; empty buckets pass delta through") {
     import spark.implicits._
     val rng = new scala.util.Random(13)

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** The streaming face of the ANN serving path — arriving queries against
+  * a PERSISTED PQ index (the IVM analog of ann_pq_search, completing the
+  * streaming story the dedup family has with nearDupCandidates/Verified).
+  *
+  * Shape per micro-batch, all stream-static and stateless until the rank:
+  *   1. each arriving query row builds its full ADC lookup table in ONE
+  *      projection against a single packed broadcast row of the static
+  *      codebooks — no stream-side aggregation (that would need
+  *      watermarked state for what is a per-row pure function);
+  *   2. stream-static join against the persisted codes table scores every
+  *      candidate with the same 4-pick ADC fold as the batch op;
+  *   3. per-query top-k as a bounded heap inside flatMapGroupsWithState —
+  *      the TopKPerKeyExec partial phase expressed in the streaming
+  *      runtime. A query's candidates are generated from its own arrival
+  *      row, so they land in the same trigger and the group emits its
+  *      final top-k immediately; no state survives the batch.
+  *
+  * At scale the codes table is the bucketed/persisted index the batch
+  * pipeline maintains; the stream side is micro-batch-sized, so the join
+  * broadcasts the queries' LUTs — the corpus never shuffles, exactly as
+  * in the batch plan. StreamingSpec proves stream ≡ batch pqSearchADC.
+  */
+object AnnServe {
+
+  case class AdcScore(q_id: Long, cand_id: Long, adc_dist: Double)
+
+  /** ADC top-k for a STREAM of (id, embedding) queries against static
+    * `codes` (from GraftApi.pqEncode) and `codebooks` (from
+    * GraftApi.pqCodebooks). Returns a streaming Dataset of the same
+    * (q_id, cand_id, adc_dist) rows batch pqSearchADC emits.
+    */
+  def pqServeStream(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      idCol: String, embCol: String, numSubs: Int, subDim: Int,
+      codebookSize: Int = 16, k: Int = 5): Dataset[AdcScore] = {
+    import queries.sparkSession.implicits._
+    // one static row: every (part, cent_id, centroid) — numSubs·codebookSize
+    // entries, broadcastable by construction
+    val packed = broadcast(codebooks.groupBy().agg(
+      collect_list(struct(col("part"), col("cent_id"), col("c_emb"))).as("cbs")))
+    // per-query LUT in one codegen'd projection (keys part·K + cent_id,
+    // exact subvector→centroid distances — identical to the batch LUT)
+    val lut = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("qd"))
+      .join(packed)
+      .select(col("q_id"), expr(
+        s"map_from_entries(transform(cbs, c -> struct(" +
+          s"int(c.part * $codebookSize + c.cent_id), " +
+          s"vec_distsq(slice(qd, c.part * $subDim + 1, $subDim), c.c_emb))))")
+        .as("lut"))
+    val adc = (0 until numSubs).map(s =>
+        expr(s"element_at(lut, int(${s * codebookSize} + element_at(codes, ${s + 1})))"))
+      .reduce(_ + _)
+    // stream-static join: the micro-batch of LUTs drives one codes scan
+    val scored = lut.join(codes, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).cast("long").as("cand_id"),
+        adc.as("adc_dist"))
+    // bounded-heap rank, same (dist asc, cand_id asc) order as the batch
+    // topKPerKey(neg_dist desc, cand_id asc)
+    scored.as[AdcScore].groupByKey(_.q_id)
+      .flatMapGroupsWithState[Long, AdcScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[AdcScore](Ordering.by(s => (s.adc_dist, s.cand_id)))
+          rows.foreach { r =>
+            heap += r
+            if (heap.size > k) heap.dequeue() // drop current worst
+          }
+          // deliberately no state.update: a query's candidates all land in
+          // its own trigger, so nothing must survive the batch
+          heap.toList.sortBy(s => (s.adc_dist, s.cand_id)).iterator
+      }
+  }
+}

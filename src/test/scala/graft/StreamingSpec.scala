@@ -338,6 +338,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getAs[Long]("n_events")).sum == 3)
   }
 
+  test("streaming PQ serving equals batch pqSearchADC over the same persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.GraftApi
+    import graft.streaming.AnnServe
+    import org.apache.spark.sql.functions.col
+    // the static index a serving job reads: codebooks + codes, persisted
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cbs = CacheRegistry.track(
+      GraftApi.pqCodebooks(emb, "vec_id", "embedding", numSubs = 4, subDim = 16))
+    val codes = CacheRegistry.track(
+      GraftApi.pqEncode(emb, "vec_id", "embedding", cbs, numSubs = 4, subDim = 16))
+    val queries = emb.filter(col("vec_id") < 8)
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = AnnServe.pqServeStream(
+      input.toDF().toDF("vec_id", "embedding"), codes, cbs,
+      "vec_id", "embedding", numSubs = 4, subDim = 16)
+    val q = served.writeStream.format("memory").queryName("pq_serve")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two triggers: per-query results must be final within each batch
+      input.addData(qRows.take(4).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(qRows.drop(4).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("pq_serve")
+        .as[AnnServe.AdcScore].collect()
+        .map(s => (s.q_id, s.cand_id, s.adc_dist)).toSet
+      val batch = GraftApi.pqSearchADC(codes, cbs, queries,
+          "vec_id", "embedding", numSubs = 4, subDim = 16,
+          codebookSize = 16, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("adc_dist"))).toSet
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+      assert(streamed.nonEmpty && streamed.map(_._1).size >= 8)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates equal the batch posting-list self-join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax}

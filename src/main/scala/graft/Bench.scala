@@ -79,7 +79,11 @@ object Bench {
     }
     // best of two timed passes: single-pass numbers on a shared machine
     // carry transient-load noise (observed 2-4x swings between whole
-    // runs); the min is the standard de-noised estimate of query cost
+    // runs); the min is the standard de-noised estimate of query cost.
+    // The WORST pass rides along as the variance field — a per-query
+    // best≪worst spread marks machine noise, so a single noisy pass can
+    // never masquerade as a code regression in round-over-round reads.
+    case class R(name: String, best: Double, worst: Double, ok: Boolean, peak: Long)
     val results = names.map { name =>
       peak.set(0L)
       val runs = (1 to 2).map { _ =>
@@ -91,20 +95,24 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2), peak.get())
+      R(name, runs.map(_._1).min, runs.map(_._1).max,
+        runs.forall(_._2), peak.get())
     }
     // failed queries are listed in `failed` and EXCLUDED from both the
     // queries map and the total, so the three fields stay consistent
-    val good = results.filter(_._3)
-    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+    val good = results.filter(_.ok)
+    val qs = good.map(r => "\"" + r.name + "\":" + f3(r.best))
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val qsWorst = good.map(r => "\"" + r.name + "\":" + f3(r.worst))
+      .mkString("{", ",", "}")
+    val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = f3(good.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = f3(good.map(_.best).sum)
+    val totalWorst = f3(good.map(_.worst).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_worst":$qsWorst,"total_worst":$totalWorst,"failed":$failed,"sf":"$sfDir"}""")
     if (benchAll) {
-      val rows = results.map { case (k, v, ok, pk) =>
-        s"""  "$k": {"sec": ${f3(v)}, "ok": $ok, "peak_exec_mem_bytes": $pk}"""
+      val rows = results.map { r =>
+        s"""  "${r.name}": {"sec": ${f3(r.best)}, "sec_worst": ${f3(r.worst)}, "ok": ${r.ok}, "peak_exec_mem_bytes": ${r.peak}}"""
       }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "bench_full.json")), rows)

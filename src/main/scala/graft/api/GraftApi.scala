@@ -61,15 +61,28 @@ object GraftApi {
       * when the caller knows better; fact-sized inputs should use a plain
       * shuffled join instead of an index.
       */
-    def indexBy(key: Column, value: Column, maxKeys: Long = 1000000L): DataFrame = {
-      val grouped = ds.toDF().groupBy(key.as("key"))
-        .agg(collect_list(value).as("values"))
-      val n = grouped.count()
+    def indexBy(key: Column, value: Column, maxKeys: Long = 1000000L,
+        maxGroupSize: Long = 1000000L): DataFrame = {
+      // ONE cheap keyed-count pre-pass checks BOTH contract dimensions
+      // BEFORE the collect_list aggregation runs — the key count bounds
+      // the broadcast, and the hottest key's row count bounds the single
+      // aggregation buffer that would otherwise OOM first (a size check
+      // after collecting would be too late, the decontaminate lesson)
+      val stats = ds.toDF().groupBy(key.as("key"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"), max(col("c")).as("maxg")).head()
+      val n = stats.getLong(0)
+      val maxg = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       require(n <= maxKeys,
         s"indexBy: $n distinct keys exceeds maxKeys=$maxKeys — this index " +
           "would be broadcast; use a shuffled join for fact-sized inputs " +
           "or raise maxKeys if the groups are known to be small")
-      broadcast(grouped)
+      require(maxg <= maxGroupSize,
+        s"indexBy: hottest key holds $maxg rows, exceeding " +
+          s"maxGroupSize=$maxGroupSize — one aggregation buffer would " +
+          "materialize that whole group; pre-aggregate or use a plain join")
+      broadcast(ds.toDF().groupBy(key.as("key"))
+        .agg(collect_list(value).as("values")))
     }
 
     /** addIndex (Optimization.scala:31): persist + register so Catalyst's

@@ -197,7 +197,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Pipeline.decontaminate(sh, sh, 0.5).count() == 1) // within bound
   }
 
-  test("indexBy refuses a fact-sized key set") {
+  test("indexBy refuses a fact-sized key set and a hot key past the group bound") {
     import spark.implicits._
     import graft.api.GraftApi._
     val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -205,6 +205,14 @@ class EdgeCaseSpec extends SparkSpec {
       df.indexBy(col("k"), col("v"), maxKeys = 10L)
     }
     assert(e.getMessage.contains("maxKeys"), e.getMessage)
+    // one key holding every row: the buffer hazard the group bound guards
+    val hot = (0 until 100).map(i => (1L, s"v$i")).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      hot.indexBy(col("k"), col("v"), maxKeys = 10L, maxGroupSize = 50L)
+    }
+    assert(e2.getMessage.contains("maxGroupSize"), e2.getMessage)
+    // within both bounds it still indexes
+    assert(hot.indexBy(col("k"), col("v")).count() == 1L)
   }
 
   test("bloomNewDocs: refuses past the one-literal contract; empty corpus → whole delta new") {

@@ -357,6 +357,33 @@ object Dedup {
     array(keys: _*)
   }
 
+  /** Pick the cheapest multi-block layout for a corpus size: the
+    * smallest band-row cost C(m, m−d) whose MINIMUM combination-key
+    * width keeps expected bucket occupancy (nDocs / 2^bits) at or
+    * below `occupancyTarget`. m=4 (the 4×16 layout, 4 band rows/doc)
+    * carries corpora into the tens of millions; m=6 (20 rows) covers
+    * billions; m=8 (56 rows) trillions. Refuses a corpus size no
+    * 64-bit layout can bucket — the signal to move to a wider
+    * fingerprint, not to silently drop recall.
+    */
+  def simhashLayoutFor(nDocs: Long, d: Int = 3,
+      occupancyTarget: Double = 4.0): Int = {
+    require(nDocs > 0 && occupancyTarget > 0,
+      s"simhashLayoutFor: need nDocs > 0 and occupancyTarget > 0")
+    def minKeyBits(m: Int): Int = {
+      val bounds = blockBounds(m)
+      (0 until m).map(b => bounds(b + 1) - bounds(b)).sorted.take(m - d).sum
+    }
+    val ok = ((d + 1) to 12).filter(m =>
+      nDocs.toDouble / math.pow(2, minKeyBits(m)) <= occupancyTarget)
+    require(ok.nonEmpty,
+      s"simhashLayoutFor: no 64-bit layout keeps expected occupancy <= " +
+        s"$occupancyTarget at $nDocs docs (d=$d) — use a wider fingerprint")
+    // key width grows and cost C(m,m−d) grows with m: the first fit is
+    // the cheapest fit
+    ok.min
+  }
+
   /** Near-dup pairs from a signature table via the multi-block band
     * layout: explode the C(m, m−d) keys, posting lists bounded at
     * `cap` per band (collect_set_bounded — the family invariant), the

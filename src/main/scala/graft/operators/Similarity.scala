@@ -406,9 +406,13 @@ object Similarity {
     * bounded-heap TopKPerKey. Self-pairs excluded. Returns (q_id,
     * cand_id, cosine).
     */
-  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, cells: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared IVF index build: normalized corpus vectors, Lloyd-refined
+    * centroids, and per-vector cell assignments — the deterministic
+    * prefix of [[ivfSearch]], factored so [[ivfIndex]] can persist the
+    * same index a search run would train.
+    */
+  private def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
+      cells: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
     val v = graft.CacheRegistry.track(
       corpus.select(col(idCol).cast("long").as("vec_id"),
@@ -424,6 +428,32 @@ object Similarity {
     val c1p = lloyd(pts, c0, iters, NegCos)
     val assign1 = assignTo(pts, c1p, NegCos)
       .select(col("pid").as("a_vec"), col("a_cent"))
+    (v, c1p, assign1)
+  }
+
+  /** The persistable IVF index of a corpus: (centroids, inverted lists).
+    * Centroids carry (cent_id, c_emb, c_nrm) — `cells` rows, broadcast
+    * material; lists carry (cent_id, vec_id, embedding, nrm) — corpus-
+    * sized, stored `bucketBy(cent_id)` at scale so serving probes read
+    * them with zero exchange. Deterministic: identical to what a fresh
+    * [[ivfSearch]] over the same corpus trains (fixed seeds, fixed-point
+    * Lloyd), which is what lets the streaming serving spec compare the
+    * two bit-for-bit.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      cells: Int = 256, iters: Int = 1): (DataFrame, DataFrame) = {
+    val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)
+    val lists = assign1.join(v, col("vec_id") === col("a_vec"))
+      .select(col("a_cent").as("cent_id"), col("vec_id"),
+        col("embedding"), col("nrm"))
+    (c1p.drop("part"), lists)
+  }
+
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, cells: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)
     val c1b = broadcast(c1p.drop("part"))
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))

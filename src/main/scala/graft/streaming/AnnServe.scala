@@ -29,6 +29,7 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 object AnnServe {
 
   case class AdcScore(q_id: Long, cand_id: Long, adc_dist: Double)
+  case class CosScore(q_id: Long, cand_id: Long, cosine: Double)
 
   /** ADC top-k for a STREAM of (id, embedding) queries against static
     * `codes` (from GraftApi.pqEncode) and `codebooks` (from
@@ -76,6 +77,55 @@ object AnnServe {
           // deliberately no state.update: a query's candidates all land in
           // its own trigger, so nothing must survive the batch
           heap.toList.sortBy(s => (s.adc_dist, s.cand_id)).iterator
+      }
+  }
+
+  /** IVF top-k for a STREAM of (id, embedding) queries against a
+    * persisted index from Similarity.ivfIndex — `centroids`
+    * (cent_id, c_emb, c_nrm; `cells` rows) and `lists`
+    * (cent_id, vec_id, embedding, nrm; the inverted lists, bucketed by
+    * cent_id at scale). Unlike the PQ face (one full codes scan per
+    * batch), the probe join here is KEYED on cent_id: each micro-batch
+    * touches only its queries' nprobe cells.
+    *
+    * The per-query top-nprobe cell pick runs as one array_sort over a
+    * packed centroid broadcast (window functions don't exist on streams;
+    * cells ≤ a few hundred makes the per-row sort trivial), ordered by
+    * (−cosine, cent_id) — exactly the batch probe order. Emits the same
+    * (q_id, cand_id, cosine) rows batch ivfSearch produces.
+    */
+  def ivfServeStream(queries: DataFrame, centroids: DataFrame, lists: DataFrame,
+      idCol: String, embCol: String, nprobe: Int = 2, k: Int = 5): Dataset[CosScore] = {
+    import queries.sparkSession.implicits._
+    val packed = broadcast(centroids.groupBy().agg(
+      collect_list(struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents")))
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("qd"))
+      .withColumn("q_nrm", expr("sqrt(vec_dot(qd, qd))"))
+      .join(packed)
+      .select(col("q_id"), col("qd"), col("q_nrm"), explode(expr(
+        s"slice(array_sort(transform(cents, c -> struct(" +
+          s"-(vec_dot(qd, c.c_emb) / (q_nrm * c.c_nrm)) as cost," +
+          s" c.cent_id as cent_id))), 1, $nprobe)")).as("p"))
+      .select(col("q_id"), col("qd"), col("q_nrm"), col("p.cent_id").as("p_cent"))
+    val scored = probes
+      .join(lists, col("cent_id") === col("p_cent") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (expr("vec_dot(qd, embedding)") / (col("q_nrm") * col("nrm"))).as("cosine"))
+    scored.as[CosScore].groupByKey(_.q_id)
+      .flatMapGroupsWithState[Long, CosScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, _) =>
+          // keep the k LARGEST cosines, ties to the smaller cand_id —
+          // the batch topKPerKey(cosine desc, cand_id asc) order
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[CosScore](Ordering.by(s => (-s.cosine, s.cand_id)))
+          rows.foreach { r =>
+            heap += r
+            if (heap.size > k) heap.dequeue()
+          }
+          heap.toList.sortBy(s => (-s.cosine, s.cand_id)).iterator
       }
   }
 }

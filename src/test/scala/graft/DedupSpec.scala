@@ -241,6 +241,16 @@ class DedupSpec extends SparkSpec {
     assert(single.subsetOf(multi), single -- multi)
   }
 
+  test("simhash layout auto-chooser scales m with corpus size and refuses the impossible") {
+    assert(Dedup.simhashLayoutFor(5000L) == 4)               // the 4×16 default
+    assert(Dedup.simhashLayoutFor(50000000L) == 5)           // tens of millions
+    assert(Dedup.simhashLayoutFor(1000000000L) == 6)         // billions
+    assert(Dedup.simhashLayoutFor(1000000000000L) == 8)      // trillions
+    intercept[IllegalArgumentException](Dedup.simhashLayoutFor(Long.MaxValue))
+    // every pickable layout is a valid simhashBandKeys parameterization
+    (4 to 12).foreach(m => Dedup.simhashBandKeys(lit(1L), lit(2L), m, 3))
+  }
+
   test("bucketed bloom new-doc detection ≡ plain anti-join; empty buckets pass delta through") {
     import spark.implicits._
     val rng = new scala.util.Random(13)

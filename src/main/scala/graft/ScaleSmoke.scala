@@ -25,6 +25,7 @@ object ScaleSmoke {
 
   private val defaultOps = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_simhash_blocks", "dedup_bloom_bucketed",
     "dedup_clusters", "pipeline_curate", "pipeline_keep_best",
     "pipeline_pack_sequences", "mm_dedup_phash", "decontam_ngram",
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_codes",

@@ -28,6 +28,11 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.ngramJaccard.fn(spark, weirdDocsDir).count() == 0)
     assert(Dedup.minhashLsh.fn(spark, weirdDocsDir).count() == 0)
     assert(Dedup.simhash.fn(spark, weirdDocsDir).count() == 5)
+    // short docs fall back to token features; no near-dup pairs expected
+    assert(Dedup.simhashBlocks.fn(spark, weirdDocsDir).count() ==
+      Dedup.simhashPairs.fn(spark, weirdDocsDir).count())
+    assert(Dedup.bloomNewBucketed.fn(spark, weirdDocsDir).count() ==
+      Dedup.bloomNew.fn(spark, weirdDocsDir).count())
     assert(Graph.dedupClusters.fn(spark, weirdDocsDir).count() == 5)
   }
 

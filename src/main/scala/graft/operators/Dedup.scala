@@ -22,7 +22,7 @@ object Dedup {
     * (candidate pair mass ~1.3M at sf0.1) while 5-word shingles are ~100×
     * more selective (13.5k) with near-dup pairs still sharing most runs.
     */
-  private[operators] def withShingles(df: DataFrame): DataFrame =
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
       .withColumn("shingles", array_sort(array_distinct(expr(

@@ -218,6 +218,30 @@ object EventStreams {
       }
   }
 
+  /** Streaming decontamination gate — the stream face of
+    * Pipeline.decontaminate: arriving training documents score their
+    * shingle overlap against the STATIC benchmark gram set (the same
+    * one-row broadcast array the batch op builds; an eval set is tiny
+    * and changes rarely, so it is batch-prepared and joined
+    * stream-static). Stateless per-row projection — no watermark, no
+    * state store; at 100 TB/day ingest this is the shape that keeps the
+    * contamination check on the ingest path instead of a nightly batch.
+    * `docs` carries (doc_id, text); `bench` is a static (doc_id,
+    * shingles) frame (eval-set-sized, per the batch sizing contract).
+    */
+  def decontamStream(docs: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    val bg = broadcast(bench.agg(
+      array_distinct(flatten(collect_list(col("shingles")))).as("bg")))
+    val sh = graft.operators.Dedup.withShingles(docs)
+      .select(col("doc_id"), col("shingles"))
+    val overlap = size(array_intersect(col("shingles"), col("bg")))
+    sh.join(bg)
+      .select(col("doc_id"), overlap.cast("long").as("n_overlap"),
+        (overlap.cast("double") / size(col("shingles"))).as("overlap_frac"))
+      .withColumn("contaminated",
+        when(col("overlap_frac") >= tau, 1L).otherwise(0L))
+  }
+
   /** The verify stage on top of [[nearDupCandidates]]: each streamed
     * candidate pair joins the STATIC persisted shingle/sketch table
     * twice (stream-static joins are stateless — the static side is the

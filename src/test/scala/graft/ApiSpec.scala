@@ -186,6 +186,35 @@ class ApiSpec extends SparkSpec {
     assert(got == want, s"generic=${got.size} registered=${want.size}")
   }
 
+  test("PQ index round-trips through parquet and serves identically") {
+    import org.apache.spark.sql.functions.col
+    // the persisted-index lifecycle: train once, write codebooks + codes,
+    // read them back cold, serve — results must equal serving the
+    // in-memory index (schemas survive parquet: array<double> centroids,
+    // array<long> codes)
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cbs = GraftApi.pqCodebooks(emb, "vec_id", "embedding",
+      numSubs = 4, subDim = 16)
+    val codes = GraftApi.pqEncode(emb, "vec_id", "embedding", cbs,
+      numSubs = 4, subDim = 16)
+    val dir = tmpDir()
+    cbs.write.mode("overwrite").parquet(s"$dir/pq_codebooks.parquet")
+    codes.write.mode("overwrite").parquet(s"$dir/pq_codes.parquet")
+    val cbs2 = spark.read.parquet(s"$dir/pq_codebooks.parquet")
+    val codes2 = spark.read.parquet(s"$dir/pq_codes.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def serve(cb: org.apache.spark.sql.DataFrame, cd: org.apache.spark.sql.DataFrame) =
+      GraftApi.pqSearchADC(cd, cb, queries, "vec_id", "embedding",
+          numSubs = 4, subDim = 16, codebookSize = 16, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("adc_dist"))).toSet
+    val fresh = serve(cbs, codes)
+    val reloaded = serve(cbs2, codes2)
+    CacheRegistry.drain()
+    assert(fresh == reloaded, s"fresh=${fresh.size} reloaded=${reloaded.size}")
+    assert(fresh.nonEmpty)
+  }
+
   test("generic ivfTopK works on renamed columns and matches the registered op") {
     val emb = Tables.embeddings(spark, sfTiny)
     val renamed = emb.select(col("vec_id").as("item"), col("embedding").as("vec"))

@@ -52,6 +52,44 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed IVF inverted lists: serving probes shuffle ONLY the probe side") {
+    // the ivfIndex persistence story: lists stored bucketBy(cent_id)
+    // mean a serving run's cell-probe join reads the corpus lists with
+    // ZERO exchange — only the (tiny) probe set aligns to the layout
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val wh = tmpDir()
+    val db = "graft_ivf"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.embeddings(spark, sfTiny)
+      val (_, lists) = graft.operators.Similarity.ivfIndex(
+        emb, "vec_id", "embedding", cells = 64, iters = 1)
+      lists.write.mode("overwrite")
+        .bucketBy(8, "cent_id").sortBy("cent_id")
+        .saveAsTable(s"$db.ivf_lists")
+      CacheRegistry.drain()
+      import spark.implicits._
+      val probeDf = (0L until 8L).map(c => (100L + c, c)).toDF("q_id", "p_cent")
+      val joined = spark.table(s"$db.ivf_lists")
+        .join(probeDf, col("cent_id") === col("p_cent"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_cands"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // exchanges: the probe side aligning to the bucket layout + the
+      // final aggregate — the corpus lists side pays NONE
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2, s"expected 2 exchanges (probe align + agg), got $exchanges:\n$plan")
+      assert(!plan.contains("hashpartitioning(cent_id"),
+        s"corpus lists side shuffled:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
   test("bucketed sketch posting table: incremental dedup shuffles ONLY the delta") {
     // the warehouse-native addIndex: the corpus's MinHash posting lists are
     // persisted bucketBy(hash), so every arriving shard's candidate join

@@ -380,6 +380,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate equals the batch decontaminate op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfTiny)
+    val sh = graft.operators.Dedup.withShingles(docs).select("doc_id", "shingles")
+    val bench = CacheRegistry.track(sh.filter(col("doc_id") % 97 === 0))
+    val trainRows = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val gated = EventStreams.decontamStream(
+      input.toDF().toDF("doc_id", "text"), bench, tau = 0.5)
+    val q = gated.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(trainRows.take(trainRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(trainRows.drop(trainRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlap"),
+          r.getAs[Long]("contaminated"))).toSet
+      val batch = graft.operators.Pipeline.decontamNgram.fn(spark, sfTiny)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlap"),
+          r.getAs[Long]("contaminated"))).toSet
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming IVF serving equals batch ivfSearch over the same persisted index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

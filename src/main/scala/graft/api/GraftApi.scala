@@ -363,6 +363,45 @@ object GraftApi {
     graft.operators.Similarity.ivfSearch(corpus, queries, idCol, embCol,
       cells, nprobe, iters, k)
 
+  /** SimHash near-dup pairs over any (doc_id, text) frame through the
+    * multi-block band machinery — see
+    * graft.operators.Dedup.{simhashSignatures, simhashPairsFromSigs}.
+    * The default m=4 is the 4×16-bit layout; pass
+    * m = [[simhashBandLayoutFor]](corpusSize) to scale band occupancy
+    * with the corpus.
+    */
+  def simhashNearDupPairs(docs: DataFrame, m: Int = 4, d: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSigs(
+      graft.operators.Dedup.simhashSignatures(docs), m, d)
+
+  /** Cheapest C(m, m−d) simhash band layout whose key space keeps
+    * expected bucket occupancy bounded at `nDocs` — see
+    * graft.operators.Dedup.simhashLayoutFor.
+    */
+  def simhashBandLayoutFor(nDocs: Long, d: Int = 3): Int =
+    graft.operators.Dedup.simhashLayoutFor(nDocs, d)
+
+  /** Exact membership dedup of a delta against a corpus, bloom-
+    * prefiltered — see graft.operators.Dedup.bloomNewDocs; the bucketed
+    * form scales past the one-literal contract
+    * (graft.operators.Dedup.bloomNewDocsBucketed).
+    */
+  def bloomNewDocs(corpus: DataFrame, delta: DataFrame,
+      expectedItems: Long): DataFrame =
+    graft.operators.Dedup.bloomNewDocs(corpus, delta, expectedItems)
+  def bloomNewDocsBucketed(corpus: DataFrame, delta: DataFrame,
+      expectedItemsPerBucket: Long, buckets: Int): DataFrame =
+    graft.operators.Dedup.bloomNewDocsBucketed(
+      corpus, delta, expectedItemsPerBucket, buckets)
+
+  /** The persistable IVF index (centroids + cent_id-keyed inverted
+    * lists) — see graft.operators.Similarity.ivfIndex; serve a query
+    * stream against it with graft.streaming.AnnServe.ivfServeStream.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      cells: Int = 256, iters: Int = 1): (DataFrame, DataFrame) =
+    graft.operators.Similarity.ivfIndex(corpus, idCol, embCol, cells, iters)
+
   /** Train/eval decontamination over any (id, shingles) frames — see
     * graft.operators.Pipeline.decontaminate (benchmark n-grams broadcast,
     * per-row overlap, zero extra shuffle).

@@ -271,4 +271,25 @@ class PlanSpec extends SparkSpec {
     assert("might_contain".r.findAllIn(p).size >= 2, p)
     assert(p.contains("LeftAnti"), s"exact verify must be an anti-join:\n$p")
   }
+
+  test("bucketed bloom: every non-empty bucket gates with its own filter, verifies anti") {
+    val p = plan(graft.operators.Dedup.bloomNewBucketed)
+    // per-bucket branches: each carries proven-new + maybe-dup probes of
+    // ITS OWN filter literal (per-task memory = one bucket's filter)
+    assert("might_contain".r.findAllIn(p).size >= 4, p)
+    assert("LeftAnti".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("multi-block simhash pairs keep the bounded posting-list shape") {
+    val p = plan(graft.operators.Dedup.simhashBlocks)
+    // same skeleton as dedup_simhash_pairs: band groupBy with the bounded
+    // collect (partial+final), in-group expansion, a tiny distinct — and
+    // NO self-join of the corpus, no window sort
+    assert(p.contains("collect_set_bounded"), p)
+    assert(!p.contains("Join"), s"banded candidates must not self-join:\n$p")
+    assert(!p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected band + distinct exchanges, got $exchanges:\n$p")
+  }
 }

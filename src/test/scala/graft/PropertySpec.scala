@@ -174,6 +174,41 @@ class PropertySpec extends SparkSpec {
     assert(got.values.map(_._2).sum == tokens.map(_._2).sum)
   }
 
+  test("multi-block band keys: pairs within hamming d ALWAYS share a key (pigeonhole)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(17)
+    // random 64-bit signatures as (hi, lo) halves, each paired with a
+    // copy carrying 0..d random bit flips; plus control pairs with d+1
+    // flips spread so that every block is hit at least... (controls only
+    // assert the SHARED case — extra flips may still share keys)
+    val d = 3
+    val pairs = (0 until 200).map { i =>
+      val hi = rng.nextLong() & 0xffffffffL
+      val lo = rng.nextLong() & 0xffffffffL
+      val flips = rng.nextInt(d + 1) // 0..3 bit positions in 0..63
+      var (h2, l2) = (hi, lo)
+      (0 until flips).foreach { _ =>
+        val b = rng.nextInt(64)
+        if (b < 32) h2 ^= (1L << (31 - b)) else l2 ^= (1L << (63 - b))
+      }
+      (i.toLong, hi, lo, h2, l2)
+    }
+    val df = pairs.toDF("id", "hi", "lo", "hi2", "lo2")
+    for (m <- Seq(4, 5, 6, 8)) {
+      val shared = df.select(col("id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect(
+            graft.operators.Dedup.simhashBandKeys(col("hi"), col("lo"), m, d),
+            graft.operators.Dedup.simhashBandKeys(col("hi2"), col("lo2"), m, d)))
+          .as("n_shared"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_shared")).toMap
+      shared.foreach { case (id, n) =>
+        assert(n >= 1, s"m=$m: pair $id within hamming $d shares no band key")
+      }
+    }
+  }
+
   test("vec_distsq matches a sequential reference fold on random mixed-type vectors") {
     import spark.implicits._
     import graft.functions.vec._

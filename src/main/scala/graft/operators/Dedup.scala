@@ -437,18 +437,30 @@ object Dedup {
       jaccardMin: Double): DataFrame = {
     val dSk = graft.CacheRegistry.track(deltaSk)
     val corpusBuckets = corpusSk.select(col("doc_id"), explode(col("sketch")).as("h"))
-    val deltaBuckets = dSk.select(col("doc_id"), explode(col("sketch")).as("h"))
+    val deltaBuckets = graft.CacheRegistry.track(
+      dSk.select(col("doc_id"), explode(col("sketch")).as("h")))
+    // The bucket cap counts the UNION of corpus+delta postings per hash —
+    // the same "all docs sharing h" bucket minhashPairs caps — so the
+    // incremental pair set stays EXACTLY the capped full recompute
+    // restricted to the delta (a 300-deep templated bucket would
+    // otherwise emit |corpus-side|·|delta-side| cross pairs here that
+    // the full recompute's cap drops). One keyed count, then keyed
+    // semi-joins — no buffers. At warehouse scale the corpus side of
+    // this count is a persisted per-hash posting COUNT column, not a
+    // recount.
+    val kept = corpusBuckets.union(deltaBuckets)
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 64)).select("h")
+    val deltaKept = deltaBuckets.join(kept, "h")
     // delta×corpus candidates: keyed equi-join on the sketch hash
-    val crossCand = deltaBuckets.alias("d")
+    val crossCand = deltaKept.alias("d")
       .join(corpusBuckets.alias("c"), col("d.h") === col("c.h"))
       .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
     // delta×delta candidates: in-group posting-list expansion, delta
-    // only. Bounded like every posting list in this family: an arriving
-    // shard full of one templated page would otherwise buffer its whole
-    // bucket in one aggregation buffer (O(cap) memory, NULL on overflow
-    // drops the degenerate >64 bucket).
-    val deltaCand = deltaBuckets.groupBy("h")
+    // only. The bounded collect stays as the buffer guard even though
+    // the union cap already pruned the hashes.
+    val deltaCand = deltaKept.groupBy("h")
       .agg(graft.functions.CollectSetBounded
         .collect_set_bounded(col("doc_id"), 64).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
@@ -481,16 +493,12 @@ object Dedup {
       |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
       |       FROM sh),
       |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
-      |dbuckets AS (SELECT * FROM buckets WHERE doc_id % 10 = 0),
-      |dsmall AS (SELECT h FROM dbuckets GROUP BY h HAVING COUNT(*) <= 64),
+      |small AS (SELECT h FROM buckets GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  WHERE (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)
-      |  UNION
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM dbuckets a JOIN dbuckets b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  WHERE a.h IN (SELECT h FROM dsmall))
+      |  WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+      |    AND a.h IN (SELECT h FROM small))
       |SELECT doc_a, doc_b,
       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |    (len(sa.shingles) + len(sb.shingles)

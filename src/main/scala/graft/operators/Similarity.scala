@@ -86,22 +86,35 @@ object Similarity {
     "dedup_embedding_cosine",
     s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
       |           FROM embeddings),
+      |small AS (SELECT sk FROM v GROUP BY sk HAVING COUNT(*) BETWEEN 2 AND 64),
       |cand AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(generate_series(1, len(a.embedding)),
       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
       |      (acc, p) -> acc + p) / (a.nrm * b.nrm) AS cosine
-      |  FROM v a JOIN v b ON a.sk = b.sk AND a.vec_id < b.vec_id)
+      |  FROM v a JOIN v b ON a.sk = b.sk AND a.vec_id < b.vec_id
+      |  WHERE a.sk IN (SELECT sk FROM small))
       |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables.embeddings(spark, dir)
+    val v = graft.CacheRegistry.track(Tables.embeddings(spark, dir)
       .withColumn("nrm", nrmCol)
-      .withColumn("sk", expr(sketchExpr))
+      .withColumn("sk", expr(sketchExpr)))
+    // the family bucket cap (multiplicity contract): a degenerate sketch
+    // bucket — mass-duplicated vectors — makes in-bucket pairs quadratic
+    // in the duplication depth while discriminating nothing (the 300x
+    // smoke put this op at ~9x output growth on 3x data). Buckets past
+    // 64 members are dropped, exactly as the minhash/simhash/phash
+    // posting lists drop theirs; real near-dups re-surface after
+    // exact-vector dedup collapses the multiplicity. The kept-bucket
+    // list is sketch-cardinality-sized (≤ 2^8 here) — broadcast.
+    val small = v.groupBy("sk").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 64)).select("sk")
     val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       col("nrm").as("b_nrm"), col("sk").as("b_sk"))
     val dot = vec_dot(col("embedding"), col("b_emb"))
-    v.join(b, col("sk") === col("b_sk") && col("vec_id") < col("b_id"))
+    v.join(broadcast(small), "sk")
+      .join(b, col("sk") === col("b_sk") && col("vec_id") < col("b_id"))
       .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"),
         (dot / (col("nrm") * col("b_nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.2)

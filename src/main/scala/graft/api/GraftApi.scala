@@ -394,6 +394,42 @@ object GraftApi {
     graft.operators.Dedup.bloomNewDocsBucketed(
       corpus, delta, expectedItemsPerBucket, buckets)
 
+  /** Size-adaptive simhash near-dup pairs: ONE cheap count picks the
+    * band layout ([[simhashBandLayoutFor]]) so callers never hand-tune
+    * m — the 4×16 layout on small corpora, C(6,3)/C(8,5) combinations
+    * as the corpus grows into band-saturation territory.
+    */
+  def simhashNearDupPairsAuto(docs: DataFrame, d: Int = 3): DataFrame = {
+    val sigs = graft.CacheRegistry.track(
+      graft.operators.Dedup.simhashSignatures(docs))
+    val m = simhashBandLayoutFor(math.max(1L, sigs.count()), d)
+    graft.operators.Dedup.simhashPairsFromSigs(sigs, m, d)
+  }
+
+  /** Size-adaptive membership dedup (which delta docs are content-new):
+    * ONE cheap distinct-count of the corpus picks the cheapest correct
+    * plan — a plain anti-join when the corpus is dimension-sized (a
+    * bloom would cost more than it saves), a single bloom literal up to
+    * the one-literal contract, per-bucket filters beyond it. All three
+    * produce the identical exact answer; the count only moves cost.
+    */
+  def newDocs(corpus: DataFrame, delta: DataFrame,
+      antiJoinBelow: Long = 100000L): DataFrame = {
+    val c = graft.CacheRegistry.track(corpus)
+    val n = c.select(col("text")).distinct().count()
+    if (n <= antiJoinBelow)
+      delta.join(c.select(col("text").as("c_text")),
+          col("text") === col("c_text"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    else if (n <= 200000000L)
+      graft.operators.Dedup.bloomNewDocs(c, delta, expectedItems = n)
+    else {
+      val buckets = math.min(1024L, n / 200000000L + 1).toInt
+      graft.operators.Dedup.bloomNewDocsBucketed(c, delta,
+        expectedItemsPerBucket = 200000000L, buckets = buckets)
+    }
+  }
+
   /** The persistable IVF index (centroids + cent_id-keyed inverted
     * lists) — see graft.operators.Similarity.ivfIndex; serve a query
     * stream against it with graft.streaming.AnnServe.ivfServeStream.

@@ -186,6 +186,39 @@ class ApiSpec extends SparkSpec {
     assert(got == want, s"generic=${got.size} registered=${want.size}")
   }
 
+  test("simhashNearDupPairsAuto equals the explicit small-corpus layout") {
+    val docs = Tables.documents(spark, sfTiny)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val auto = norm(GraftApi.simhashNearDupPairsAuto(docs))
+    val explicit = norm(GraftApi.simhashNearDupPairs(docs, m = 4))
+    CacheRegistry.drain()
+    assert(auto == explicit, s"auto=${auto.size} explicit=${explicit.size}")
+  }
+
+  test("newDocs picks anti-join vs bloom by corpus size, identical exact answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, s"content number ${i % 200} padded out a bit"))
+      .toDF("doc_id", "text")
+    val delta = (1000 until 1100)
+      .map(i => (i.toLong, if (i % 2 == 0) s"content number ${i % 200} padded out a bit"
+                 else s"fresh delta content $i"))
+      .toDF("doc_id", "text")
+    val expected = delta.join(corpus.select(col("text").as("c_text")),
+        col("text") === col("c_text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val viaAnti = GraftApi.newDocs(corpus, delta)
+      .select("doc_id").as[Long].collect().toSet
+    val viaBloom = GraftApi.newDocs(corpus, delta, antiJoinBelow = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    CacheRegistry.drain()
+    assert(viaAnti == expected, (viaAnti -- expected, expected -- viaAnti))
+    assert(viaBloom == expected, (viaBloom -- expected, expected -- viaBloom))
+  }
+
   test("PQ index round-trips through parquet and serves identically") {
     import org.apache.spark.sql.functions.col
     // the persisted-index lifecycle: train once, write codebooks + codes,

@@ -113,6 +113,44 @@ object ScaleSmoke {
       .map { case (k, v) => s"""  "$k": $v""" }
     java.nio.file.Files.writeString(path,
       merged.mkString(s"""{\n  "amplification": $n,\n""", ",\n", "\n}"))
+
+    // Growth audit against the largest smaller-amplification artifact:
+    // time should scale ~linearly with N, so a ratio far past the
+    // amplification step marks a super-linear stage (an uncapped
+    // candidate generator, a fraction-of-N codebook, a driver collect).
+    // This is the check that caught the r5 join-shaped quadratic
+    // generators by hand — automated so every sweep runs it. Output
+    // growth rides along: pair-listing ops are OUTPUT-quadratic in
+    // duplication depth by semantics, and the rows ratio says which
+    // kind of super-linearity you are looking at.
+    val secRe = """"sec": ([0-9.]+)""".r
+    val rowsRe = """"rows": ([0-9]+)""".r
+    val priorN = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "scale_smoke_(\\d+)x\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .filter(_ < n).sorted.lastOption
+    priorN.foreach { m =>
+      val priorEntries = entryRe.findAllMatchIn(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"scale_smoke_${m}x.json")))
+        .map(mm => mm.group(1) -> mm.group(2)).toMap
+      val budget = n.toDouble / m * 1.5 // linear + 50% slack
+      fresh.foreach { case (name, body) =>
+        for {
+          pBody <- priorEntries.get(name)
+          pSec <- secRe.findFirstMatchIn(pBody).map(_.group(1).toDouble)
+          if pSec > 0.5 // below that, constant job overhead dominates
+          sec <- secRe.findFirstMatchIn(body).map(_.group(1).toDouble)
+          if sec / pSec > budget
+        } {
+          val rowsNote = (for {
+            pr <- rowsRe.findFirstMatchIn(pBody).map(_.group(1).toLong)
+            r <- rowsRe.findFirstMatchIn(body).map(_.group(1).toLong)
+          } yield s" (rows ${pr} -> ${r})").getOrElse("")
+          println(f"[scale ${n}x] WARN $name grew ${sec / pSec}%.1fx over ${m}x " +
+            f"(linear budget ${budget}%.1fx)$rowsNote")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -198,6 +198,83 @@ object Temporal {
       .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
   }
 
+  /** Ordered funnel conversion over the event log: per user — a view,
+    * then a click STRICTLY AFTER the first view, then a purchase
+    * strictly after that first qualifying click. Stage order matters
+    * (presence alone is not conversion), which is what separates a
+    * funnel from three independent filters.
+    *
+    * Scale shape: three keyed MIN aggregations and co-partitioned
+    * user_id joins — every shuffle keys on user_id so the partitioning
+    * is reused end to end; the raw log only ever streams through
+    * aggregates (no event collects, no log-wide windows).
+    */
+  val funnel: Op = Op(
+    "q_funnel_conversion",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS tv FROM events
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      |      JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      |      JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_view,
+      |  CAST(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_click,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_purchase
+      |FROM u LEFT JOIN v ON v.user_id = u.user_id
+      |       LEFT JOIN c ON c.user_id = u.user_id
+      |       LEFT JOIN p ON p.user_id = u.user_id""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = graft.CacheRegistry.track(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+    val u = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = ev.join(v.withColumnRenamed("user_id", "vu"), col("user_id") === col("vu"))
+      .filter(col("event_type") === "click" && col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = ev.join(c.withColumnRenamed("user_id", "cu"), col("user_id") === col("cu"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    u.join(v.withColumnRenamed("user_id", "vu"), col("user_id") === col("vu"), "left")
+      .join(c.withColumnRenamed("user_id", "cu"), col("user_id") === col("cu"), "left")
+      .join(p.withColumnRenamed("user_id", "pu"), col("user_id") === col("pu"), "left")
+      .select(col("user_id"),
+        when(col("vu").isNotNull, 1L).otherwise(0L).as("did_view"),
+        when(col("cu").isNotNull, 1L).otherwise(0L).as("did_click"),
+        when(col("pu").isNotNull, 1L).otherwise(0L).as("did_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-seen DAY, activity counted
+    * per whole-week offset from that day — the (cohort × week) matrix
+    * every growth dashboard draws. Two keyed aggregations + one
+    * co-partitioned user join; counts are exact longs, the cohort key is
+    * an ISO date string (identical rendering in both engines).
+    */
+  val retentionCohort: Op = Op(
+    "q_retention_cohort",
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+      |  CAST(date_diff('day', f.cohort, a.d) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON f.user_id = a.user_id
+      |GROUP BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = graft.CacheRegistry.track(Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
+    val f = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    ev.join(f.withColumnRenamed("user_id", "fu"), col("user_id") === col("fu"))
+      .groupBy(col("cohort").cast("string").as("cohort_day"),
+        expr("cast(datediff(d, cohort) div 7 as bigint)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val ops: Seq[Op] =
-    Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect)
+    Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect,
+      funnel, retentionCohort)
 }

@@ -237,6 +237,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_pii"), col("t_redacted").as("red_text"))
   }
 
+  /** Corpus-relative token rarity — the unigram-frequency quality signal
+    * (the exact-arithmetic stand-in for LM-perplexity filtering, which
+    * needs a model): each document scores the mean inverse corpus
+    * frequency of its tokens. Rare-vocabulary docs score high, boilerplate
+    * scores low.
+    *
+    * Exactness discipline: per-token contributions are INTEGER
+    * micro-units — (total_tokens · 10^6) div tf(w) — summed as longs
+    * (order-independent), divided back to a double once at the end, so
+    * the score is bit-identical across engines and partitionings (a
+    * float SUM would be partial-aggregation-order dependent, and ln()
+    * differs between libm implementations — both banned here). The 10^6
+    * scale bounds the corpus to ~9e12 tokens before the long overflows;
+    * widen the scale down (10^3) past that.
+    *
+    * Scale shape: one vocab-keyed count, one token-keyed join back
+    * (co-partitioned on the token), one doc-keyed rollup — all keyed
+    * shuffles of shrinking data; the single driver scalar is the corpus
+    * token count (addIndex-class).
+    */
+  val idfRarity: Op = Op(
+    "text_idf_rarity",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |tf AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+      |n AS (SELECT COUNT(*) AS total FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  (CAST(SUM((n.total * 1000000) // tf.cnt) AS DOUBLE) / COUNT(*))
+      |    / 1000000.0 AS rarity
+      |FROM toks JOIN tf USING (w), n
+      |GROUP BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val toks = graft.CacheRegistry.track(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")))
+    val tf = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.count() // single scalar: the corpus token count
+    toks.join(tf, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        ((sum(expr(s"(${total}L * 1000000L) div cnt")).cast("double") /
+          count(lit(1))) / 1000000.0).as("rarity"))
+  }
+
   val ops: Seq[Op] =
-    Seq(tokenCount, quality, langId, fingerprint, normalize, repetition, piiRedact)
+    Seq(tokenCount, quality, langId, fingerprint, normalize, repetition,
+      piiRedact, idfRarity)
 }

@@ -266,6 +266,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ids.subsetOf(Set(0L, 1L, 2L, 3L)), ids)
   }
 
+  test("funnel conversion is stage-ORDERED, not mere presence") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: view→click→purchase in order; u2: click BEFORE its first view
+    // (so neither click nor purchase converts); u3: view→purchase but no
+    // click (purchase must follow a qualifying click); u4: noise only
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"), (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 0.0, "{}"),
+      (4L, t(1), 2L, "click", 0.0, "{}"), (5L, t(2), 2L, "view", 0.0, "{}"),
+      (6L, t(3), 2L, "purchase", 0.0, "{}"),
+      (7L, t(1), 3L, "view", 0.0, "{}"), (8L, t(2), 3L, "purchase", 0.0, "{}"),
+      (9L, t(1), 4L, "error", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir(); writeTable(dir, "events", rows)
+    val got = Temporal.funnel.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("did_view"), r.getAs[Long]("did_click"),
+          r.getAs[Long]("did_purchase")))).toMap
+    CacheRegistry.drain()
+    assert(got(1L) == ((1L, 1L, 1L)), got(1L))
+    assert(got(2L) == ((1L, 0L, 0L)), got(2L)) // click precedes first view
+    assert(got(3L) == ((1L, 0L, 0L)), got(3L)) // purchase without a click
+    assert(got(4L) == ((0L, 0L, 0L)), got(4L))
+  }
+
   test("redactPii and packSequences handle null text / null tokens") {
     import spark.implicits._
     val df = Seq((1L, Option("a@b.co x")), (2L, Option.empty[String]))

@@ -273,7 +273,13 @@ object TextAnalysis {
     val toks = graft.CacheRegistry.track(Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")))
-    val tf = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // vocab tables broadcast in almost every real corpus; the adaptive
+    // guard keeps the common case a map-side hash probe (a token-keyed
+    // shuffle would also be Zipf-skewed — 'the' is a hot key by
+    // definition) and falls back to a shuffled join + AQE skew split
+    // for pathological vocabularies
+    val tf = graft.api.GraftApi.adaptiveBroadcast(
+      toks.groupBy("w").agg(count(lit(1)).as("cnt")))
     val total = toks.count() // single scalar: the corpus token count
     toks.join(tf, "w")
       .groupBy("doc_id").agg(

@@ -218,6 +218,59 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  case class FunnelState(tv: Long, tc: Long, tp: Long) // Long.MaxValue = unreached
+  case class FunnelFlags(user_id: Long, did_view: Long, did_click: Long,
+      did_purchase: Long)
+
+  /** Streaming stage-ordered funnel — the IVM face of
+    * q_funnel_conversion, and the per-key ordered-STAGE-machine idiom
+    * (distinct from sessionize's gap machine and dedup's posting
+    * state): per user the state holds the first view, the first click
+    * after it, and the first purchase after that; each arrival advances
+    * the machine and emits the user's current flags when they change.
+    * Flags are MONOTONE (0→1 only), so the latest (equivalently max)
+    * row per user in the append sink IS the batch answer — spec-proven
+    * ≡ q_funnel_conversion at end of stream.
+    *
+    * Ordering contract: within a trigger rows are sorted by ts before
+    * applying (replay-stable); across triggers each user's events must
+    * arrive in ts order (the partition-per-key log reality) — an
+    * earlier-ts view arriving AFTER a later click was already rejected
+    * would need event buffering to repair, the same watermark-and-buffer
+    * tradeoff sessionize documents.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelFlags] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelFlags](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val M = Long.MaxValue
+          val firstSeen = !state.exists
+          var s = state.getOption.getOrElse(FunnelState(M, M, M))
+          def flags(x: FunnelState) = FunnelFlags(user,
+            if (x.tv < M) 1L else 0L,
+            if (x.tc < M) 1L else 0L,
+            if (x.tp < M) 1L else 0L)
+          val before = flags(s)
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if e.ts_us < s.tv =>
+                s = s.copy(tv = e.ts_us)
+              case "click" if s.tv < e.ts_us && e.ts_us < s.tc =>
+                s = s.copy(tc = e.ts_us)
+              case "purchase" if s.tc < e.ts_us && e.ts_us < s.tp =>
+                s = s.copy(tp = e.ts_us)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val after = flags(s)
+          if (firstSeen || after != before) Iterator(after) else Iterator.empty
+      }
+  }
+
   /** Streaming decontamination gate — the stream face of
     * Pipeline.decontaminate: arriving training documents score their
     * shingle overlap against the STATIC benchmark gram set (the same

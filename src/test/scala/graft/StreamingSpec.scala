@@ -380,6 +380,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine converges to the batch funnel flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // per-user ts order across triggers: feed the log globally ts-sorted,
+    // split into two triggers at the midpoint
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"))
+      .orderBy("ts_us")
+      .as[(Long, String, Long)].collect()
+      .map { case (u, t, ts) => EventStreams.FunnelEvent(u, t, ts) }
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evRows.take(evRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evRows.drop(evRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      // flags are monotone → the max per user in the append sink is the
+      // final state
+      val streamed = spark.table("funnel_stream")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("did_view").as("v"),
+          org.apache.spark.sql.functions.max("did_click").as("c"),
+          org.apache.spark.sql.functions.max("did_purchase").as("p"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("v"), r.getAs[Long]("c"), r.getAs[Long]("p")))).toMap
+      val batch = graft.operators.Temporal.funnel.fn(spark, sfTiny)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("did_view"), r.getAs[Long]("did_click"),
+            r.getAs[Long]("did_purchase")))).toMap
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"diff=${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals the batch decontaminate op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

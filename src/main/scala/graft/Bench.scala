@@ -53,12 +53,19 @@ object Bench {
     // Peak task execution memory (unsafe shuffle/agg/sort buffers) across
     // the tasks of the current query — the executor-memory face of the
     // bench. Max-of-tasks, not sum: it bounds the per-slot memory a real
-    // executor must provision at this SF.
+    // executor must provision at this SF. Shuffle write bytes are the
+    // network face: summed per query, they measure the "minimize
+    // shuffles" discipline directly (a plan regression that re-shuffles
+    // a fact table shows up here before it shows up in seconds).
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+        if (m != null) {
+          peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
       }
     })
 
@@ -83,9 +90,11 @@ object Bench {
     // The WORST pass rides along as the variance field — a per-query
     // best≪worst spread marks machine noise, so a single noisy pass can
     // never masquerade as a code regression in round-over-round reads.
-    case class R(name: String, best: Double, worst: Double, ok: Boolean, peak: Long)
+    case class R(name: String, best: Double, worst: Double, ok: Boolean,
+        peak: Long, shuffle: Long)
     val results = names.map { name =>
       peak.set(0L)
+      shuffleBytes.set(0L)
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -96,7 +105,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       R(name, runs.map(_._1).min, runs.map(_._1).max,
-        runs.forall(_._2), peak.get())
+        runs.forall(_._2), peak.get(), shuffleBytes.get() / 2) // per pass
     }
     // failed queries are listed in `failed` and EXCLUDED from both the
     // queries map and the total, so the three fields stay consistent
@@ -112,7 +121,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_worst":$qsWorst,"total_worst":$totalWorst,"failed":$failed,"sf":"$sfDir"}""")
     if (benchAll) {
       val rows = results.map { r =>
-        s"""  "${r.name}": {"sec": ${f3(r.best)}, "sec_worst": ${f3(r.worst)}, "ok": ${r.ok}, "peak_exec_mem_bytes": ${r.peak}}"""
+        s"""  "${r.name}": {"sec": ${f3(r.best)}, "sec_worst": ${f3(r.worst)}, "ok": ${r.ok}, "peak_exec_mem_bytes": ${r.peak}, "shuffle_write_bytes": ${r.shuffle}}"""
       }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "bench_full.json")), rows)

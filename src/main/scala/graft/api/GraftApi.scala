@@ -430,6 +430,42 @@ object GraftApi {
     }
   }
 
+  /** N-stage ordered funnel over any event frame: stage i counts only
+    * when it occurs STRICTLY AFTER the key's first qualifying stage-i−1
+    * occurrence (order, not presence). Returns one row per key with a
+    * did_<stage> flag column per stage. Every shuffle keys on `keyCol`,
+    * so the partitioning is reused across all N aggregation rounds and
+    * the raw log only streams through MIN aggregates — the registered
+    * q_funnel_conversion is this with stages view→click→purchase.
+    */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.toSet.size == stages.size,
+      s"funnel: stages must be non-empty and distinct, got $stages")
+    val ev = graft.CacheRegistry.track(events.select(
+      col(keyCol).as("k"), col(typeCol).as("t"), col(tsCol).as("ts")))
+    val keys = ev.select(col("k")).distinct()
+    var prev: Option[DataFrame] = None
+    val reached = stages.map { st =>
+      val r = prev match {
+        case None => ev.filter(col("t") === st)
+            .groupBy("k").agg(min(col("ts")).as("tprev"))
+        case Some(p) => ev
+            .join(p.withColumnRenamed("k", "pk"), col("k") === col("pk"))
+            .filter(col("t") === st && col("ts") > col("tprev"))
+            .groupBy("k").agg(min(col("ts")).as("tprev"))
+      }
+      val cached = graft.CacheRegistry.track(r)
+      prev = Some(cached)
+      cached
+    }
+    stages.zip(reached).foldLeft(keys) { case (acc, (st, rf)) =>
+      acc.join(rf.select(col("k").as(s"k_$st")),
+        col("k") === col(s"k_$st"), "left")
+    }.select(col("k").as(keyCol) +: stages.map(st =>
+      when(col(s"k_$st").isNotNull, 1L).otherwise(0L).as(s"did_$st")): _*)
+  }
+
   /** The persistable IVF index (centroids + cent_id-keyed inverted
     * lists) — see graft.operators.Similarity.ivfIndex; serve a query
     * stream against it with graft.streaming.AnnServe.ivfServeStream.

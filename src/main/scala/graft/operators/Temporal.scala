@@ -228,24 +228,8 @@ object Temporal {
       |       LEFT JOIN c ON c.user_id = u.user_id
       |       LEFT JOIN p ON p.user_id = u.user_id""".stripMargin,
   ) { (spark, dir) =>
-    val ev = graft.CacheRegistry.track(Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts")))
-    val u = ev.select(col("user_id")).distinct()
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("tv"))
-    val c = ev.join(v.withColumnRenamed("user_id", "vu"), col("user_id") === col("vu"))
-      .filter(col("event_type") === "click" && col("ts") > col("tv"))
-      .groupBy("user_id").agg(min(col("ts")).as("tc"))
-    val p = ev.join(c.withColumnRenamed("user_id", "cu"), col("user_id") === col("cu"))
-      .filter(col("event_type") === "purchase" && col("ts") > col("tc"))
-      .groupBy("user_id").agg(min(col("ts")).as("tp"))
-    u.join(v.withColumnRenamed("user_id", "vu"), col("user_id") === col("vu"), "left")
-      .join(c.withColumnRenamed("user_id", "cu"), col("user_id") === col("cu"), "left")
-      .join(p.withColumnRenamed("user_id", "pu"), col("user_id") === col("pu"), "left")
-      .select(col("user_id"),
-        when(col("vu").isNotNull, 1L).otherwise(0L).as("did_view"),
-        when(col("cu").isNotNull, 1L).otherwise(0L).as("did_click"),
-        when(col("pu").isNotNull, 1L).otherwise(0L).as("did_purchase"))
+    graft.api.GraftApi.funnel(Tables.events(spark, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
   }
 
   /** Cohort retention: users grouped by first-seen DAY, activity counted

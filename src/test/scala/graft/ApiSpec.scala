@@ -219,6 +219,30 @@ class ApiSpec extends SparkSpec {
     assert(viaBloom == expected, (viaBloom -- expected, expected -- viaBloom))
   }
 
+  test("generic N-stage funnel: order-strict, arbitrary stage lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // u1 completes signup→view→click→purchase in order; u2 views before
+    // signing up (its view must not count — nor anything after); u3
+    // stops after click; u4 does purchase first (nothing counts but signup)
+    val ev = Seq(
+      (1L, "signup", 1L), (1L, "view", 2L), (1L, "click", 3L), (1L, "purchase", 4L),
+      (2L, "view", 1L), (2L, "signup", 2L), (2L, "click", 3L),
+      (3L, "signup", 1L), (3L, "view", 2L), (3L, "click", 3L),
+      (4L, "purchase", 1L), (4L, "signup", 2L),
+    ).toDF("uid", "etype", "ets")
+    val got = GraftApi.funnel(ev, "uid", "etype", "ets",
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("uid") ->
+        ((r.getAs[Long]("did_signup"), r.getAs[Long]("did_view"),
+          r.getAs[Long]("did_click"), r.getAs[Long]("did_purchase")))).toMap
+    CacheRegistry.drain()
+    assert(got(1L) == ((1L, 1L, 1L, 1L)), got(1L))
+    assert(got(2L) == ((1L, 0L, 0L, 0L)), got(2L)) // view precedes signup
+    assert(got(3L) == ((1L, 1L, 1L, 0L)), got(3L))
+    assert(got(4L) == ((1L, 0L, 0L, 0L)), got(4L)) // purchase precedes all
+  }
+
   test("PQ index round-trips through parquet and serves identically") {
     import org.apache.spark.sql.functions.col
     // the persisted-index lifecycle: train once, write codebooks + codes,

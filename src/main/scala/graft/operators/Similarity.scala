@@ -120,6 +120,44 @@ object Similarity {
       .filter(col("cosine") >= 0.2)
   }
 
+  /** Multi-signal near-dup evidence — the provenance table a curation
+    * pipeline keeps when it mines duplicates through more than one
+    * modality: every pair flagged by the LEXICAL generator (MinHash-LSH
+    * exact Jaccard ≥ 0.2) or the SEMANTIC one (embedding cosine ≥ 0.2
+    * on the id-aligned vector), with both scores and a signal count, so
+    * downstream policy can demand consensus (n_signals = 2) or weigh
+    * signals per source. One keyed (doc_a, doc_b) FULL join of two
+    * already-sliver pair sets — the corpus is never touched beyond the
+    * two generators. Absent scores render as 0.0 (below both
+    * thresholds by construction, so no information is lost).
+    */
+  val dedupMultiSignal: Op = Op(
+    "dedup_multi_signal",
+    s"""WITH lex AS (${graft.operators.Dedup.minhashLsh.oracle.get}),
+      |sem AS (${dedupEmbeddingCosine.oracle.get})
+      |SELECT COALESCE(l.doc_a, s.vec_a) AS doc_a,
+      |  COALESCE(l.doc_b, s.vec_b) AS doc_b,
+      |  CAST((CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
+      |  COALESCE(l.jaccard, 0.0) AS jaccard,
+      |  COALESCE(s.cosine, 0.0) AS cosine
+      |FROM lex l FULL JOIN sem s
+      |  ON s.vec_a = l.doc_a AND s.vec_b = l.doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    val lex = graft.operators.Dedup.minhashPairs(
+      Tables.documents(spark, dir), 0.2)
+    val sem = dedupEmbeddingCosine.fn(spark, dir)
+    lex.join(sem,
+        col("vec_a") === col("doc_a") && col("vec_b") === col("doc_b"),
+        "full_outer")
+      .select(coalesce(col("doc_a"), col("vec_a")).as("doc_a"),
+        coalesce(col("doc_b"), col("vec_b")).as("doc_b"),
+        (when(col("doc_a").isNotNull, 1L).otherwise(0L) +
+          when(col("vec_a").isNotNull, 1L).otherwise(0L)).as("n_signals"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        coalesce(col("cosine"), lit(0.0)).as("cosine"))
+  }
+
   /** Approximate top-k: same sketch buckets; each query ranks only within
     * its bucket — the scale path where the full candidate scan is replaced
     * by an equi-join.
@@ -788,7 +826,7 @@ object Similarity {
           .as("max_abs_err"))
 
   val ops: Seq[Op] =
-    Seq(annBruteForceTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK,
-      annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize, pqCodes,
-      pqSearch)
+    Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
+      annIvfTopK, annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize,
+      pqCodes, pqSearch)
 }

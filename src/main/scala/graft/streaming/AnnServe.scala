@@ -58,8 +58,12 @@ object AnnServe {
     val adc = (0 until numSubs).map(s =>
         expr(s"element_at(lut, int(${s * codebookSize} + element_at(codes, ${s + 1})))"))
       .reduce(_ + _)
-    // stream-static join: the micro-batch of LUTs drives one codes scan
-    val scored = lut.join(codes, col(idCol) =!= col("q_id"))
+    // stream-static join: the micro-batch of LUTs drives one codes scan.
+    // The broadcast hint pins the STREAM side as the build side — a
+    // micro-batch of queries is small by construction, while the codes
+    // table is the corpus; without the hint a stats-blind planner could
+    // pick the codes side at exactly the scale where that is fatal.
+    val scored = broadcast(lut).join(codes, col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).cast("long").as("cand_id"),
         adc.as("adc_dist"))
     // bounded-heap rank, same (dist asc, cand_id asc) order as the batch

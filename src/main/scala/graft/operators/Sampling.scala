@@ -31,6 +31,39 @@ object Sampling {
       .select("doc_id", "lang")
   }
 
+  /** Deterministic QUALITY-WEIGHTED sampling: each document keeps with
+    * probability proportional to a quality signal (here token count,
+    * saturating as tokens/(tokens+50)), decided by comparing a
+    * content-stable md5-derived uniform against the weight — the
+    * importance-downsampling verb between uniform stratification and
+    * hard quality cuts. Reproducible across engines/runs/parallelism:
+    * the "coin" is an 8-hex-digit integer (u32) and the threshold is
+    * floor(p·2^32), so the comparison is integer-exact (the only
+    * float step, p·2^32, is one IEEE multiply both engines perform
+    * identically).
+    */
+  val weightedSample: Op = Op(
+    "q_sample_weighted",
+    """SELECT doc_id, tokens, p_keep
+      |FROM (SELECT doc_id, tokens,
+      |        CAST(tokens AS DOUBLE) / (tokens + 50.0) AS p_keep,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS coin
+      |      FROM (SELECT doc_id,
+      |              len(list_filter(string_split(text, ' '), x -> x <> '')) AS tokens
+      |            FROM documents))
+      |WHERE coin < CAST(floor(p_keep * 4294967296.0) AS BIGINT)""".stripMargin,
+  ) { (spark, dir) =>
+    val tokens = size(expr("filter(split(text, ' '), x -> x != '')"))
+    val coin = expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("tokens"),
+        (tokens.cast("double") / (tokens + lit(50.0))).as("p_keep"),
+        coin.as("coin"))
+      .filter(col("coin") < floor(col("p_keep") * lit(4294967296.0)).cast("long"))
+      .select("doc_id", "tokens", "p_keep")
+  }
+
   /** Corpus vocabulary: global token frequencies with a deterministic
     * top-k — the vocab-building pass before tokenizer training.
     */
@@ -114,5 +147,6 @@ object Sampling {
   }
 
   val ops: Seq[Op] =
-    Seq(stratifiedSample, vocabTopK, approxDistinct, approxPercentile, mixBalance)
+    Seq(stratifiedSample, weightedSample, vocabTopK, approxDistinct,
+      approxPercentile, mixBalance)
 }

@@ -113,7 +113,11 @@ object AnnServe {
           s"-(vec_dot(qd, c.c_emb) / (q_nrm * c.c_nrm)) as cost," +
           s" c.cent_id as cent_id))), 1, $nprobe)")).as("p"))
       .select(col("q_id"), col("qd"), col("q_nrm"), col("p.cent_id").as("p_cent"))
-    val scored = probes
+    // probe set = micro-batch × nprobe — broadcast-sized by construction;
+    // the hint keeps the corpus lists as the streamed probe target (over
+    // a bucketBy(cent_id) layout the un-hinted SMJ path is equally
+    // exchange-free on the lists side — see BucketingSpec)
+    val scored = broadcast(probes)
       .join(lists, col("cent_id") === col("p_cent") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (expr("vec_dot(qd, embedding)") / (col("q_nrm") * col("nrm"))).as("cosine"))

@@ -153,6 +153,22 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("the 64-cap boundary is exact: 64-member buckets pair, 65-member buckets drop") {
+    import spark.implicits._
+    def corpusOf(n: Int) = (0 until n).map(i => (i.toLong, base))
+      .map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 64 identical docs: every sketch bucket holds exactly 64 — AT the
+    // cap, so the full C(64,2) pair set must be emitted
+    val at = Dedup.minhashPairs(corpusOf(64), 0.2).count()
+    CacheRegistry.drain()
+    assert(at == 64L * 63 / 2, s"at-cap bucket lost pairs: $at")
+    // 65: one past the cap — dropped wholesale, zero pairs
+    val past = Dedup.minhashPairs(corpusOf(65), 0.2).count()
+    CacheRegistry.drain()
+    assert(past == 0L, s"past-cap bucket leaked pairs: $past")
+  }
+
   test("minhash hot bucket: 80-member LSH bucket is dropped, outside pair kept") {
     val nearDup = base.replace("fast", "quick")
     val hot = "templated boilerplate page repeated across the whole mirror crawl " +

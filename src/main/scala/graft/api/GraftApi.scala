@@ -363,6 +363,19 @@ object GraftApi {
     graft.operators.Similarity.ivfSearch(corpus, queries, idCol, embCol,
       cells, nprobe, iters, k)
 
+  /** [[ivfTopK]] with nprobe auto-tuned from the index's cell-occupancy
+    * stats (size-biased mean occupancy → smallest probe count expected to
+    * surface k·oversample candidates) — see
+    * graft.operators.Similarity.ivfSearchAuto. The tuned limit is
+    * computed plan-side from a one-row occupancy aggregate, so no driver
+    * action splits index build from search.
+    */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, cells: Int = 256, iters: Int = 1, k: Int = 5,
+      oversample: Int = 8): DataFrame =
+    graft.operators.Similarity.ivfSearchAuto(corpus, queries, idCol, embCol,
+      cells, iters, k, oversample)
+
   /** SimHash near-dup pairs over any (doc_id, text) frame through the
     * multi-block band machinery — see
     * graft.operators.Dedup.{simhashSignatures, simhashPairsFromSigs}.

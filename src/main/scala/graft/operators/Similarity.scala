@@ -376,8 +376,14 @@ object Similarity {
     * probes = top-2 refined cells per query; final ranking through
     * TopKPerKeyExec on true cosine.
     */
-  val annIvfKmeansTopK: Op = Op(
-    "ann_ivf_kmeans_topk",
+  /** The ann_ivf_kmeans CTE chain (v/c0/assign0/contrib/c1/c1n/assign1/q),
+    * with the probe cut parameterized: `probeLimit` is the SQL expression
+    * bounding `rn` (a literal for the fixed-nprobe op; an occupancy-derived
+    * scalar subquery for the autoprobe op, whose CTEs arrive via
+    * `extraCtes`). One builder so the fixed-point Lloyd algebra is written
+    * exactly once and both ops provably share it.
+    */
+  private def ivfKmeansOracleSql(extraCtes: String, probeLimit: String): String =
     s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
       |c0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       |       FROM v WHERE vec_id < 256),
@@ -414,7 +420,7 @@ object Similarity {
       |          (acc, p) -> acc + p) / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
       |    FROM v, c1n c) WHERE rn = 1),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-      |      FROM v WHERE vec_id < 8),
+      |      FROM v WHERE vec_id < 8),$extraCtes
       |probes AS (
       |  SELECT q_id, cent_id FROM (
       |    SELECT q.q_id, c.cent_id,
@@ -423,7 +429,7 @@ object Similarity {
       |          list_transform(generate_series(1, len(q.q_emb)),
       |            i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])),
       |          (acc, p) -> acc + p) / (q.q_nrm * c.c_nrm) DESC, c.cent_id) AS rn
-      |    FROM q, c1n c) WHERE rn <= 2),
+      |    FROM q, c1n c) WHERE rn <= $probeLimit),
       |scored AS (
       |  SELECT q.q_id, v.vec_id AS cand_id,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -436,11 +442,43 @@ object Similarity {
       |SELECT q_id, cand_id, cosine FROM (
       |  SELECT q_id, cand_id, cosine,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
-      |  FROM scored) WHERE rn <= 5""".stripMargin,
+      |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  val annIvfKmeansTopK: Op = Op(
+    "ann_ivf_kmeans_topk",
+    ivfKmeansOracleSql("", "2"),
   ) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     ivfSearch(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
       cells = 256, nprobe = 2, iters = 1, k = 5)
+  }
+
+  /** [[annIvfKmeansTopK]] with nprobe chosen FROM the index instead of by
+    * hand — the SURVEY r6+ "nprobe auto-tuning from cell-occupancy stats"
+    * item. Proximity-ranked probing lands a query in a cell with
+    * probability ~proportional to cell mass, so p probes surface about
+    * p·(Σcnt²/Σcnt) candidates (the size-biased mean occupancy) — the
+    * smallest p reaching target = k·oversample candidates is
+    * ceil(target·Σcnt/Σcnt²), clamped to [1, cells]. Skew tunes itself:
+    * a lumpy index (big size-biased mean) probes fewer cells, a uniform
+    * one probes more, and recall targets stay stable as the corpus
+    * grows without anyone re-picking nprobe. The stats are `cells` rows
+    * aggregated off the inverted lists and ride the plan as a one-row
+    * cross join — no driver action (see [[Similarity.ivfSearchAuto]]).
+    * The oracle re-derives the same bound in SQL from the same assign1.
+    */
+  val annIvfAutoprobe: Op = Op(
+    "ann_ivf_autoprobe",
+    ivfKmeansOracleSql(
+      """
+        |occ AS (SELECT cent_id, COUNT(*) AS cnt FROM assign1 GROUP BY cent_id),
+        |np AS (SELECT LEAST(256, GREATEST(1,
+        |  CAST(ceil(40.0 * SUM(cnt) / SUM(cnt * cnt)) AS BIGINT))) AS np FROM occ),""",
+      "(SELECT np FROM np)"),
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    ivfSearchAuto(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      cells = 256, iters = 1, k = 5, oversample = 8)
   }
 
   /** Lloyd-refined IVF cosine top-k as a library function over any
@@ -502,18 +540,51 @@ object Similarity {
 
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, cells: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
+    val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)
+    ivfProbeSearch(v, c1p, assign1, queries, idCol, embCol, k)(
+      _.filter(col("rn") <= nprobe))
+  }
+
+  /** [[ivfSearch]] with nprobe auto-tuned from the index's own cell
+    * occupancy (see [[annIvfAutoprobe]] for the bound's derivation):
+    * nprobe = clamp(ceil(k·oversample·Σcnt/Σcnt²), 1, cells). The
+    * occupancy aggregate is `cells` rows off assign1 and joins the probe
+    * ranking as a ONE-ROW broadcast cross join, so the tuned limit stays
+    * entirely plan-side — no `.head()` between index build and search,
+    * and at 100 TB the stats read the persisted inverted lists' footer-
+    * sized groupBy, not the vectors.
+    */
+  def ivfSearchAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, cells: Int, iters: Int, k: Int,
+      oversample: Int = 8): DataFrame = {
+    val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)
+    val occ = assign1.groupBy(col("a_cent")).agg(count(lit(1)).as("cnt"))
+    val np = occ.agg(least(lit(cells.toLong), greatest(lit(1L),
+      ceil(lit((k.toLong * oversample).toDouble) * sum("cnt") /
+        sum(col("cnt") * col("cnt"))))).as("np"))
+    ivfProbeSearch(v, c1p, assign1, queries, idCol, embCol, k)(
+      _.crossJoin(broadcast(np)).filter(col("rn") <= col("np")))
+  }
+
+  /** Shared IVF probe-and-rerank tail: rank refined cells per query by
+    * cosine, keep the probes `cut` selects (a literal rn bound, or the
+    * occupancy-derived one-row np), score candidates from the probed
+    * inverted lists only, rank through the bounded-heap TopKPerKey.
+    */
+  private def ivfProbeSearch(v: DataFrame, c1p: DataFrame, assign1: DataFrame,
+      queries: DataFrame, idCol: String, embCol: String, k: Int)(
+      cut: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
-    val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)
     val c1b = broadcast(c1p.drop("part"))
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))
       .withColumn("q_nrm", nrmOf(col("q_emb")))
-    val probes = q.crossJoin(c1b)
+    val ranked = q.crossJoin(c1b)
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
         col("cent_id"))))
-      .filter(col("rn") <= nprobe)
+    val probes = cut(ranked)
       .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
     val scored = q
       .join(broadcast(probes), col("p_qid") === col("q_id"))
@@ -827,6 +898,6 @@ object Similarity {
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
-      annIvfTopK, annIvfKmeansTopK, annRandomHyperplaneTopK, embedQuantize,
-      pqCodes, pqSearch)
+      annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annRandomHyperplaneTopK,
+      embedQuantize, pqCodes, pqSearch)
 }

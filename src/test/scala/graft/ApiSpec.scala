@@ -286,6 +286,46 @@ class ApiSpec extends SparkSpec {
     assert(got == want, s"generic=${got.size} registered=${want.size}")
   }
 
+  test("ivfSearchAuto equals ivfSearch at the occupancy-derived nprobe") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val queries = emb.filter(col("vec_id") < 8)
+    // derive the bound the same way the plan does, off the same index:
+    // np = clamp(ceil(k·oversample·Σcnt/Σcnt²), 1, cells)
+    val (_, lists) = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", cells = 256, iters = 1)
+    val occ = lists.groupBy("cent_id").count()
+      .agg(sum("count"), sum(col("count") * col("count"))).head()
+    CacheRegistry.drain()
+    val np = math.min(256L, math.max(1L,
+      math.ceil(40.0 * occ.getLong(0) / occ.getLong(1)).toLong)).toInt
+    assert(np >= 1 && np <= 256)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val auto = toSet(graft.operators.Similarity.ivfSearchAuto(
+      emb, queries, "vec_id", "embedding", cells = 256, iters = 1, k = 5))
+    CacheRegistry.drain()
+    val manual = toSet(graft.operators.Similarity.ivfSearch(
+      emb, queries, "vec_id", "embedding", cells = 256, nprobe = np,
+      iters = 1, k = 5))
+    CacheRegistry.drain()
+    assert(auto == manual, s"auto=${auto.size} manual=${manual.size} np=$np")
+    assert(auto.nonEmpty)
+  }
+
+  test("ivfTopKAuto clamps past the live cell count on a tiny corpus") {
+    val emb = Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 5)
+    // 5 singleton cells → size-biased mean 1 → np = 40, far past the 5
+    // cells that exist; probing all of them degrades gracefully to exact
+    // search, so every query must rank all 4 non-self candidates
+    val got = GraftApi.ivfTopKAuto(emb, emb, "vec_id", "embedding",
+      cells = 256, iters = 1, k = 5)
+    val counts = got.groupBy("q_id").count().collect()
+      .map(r => r.getAs[Long]("count")).toSeq
+    CacheRegistry.drain()
+    assert(counts.size == 5 && counts.forall(_ == 4L), counts.toString)
+  }
+
   test("generic redactPii tags emails, IPs, phones and counts matches") {
     import spark.implicits._
     val df = Seq(

@@ -331,7 +331,81 @@ object Pipeline {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** Context-window chunking — the other batch-assembly shape next to
+    * [[packSequences]]: long documents are cut into fixed-size overlapping
+    * windows (512 chars, 64 overlap → stride 448) so no training example
+    * exceeds the context budget and no boundary sentence is seen by only
+    * one side of a cut. Chunk count per doc is
+    * max(1, ceil((len−512)/448)+1) — the final window is allowed to run
+    * short rather than spilling a sliver.
+    *
+    * The whole operator is a per-row projection + explode inside one scan:
+    * no shuffle, no join, output rows ≈ total_chars/stride. That is the
+    * 100 TB shape — chunking parallelizes embarrassingly, and the
+    * amplification factor is bounded by the stride, not by document count.
+    * Both engines compute the window count from the same IEEE double
+    * division (exact for integer quotients), so chunk ids align exactly.
+    */
+  val chunk: Op = Op(
+    "pipeline_chunk",
+    """SELECT doc_id, t.i AS chunk_id,
+      |  substr(text, CAST((t.i - 1) * 448 + 1 AS BIGINT), 512) AS chunk,
+      |  length(substr(text, CAST((t.i - 1) * 448 + 1 AS BIGINT), 512)) AS chunk_chars
+      |FROM documents,
+      |  UNNEST(generate_series(1, GREATEST(CAST(1 AS BIGINT),
+      |    CAST(ceil((length(text) - 512) / CAST(448 AS DOUBLE)) AS BIGINT) + 1))) AS t(i)
+      |WHERE length(text) > 0""".stripMargin,
+  ) { (spark, dir) =>
+    val (win, overlap) = (512, 64)
+    val stride = win - overlap
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil((length(col("text")) - lit(win)).cast("double") / lit(stride)) + lit(1L)))
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_chunks"))).as("chunk_id"),
+        col("text"))
+      .withColumn("chunk",
+        expr(s"substring(text, cast((chunk_id - 1) * $stride + 1 as int), $win)"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        length(col("chunk")).cast("long").as("chunk_chars"))
+  }
+
+  /** Deterministic train/val/test split (90/5/5) — the reproducibility
+    * contract of a dataset release: assignment hashes the STABLE doc_id
+    * (the [[shardManifest]] / q_sample_stratified md5 convention), so a
+    * document keeps its split across reruns, re-shards, and corpus
+    * growth — new documents land in splits without moving old ones, and
+    * no test example can drift into train because a file got rewritten.
+    * Emits the per-split manifest (counts + char mass), which is also the
+    * balance proof; the per-doc labels are the same CASE expression
+    * applied in a scan. One partial-aggregated groupBy over 3 keys — no
+    * meaningful shuffle at any scale. (Split leakage via near-duplicates
+    * is the dedup family's job upstream; the split itself must only be
+    * stable and disjoint, which the hash gives by construction.)
+    */
+  val split: Op = Op(
+    "pipeline_split",
+    """WITH labeled AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS h
+      |  FROM documents)
+      |SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM labeled GROUP BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    val h = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+      .cast("int") % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+      .groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   val ops: Seq[Op] =
     Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences,
-      shardManifest)
+      shardManifest, chunk, split)
 }

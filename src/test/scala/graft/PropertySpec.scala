@@ -174,6 +174,47 @@ class PropertySpec extends SparkSpec {
     assert(got.values.map(_._2).sum == tokens.map(_._2).sum)
   }
 
+  test("pipeline_chunk: chunks reassemble every document exactly") {
+    // coverage + alignment: dropping the 64-char overlap from every chunk
+    // after the first and concatenating must reproduce the document
+    // byte-for-byte — no gap, no double-count, for lengths straddling
+    // every boundary (under/at/over one window, multi-window, exact
+    // stride multiples)
+    val docs = graft.operators.Pipeline.chunk.fn(spark, sfTiny)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk")))
+      .groupBy(_._1)
+    CacheRegistry.drain()
+    val texts = Tables.documents(spark, sfTiny).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .filter(_._2.nonEmpty).toMap
+    CacheRegistry.drain()
+    assert(docs.keySet == texts.keySet)
+    docs.foreach { case (id, chunks) =>
+      val ordered = chunks.sortBy(_._2).map(_._3)
+      val rebuilt = ordered.head + ordered.tail.map(_.drop(64)).mkString
+      assert(rebuilt == texts(id), s"doc $id reassembly mismatch")
+      // every chunk but the last is exactly one window wide
+      assert(ordered.init.forall(_.length == 512), s"doc $id short inner chunk")
+    }
+  }
+
+  test("pipeline_split: disjoint, exhaustive, and stable across reruns") {
+    val total = Tables.documents(spark, sfTiny).count()
+    def manifest() = graft.operators.Pipeline.split.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs")))
+      .toMap
+    val m1 = manifest(); CacheRegistry.drain()
+    val m2 = manifest(); CacheRegistry.drain()
+    assert(m1 == m2, "split manifest not deterministic across reruns")
+    assert(m1.values.sum == total, s"splits not exhaustive: $m1 vs $total")
+    // the md5 coin should land near 90/5/5 (loose bounds — small corpus)
+    val train = m1.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.8 && train < 0.97, s"train fraction $train")
+    assert(m1.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("multi-block band keys: pairs within hamming d ALWAYS share a key (pigeonhole)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

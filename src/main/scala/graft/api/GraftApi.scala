@@ -532,6 +532,26 @@ object GraftApi {
     * projection, no shuffle. Returns the frame with `<textCol>_redacted`
     * and `n_pii` appended.
     */
+  /** Context-window chunking over any (id, text) frame — fixed-size
+    * overlapping windows, one scan, no shuffle; see
+    * graft.operators.Pipeline.chunkFrame. Returns (id, chunk_id, chunk,
+    * chunk_chars).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 512, overlap: Int = 64): DataFrame =
+    graft.operators.Pipeline.chunkFrame(df, idCol, textCol, window, overlap)
+
+  /** Deterministic split assignment over any frame with a stable id:
+    * md5-coin labels for arbitrary integer-percent weights (sum 100), so
+    * rows keep their split across reruns and corpus growth — see
+    * graft.operators.Pipeline.splitAssign. Returns the input plus a
+    * `split` column.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 90), ("val", 5), ("test", 5))): DataFrame =
+    graft.operators.Pipeline.splitAssign(df, idCol, splits)
+
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
     val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The capstone composition: a training-data curation pass that chains
@@ -356,18 +357,26 @@ object Pipeline {
       |    CAST(ceil((length(text) - 512) / CAST(448 AS DOUBLE)) AS BIGINT) + 1))) AS t(i)
       |WHERE length(text) > 0""".stripMargin,
   ) { (spark, dir) =>
-    val (win, overlap) = (512, 64)
-    val stride = win - overlap
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) > 0)
+    chunkFrame(Tables.documents(spark, dir), "doc_id", "text", 512, 64)
+  }
+
+  /** The generic face of [[chunk]]: fixed-size overlapping windows over
+    * any (id, text) frame. Returns (idCol, chunk_id, chunk, chunk_chars).
+    */
+  def chunkFrame(df: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"window ($window) must exceed overlap ($overlap)")
+    val stride = window - overlap
+    df.filter(length(col(textCol)) > 0)
       .withColumn("n_chunks", greatest(lit(1L),
-        ceil((length(col("text")) - lit(win)).cast("double") / lit(stride)) + lit(1L)))
-      .select(col("doc_id"),
+        ceil((length(col(textCol)) - lit(window)).cast("double") / lit(stride)) + lit(1L)))
+      .select(col(idCol),
         explode(sequence(lit(1L), col("n_chunks"))).as("chunk_id"),
-        col("text"))
+        col(textCol).as("__chunk_text"))
       .withColumn("chunk",
-        expr(s"substring(text, cast((chunk_id - 1) * $stride + 1 as int), $win)"))
-      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        expr(s"substring(__chunk_text, cast((chunk_id - 1) * $stride + 1 as int), $window)"))
+      .select(col(idCol), col("chunk_id"), col("chunk"),
         length(col("chunk")).cast("long").as("chunk_chars"))
   }
 
@@ -395,14 +404,30 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM labeled GROUP BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val h = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
-      .cast("int") % 100
-    Tables.documents(spark, dir)
-      .withColumn("split",
-        when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+    splitAssign(Tables.documents(spark, dir), "doc_id")
       .groupBy("split").agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** The generic face of [[split]]: per-row split labels over any frame
+    * with a stable id, for arbitrary integer-percent weights (must sum
+    * to 100). Returns the input plus a `split` column.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 90), ("val", 5), ("test", 5))): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0),
+      s"split weights must be positive integer percents summing to 100: $splits")
+    val h = expr(s"conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10)")
+      .cast("int") % 100
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail  // cumulative
+    val label = splits.map(_._1).zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, hi), rest) =>
+        when(h < hi, name).otherwise(rest)
+      }
+    df.withColumn("split", label)
   }
 
   val ops: Seq[Op] =

@@ -326,6 +326,40 @@ class ApiSpec extends SparkSpec {
     assert(counts.size == 5 && counts.forall(_ == 4L), counts.toString)
   }
 
+  test("generic chunkDocs works on renamed columns and custom window sizes") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 25), (2L, "bcd"), (3L, "")).toDF("id", "body")
+    val got = GraftApi.chunkDocs(df, "id", "body", window = 10, overlap = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk"))).toSet
+    // 25 chars, stride 8: starts 1/9/17 → ceil((25-10)/8)+1 = 3 chunks
+    val want = Set(
+      (1L, 1L, "a" * 10), (1L, 2L, "a" * 10), (1L, 3L, "a" * 9),
+      (2L, 1L, "bcd"))
+    assert(got == want, got.toString)
+    intercept[IllegalArgumentException] {
+      GraftApi.chunkDocs(df, "id", "body", window = 4, overlap = 4)
+    }
+  }
+
+  test("generic splitAssign honors custom weights and refuses bad ones") {
+    val docs = Tables.documents(spark, sfTiny)
+    val labeled = GraftApi.splitAssign(docs, "doc_id",
+      Seq(("fit", 50), ("holdout", 50)))
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("count"))).toMap
+    val total = docs.count()
+    CacheRegistry.drain()
+    assert(counts.keySet == Set("fit", "holdout"))
+    assert(counts.values.sum == total)
+    // a fair md5 coin at 50/50 should not be lopsided
+    val frac = counts("fit").toDouble / total
+    assert(frac > 0.35 && frac < 0.65, s"fit fraction $frac")
+    intercept[IllegalArgumentException] {
+      GraftApi.splitAssign(docs, "doc_id", Seq(("a", 60), ("b", 60)))
+    }
+  }
+
   test("generic redactPii tags emails, IPs, phones and counts matches") {
     import spark.implicits._
     val df = Seq(

@@ -42,6 +42,18 @@ object ScaleSmoke {
     val out = s"/tmp/graft_scale_$n"
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
+    // Size shuffle partitions to the data, not the core count — the rule
+    // a real cluster lives by. At a fixed 32 partitions the per-partition
+    // aggregate state grows linearly with amplification until hash
+    // aggregates tip into sort/spill and growth goes super-linear (the
+    // 1000× sweep showed dedup_minhash_lsh at 9.5× the 300× time for
+    // 3.3× the data on exactly this). ≤30× keeps the historical 32 so
+    // prior artifacts stay comparable; above that, partitions track N
+    // and AQE coalesces whatever over-provisioning a given op leaves.
+    val parts = spark.sparkContext.defaultParallelism *
+      math.max(1, math.ceil(n / 30.0).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    println(s"[scale ${n}x] shuffle partitions = $parts")
 
     def amplify(name: String, idCols: Seq[String]): Unit = {
       val base = Tables.load(spark, src, name)

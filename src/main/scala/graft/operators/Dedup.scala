@@ -107,7 +107,12 @@ object Dedup {
     val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
     val jac = interSz.cast("double") /
       (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
-    cand
+    // adaptive cand side: capped buckets make the pair set tiny on most
+    // corpora, and a broadcast hint keeps the wide shingle table from
+    // being shuffled+sorted twice just to probe it (the 1000× smoke
+    // measured that map stage as 2× over linear before AQE could see the
+    // cand size); past the row threshold the joins run un-hinted
+    graft.api.GraftApi.adaptiveBroadcast(cand)
       .join(sh.alias("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sh.alias("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= 0.2)
@@ -190,7 +195,9 @@ object Dedup {
     val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
     val jac = interSz.cast("double") /
       (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
-    cand
+    // same adaptive cand guard as ngramJaccard: don't shuffle+sort the
+    // cached sketch table twice to probe a capped (usually tiny) pair set
+    graft.api.GraftApi.adaptiveBroadcast(cand)
       .join(sk.alias("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sk.alias("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= jaccardMin)

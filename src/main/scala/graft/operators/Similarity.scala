@@ -557,7 +557,12 @@ object Similarity {
   def ivfSearchAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, cells: Int, iters: Int, k: Int,
       oversample: Int = 8): DataFrame = {
-    val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)
+    val (v, c1p, rawAssign) = ivfBuild(corpus, idCol, embCol, cells, iters)
+    // assign1 feeds TWO consumers here (occupancy stats + the probe
+    // join); uncached, Spark duplicates the assignment+Lloyd subtree
+    // per consumer — a second full corpus pass at scale. Cached it is
+    // 2 longs/vector, the in-plan analog of the persisted ivfIndex lists.
+    val assign1 = graft.CacheRegistry.track(rawAssign)
     val occ = assign1.groupBy(col("a_cent")).agg(count(lit(1)).as("cnt"))
     val np = occ.agg(least(lit(cells.toLong), greatest(lit(1L),
       ceil(lit((k.toLong * oversample).toDouble) * sum("cnt") /

@@ -113,12 +113,17 @@ object ScaleSmoke {
           .map(m => m.group(1) -> m.group(2)).toSeq
           .filterNot(_._1 == "amplification")
       else Seq.empty
-    val fresh = results.map { r =>
+    val freshAll = results.map { r =>
       entryRe.findFirstMatchIn(r) match {
         case Some(m) => m.group(1) -> m.group(2)
         case None => throw new IllegalStateException(
           s"unparseable smoke entry (fix the result format or entryRe): $r")
       }
+    }
+    // an op listed twice (the repeat-run warm/cold probe) must not write
+    // duplicate JSON keys — keep the last run's entry
+    val fresh = freshAll.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, kv) => acc.filterNot(_._1 == kv._1) :+ kv
     }
     val merged = (prior.filterNot(p => fresh.exists(_._1 == p._1)) ++ fresh)
       .sortBy(_._1)

@@ -118,6 +118,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("window rank carries WindowGroupLimit (rank pushdown bounds the per-key sort)") {
+    // the rn <= 3 filter must reach the window as a group limit — partial
+    // (pre-shuffle) pruning is what keeps a rank over a low-cardinality
+    // key linear at 1000×: each map task ships ≤ k rows per key instead
+    // of the whole partition (verified warm at 1000× in SURVEY §7)
+    val p = plan(WindowOps.windowRank)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("correlated subquery is decorrelated into an aggregate+join") {
     val p = plan(Extended.nestedUnnest)
     assert(!p.toLowerCase.contains("cartesian"), p)

@@ -136,4 +136,27 @@ object AnnServe {
           heap.toList.sortBy(s => (-s.cosine, s.cand_id)).iterator
       }
   }
+
+  /** [[ivfServeStream]] with nprobe derived from the persisted index's
+    * own cell occupancy — the serving face of
+    * graft.operators.Similarity.ivfSearchAuto, same bound: smallest
+    * probe count expected to surface k·oversample candidates given the
+    * size-biased mean occupancy, clamped to [1, cells]. The stats read
+    * is one `cells`-row aggregate off the lists — index metadata, the
+    * same class as loading the centroid table — computed ONCE at stream
+    * definition, never per micro-batch. Re-derive on index refresh (a
+    * stream restart), which is when occupancy can change.
+    */
+  def ivfServeStreamAuto(queries: DataFrame, centroids: DataFrame,
+      lists: DataFrame, idCol: String, embCol: String, k: Int = 5,
+      oversample: Int = 8): Dataset[CosScore] = {
+    val occ = lists.groupBy("cent_id").count()
+      .agg(sum("count").as("s"), sum(col("count") * col("count")).as("s2"))
+      .head()
+    val cells = centroids.count()
+    val np = math.min(cells, math.max(1L, math.ceil(
+      (k.toLong * oversample).toDouble * occ.getLong(0) / occ.getLong(1))
+      .toLong)).toInt
+    ivfServeStream(queries, centroids, lists, idCol, embCol, np, k)
+  }
 }

@@ -491,6 +491,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("auto-nprobe streaming IVF serving equals batch ivfSearchAuto") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnnServe
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfTiny)
+    val (cents, lists) = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", cells = 256, iters = 1)
+    val centsC = CacheRegistry.track(cents)
+    val listsC = CacheRegistry.track(lists)
+    val queries = emb.filter(col("vec_id") < 8)
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = AnnServe.ivfServeStreamAuto(
+      input.toDF().toDF("vec_id", "embedding"), centsC, listsC,
+      "vec_id", "embedding", k = 5)
+    val q = served.writeStream.format("memory").queryName("ivf_serve_auto")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(qRows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_serve_auto")
+        .as[AnnServe.CosScore].collect()
+        .map(s => (s.q_id, s.cand_id, s.cosine)).toSet
+      val batch = graft.operators.Similarity.ivfSearchAuto(emb, queries,
+          "vec_id", "embedding", cells = 256, iters = 1, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("cosine"))).toSet
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates equal the batch posting-list self-join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax}

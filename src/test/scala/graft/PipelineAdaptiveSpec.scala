@@ -71,6 +71,21 @@ class PipelineAdaptiveSpec extends SparkSpec {
     assert(viaBroadcast.size == 200) // every doc labeled
   }
 
+  test("minhash/ngram verify: shuffled cand path ≡ broadcast path on the dup corpus") {
+    // r5: the dedup verify joins gained the same adaptive cand guard the
+    // pipelines use — both paths must produce the identical pair set on
+    // a corpus whose cand list is genuinely non-trivial (60% near-dups)
+    val docs = Tables.documents(spark, highDupDir)
+    val mhB = rows(graft.operators.Dedup.minhashPairs(docs, 0.2))
+    val mhS = withShufflePath(rows(graft.operators.Dedup.minhashPairs(docs, 0.2)))
+    assert(mhB == mhS, s"missing=${(mhS -- mhB).take(3)} extra=${(mhB -- mhS).take(3)}")
+    assert(mhB.nonEmpty)
+    val ngB = rows(graft.operators.Dedup.ngramJaccard.fn(spark, highDupDir))
+    val ngS = withShufflePath(rows(graft.operators.Dedup.ngramJaccard.fn(spark, highDupDir)))
+    assert(ngB == ngS, s"missing=${(ngS -- ngB).take(3)} extra=${(ngB -- ngS).take(3)}")
+    assert(ngB.nonEmpty)
+  }
+
   test("plan shape: broadcast joins below the threshold, shuffled joins above it") {
     // below threshold (default 4M): every sliver join is a broadcast —
     // the corpus side never shuffles for a join

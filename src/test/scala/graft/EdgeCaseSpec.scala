@@ -90,6 +90,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fx(1L).getAs[Double]("printable_frac") == 1.0) // "one"
   }
 
+  test("chunk/split tolerate degenerate documents; autoprobe tolerates a tiny corpus") {
+    import spark.implicits._
+    // chunk: empty and whitespace docs — empty text is excluded, the
+    // single-token and whitespace docs each yield exactly one short chunk
+    val chunks = graft.operators.Pipeline.chunk.fn(spark, weirdDocsDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk")))
+    CacheRegistry.drain()
+    assert(!chunks.map(_._1).contains(0L), "empty doc must produce no chunks")
+    assert(chunks.count(_._1 == 1L) == 1 && chunks.find(_._1 == 1L).get._2 == "one")
+    // split: all docs labeled, no doc dropped or double-counted
+    val m = graft.operators.Pipeline.split.fn(spark, weirdDocsDir)
+      .collect().map(r => r.getAs[Long]("n_docs")).sum
+    CacheRegistry.drain()
+    assert(m == 5L, s"split manifest covers $m of 5 docs")
+    // autoprobe: a 2-vector corpus — occupancy stats of two singleton
+    // cells; must not throw, and each query ranks the single non-self
+    // candidate
+    val two = Seq((0L, Seq.fill(64)(1.0f)), (1L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfSearchAuto(
+      two, two, "vec_id", "embedding", cells = 256, iters = 1, k = 5)
+      .collect()
+    CacheRegistry.drain()
+    assert(got.length == 2, got.mkString(","))
+  }
+
   test("operators run concurrently in one session (no shared mutable catalog state)") {
     // the round-2 review flagged temp-view registration as a race; after
     // the rewrite every operator must be safe to interleave freely

@@ -430,7 +430,47 @@ object Pipeline {
     df.withColumn("split", label)
   }
 
+  /** Mixture interleaving — the scheduling complement of q_mix_balance:
+    * given a target weight per language (here en 0.4, others 0.15), every
+    * document gets a virtual time vtime = (2·rank+1)/(2·w), and reading
+    * in ascending vtime yields the target mixture in every prefix (stride
+    * scheduling: a weight-w source emits its rank-th doc at time
+    * ≈ rank/w, so a time-t prefix holds ≈ t·w of its docs). Deterministic
+    * and engine-exact: one integer enumeration + one IEEE division per
+    * row, no float sums.
+    *
+    * The enumeration avoids the per-source global sort a naive
+    * ROW_NUMBER over (lang) would pay (partition depth = docs per lang):
+    * docs shard by doc_id residue, rank within (lang, shard) — 8×
+    * parallelism, bounded partitions, the [[packSequences]] discipline —
+    * and global rank = local·8 + shard. vtime is a SORT KEY the consumer
+    * orders by (like pack_id); the op itself never sorts globally.
+    */
+  val interleave: Op = Op(
+    "pipeline_interleave",
+    """WITH r AS (
+      |  SELECT doc_id, lang, doc_id % 8 AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id) - 1 AS lr
+      |  FROM documents)
+      |SELECT doc_id, lang, lr * 8 + shard AS enum_rank,
+      |  CAST(2 * (lr * 8 + shard) + 1 AS DOUBLE) /
+      |    (2 * (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END)) AS vtime
+      |FROM r""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(col("doc_id"), lit(8L))
+    val local = row_number().over(
+      Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(8L)))
+        .orderBy(col("doc_id")))
+    val w = when(col("lang") === "en", 0.4).otherwise(0.15)
+    Tables.documents(spark, dir)
+      .withColumn("shard", shard)
+      .withColumn("enum_rank", (local - 1).cast("long") * 8 + col("shard"))
+      .select(col("doc_id"), col("lang"), col("enum_rank"),
+        ((col("enum_rank") * 2 + 1).cast("double") / (w * 2)).as("vtime"))
+  }
+
   val ops: Seq[Op] =
     Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences,
-      shardManifest, chunk, split)
+      shardManifest, chunk, split, interleave)
 }

@@ -215,6 +215,27 @@ class PropertySpec extends SparkSpec {
     assert(m1.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("pipeline_interleave: every vtime prefix holds the target mixture") {
+    // stride scheduling's defining property: reading in ascending vtime,
+    // a prefix of n docs contains ≈ n·w docs of each weight-w lang
+    // (while no lang's supply is exhausted); shard quantization jitters
+    // the boundary by at most the shard count
+    val rows = graft.operators.Pipeline.interleave.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("vtime")))
+      .sortBy(_._2)
+    CacheRegistry.drain()
+    val n = 200
+    val prefix = rows.take(n).groupBy(_._1).view.mapValues(_.length).toMap
+    val en = prefix.getOrElse("en", 0)
+    assert(math.abs(en - n * 0.4) <= 10, s"en in prefix: $en of $n")
+    for (l <- Seq("zh", "es", "de", "fr")) {
+      val c = prefix.getOrElse(l, 0)
+      assert(math.abs(c - n * 0.15) <= 8, s"$l in prefix: $c of $n")
+    }
+    // vtimes are unique per lang (a strict schedule, no double-booking)
+    assert(rows.length == rows.map(t => (t._1, t._2)).distinct.length)
+  }
+
   test("multi-block band keys: pairs within hamming d ALWAYS share a key (pigeonhole)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

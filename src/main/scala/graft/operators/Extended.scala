@@ -397,6 +397,30 @@ object Extended {
         count(lit(1)).as("n"))
   }
 
+  /** GROUPING SETS: arbitrary set lists — here the two independent
+    * marginals WITHOUT the pair or the grand total, the combination
+    * neither ROLLUP nor CUBE can express. Same one-pass execution as its
+    * siblings (map-side expansion, per-set partials in one shuffle — two
+    * scans' worth of aggregation for one scan's IO); same long-cents
+    * exact accumulator.
+    */
+  val groupingSetsAgg: Op = Op(
+    "q_groupingsets_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+        .as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
   /** Cross-stage persistence of compiled queries
     * (ivm/expressiontree/CrossStagePersistence.scala, Compile.scala:1-):
     * the reference compiles a query once and rebinds its embedded
@@ -429,6 +453,7 @@ object Extended {
     indexByLookup, typeFilter, typeCase, flattenArrays, unzipPairs, mkStringAgg,
     viewFusion, subquerySharing, arithReassoc, stringOps, numericConv,
     optionOps, letBinding, nestedUnnest, typeMappingPartition, bagMultiset,
-    bagAlgebra, paperTutorial, rollupAgg, cubeAgg, preparedParam,
+    bagAlgebra, paperTutorial, rollupAgg, cubeAgg, groupingSetsAgg,
+    preparedParam,
   )
 }

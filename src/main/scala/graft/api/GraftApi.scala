@@ -552,6 +552,16 @@ object GraftApi {
         Seq(("train", 90), ("val", 5), ("test", 5))): DataFrame =
     graft.operators.Pipeline.splitAssign(df, idCol, splits)
 
+  /** Stride-scheduled mixture order over any (id, domain) frame —
+    * per-row virtual times whose ascending order yields the target
+    * domain mixture in every prefix; see
+    * graft.operators.Pipeline.mixSchedule. Weights normalize internally;
+    * rows with unlisted domains are excluded.
+    */
+  def mixSchedule(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], shards: Int = 8): DataFrame =
+    graft.operators.Pipeline.mixSchedule(df, idCol, domainCol, weights, shards)
+
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
     val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""

@@ -457,16 +457,36 @@ object Pipeline {
       |    (2 * (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END)) AS vtime
       |FROM r""".stripMargin,
   ) { (spark, dir) =>
+    mixSchedule(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15,
+        "fr" -> 0.15))
+  }
+
+  /** The generic face of [[interleave]]: stride-scheduled mixture over
+    * any frame with a stable id and a domain column, for arbitrary
+    * positive weights (normalized internally). Returns the input's id +
+    * domain plus (enum_rank, vtime); read ascending vtime for the
+    * mixture. `shards` is the enumeration-parallelism knob.
+    */
+  def mixSchedule(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = pmod(col("doc_id"), lit(8L))
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mixSchedule weights must be positive: $weights")
+    require(shards > 0, s"shards must be positive: $shards")
+    val total = weights.values.sum
+    val w = weights.foldLeft(lit(null).cast("double")) {
+      case (rest, (dom, wt)) =>
+        when(col(domainCol) === dom, lit(wt / total)).otherwise(rest)
+    }
+    val shard = pmod(col(idCol), lit(shards.toLong))
     val local = row_number().over(
-      Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(8L)))
-        .orderBy(col("doc_id")))
-    val w = when(col("lang") === "en", 0.4).otherwise(0.15)
-    Tables.documents(spark, dir)
+      Window.partitionBy(col(domainCol), pmod(col(idCol), lit(shards.toLong)))
+        .orderBy(col(idCol)))
+    df.filter(col(domainCol).isInCollection(weights.keys.toSeq))
       .withColumn("shard", shard)
-      .withColumn("enum_rank", (local - 1).cast("long") * 8 + col("shard"))
-      .select(col("doc_id"), col("lang"), col("enum_rank"),
+      .withColumn("enum_rank", (local - 1).cast("long") * shards + col("shard"))
+      .select(col(idCol), col(domainCol), col("enum_rank"),
         ((col("enum_rank") * 2 + 1).cast("double") / (w * 2)).as("vtime"))
   }
 

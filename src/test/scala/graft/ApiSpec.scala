@@ -360,6 +360,25 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("generic mixSchedule matches the registered interleave and refuses bad weights") {
+    val docs = Tables.documents(spark, sfTiny)
+    val got = GraftApi.mixSchedule(docs, "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("vtime"))).toSet
+    CacheRegistry.drain()
+    val want = graft.operators.Pipeline.interleave.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("vtime"))).toSet
+    CacheRegistry.drain()
+    assert(got == want)
+    // unlisted domains are excluded, weights normalize
+    val sub = GraftApi.mixSchedule(docs, "doc_id", "lang", Map("en" -> 2.0))
+    assert(sub.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    CacheRegistry.drain()
+    intercept[IllegalArgumentException] {
+      GraftApi.mixSchedule(docs, "doc_id", "lang", Map("en" -> -1.0))
+    }
+  }
+
   test("generic redactPii tags emails, IPs, phones and counts matches") {
     import spark.implicits._
     val df = Seq(

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   * run of one op reads several× slower than its slot in a sweep. The
   * signal this tool exists for is growth ACROSS amplification levels,
   * which the constant warmup cost does not bend.
+  *
+  * Adjudicating a growth WARN (the r5 protocol): before changing code,
+  * (1) re-record the SMALLER amplification fresh under identical config —
+  * mixed-config ratios flagged 10 ops in r5 of which one was real; then
+  * (2) run the op TWICE in one invocation (`ScaleSmoke N op op`) — if
+  * the second run is ~linear vs the smaller N, the flag was cold-IO/JIT
+  * constants, not algorithmic growth (the artifact keeps the cold first
+  * run; note the warm number in SURVEY). Only a flag that survives both
+  * probes is a plan bug — r5's survivor was the minhash verify join,
+  * fixed with the adaptiveBroadcast cand guard.
   */
 object ScaleSmoke {
 

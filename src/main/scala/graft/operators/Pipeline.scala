@@ -136,8 +136,9 @@ object Pipeline {
     * document then scores its overlap via per-row array_intersect in the
     * same codegen'd scan that built its shingles — zero extra shuffle, no
     * join of corpus-sized sides. (An eval set of thousands of documents is
-    * a few MB of n-grams — broadcastable by construction; were it not,
-    * the fallback is the posting-list equi-join the dedup ops use.)
+    * a few MB of n-grams — broadcastable by construction; past the gram
+    * bound [[decontaminate]] switches itself to the posting-list
+    * equi-join the dedup ops use.)
     */
   val decontamNgram: Op = Op(
     "decontam_ngram",
@@ -163,34 +164,61 @@ object Pipeline {
 
   /** Generic decontamination: score every `train` row's shingle overlap
     * against the union of `bench`'s shingles. Both frames carry
-    * (doc_id, shingles); `bench` must be eval-set-sized (its distinct
-    * n-grams are broadcast as ONE array literal).
+    * (doc_id, shingles). The formulation is SIZE-ADAPTIVE — the
+    * adaptiveBroadcast decision applied to formulation choice, not just
+    * hint choice (reference analog: SubquerySharing picks index-vs-scan
+    * by what exists, not by caller promise):
     *
-    * Sizing contract (the bloomNewDocs treatment — fail fast, not OOM):
-    * the distinct gram count is checked with a keyed-shuffle count BEFORE
-    * the single-row array aggregate is built, because that aggregate
-    * itself buffers the whole gram set in one task. Past the bound, use
-    * the posting-list equi-join formulation the dedup family uses —
-    * the bound is the contract that this broadcast shape is legal.
+    *   - At or below `broadcastMaxGrams` distinct benchmark grams (the
+    *     real eval-set case — thousands of documents, a few MB of
+    *     n-grams), the gram set broadcasts as ONE array literal and every
+    *     training row scores via array_intersect inside the same
+    *     codegen'd scan that built its shingles — zero extra shuffle.
+    *   - Past the bound, the per-row intersect would rebuild an N-gram
+    *     hash set per TRAINING row (ArrayIntersect's lookup set is not
+    *     cached across rows for non-foldable inputs — a compute cliff at
+    *     1e9 docs), so the op switches to the posting-list equi-join the
+    *     dedup family uses: explode training grams, equi-join the
+    *     benchmark gram list on the gram key, count hits per doc, and
+    *     left-join the counts back so zero-overlap docs keep their row.
+    *
+    * The distinct-gram count that drives the decision is one keyed
+    * aggregate over the EVAL side only (never the corpus), on a frame the
+    * chosen formulation consumes anyway. Both paths are result-identical
+    * (PipelineAdaptiveSpec on a large-benchmark corpus; EdgeCaseSpec at
+    * the switch boundary). Session conf
+    * `graft.decontaminate.broadcastMaxGrams` overrides the default.
     */
   def decontaminate(train: org.apache.spark.sql.DataFrame,
       bench: org.apache.spark.sql.DataFrame, tau: Double,
-      maxBenchGrams: Long = 10000000L): org.apache.spark.sql.DataFrame = {
-    val n = bench.select(explode(col("shingles")).as("g")).distinct().count()
-    require(n <= maxBenchGrams,
-      s"decontaminate: benchmark set has $n distinct n-grams, exceeding " +
-        s"maxBenchGrams=$maxBenchGrams — the gram set is broadcast as one " +
-        "array literal; shrink the eval set, raise the bound explicitly, " +
-        "or switch to a posting-list equi-join at this cardinality")
-    val bg = bench.agg(
-      array_distinct(flatten(collect_list(col("shingles")))).as("bg"))
-    val overlap = size(array_intersect(col("shingles"), col("bg")))
-    train.crossJoin(broadcast(bg))
-      .select(col("doc_id"),
-        overlap.cast("long").as("n_overlap"),
-        (overlap.cast("double") / size(col("shingles"))).as("overlap_frac"))
-      .withColumn("contaminated",
-        when(col("overlap_frac") >= tau, 1L).otherwise(0L))
+      broadcastMaxGrams: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val limit = train.sparkSession.conf
+      .getOption("graft.decontaminate.broadcastMaxGrams")
+      .map(_.toLong).getOrElse(broadcastMaxGrams)
+    val grams = graft.CacheRegistry.track(
+      bench.select(explode(col("shingles")).as("g")).distinct())
+    val scored =
+      if (grams.count() <= limit) {
+        val bg = grams.agg(collect_list(col("g")).as("bg"))
+        val overlap = size(array_intersect(col("shingles"), col("bg")))
+        train.crossJoin(broadcast(bg))
+          .select(col("doc_id"),
+            overlap.cast("long").as("n_overlap"),
+            (overlap.cast("double") / size(col("shingles"))).as("overlap_frac"))
+      } else {
+        val hits = train
+          .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("g"))
+          .join(grams, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        train.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hits"), lit(0L)).as("n_overlap"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / col("n_sh"))
+              .as("overlap_frac"))
+      }
+    scored.withColumn("contaminated",
+      when(col("overlap_frac") >= tau, 1L).otherwise(0L))
   }
 
   /** Quality-aware representative selection: within every near-dup

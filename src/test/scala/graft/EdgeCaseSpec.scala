@@ -218,14 +218,32 @@ class EdgeCaseSpec extends SparkSpec {
   // cardinality with a descriptive message instead of OOMing (the
   // bloomNewDocs house style), and degenerate inputs take defined paths
 
-  test("decontaminate refuses a benchmark past the gram bound, fail-fast") {
+  test("decontaminate switches formulation at the gram bound, result-identical") {
     import spark.implicits._
-    val sh = Seq((0L, Seq("g1", "g2", "g3"))).toDF("doc_id", "shingles")
-    val e = intercept[IllegalArgumentException] {
-      Pipeline.decontaminate(sh, sh, tau = 0.5, maxBenchGrams = 2L)
+    val train = Seq(
+      (0L, Seq("g1", "g2", "g3", "g4")),   // 4/4 overlap → contaminated
+      (1L, Seq("g3", "g4", "g5", "g6")),   // 3/4 overlap → contaminated
+      (2L, Seq("x1", "x2", "x3", "x4")))   // 0/4 → clean (survives the left join)
+      .toDF("doc_id", "shingles")
+    val bench = Seq((9L, Seq("g1", "g2", "g3", "g4", "g5")))
+      .toDF("doc_id", "shingles")          // 5 distinct grams
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+      CacheRegistry.drain()
+      out
     }
-    assert(e.getMessage.contains("maxBenchGrams"), e.getMessage)
-    assert(Pipeline.decontaminate(sh, sh, 0.5).count() == 1) // within bound
+    val byBroadcast = norm(Pipeline.decontaminate(train, bench, 0.5))
+    // bound 5 = exactly the gram count → still the broadcast form;
+    // bound 4 = one past it → the posting-list equi-join form
+    val atBoundary = norm(
+      Pipeline.decontaminate(train, bench, 0.5, broadcastMaxGrams = 5L))
+    val byJoin = norm(
+      Pipeline.decontaminate(train, bench, 0.5, broadcastMaxGrams = 4L))
+    assert(atBoundary == byBroadcast, s"$atBoundary vs $byBroadcast")
+    assert(byJoin == byBroadcast, s"$byJoin vs $byBroadcast")
+    assert(byBroadcast.map(t => t._1 -> t._4).toMap ==
+      Map(0L -> 1L, 1L -> 1L, 2L -> 0L), byBroadcast.toString)
   }
 
   test("indexBy refuses a fact-sized key set and a hot key past the group bound") {

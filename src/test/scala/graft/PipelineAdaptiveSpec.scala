@@ -86,6 +86,29 @@ class PipelineAdaptiveSpec extends SparkSpec {
     assert(ngB.nonEmpty)
   }
 
+  test("decontaminate: posting-list join form ≡ broadcast-array form on a large benchmark") {
+    // a benchmark that is a fifth of the corpus — thousands of distinct
+    // grams, the regime where the per-row array_intersect set rebuild
+    // is the r5-flagged compute cliff and the op must switch itself to
+    // the posting-list equi-join
+    val sh = graft.operators.Dedup
+      .withShingles(Tables.documents(spark, highDupDir))
+      .select(col("doc_id"), col("shingles"))
+    val train = sh.filter(col("doc_id") % 5 =!= 0)
+    val bench = sh.filter(col("doc_id") % 5 === 0)
+    val viaBroadcast = rows(Pipeline.decontaminate(train, bench, 0.5))
+    val viaJoin = rows(
+      Pipeline.decontaminate(train, bench, 0.5, broadcastMaxGrams = 0L))
+    assert(viaBroadcast == viaJoin,
+      s"missing=${(viaJoin -- viaBroadcast).take(3)} extra=${(viaBroadcast -- viaJoin).take(3)}")
+    assert(viaBroadcast.nonEmpty)
+    // the join form must not carry the per-row intersect anywhere in its plan
+    val pJ = Pipeline.decontaminate(train, bench, 0.5, broadcastMaxGrams = 0L)
+      .queryExecution.executedPlan.toString
+    CacheRegistry.drain()
+    assert(!pJ.contains("array_intersect"), pJ)
+  }
+
   test("plan shape: broadcast joins below the threshold, shuffled joins above it") {
     // below threshold (default 4M): every sliver join is a broadcast —
     // the corpus side never shuffles for a join

@@ -27,6 +27,10 @@ object CacheRegistry {
     df
   }
 
+  /** Number of currently tracked caches (spec hook: ops that claim to be
+    * cache-free can pin it at zero). */
+  def liveCount: Int = synchronized(live.size)
+
   def drain(): Unit = synchronized {
     live.foreach(_.unpersist(blocking = false))
     live.clear()

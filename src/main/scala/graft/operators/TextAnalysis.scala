@@ -254,8 +254,11 @@ object TextAnalysis {
     *
     * Scale shape: one vocab-keyed count, one token-keyed join back
     * (co-partitioned on the token), one doc-keyed rollup — all keyed
-    * shuffles of shrinking data; the single driver scalar is the corpus
-    * token count (addIndex-class).
+    * shuffles of shrinking data. The corpus token count folds in
+    * PLAN-SIDE as a one-row broadcast (sum of the vocab counts — the
+    * ivfSearchAuto pattern), so nothing collects on the driver and the
+    * exploded token stream needs no cache: its two plan appearances are
+    * each a single codegen'd scan.
     */
   val idfRarity: Op = Op(
     "text_idf_rarity",
@@ -270,21 +273,24 @@ object TextAnalysis {
       |FROM toks JOIN tf USING (w), n
       |GROUP BY doc_id""".stripMargin,
   ) { (spark, dir) =>
-    val toks = graft.CacheRegistry.track(Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")))
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
     // vocab tables broadcast in almost every real corpus; the adaptive
     // guard keeps the common case a map-side hash probe (a token-keyed
     // shuffle would also be Zipf-skewed — 'the' is a hot key by
     // definition) and falls back to a shuffled join + AQE skew split
     // for pathological vocabularies
-    val tf = graft.api.GraftApi.adaptiveBroadcast(
-      toks.groupBy("w").agg(count(lit(1)).as("cnt")))
-    val total = toks.count() // single scalar: the corpus token count
+    val tfRaw = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tf = graft.api.GraftApi.adaptiveBroadcast(tfRaw)
+    // corpus token count = sum of the vocab counts: a one-row aggregate
+    // over the (tiny) vocab frame, cross-joined as a broadcast literal
+    val total = tfRaw.agg(sum(col("cnt")).as("total"))
     toks.join(tf, "w")
+      .crossJoin(broadcast(total))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
-        ((sum(expr(s"(${total}L * 1000000L) div cnt")).cast("double") /
+        ((sum(expr("(total * 1000000L) div cnt")).cast("double") /
           count(lit(1))) / 1000000.0).as("rarity"))
   }
 

@@ -18,6 +18,9 @@ class PlanLintSpec extends SparkSpec {
     // one-row global-min aggregate crossed onto the per-lang counts
     // (a handful of rows), never the corpus
     "q_mix_balance",
+    // one-row corpus-token-total aggregate crossed onto the probe join
+    // (the plan-side scalar that replaced the r5 driver count)
+    "text_idf_rarity",
     // one-row broadcast of the benchmark's distinct n-gram array crossed
     // onto the corpus scan — the eval set is tiny by definition
     "decontam_ngram",

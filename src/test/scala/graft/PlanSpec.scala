@@ -290,6 +290,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_idf_rarity: corpus total folds in plan-side — no driver scalar, no cache") {
+    import org.apache.spark.sql.functions._
+    CacheRegistry.drain()
+    val df = graft.operators.TextAnalysis.idfRarity.fn(spark, sfTiny)
+    // the only tracked cache is adaptiveBroadcast's vocab-sized guard —
+    // the r5 exploded-token-stream cache (corpus × tokens rows, carries
+    // doc_id) is gone, and the corpus total arrives as a broadcast
+    assert(CacheRegistry.liveCount == 1, "expected only the vocab guard")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!"InMemoryTableScan \\[[^\\]]*doc_id".r.findFirstIn(p).isDefined,
+      s"exploded token stream is cached:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(df.filter(col("rarity") <= 0).count() == 0)
+    CacheRegistry.drain()
+  }
+
   test("multi-block simhash pairs keep the bounded posting-list shape") {
     val p = plan(graft.operators.Dedup.simhashBlocks)
     // same skeleton as dedup_simhash_pairs: band groupBy with the bounded

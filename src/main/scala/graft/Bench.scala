@@ -92,20 +92,28 @@ object Bench {
     // never masquerade as a code regression in round-over-round reads.
     case class R(name: String, best: Double, worst: Double, ok: Boolean,
         peak: Long, shuffle: Long)
+    // metrics arrive on the async listener bus: drain it before resetting
+    // the counters (so a previous pass's late onTaskEnd events are not
+    // attributed to this one) and again before reading them. Counters are
+    // per PASS — shuffle reports the min pass (steady state; the first
+    // pass may fold in one-time cache-population shuffle), peak the max.
+    def drained(): Unit = org.apache.spark.sql.graftshim.Shim
+      .drainListenerBus(spark.sparkContext)
     val results = names.map { name =>
-      peak.set(0L)
-      shuffleBytes.set(0L)
       val runs = (1 to 2).map { _ =>
+        drained(); peak.set(0L); shuffleBytes.set(0L)
         val t0 = System.nanoTime()
         val ok =
           try { materialize(name); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        drained()
+        (sec, ok, peak.get(), shuffleBytes.get())
       }
       R(name, runs.map(_._1).min, runs.map(_._1).max,
-        runs.forall(_._2), peak.get(), shuffleBytes.get() / 2) // per pass
+        runs.forall(_._2), runs.map(_._3).max, runs.map(_._4).min)
     }
     // failed queries are listed in `failed` and EXCLUDED from both the
     // queries map and the total, so the three fields stay consistent

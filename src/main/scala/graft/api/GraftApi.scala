@@ -425,7 +425,34 @@ object GraftApi {
     * bloom would cost more than it saves), a single bloom literal up to
     * the one-literal contract, per-bucket filters beyond it. All three
     * produce the identical exact answer; the count only moves cost.
+    *
+    * The bucketed form sizes BOTH knobs from n so their product stays
+    * inside [[graft.operators.Dedup.bloomNewDocsBucketed]]'s ~2e9-item
+    * driver budget (the driver holds every bucket's filter while the
+    * plan exists): buckets = ⌈n/2e8⌉, items-per-bucket = ⌈n/buckets⌉.
+    * That covers corpora to ~2e9 DISTINCT texts; past it one driver job
+    * cannot legally hold the filters, so this fails fast and the caller
+    * runs the per-bucket form as separate jobs over a partitionBy(bkt)
+    * layout (the contract bloomNewDocsBucketed documents).
     */
+  /** Bucket sizing for [[newDocs]]'s per-bucket bloom tier: both knobs
+    * derive from n so buckets·items covers n while staying inside the
+    * per-bucket one-literal contract (≤2e8) AND the ~2e9 whole-job
+    * driver budget. Fails fast past ~2e9 distinct texts — one driver
+    * job cannot legally hold the filters there; run the per-bucket form
+    * as separate jobs over a partitionBy(bkt) layout instead.
+    */
+  def bloomBucketSizing(n: Long): (Int, Long) = {
+    require(n <= 2000000000L,
+      s"newDocs: corpus has $n distinct texts — past the ~2e9 single-job " +
+        "driver budget for bucketed bloom filters; run " +
+        "bloomNewDocsBucketed as separate jobs over a partitionBy(bkt) " +
+        "layout instead")
+    val buckets = ((n + 199999999L) / 200000000L).toInt // ⌈n/2e8⌉ ≤ 10
+    val perBucket = (n + buckets - 1) / buckets         // ⌈n/buckets⌉ ≤ 2e8
+    (buckets, perBucket)
+  }
+
   def newDocs(corpus: DataFrame, delta: DataFrame,
       antiJoinBelow: Long = 100000L): DataFrame = {
     val c = graft.CacheRegistry.track(corpus)
@@ -437,9 +464,9 @@ object GraftApi {
     else if (n <= 200000000L)
       graft.operators.Dedup.bloomNewDocs(c, delta, expectedItems = n)
     else {
-      val buckets = math.min(1024L, n / 200000000L + 1).toInt
+      val (buckets, perBucket) = bloomBucketSizing(n)
       graft.operators.Dedup.bloomNewDocsBucketed(c, delta,
-        expectedItemsPerBucket = 200000000L, buckets = buckets)
+        expectedItemsPerBucket = perBucket, buckets = buckets)
     }
   }
 

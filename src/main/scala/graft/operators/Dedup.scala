@@ -434,6 +434,9 @@ object Dedup {
     * pairs touching the delta (spec-proven in DedupSpec): candidate
     * generation shares a sketch hash in both formulations and the verify
     * is the same exact Jaccard, so neither recall nor precision moves.
+    * The frames need NOT be id-disjoint: per-hash bucket depth counts
+    * distinct doc_ids, a doc present in both frames never pairs with
+    * itself, and its verify row enters the join once.
     *
     * Scale shape: corpus sketches are read, never rebuilt; the bucket
     * join is keyed on the sketch hash, so at 100 TB the arriving shard's
@@ -446,22 +449,27 @@ object Dedup {
     val corpusBuckets = corpusSk.select(col("doc_id"), explode(col("sketch")).as("h"))
     val deltaBuckets = graft.CacheRegistry.track(
       dSk.select(col("doc_id"), explode(col("sketch")).as("h")))
-    // The bucket cap counts the UNION of corpus+delta postings per hash —
-    // the same "all docs sharing h" bucket minhashPairs caps — so the
-    // incremental pair set stays EXACTLY the capped full recompute
-    // restricted to the delta (a 300-deep templated bucket would
-    // otherwise emit |corpus-side|·|delta-side| cross pairs here that
-    // the full recompute's cap drops). One keyed count, then keyed
-    // semi-joins — no buffers. At warehouse scale the corpus side of
-    // this count is a persisted per-hash posting COUNT column, not a
-    // recount.
+    // The bucket cap counts the DISTINCT doc_ids of the corpus+delta
+    // union per hash — the same "all docs sharing h" bucket minhashPairs
+    // caps — so the incremental pair set stays EXACTLY the capped full
+    // recompute restricted to the delta (a 300-deep templated bucket
+    // would otherwise emit |corpus-side|·|delta-side| cross pairs here
+    // that the full recompute's cap drops). countDistinct, not count:
+    // the frames need not be id-disjoint, and a doc present in both
+    // would otherwise count twice per shared hash and shift buckets
+    // across the cutoff relative to the full recompute. One keyed
+    // count, then keyed semi-joins — no buffers. At warehouse scale the
+    // corpus side of this count is a persisted per-hash posting COUNT
+    // column, not a recount.
     val kept = corpusBuckets.union(deltaBuckets)
-      .groupBy("h").agg(count(lit(1)).as("n"))
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("n"))
       .filter(col("n").between(2, 64)).select("h")
     val deltaKept = deltaBuckets.join(kept, "h")
-    // delta×corpus candidates: keyed equi-join on the sketch hash
+    // delta×corpus candidates: keyed equi-join on the sketch hash (a doc
+    // in both frames must not pair with itself)
     val crossCand = deltaKept.alias("d")
-      .join(corpusBuckets.alias("c"), col("d.h") === col("c.h"))
+      .join(corpusBuckets.alias("c"), col("d.h") === col("c.h") &&
+        col("d.doc_id") =!= col("c.doc_id"))
       .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
     // delta×delta candidates: in-group posting-list expansion, delta
@@ -476,8 +484,11 @@ object Dedup {
           " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))")).as("p"))
       .select("p.doc_a", "p.doc_b")
     val cand = crossCand.union(deltaCand).distinct()
+    // a doc_id in both frames is the SAME document (identical shingles
+    // by id semantics) — keep one verify row so the join can't fan out
     val all = corpusSk.select("doc_id", "shingles")
       .union(dSk.select("doc_id", "shingles"))
+      .dropDuplicates("doc_id")
     val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
     val jac = interSz.cast("double") /
       (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)

@@ -153,6 +153,12 @@ object AnnServe {
     val occ = lists.groupBy("cent_id").count()
       .agg(sum("count").as("s"), sum(col("count") * col("count")).as("s2"))
       .head()
+    // an empty index yields NULL sums — fail fast with the contract
+    // instead of an opaque NPE (the bloomNewDocs empty-corpus treatment)
+    require(!occ.isNullAt(0),
+      "ivfServeStreamAuto: lists index is empty — build the IVF index " +
+        "before defining the serving stream (occupancy-derived nprobe " +
+        "needs at least one indexed vector)")
     val cells = centroids.count()
     val np = math.min(cells, math.max(1L, math.ceil(
       (k.toLong * oversample).toDouble * occ.getLong(0) / occ.getLong(1))

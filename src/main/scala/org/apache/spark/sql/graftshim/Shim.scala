@@ -18,4 +18,14 @@ object Shim {
 
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.logical
+
+  /** Block until every queued listener event is delivered. Task metrics
+    * arrive on the asynchronous listener bus; a metrics reader that
+    * resets counters between measured sections without draining first
+    * can attribute one section's late onTaskEnd events to the next.
+    * `listenerBus` is private[spark], hence bridged here.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+      timeoutMillis: Long = 30000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }

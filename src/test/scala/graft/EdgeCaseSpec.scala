@@ -290,6 +290,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e2.getMessage.contains("driver"), e2.getMessage)
   }
 
+  test("newDocs bucket sizing honors BOTH bloom contracts across the whole legal range") {
+    import graft.api.GraftApi.bloomBucketSizing
+    // every n the adaptive path can dispatch must produce knobs that
+    // bloomNewDocsBucketed's requires accept (the r5 advice found
+    // min(1024, …) buckets × 2e8 items violating the 2e9 driver budget)
+    for (n <- Seq(200000001L, 400000000L, 1000000000L, 1999999999L, 2000000000L)) {
+      val (buckets, perBucket) = bloomBucketSizing(n)
+      assert(buckets >= 1 && buckets <= 1024, s"n=$n buckets=$buckets")
+      assert(perBucket <= 200000000L, s"n=$n perBucket=$perBucket")
+      assert(buckets.toLong * perBucket <= 2000000000L,
+        s"n=$n product=${buckets.toLong * perBucket}")
+      assert(buckets.toLong * perBucket >= n, // coverage: filters sized for n
+        s"n=$n undersized: ${buckets.toLong * perBucket}")
+    }
+    val e = intercept[IllegalArgumentException](bloomBucketSizing(2000000001L))
+    assert(e.getMessage.contains("partitionBy(bkt)"), e.getMessage)
+  }
+
+  test("incrementalPairs: overlapping corpus∩delta ids count once at the bucket cap") {
+    import spark.implicits._
+    // 63 corpus docs + 2 delta docs share hash h1; doc 63 lives in BOTH
+    // frames → 64 DISTINCT docs (at the cap, bucket kept). The r5 advice
+    // case: a raw union count would see 65 and drop the bucket; a doc
+    // must also never pair with itself, and its verify row enters once.
+    def sk(ids: Seq[Long]) = ids.map(i =>
+      (i, Seq(s"tok$i", "shared"), Seq("h1"))).toDF("doc_id", "shingles", "sketch")
+    val corpus = sk(1L to 63L)
+    val delta = sk(Seq(63L, 64L))
+    val pairs = Dedup.incrementalPairs(corpus, delta, jaccardMin = 0.1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    CacheRegistry.drain()
+    assert(pairs.nonEmpty, "bucket at the distinct-doc cap was dropped")
+    assert(!pairs.exists(p => p._1 == p._2), s"self pair: $pairs")
+    assert(pairs.distinct.size == pairs.size, "duplicated verify rows")
+    // delta doc 64 pairs with every corpus doc incl. the shared doc 63
+    assert(pairs.contains((63L, 64L)), pairs.take(5).toString)
+  }
+
   test("collect_set_bounded SQL rejects a non-numeric cap with a descriptive error") {
     val e = intercept[Exception] {
       spark.sql("SELECT collect_set_bounded(x, 'x') FROM VALUES (1) t(x)").collect()

@@ -527,6 +527,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfServeStreamAuto on an empty index fails fast, not NPE") {
+    import spark.implicits._
+    import graft.streaming.AnnServe
+    val emb = Tables.embeddings(spark, sfTiny)
+    val (cents, lists) = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", cells = 4, iters = 1)
+    val emptyLists = lists.limit(0)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      AnnServe.ivfServeStreamAuto(queries, cents, emptyLists,
+        "vec_id", "embedding", k = 5)
+    }
+    CacheRegistry.drain()
+    assert(e.getMessage.contains("index is empty"), e.getMessage)
+  }
+
   test("streaming near-dup candidates equal the batch posting-list self-join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax}

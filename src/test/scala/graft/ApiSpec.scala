@@ -313,6 +313,30 @@ class ApiSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("ivfSearchAutoFromIndex over the persisted index equals the inline build") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val queries = emb.filter(col("vec_id") < 8)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val inline = toSet(graft.operators.Similarity.ivfSearchAuto(
+      emb, queries, "vec_id", "embedding", cells = 256, iters = 1, k = 5))
+    CacheRegistry.drain()
+    // serving form: same index frames, candidates straight off the lists
+    val (cents, lists) = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", cells = 256, iters = 1)
+    val served = toSet(graft.operators.Similarity.ivfSearchAutoFromIndex(
+      cents, lists, queries, "vec_id", "embedding", k = 5))
+    CacheRegistry.drain()
+    assert(served == inline,
+      s"served-only=${(served -- inline).take(3)} inline-only=${(inline -- served).take(3)}")
+    assert(served.nonEmpty)
+    // and the REGISTERED op (persisted-index serving) matches too
+    val reg = toSet(SparkEntry.queries("ann_ivf_autoprobe")(spark, sfTiny))
+    CacheRegistry.drain()
+    assert(reg == inline, s"reg=${reg.size} inline=${inline.size}")
+  }
+
   test("ivfTopKAuto clamps past the live cell count on a tiny corpus") {
     val emb = Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 5)
     // 5 singleton cells → size-biased mean 1 → np = 40, far past the 5

@@ -53,15 +53,18 @@ object ScaleSmoke {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // Size shuffle partitions to the data, not the core count — the rule
-    // a real cluster lives by. At a fixed 32 partitions the per-partition
+    // a real cluster lives by, now the library's own
+    // GraftApi.partitionsFor (this harness validated it; the library
+    // face came out of it). At a fixed 32 partitions the per-partition
     // aggregate state grows linearly with amplification until hash
     // aggregates tip into sort/spill and growth goes super-linear (the
     // 1000× sweep showed dedup_minhash_lsh at 9.5× the 300× time for
-    // 3.3× the data on exactly this). ≤30× keeps the historical 32 so
-    // prior artifacts stay comparable; above that, partitions track N
-    // and AQE coalesces whatever over-provisioning a given op leaves.
-    val parts = spark.sparkContext.defaultParallelism *
-      math.max(1, math.ceil(n / 30.0).toInt)
+    // 3.3× the data on exactly this). The row estimate is the dominant
+    // (lineitem) table's amplified count — 600k·n at sf0.1, one wave of
+    // partitions per 18M rows, so ≤30× keeps the historical 32 and
+    // prior artifacts stay comparable.
+    val baseRows = Tables.load(spark, src, "lineitem").count()
+    val parts = graft.api.GraftApi.partitionsFor(spark, baseRows * n)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     println(s"[scale ${n}x] shuffle partitions = $parts")
 

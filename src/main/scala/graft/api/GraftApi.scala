@@ -129,6 +129,24 @@ object GraftApi {
     if (cached.count() <= limit) broadcast(cached) else cached
   }
 
+  /** The data-sized partition rule the 100×/300×/1000× ScaleSmoke sweeps
+    * validated: one WAVE of `threads` partitions per ~18M rows of the
+    * dominant table (≈560k rows per partition), so per-partition
+    * aggregate/window state stays bounded as data grows. A fixed
+    * partition count silently tips hash aggregates into sort/spill as
+    * rows per partition climb — the 1000× sweep measured exactly that
+    * (dedup_minhash_lsh 9.5× the 300× time for 3.3× the data at a fixed
+    * 32). Use for `spark.sql.shuffle.partitions`, repartition() targets,
+    * and shard-count knobs whose per-shard work is a partition's worth.
+    */
+  def partitionsFor(rowEstimate: Long, threads: Int): Int = {
+    require(rowEstimate >= 0, s"partitionsFor: negative rows $rowEstimate")
+    require(threads > 0, s"partitionsFor: threads must be positive, got $threads")
+    threads * math.max(1, math.ceil(rowEstimate / 18000000.0).toInt)
+  }
+  def partitionsFor(spark: SparkSession, rowEstimate: Long): Int =
+    partitionsFor(rowEstimate, spark.sparkContext.defaultParallelism)
+
   /** Per-key top-k through the custom whole-operator plan
     * (graft.plans.TopKPerKeyNode → TopKPerKeyExec): bounded heap per key,
     * no per-group sort. Requires GraftExtensions (the planner strategy).
@@ -539,14 +557,21 @@ object GraftApi {
   /** Sequence packing of any (id, tokens) frame: docs laid into a token
     * stream per shard (id residue), cut every `budget` tokens; returns
     * (id, shard, tokens, pack_id, pack_offset). Shard count is the
-    * parallelism knob — each shard is one partitioned running-sum window.
+    * parallelism knob — each shard is one partitioned running-sum
+    * window, so per-shard depth is rows/shards. shards ≤ 0 (the
+    * default) derives the DATA-SIZED count via [[partitionsFor]] (one
+    * cheap count), keeping window depth bounded as the corpus grows;
+    * pass an explicit value when pack ids must replay across runs (the
+    * registered op pins 8 to match its oracle).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long = 2048L, shards: Int = 64): DataFrame = {
+      budget: Long = 2048L, shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val s = if (shards > 0) shards
+      else partitionsFor(df.sparkSession, df.count())
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+    df.select(col(idCol), pmod(col(idCol), lit(s.toLong)).as("shard"),
         col(tokensCol).cast("long").as("tokens"))
       .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
       .select(col(idCol), col("shard"), col("tokens"),
@@ -583,10 +608,12 @@ object GraftApi {
     * per-row virtual times whose ascending order yields the target
     * domain mixture in every prefix; see
     * graft.operators.Pipeline.mixSchedule. Weights normalize internally;
-    * rows with unlisted domains are excluded.
+    * rows with unlisted domains are excluded. shards ≤ 0 (the default)
+    * derives a data-sized count via [[partitionsFor]]; pass an explicit
+    * value when ranks must replay across runs.
     */
   def mixSchedule(df: DataFrame, idCol: String, domainCol: String,
-      weights: Map[String, Double], shards: Int = 8): DataFrame =
+      weights: Map[String, Double], shards: Int = 0): DataFrame =
     graft.operators.Pipeline.mixSchedule(df, idCol, domainCol, weights, shards)
 
   def redactPii(df: DataFrame, textCol: String): DataFrame = {

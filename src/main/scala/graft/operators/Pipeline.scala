@@ -485,35 +485,46 @@ object Pipeline {
       |    (2 * (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END)) AS vtime
       |FROM r""".stripMargin,
   ) { (spark, dir) =>
+    // explicit shards=8: the oracle enumerates doc_id % 8, and ranks are
+    // only replayable under a pinned shard count
     mixSchedule(Tables.documents(spark, dir), "doc_id", "lang",
       Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15,
-        "fr" -> 0.15))
+        "fr" -> 0.15), shards = 8)
   }
 
   /** The generic face of [[interleave]]: stride-scheduled mixture over
     * any frame with a stable id and a domain column, for arbitrary
     * positive weights (normalized internally). Returns the input's id +
     * domain plus (enum_rank, vtime); read ascending vtime for the
-    * mixture. `shards` is the enumeration-parallelism knob.
+    * mixture. `shards` is the enumeration-parallelism knob — per-(domain,
+    * shard) window depth is docs-per-domain/shards. Defaults (shards ≤ 0)
+    * to the DATA-SIZED count ([[graft.api.GraftApi.partitionsFor]], one
+    * cheap count of the in-mixture rows), so the window depth stays
+    * bounded as the corpus grows instead of a constant that leaves
+    * billions of rows per sort partition at 100 TB. Explicit `shards`
+    * pins the enumeration (ranks depend on it — replay needs the same
+    * value, which is why the registered op passes 8 to match its oracle).
     */
   def mixSchedule(df: DataFrame, idCol: String, domainCol: String,
-      weights: Map[String, Double], shards: Int = 8): DataFrame = {
+      weights: Map[String, Double], shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"mixSchedule weights must be positive: $weights")
-    require(shards > 0, s"shards must be positive: $shards")
     val total = weights.values.sum
     val w = weights.foldLeft(lit(null).cast("double")) {
       case (rest, (dom, wt)) =>
         when(col(domainCol) === dom, lit(wt / total)).otherwise(rest)
     }
-    val shard = pmod(col(idCol), lit(shards.toLong))
+    val inMix = df.filter(col(domainCol).isInCollection(weights.keys.toSeq))
+    val s = if (shards > 0) shards
+      else graft.api.GraftApi.partitionsFor(df.sparkSession, inMix.count())
+    val shard = pmod(col(idCol), lit(s.toLong))
     val local = row_number().over(
-      Window.partitionBy(col(domainCol), pmod(col(idCol), lit(shards.toLong)))
+      Window.partitionBy(col(domainCol), pmod(col(idCol), lit(s.toLong)))
         .orderBy(col(idCol)))
-    df.filter(col(domainCol).isInCollection(weights.keys.toSeq))
+    inMix
       .withColumn("shard", shard)
-      .withColumn("enum_rank", (local - 1).cast("long") * shards + col("shard"))
+      .withColumn("enum_rank", (local - 1).cast("long") * s + col("shard"))
       .select(col(idCol), col(domainCol), col("enum_rank"),
         ((col("enum_rank") * 2 + 1).cast("double") / (w * 2)).as("vtime"))
   }

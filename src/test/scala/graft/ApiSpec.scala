@@ -166,6 +166,28 @@ class ApiSpec extends SparkSpec {
     assert(got == Seq((0L, 0L), (0L, 4L), (0L, 8L), (1L, 2L)), got)
   }
 
+  test("partitionsFor: thread-multiple waves at 18M-row boundaries; shard defaults derive from it") {
+    import spark.implicits._
+    assert(GraftApi.partitionsFor(0L, 32) == 32)          // floor: one wave
+    assert(GraftApi.partitionsFor(18000000L, 32) == 32)   // ≤ one wave unit
+    assert(GraftApi.partitionsFor(18000001L, 32) == 64)
+    // the ScaleSmoke settings this rule generalizes (600k-row sf0.1 base):
+    assert(GraftApi.partitionsFor(600000L * 30, 32) == 32)
+    assert(GraftApi.partitionsFor(600000L * 100, 32) == 128)
+    assert(GraftApi.partitionsFor(600000L * 300, 32) == 320)
+    assert(GraftApi.partitionsFor(600000L * 1000, 32) == 32 * 34)
+    intercept[IllegalArgumentException](GraftApi.partitionsFor(-1L, 32))
+    intercept[IllegalArgumentException](GraftApi.partitionsFor(10L, 0))
+    // packSequences' data-sized default ≡ passing the derived count
+    val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "tk")
+    val derived = GraftApi.partitionsFor(spark, 200L)
+    def packs(shards: Int) = GraftApi
+      .packSequences(df, "id", "tk", budget = 10L, shards = shards)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(packs(0) == packs(derived))
+  }
+
   test("generic PQ lifecycle (codebooks/encode/search) equals the registered operators") {
     val emb = Tables.embeddings(spark, sfTiny)
     val cbs = GraftApi.pqCodebooks(emb, "vec_id", "embedding",
@@ -386,14 +408,26 @@ class ApiSpec extends SparkSpec {
 
   test("generic mixSchedule matches the registered interleave and refuses bad weights") {
     val docs = Tables.documents(spark, sfTiny)
-    val got = GraftApi.mixSchedule(docs, "doc_id", "lang",
-        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+    val weights =
+      Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15)
+    val got = GraftApi.mixSchedule(docs, "doc_id", "lang", weights, shards = 8)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("vtime"))).toSet
     CacheRegistry.drain()
     val want = graft.operators.Pipeline.interleave.fn(spark, sfTiny)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("vtime"))).toSet
     CacheRegistry.drain()
     assert(got == want)
+    // the DEFAULT derives a data-sized shard count (partitionsFor over
+    // the in-mixture rows) and is result-identical to passing that
+    // count explicitly
+    val inMix = docs.filter(col("lang").isInCollection(weights.keys.toSeq))
+    val derived = GraftApi.partitionsFor(spark, inMix.count())
+    def vts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("vtime"))).toSet
+    val auto = vts(GraftApi.mixSchedule(docs, "doc_id", "lang", weights))
+    val pinned = vts(GraftApi.mixSchedule(docs, "doc_id", "lang", weights, derived))
+    CacheRegistry.drain()
+    assert(auto == pinned, s"auto=${auto.size} pinned=${pinned.size} derived=$derived")
     // unlisted domains are excluded, weights normalize
     val sub = GraftApi.mixSchedule(docs, "doc_id", "lang", Map("en" -> 2.0))
     assert(sub.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * deep); it exists to catch super-linear blowups, cap violations, and
   * driver-side collects that small-SF runs can't see.
   *
-  * Usage: runMain graft.ScaleSmoke [N] [opName ... | all]
+  * Usage: runMain graft.ScaleSmoke [skew] [N] [opName ... | all]
   * Writes the amplified tables under /tmp/graft_scale_N (reused across
   * runs), prints per-op seconds and row counts.
   *
@@ -43,13 +43,26 @@ object ScaleSmoke {
     "q5_local_supplier", "q18_large_orders")
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(10)
+    // `skew` as the first arg switches to ZIPF-SHAPED amplification:
+    // same row volume as the uniform sweep, but 90% of document replicas
+    // collapse onto one hot language, one replica in ten onto one hot
+    // template text, 90% of event replicas onto one hot user, and 90% of
+    // order replicas onto one hot customer (replica id-offsets already
+    // give crawl-snapshot-style monotone id blocks). Uniform
+    // amplification never stresses the salted agg/join paths, AQE skew
+    // handling, or the per-(domain, shard) window depths — this mode
+    // exists to.
+    val skew = args.headOption.contains("skew")
+    val rest = if (skew) args.drop(1) else args
+    val n = rest.headOption.map(_.toInt).getOrElse(10)
     val names =
-      if (args.length > 1 && args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
-      else if (args.length > 1) args.drop(1).toSeq
+      if (rest.length > 1 && rest(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else if (rest.length > 1) rest.drop(1).toSeq
       else defaultOps
+    val mode = if (skew) "skew" else ""
+    val tag = s"$mode$n"
     val src = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_$n"
+    val out = s"/tmp/graft_scale_$tag"
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // Size shuffle partitions to the data, not the core count — the rule
@@ -66,7 +79,22 @@ object ScaleSmoke {
     val baseRows = Tables.load(spark, src, "lineitem").count()
     val parts = graft.api.GraftApi.partitionsFor(spark, baseRows * n)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    println(s"[scale ${n}x] shuffle partitions = $parts")
+    println(s"[scale ${tag}x] shuffle partitions = $parts")
+
+    // skew-mode per-replica rewrites (replica 0 always stays the base
+    // corpus so every base key still exists for joins)
+    val hotTemplate = "breaking update the markets moved again today and " +
+      "analysts repeated the same template paragraph verbatim once more"
+    def skewTweak(table: String, df: DataFrame, i: Int): DataFrame =
+      if (!skew || i == 0) df
+      else table match {
+        case "documents" =>
+          val d = if (i % 10 != 0) df.withColumn("lang", lit("en")) else df
+          if (i % 10 == 1) d.withColumn("text", lit(hotTemplate)) else d
+        case "events" if i % 10 != 0 => df.withColumn("user_id", lit(7L))
+        case "orders" if i % 10 != 0 => df.withColumn("o_custkey", lit(1L))
+        case _ => df
+      }
 
     def amplify(name: String, idCols: Seq[String]): Unit = {
       val base = Tables.load(spark, src, name)
@@ -74,8 +102,8 @@ object ScaleSmoke {
       // unique; content repeats N× (worst case for posting lists)
       val step = 1000000000L
       val copies = (0 until n).map { i =>
-        idCols.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(i * step)))
+        skewTweak(name, idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * step))), i)
       }
       copies.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -106,11 +134,11 @@ object ScaleSmoke {
           try {
             val rows = fn(spark, out).count()
             val sec = (System.nanoTime() - t0) / 1e9
-            println(f"[scale $n%dx] $name%-28s ${sec}%8.2f s  $rows%12d rows")
+            println(f"[scale $tag%sx] $name%-28s ${sec}%8.2f s  $rows%12d rows")
             Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true}""")
           } catch {
             case e: Throwable =>
-              println(s"[scale ${n}x] $name FAILED: ${e.getMessage}")
+              println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")
           } finally CacheRegistry.drain()
         case None => System.err.println(s"unknown op: $name"); None
@@ -118,7 +146,7 @@ object ScaleSmoke {
     }
     // merge into the existing artifact so a targeted re-run of a few ops
     // refreshes those entries without dropping the rest of the sweep
-    val path = java.nio.file.Paths.get(s"scale_smoke_${n}x.json")
+    val path = java.nio.file.Paths.get(s"scale_smoke_${tag}x.json")
     val entryRe = """"([a-z0-9_]+)": (\{[^}]*\})""".r
     val prior =
       if (java.nio.file.Files.exists(path))
@@ -155,15 +183,27 @@ object ScaleSmoke {
     // kind of super-linearity you are looking at.
     val secRe = """"sec": ([0-9.]+)""".r
     val rowsRe = """"rows": ([0-9]+)""".r
-    val priorN = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => "scale_smoke_(\\d+)x\\.json".r
-        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .filter(_ < n).sorted.lastOption
-    priorN.foreach { m =>
+    // In skew mode the comparison target is the UNIFORM sweep at the
+    // same amplification: identical row volume, so anything past 1.5×
+    // the uniform time marks a skew-sensitive stage (a key landing on
+    // one reducer, a window partition holding 90% of the rows), not
+    // data growth.
+    val audit: Option[(String, Double, String)] =
+      if (skew) {
+        val uniform = java.nio.file.Paths.get(s"scale_smoke_${n}x.json")
+        if (java.nio.file.Files.exists(uniform))
+          Some((uniform.toString, 1.5, s"uniform ${n}x")) else None
+      } else {
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => "scale_smoke_(\\d+)x\\.json".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .filter(_ < n).sorted.lastOption
+          .map(m => (s"scale_smoke_${m}x.json", n.toDouble / m * 1.5, s"${m}x"))
+      }
+    audit.foreach { case (priorPath, budget, priorLabel) =>
       val priorEntries = entryRe.findAllMatchIn(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"scale_smoke_${m}x.json")))
+          java.nio.file.Paths.get(priorPath)))
         .map(mm => mm.group(1) -> mm.group(2)).toMap
-      val budget = n.toDouble / m * 1.5 // linear + 50% slack
       fresh.foreach { case (name, body) =>
         for {
           pBody <- priorEntries.get(name)
@@ -176,8 +216,8 @@ object ScaleSmoke {
             pr <- rowsRe.findFirstMatchIn(pBody).map(_.group(1).toLong)
             r <- rowsRe.findFirstMatchIn(body).map(_.group(1).toLong)
           } yield s" (rows ${pr} -> ${r})").getOrElse("")
-          println(f"[scale ${n}x] WARN $name grew ${sec / pSec}%.1fx over ${m}x " +
-            f"(linear budget ${budget}%.1fx)$rowsNote")
+          println(f"[scale ${tag}x] WARN $name grew ${sec / pSec}%.1fx over " +
+            f"$priorLabel (budget ${budget}%.1fx)$rowsNote")
         }
       }
     }

@@ -78,4 +78,40 @@ class PreparedSpec extends SparkSpec {
       .count()
     assert(n === direct)
   }
+
+  test("q3-shaped multi-join skeleton keeps per-scan pushdown across 3 binds") {
+    // the CrossStagePersistence analog exercised on a COMPOSITE plan, not
+    // just a scan: two parameters feeding different tables of a 3-way
+    // join. Every bind must (a) match the directly-built query and
+    // (b) land its fresh literals in the right scans' PushedFilters —
+    // re-binding must never strand a predicate above a join.
+    val cust = Tables.customer(spark, sfTiny)
+    val ords = Tables.orders(spark, sfTiny)
+    val li = Tables.lineitem(spark, sfTiny)
+    def shape(seg: org.apache.spark.sql.Column, cut: org.apache.spark.sql.Column) =
+      cust.filter(col("c_mktsegment") === seg)
+        .join(ords, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_totalprice") > cut)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+    val p = Prepared.compile(
+      shape(Prepared.param("seg", "NONE"), Prepared.param("cut", 0.0)))
+    val binds = Seq(("BUILDING", 100000.0), ("AUTOMOBILE", 150000.0),
+      ("MACHINERY", 50000.0))
+    binds.foreach { case (seg, cut) =>
+      val bound = p.bind("seg" -> seg, "cut" -> cut)
+      val f = bound.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(f.contains(s"EqualTo(c_mktsegment,$seg)"),
+        s"customer scan lost the $seg pushdown:\n$f")
+      assert(f.contains(s"GreaterThan(o_totalprice,$cut)"),
+        s"orders scan lost the $cut pushdown:\n$f")
+      val got = bound.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = shape(lit(seg), lit(cut)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty, s"bind ($seg, $cut): got=${got.size}")
+    }
+  }
 }

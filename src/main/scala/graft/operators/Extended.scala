@@ -114,10 +114,42 @@ object Extended {
       .select("l_orderkey", "l_linenumber", "disc_price")
   }
 
-  /** Subquery sharing / CSE (SubquerySharing.scala): one filtered subquery
-    * consumed twice by a self-join; Catalyst reuses the exchange instead of
-    * recomputing the scan.
+  /** Subquery sharing / CSE (SubquerySharing.scala): one filtered
+    * subquery consumed twice. The ORACLE keeps the reference's naive
+    * shape (hv self-joined on the customer, counting ordered pairs per
+    * priority); the registered plan computes the same counts WITHOUT
+    * materializing pairs — per row, a window count of the same
+    * customer's later orders, summed per priority. The self-join is
+    * key-quadratic in the hottest customer's high-value order count
+    * (the r6 skew sweep measured it unbounded: ~1e11 intermediate pairs
+    * when 90% of orders collapse onto one customer), while the window
+    * form is one keyed exchange + per-key sort — the only formulation
+    * that survives a skewed 100 TB corpus. Catalyst's exchange-reuse on
+    * the naive two-consumer shape (the reference feature this op is
+    * named for) is pinned separately in PlanSpec via
+    * [[subquerySharingNaive]].
     */
+  def subquerySharingNaive(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // both sides are the IDENTICAL subplan — self-alias, and both
+    // consumers read the same three columns so pruning can't
+    // differentiate them — hence their shuffle exchanges canonicalize
+    // equal and Catalyst's ReuseExchange fires: the CSE the reference
+    // implements by sharing the reified subquery node. (Grouping by the
+    // pair's two priorities is what keeps the b side's projection
+    // identical; summing n_pairs over b_priority gives exactly the
+    // registered op's per-a-priority counts.)
+    val hv = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    hv.alias("a")
+      .join(hv.alias("b"), col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.o_orderkey") < col("b.o_orderkey"))
+      .groupBy(col("a.o_orderpriority").as("o_orderpriority"),
+        col("b.o_orderpriority").as("b_priority"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val subquerySharing: Op = Op(
     "q_subquery_sharing",
     """WITH hv AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
@@ -126,13 +158,18 @@ object Extended {
       |FROM hv a JOIN hv b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
       |GROUP BY a.o_orderpriority""".stripMargin,
   ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
     val hv = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 300000)
       .select("o_orderkey", "o_custkey", "o_orderpriority")
-    val rhs = hv.select(col("o_orderkey").as("b_orderkey"), col("o_custkey").as("b_custkey"))
-    hv.join(rhs, col("o_custkey") === col("b_custkey") && col("o_orderkey") < col("b_orderkey"))
+    val later = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    hv.withColumn("n_later", count(lit(1)).over(later))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n_later")).as("n_pairs"))
+      // the join-shaped oracle has no group for a priority with zero
+      // pairs; drop those instead of emitting 0 rows it never produces
+      .filter(col("n_pairs") > 0)
   }
 
   /** Arithmetic reassociation + constant folding

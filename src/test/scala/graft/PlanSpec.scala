@@ -290,6 +290,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("subquery sharing: naive self-join reuses the exchange; registered op joins nothing") {
+    // the reference's SubquerySharing feature — one filtered subquery,
+    // two consumers — demonstrated on the naive shape: under a shuffle
+    // join (no broadcast short-circuit) Catalyst must plan the second
+    // consumer as a ReusedExchange, not a second scan+shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val naive =
+      try {
+        val df = graft.operators.Extended.subquerySharingNaive(spark, sfTiny)
+        df.collect() // AQE materializes stage reuse at runtime only
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(naive.contains("ReusedExchange"),
+      s"shared subquery shuffled twice without reuse:\n$naive")
+    // the registered (skew-safe) form: same counts, NO pair join — one
+    // keyed window + the final aggregate (the r6 skew sweep caught the
+    // self-join at ~1e11 intermediate pairs under a hot customer)
+    val reg = plan(Extended.subquerySharing)
+    assert(!reg.contains("Join"), s"pair join resurfaced:\n$reg")
+    assert(reg.contains("Window"), reg)
+  }
+
   test("text_idf_rarity: corpus total folds in plan-side — no driver scalar, no cache") {
     import org.apache.spark.sql.functions._
     CacheRegistry.drain()

@@ -162,9 +162,17 @@ object Extended {
     val hv = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 300000)
       .select("o_orderkey", "o_custkey", "o_orderpriority")
-    val later = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
-      .rowsBetween(1, Window.unboundedFollowing)
-    hv.withColumn("n_later", count(lit(1)).over(later))
+    // n_later = per-customer count − row_number, NOT a count over
+    // rowsBetween(1, unboundedFollowing): Spark's UnboundedFollowing
+    // frame re-aggregates the remainder of the partition for EVERY row
+    // (O(rows²) per key — the skew sweep's hot customer turned that
+    // into ~1e12 single-task operations), while count-over-partition is
+    // evaluated once per key and row_number is a running counter, both
+    // O(rows) on the same single exchange + sort.
+    val byCust = Window.partitionBy(col("o_custkey"))
+    val ordered = byCust.orderBy(col("o_orderkey"))
+    hv.withColumn("n_later",
+        count(lit(1)).over(byCust) - row_number().over(ordered))
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("n_later")).as("n_pairs"))
       // the join-shaped oracle has no group for a priority with zero

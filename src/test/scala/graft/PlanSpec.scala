@@ -313,6 +313,18 @@ class PlanSpec extends SparkSpec {
     assert(reg.contains("Window"), reg)
   }
 
+  test("subquery sharing: window form counts exactly the naive self-join pairs") {
+    // the registered count−row_number rewrite must stay pair-exact: sum
+    // n_pairs per a-priority from the naive join ≡ the registered output
+    import org.apache.spark.sql.functions._
+    val naive = graft.operators.Extended.subquerySharingNaive(spark, sfTiny)
+      .groupBy("o_orderpriority").agg(sum("n_pairs").as("n_pairs"))
+    val reg = graft.operators.Extended.subquerySharing.fn(spark, sfTiny)
+      .select(col("o_orderpriority"), col("n_pairs").cast("long"))
+    assert(reg.except(naive).isEmpty && naive.except(reg).isEmpty)
+    assert(reg.count() > 0)
+  }
+
   test("text_idf_rarity: corpus total folds in plan-side — no driver scalar, no cache") {
     import org.apache.spark.sql.functions._
     CacheRegistry.drain()

@@ -216,6 +216,63 @@ object GraftApi {
       .drop("_new_session")
   }
 
+  /** Skew-safe [[sessionize]]: identical output (dense per-key 1..n
+    * `session_id`), but the per-row pass is partitioned by (key, time
+    * block) instead of key alone, so ONE hot key's timeline spreads over
+    * timeline/blockMs parallel tasks instead of one straggler sorting the
+    * whole history ([[sessionize]]'s window put 90% of the skew sweep's
+    * amplified event log into a single task). Three stages:
+    * 1. local lag+cumsum session ids within each (key, ⌊t/blockMs⌋);
+    * 2. per-(key, block) summaries (session count, first/last ts — one
+    *    row per non-empty block) get a boundary-merge flag (adjacent
+    *    block within gap) and a renumbering offset
+    *    Σ sessions(prior blocks) − Σ merges(≤ this block), both as
+    *    running sums over the per-key block sequence — serial work per
+    *    key is #blocks, not #events;
+    * 3. a co-partitioned (key, block) join folds the offset back:
+    *    global id = offset + local id (a merged block's first local
+    *    session lands exactly on the previous block's last global id).
+    * `blockMs` must be ≥ gapMs: that makes non-adjacent non-empty blocks
+    * unmergeable by construction (their time gap exceeds a full block),
+    * so only the lag-1 summary row matters.
+    */
+  def sessionizeBlocks(df: DataFrame, key: String, time: String,
+      tiebreak: String, gapMs: Long, blockMs: Long): DataFrame = {
+    require(blockMs >= gapMs,
+      s"sessionizeBlocks: blockMs ($blockMs) must be >= gapMs ($gapMs) " +
+        "or non-adjacent blocks could merge")
+    import org.apache.spark.sql.expressions.Window
+    val tMs = unix_millis(col(time).cast("timestamp"))
+    val wLoc = Window.partitionBy(col(key), col("_bkt"))
+      .orderBy(col(time), col(tiebreak))
+    val prev = lag(col(time), 1).over(wLoc)
+    val flagged = df.withColumn("_bkt", floor(tMs / blockMs))
+      .withColumn("_new",
+        when(prev.isNull ||
+          tMs - unix_millis(prev.cast("timestamp")) > gapMs, 1).otherwise(0))
+      .withColumn("_ls",
+        sum(col("_new")).over(wLoc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .drop("_new")
+    val wKey = Window.partitionBy(col("_sk")).orderBy(col("_sb"))
+    val offsets = flagged.groupBy(col(key).as("_sk"), col("_bkt").as("_sb"))
+      .agg(max(col("_ls")).as("_s"), min(tMs).as("_minTs"), max(tMs).as("_maxTs"))
+      .withColumn("_merge",
+        when(col("_sb") === lag(col("_sb"), 1).over(wKey) + 1 &&
+          col("_minTs") - lag(col("_maxTs"), 1).over(wKey) <= gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("_offset",
+        coalesce(sum(col("_s")).over(wKey.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0L)) -
+          sum(col("_merge")).over(wKey.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .select(col("_sk"), col("_sb"), col("_offset"))
+    flagged
+      .join(offsets, col(key) === col("_sk") && col("_bkt") === col("_sb"))
+      .withColumn("session_id", col("_offset") + col("_ls"))
+      .drop("_bkt", "_ls", "_sk", "_sb", "_offset")
+  }
+
   /** Generic bounded range join: pairs (left, right) with equal `key`
     * where `rightTime` lands in [leftTime+lowerMs, leftTime+upperMs].
     * Both sides are binned to windows of the range width and joined on

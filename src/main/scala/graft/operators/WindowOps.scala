@@ -99,6 +99,26 @@ object WindowOps {
         min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
   }
 
+  /** Same semantics (and the same oracle) as [[sessionize]], executed by
+    * the skew-safe block formulation [[graft.api.GraftApi.sessionizeBlocks]]:
+    * the per-row pass partitions on (user, 6h block) so a hot user's
+    * history sessionizes in parallel instead of one straggler task —
+    * the formulation that survives a bot-heavy 100 TB event log. Result
+    * equality with the single-window form is property-pinned
+    * (PropertySpec) and both run against the identical DuckDB oracle.
+    */
+  val sessionizeBlocksOp: Op = Op(
+    "q_sessionize_blocks",
+    sessionize.oracle.get,
+  ) { (spark, dir) =>
+    graft.api.GraftApi.sessionizeBlocks(Tables.events(spark, dir),
+        key = "user_id", time = "ts", tiebreak = "event_id",
+        gapMs = 30L * 60 * 1000, blockMs = 6L * 3600 * 1000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+  }
+
   /** Same semantics as q_window_rank but executed by the custom
     * whole-operator plan (graft.plans.TopKPerKeyExec: bounded heap per
     * key, no per-group sort) — the custom physical operator goes through
@@ -269,6 +289,7 @@ object WindowOps {
   }
 
   val ops: Seq[Op] =
-    Seq(windowRunning, windowRank, tumblingWindow, sessionize, topKPerKeyOp,
+    Seq(windowRunning, windowRank, tumblingWindow, sessionize,
+      sessionizeBlocksOp, topKPerKeyOp,
       slidingWindow, percentiles, windowNtile, corrExact, pivotWide, unpivotLong)
 }

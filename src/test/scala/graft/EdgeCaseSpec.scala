@@ -375,6 +375,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, 0L)), got(4L))
   }
 
+  test("sessionizeBlocks: exact-gap boundary straddling a block edge, and the blockMs contract") {
+    import spark.implicits._
+    val gapMs = 10L * 60000
+    val blockMs = 10L * 60000
+    // events 1..3 chain across the t=10min block edge at EXACTLY gapMs
+    // spacing (<= gap keeps the session); event 4 is gap+1ms later and
+    // opens session 2; event 5 sits two empty blocks away — unmergeable
+    // by construction, session 3
+    val ms = Seq(0L, gapMs, 2 * gapMs, 3 * gapMs + 1, 6 * gapMs + 2)
+    val df = ms.zipWithIndex
+      .map { case (t, i) => (1L, t, i.toLong) }.toDF("k", "tms", "id")
+      .select(col("k"), expr("timestamp_millis(tms)").as("ts"), col("id"))
+    val got = graft.api.GraftApi.sessionizeBlocks(df, "k", "ts", "id", gapMs, blockMs)
+      .orderBy("id").collect().map(_.getAs[Long]("session_id")).toSeq
+    assert(got == Seq(1L, 1L, 1L, 2L, 3L), got)
+    val err = intercept[IllegalArgumentException] {
+      graft.api.GraftApi.sessionizeBlocks(df, "k", "ts", "id", gapMs, gapMs - 1)
+    }
+    assert(err.getMessage.contains("blockMs"))
+  }
+
   test("redactPii and packSequences handle null text / null tokens") {
     import spark.implicits._
     val df = Seq((1L, Option("a@b.co x")), (2L, Option.empty[String]))

@@ -78,6 +78,28 @@ class PropertySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("sessionizeBlocks matches sessionize exactly on random and skewed timelines") {
+    import spark.implicits._
+    // timelines dense enough that sessions straddle block boundaries, a
+    // hot key holding ~90% of rows, and duplicate timestamps exercising
+    // the tiebreak — blockMs chosen so most keys span several blocks
+    val gen = Gen.zip(Gen.frequency(9 -> Gen.const(1L), 1 -> Gen.chooseNum(2L, 4L)),
+      Gen.chooseNum(0L, 600L))
+    val rows = samples(gen, 400).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val df = rows.toDF("k", "tmin", "id")
+      .select(col("k"), expr("timestamp_millis(tmin * 60000)").as("ts"), col("id"))
+    val gapMs = 40 * 60000L
+    val blockMs = 90 * 60000L
+    val plain = graft.api.GraftApi.sessionize(df, "k", "ts", "id", gapMs)
+      .select("k", "id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val blocks = graft.api.GraftApi.sessionizeBlocks(df, "k", "ts", "id", gapMs, blockMs)
+      .select("k", "id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(blocks == plain)
+    assert(plain.values.max > 1, "degenerate timeline: only one session")
+  }
+
   test("sessionize matches a naive sequential grouping on random timelines") {
     import spark.implicits._
     val gen = Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 300L))

@@ -86,6 +86,19 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE skew-join thresholds, re-expressed at LOCAL data scale: the
+      // stock 256 MB skewedPartitionThreshold assumes executor-sized
+      // partitions, but at local[32]/sf0.1 a partition holding 90% of a
+      // fact table compresses to tens of MB — under the default the
+      // skew sweep's hot join key (13.5M of 15M orders on one customer)
+      // sorted in ONE task and OptimizeSkewedJoin never fired. 32 MB /
+      // 8 MB keeps the same factor-of-4 headroom the 256/64 defaults
+      // encode; on a real cluster the defaults already catch this
+      // partition, so this is the local mirror of cluster behavior,
+      // not a behavior change. (Verified: SortMergeJoin(skew=true) on
+      // the skew-100x cartprod join, 10.9 -> 7.7 s warm.)
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -162,19 +162,40 @@ object Extended {
     val hv = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 300000)
       .select("o_orderkey", "o_custkey", "o_orderpriority")
-    // n_later = per-customer count − row_number, NOT a count over
-    // rowsBetween(1, unboundedFollowing): Spark's UnboundedFollowing
-    // frame re-aggregates the remainder of the partition for EVERY row
-    // (O(rows²) per key — the skew sweep's hot customer turned that
-    // into ~1e12 single-task operations), while count-over-partition is
-    // evaluated once per key and row_number is a running counter, both
-    // O(rows) on the same single exchange + sort.
-    val byCust = Window.partitionBy(col("o_custkey"))
-    val ordered = byCust.orderBy(col("o_orderkey"))
-    hv.withColumn("n_later",
-        count(lit(1)).over(byCust) - row_number().over(ordered))
+    // Pair counts WITHOUT pairs and WITHOUT a per-key window: per row,
+    // n_later = cnt(cust) − rank(cust, orderkey), so per (cust, prio)
+    // the contribution is Σ(cnt − off_b − lrn) = n·(cnt − off_b) − Σlrn
+    // over each orderkey BLOCK b. Every per-row stage partitions on
+    // (cust, block): a block-local row_number and a (cust, block, prio)
+    // aggregate — a hot customer's orders rank in parallel across
+    // blocks (the r6 skew fix's first cut kept one count+row_number
+    // window per customer, which put 90% of high-value orders into a
+    // single sort task). The only per-key serial pass and the only
+    // joins are over block SUMMARIES (rows = #(cust, block)), the
+    // sessionizeBlocks renumbering pattern applied to ranking.
+    // o_orderkey is unique, so blocks of it are a total-order split and
+    // local rank + prior-block counts ≡ the per-key row_number exactly.
+    val blockW = 1000000L
+    val blocked = hv.withColumn("_b", floor(col("o_orderkey") / blockW))
+    val wLoc = Window.partitionBy(col("o_custkey"), col("_b"))
+      .orderBy(col("o_orderkey"))
+    val perBlockPrio = blocked
+      .withColumn("_lrn", row_number().over(wLoc).cast("long"))
+      .groupBy(col("o_custkey"), col("_b"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("_n"), sum(col("_lrn")).as("_slrn"))
+    val blockCounts = perBlockPrio.groupBy(col("o_custkey"), col("_b"))
+      .agg(sum(col("_n")).as("_bn"))
+    val wKey = Window.partitionBy(col("o_custkey")).orderBy(col("_b"))
+    val offs = blockCounts
+      .withColumn("_off", coalesce(sum(col("_bn"))
+        .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_cnt", sum(col("_bn")).over(wKey.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("o_custkey"), col("_b"), col("_off"), col("_cnt"))
+    perBlockPrio.join(offs, Seq("o_custkey", "_b"))
       .groupBy(col("o_orderpriority"))
-      .agg(sum(col("n_later")).as("n_pairs"))
+      .agg(sum((col("_cnt") - col("_off")) * col("_n") - col("_slrn"))
+        .as("n_pairs"))
       // the join-shaped oracle has no group for a priority with zero
       // pairs; drop those instead of emitting 0 rows it never produces
       .filter(col("n_pairs") > 0)

@@ -305,12 +305,20 @@ class PlanSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert(naive.contains("ReusedExchange"),
       s"shared subquery shuffled twice without reuse:\n$naive")
-    // the registered (skew-safe) form: same counts, NO pair join — one
-    // keyed window + the final aggregate (the r6 skew sweep caught the
-    // self-join at ~1e11 intermediate pairs under a hot customer)
+    // the registered (skew-safe) form: same counts, no pair-materializing
+    // self-join (the r6 skew sweep caught the naive shape at ~1e11
+    // intermediate pairs under a hot customer) and no per-customer
+    // window either — every Window partitions on (cust, orderkey block)
+    // or runs over block summaries, so a hot customer ranks in parallel
     val reg = plan(Extended.subquerySharing)
-    assert(!reg.contains("Join"), s"pair join resurfaced:\n$reg")
+    assert(!reg.contains("SortMergeJoin") || !reg.contains("o_orderkey"),
+      s"plan re-joined per-row data:\n$reg")
+    // the per-ROW window must carry the block column in its partition
+    // spec; the per-key summary window (partitionBy custkey alone) runs
+    // on #(cust, block)-sized input, which plans AFTER the first agg
     assert(reg.contains("Window"), reg)
+    assert("_b#\\d+L?\\]".r.findFirstIn(reg).isDefined ||
+      reg.contains("_b#"), s"block column missing from window spec:\n$reg")
   }
 
   test("subquery sharing: window form counts exactly the naive self-join pairs") {

@@ -21,7 +21,10 @@ class PlanSpec extends SparkSpec {
   test("cartProdToJoin: cross+filter is planned as an equi-join, not a cartesian product") {
     val p = plan(Relational.cartProdToJoin)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // hash, not sort-merge: the probe (orders) side must not sort — the
+    // skew sweep showed SMJ serializing a hot customer's sort while SHJ
+    // streams it (AQE still skew-splits SHJ probes)
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
   test("filters are pushed into the parquet scan") {

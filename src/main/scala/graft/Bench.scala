@@ -50,6 +50,9 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps → TIMESTAMP in the UTC session (see
+      // GraftSession.local) so epoch math matches the naive oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -100,6 +100,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive (un-annotated) parquet timestamps read as TIMESTAMP in the
+      // UTC session, not TIMESTAMP_NTZ: epoch arithmetic (unix_micros /
+      // RANGE windows) requires the LTZ type, and with the session pinned
+      // to UTC the two readings are value-identical — this keeps the
+      // engine's epoch math and the naive-timestamp oracle in agreement
+      // regardless of which writer produced the input files.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -76,7 +76,8 @@ object Temporal {
         leftTime = "s_ts", rightTime = "p_ts",
         lowerMs = 0L, upperMs = 30L * 60 * 1000)
       .select(col("signup_id"), col("purchase_id"),
-        (unix_millis(col("p_ts")) - unix_millis(col("s_ts"))).as("delay_ms"))
+        (unix_millis(col("p_ts").cast("timestamp")) -
+          unix_millis(col("s_ts").cast("timestamp"))).as("delay_ms"))
   }
 
   /** lead/lag deltas (IncrementalResult's per-update delta view, batch
@@ -95,7 +96,8 @@ object Temporal {
     Tables.events(spark, dir).select(
       col("event_id"), col("user_id"),
       lag(col("event_id"), 1).over(w).as("prev_event_id"),
-      (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))).as("gap_ms"),
+      (unix_millis(col("ts").cast("timestamp")) -
+        unix_millis(lag(col("ts"), 1).over(w).cast("timestamp"))).as("gap_ms"),
       lead(col("event_id"), 1).over(w).as("next_event_id"))
   }
 
@@ -152,7 +154,8 @@ object Temporal {
     // spine formulation); the sort/exchange now scale with observed
     // hours, not calendar hours, and the join is gone entirely.
     val b = Tables.events(spark, dir).select(col("user_id"),
-      expr("unix_micros(ts) div 3600000000").as("bkt"), col("value"))
+      expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("bkt"),
+      col("value"))
     val obs = b.groupBy("user_id", "bkt")
       .agg(count(lit(1)).as("n_obs"), max(col("value")).as("vmax"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
@@ -191,7 +194,8 @@ object Temporal {
       |    THEN 1 ELSE 0 END AS BIGINT) AS burst
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
       .rangeBetween(-300L * 1000000L, Window.currentRow)
     Tables.events(spark, dir).select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_5m"))

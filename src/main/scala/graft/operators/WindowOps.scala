@@ -154,7 +154,7 @@ object WindowOps {
     // unix_micros(ts) ≡ INTERVAL 10 MINUTES PRECEDING at the engines'
     // shared micros precision, ties (equal ts) wholly included.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_micros(col("ts")))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
       .rangeBetween(-600L * 1000000L, Window.currentRow)
     Tables.events(spark, dir).select(col("event_id"), col("user_id"),
       sum(col("value").cast("decimal(12,2)")).over(w)

@@ -73,8 +73,10 @@ object Tables {
     spread(spark, load(spark, dir, "embeddings"))
 }
 
-/** Session factory used by specs and ad-hoc mains. Verify/Bench build their
-  * own sessions per the driver contract; this mirrors their settings.
+/** Session factory for specs, ad-hoc mains, AND the driver-contract
+  * entrypoints (Verify/Bench call `local(cpus)`) — one place owns the
+  * timestamp/AQE/timezone configs so a change can never drift between
+  * the correctness gate and the benchmark (r6 had to patch three copies).
   */
 object GraftSession {
   def local(threads: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
@@ -108,6 +110,13 @@ object GraftSession {
       // regardless of which writer produced the input files.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
+    // Epoch math across Temporal/WindowOps/GraftApi silently depends on
+    // the UTC pin (cast("timestamp") on NTZ reinterprets wall-clock in
+    // the session zone). getOrCreate can return a PRE-EXISTING session
+    // whose builder didn't set it — fail loudly instead of skewing math.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft sessions require spark.sql.session.timeZone=UTC " +
+        "(epoch arithmetic reinterprets naive timestamps in the session zone)")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,6 +77,20 @@ object ScaleSmoke {
     // (lineitem) table's amplified count — 600k·n at sf0.1, one wave of
     // partitions per 18M rows, so ≤30× keeps the historical 32 and
     // prior artifacts stay comparable.
+    // Per-op task-time distribution: straggler diagnosis used to need
+    // manual SQL-tab archaeology — a hot-key stage shows up as one task
+    // running N× the median while wall-time alone can't say WHY an op is
+    // slow under skew. max/median task run time per op rides the JSON.
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskMs.add(m.executorRunTime)
+      }
+    })
+    def drainBus(): Unit =
+      org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
+
     val baseRows = Tables.load(spark, src, "lineitem").count()
     val parts = graft.api.GraftApi.partitionsFor(spark, baseRows * n)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -85,6 +100,7 @@ object ScaleSmoke {
     // corpus so every base key still exists for joins)
     val hotTemplate = "breaking update the markets moved again today and " +
       "analysts repeated the same template paragraph verbatim once more"
+    val step = 1000000000L
     def skewTweak(table: String, df: DataFrame, i: Int): DataFrame =
       if (!skew || i == 0) df
       else table match {
@@ -93,6 +109,19 @@ object ScaleSmoke {
           if (i % 10 == 1) d.withColumn("text", lit(hotTemplate)) else d
         case "events" if i % 10 != 0 => df.withColumn("user_id", lit(7L))
         case "orders" if i % 10 != 0 => df.withColumn("o_custkey", lit(1L))
+        case "embeddings" if i % 10 != 0 =>
+          // 90% of vector replicas collapse onto base vector 0's embedding
+          // — the template-heavy-corpus shape where one IVF cell ends up
+          // holding most of the corpus AND most of the probe mass (base
+          // id 0 is also a search query), i.e. the hot-inverted-list
+          // scenario the ivfIndexProbeSearch hot-cell split exists for.
+          // (r6's IVF "skew" numbers predate this: embeddings used to
+          // amplify identically in both modes, so those deltas could only
+          // be machine noise — r7 re-measured them flat and added this.)
+          val hot = broadcast(df.filter(col("vec_id") === i.toLong * step)
+            .select(col("embedding").as("_hot_emb")))
+          df.crossJoin(hot).withColumn("embedding", col("_hot_emb"))
+            .drop("_hot_emb")
         case _ => df
       }
 
@@ -100,7 +129,6 @@ object ScaleSmoke {
       val base = Tables.load(spark, src, name)
       // ids get a per-replica offset so keys stay unique where they were
       // unique; content repeats N× (worst case for posting lists)
-      val step = 1000000000L
       val copies = (0 until n).map { i =>
         skewTweak(name, idCols.foldLeft(base)((df, c) =>
           df.withColumn(c, col(c) + lit(i * step))), i)
@@ -109,7 +137,9 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
 
-    val done = new java.io.File(s"$out/_AMPLIFIED_$n")
+    // v2: skew mode now also skews embeddings (hot vector) — regenerate
+    // corpora amplified before that change
+    val done = new java.io.File(s"$out/_AMPLIFIED_v2_$n")
     if (!done.exists()) {
       amplify("documents", Seq("doc_id"))
       amplify("embeddings", Seq("vec_id"))
@@ -130,12 +160,23 @@ object ScaleSmoke {
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
+          drainBus(); taskMs.clear()
           val t0 = System.nanoTime()
           try {
             val rows = fn(spark, out).count()
             val sec = (System.nanoTime() - t0) / 1e9
-            println(f"[scale $tag%sx] $name%-28s ${sec}%8.2f s  $rows%12d rows")
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true}""")
+            drainBus()
+            val durs = {
+              import scala.jdk.CollectionConverters._
+              taskMs.iterator().asScala.map(_.longValue).toArray.sorted
+            }
+            val (tMax, tMed) =
+              if (durs.isEmpty) (0L, 0L)
+              else (durs.last, durs(durs.length / 2))
+            val skewRatio = if (tMed > 0) tMax.toDouble / tMed else 0.0
+            println(f"[scale $tag%sx] $name%-28s ${sec}%8.2f s  $rows%12d rows" +
+              f"  task max/med ${tMax}%6d/${tMed}%-6d ms (${skewRatio}%.1fx)")
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}}""")
           } catch {
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")

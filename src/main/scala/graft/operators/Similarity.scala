@@ -596,23 +596,43 @@ object Similarity {
     */
   def ivfSearchAutoFromIndex(cents: DataFrame, lists: DataFrame,
       queries: DataFrame, idCol: String, embCol: String, k: Int,
-      oversample: Int = 8): DataFrame = {
+      oversample: Int = 8, hotCellBound: Long = 16384L): DataFrame = {
     val occ = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
     val np = occ
       .crossJoin(broadcast(cents.agg(count(lit(1)).as("cells"))))
       .agg(least(max(col("cells")), greatest(lit(1L),
         ceil(lit((k.toLong * oversample).toDouble) * sum("cnt") /
           sum(col("cnt") * col("cnt"))))).as("np"))
-    ivfIndexProbeSearch(cents, lists, queries, idCol, embCol, k)(
+    ivfIndexProbeSearch(cents, lists, queries, idCol, embCol, k, hotCellBound)(
       _.crossJoin(broadcast(np)).filter(col("rn") <= col("np")))
   }
 
   /** [[ivfProbeSearch]] for a persisted index: identical probe ranking,
     * but candidates come straight from the (cent_id, vec_id, embedding,
     * nrm) inverted lists — one keyed join, no assignment⋈vector re-join.
+    *
+    * HOT-CELL SPLIT (the standard-IVF-practice answer to template-heavy
+    * corpora, where mass-duplicated embeddings concentrate most of the
+    * corpus AND most probes into one cell): the bucketed lists scan reads
+    * one task per bucket, so a cell holding 90% of the corpus scores
+    * hot_queries × hot_list candidates in a SINGLE task — a straggler
+    * that grows quadratically with duplication concentration. Cells whose
+    * inverted list exceeds `hotCellBound` (floored at tot/partitions) are
+    * redistributed by a content hash of vec_id (deterministic under stage
+    * retry — see [[Skew.saltedJoin]]'s note) across the session's shuffle
+    * parallelism before the probe join; the probe side stays a broadcast,
+    * so each sub-slice scores independently and the union over slices is
+    * EXACTLY the cell's result — the oracle is unchanged. Cold cells keep
+    * the zero-exchange bucketed-scan plan (BucketingSpec), and their scan
+    * prunes hot-cell row groups via the pushed `cent_id NOT IN` filter
+    * (lists are sortBy(cent_id), so row groups are cell-clustered).
+    * The split decision reads the per-cell counts: ≤`cells` rows (a
+    * build-time constant), the footer-sized index-stats read any IVF
+    * serving node performs at startup — bounded, never corpus-sized.
     */
   private def ivfIndexProbeSearch(cents: DataFrame, lists: DataFrame,
-      queries: DataFrame, idCol: String, embCol: String, k: Int)(
+      queries: DataFrame, idCol: String, embCol: String, k: Int,
+      hotCellBound: Long = 16384L)(
       cut: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
@@ -625,12 +645,25 @@ object Similarity {
         col("cent_id"))))
     val probes = cut(ranked)
       .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
-    val scored = q
-      .join(broadcast(probes), col("p_qid") === col("q_id"))
-      .join(lists, col("cent_id") === col("p_cent") && col("vec_id") =!= col("q_id"))
+    val qp = q.join(broadcast(probes), col("p_qid") === col("q_id"))
+    def score(cand: DataFrame): DataFrame = qp
+      .join(cand, col("cent_id") === col("p_cent") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (vec_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
           .as("cosine"))
+    val spark = lists.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    val occ = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt")).collect()
+    val bound = math.max(hotCellBound, occ.map(_.getLong(1)).sum / parts)
+    val hotIds = occ.filter(_.getLong(1) > bound).map(_.getLong(0)).toSeq
+    val scored =
+      if (hotIds.isEmpty) score(lists)
+      else {
+        val cold = score(lists.filter(!col("cent_id").isin(hotIds: _*)))
+        val hot = score(lists.filter(col("cent_id").isin(hotIds: _*))
+          .repartition(parts, pmod(hash(col("vec_id")), lit(parts))))
+        cold.unionByName(hot)
+      }
     graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k)
       .select("q_id", "cand_id", "cosine")
   }

@@ -78,6 +78,107 @@ object EventStreams {
       }
   }
 
+  case class BlockEvent(ts: Timestamp, user_id: Long, event_id: Long)
+  case class BlockSessionState(localId: Long, start: Long, lastTs: Long,
+      nEvents: Long, minEvent: Long, maxEvent: Long)
+  case class BlockSession(user_id: Long, bkt: Long, local_id: Long,
+      start_ms: Long, end_ms: Long, n_events: Long,
+      first_event: Long, last_event: Long)
+
+  /** Streaming face of the SKEW-SAFE block sessionization
+    * ([[graft.api.GraftApi.sessionizeBlocks]]): state is keyed by
+    * (user, ⌊t/blockMs⌋) instead of user alone, so one hot key's live
+    * state machine spreads across timeline/blockMs parallel state
+    * partitions — the same reason the batch twin partitions its windows
+    * by (key, block). Emits BLOCK-LOCAL session summaries (local ids
+    * 1..n within each block, min/max event ids, start/end millis) as
+    * sessions close on the 30-min-style gap or the event-time timeout.
+    *
+    * Boundary sessions of adjacent blocks are merged by
+    * [[mergeBlockSessions]] — a compaction pass over the EMITTED
+    * summaries (a per-key pass over session COUNTS, not events — the
+    * serial-work bound the batch twin gets from its block-summary
+    * running sums). Production shape: stream writes block-local
+    * sessions to a sink table; a periodic compaction job folds
+    * boundaries. `blockMs >= gapMs` keeps non-adjacent blocks
+    * unmergeable, exactly the batch contract.
+    */
+  def sessionizeBlocksStream(events: Dataset[BlockEvent], gapMs: Long,
+      blockMs: Long): Dataset[BlockSession] = {
+    require(blockMs >= gapMs,
+      s"sessionizeBlocksStream: blockMs ($blockMs) must be >= gapMs ($gapMs) " +
+        "or non-adjacent blocks could merge")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, Math.floorDiv(e.ts.getTime, blockMs)))
+      .flatMapGroupsWithState[BlockSessionState, BlockSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((userId, bkt), rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(BlockSession(userId, bkt, s.localId, s.start,
+              s.lastTs, s.nEvents, s.minEvent, s.maxEvent))
+          } else {
+            // same (ts, tiebreak) total order as the batch window
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[BlockSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    minEvent = math.min(s.minEvent, e.event_id),
+                    maxEvent = math.max(s.maxEvent, e.event_id)))
+                case Some(s) =>
+                  closed ::= BlockSession(userId, bkt, s.localId, s.start,
+                    s.lastTs, s.nEvents, s.minEvent, s.maxEvent)
+                  cur = Some(BlockSessionState(s.localId + 1, t, t, 1L,
+                    e.event_id, e.event_id))
+                case None =>
+                  cur = Some(BlockSessionState(1L, t, t, 1L,
+                    e.event_id, e.event_id))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** The compaction pass over [[sessionizeBlocksStream]] output: merge a
+    * block's FIRST local session into the previous block's LAST when the
+    * blocks are adjacent and the boundary gap is within gapMs (chains
+    * across many blocks collapse transitively — each boundary merge
+    * continues the same global session), then renumber densely per key
+    * in time order. Output (user_id, session_id, n_events, first_event,
+    * last_event) is exactly the batch q_sessionize_blocks aggregate. The
+    * window here runs over session SUMMARIES — at most #sessions rows
+    * per key, the compaction-sized input the streaming stage guarantees.
+    */
+  def mergeBlockSessions(blockSessions: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bkt"), col("local_id"))
+    blockSessions
+      .withColumn("_new",
+        when(col("local_id") === 1L &&
+          col("bkt") === lag(col("bkt"), 1).over(w) + 1 &&
+          col("start_ms") - lag(col("end_ms"), 1).over(w) <= gapMs, 0L)
+          .otherwise(1L))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("first_event")).as("first_event"),
+        max(col("last_event")).as("last_event"))
+  }
+
   /** Incremental top-type counts (complete mode): the IVM "maintained
     * aggregate view" in its simplest form.
     */

@@ -405,4 +405,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(red(1).getAs[Long]("n_pii") == 0L)   // null text → 0, not null
     assert(red(1).isNullAt(red(1).fieldIndex("txt_redacted")))
   }
+
+  test("ivf hot-cell split at the boundary: result-identical, hot branch repartitioned") {
+    // 2 cells over the tiny corpus make every inverted list exceed the
+    // tot/partitions floor once hotCellBound is forced to 1 — the split
+    // path engages for ALL cells, and the result must still be exactly
+    // the unsplit search's (union over content-hash slices is the cell).
+    val emb = Tables.embeddings(spark, sfTiny)
+    val queries = emb.filter(col("vec_id") < 8)
+    val (cents, lists) = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", cells = 2, iters = 1)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val unsplit = graft.operators.Similarity.ivfSearchAutoFromIndex(
+      cents, lists, queries, "vec_id", "embedding", k = 5,
+      hotCellBound = Long.MaxValue)
+    assert(!unsplit.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "unsplit plan must not carry the content-hash repartition")
+    val want = toSet(unsplit)
+    CacheRegistry.drain()
+    val split = graft.operators.Similarity.ivfSearchAutoFromIndex(
+      cents, lists, queries, "vec_id", "embedding", k = 5, hotCellBound = 1L)
+    assert(split.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "forced split must repartition the hot branch by content hash")
+    assert(toSet(split) == want)
+    CacheRegistry.drain()
+    assert(want.nonEmpty)
+  }
 }

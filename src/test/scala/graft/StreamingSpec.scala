@@ -338,6 +338,66 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getAs[Long]("n_events")).sum == 3)
   }
 
+  test("sessionizeBlocksStream + compaction equals batch q_sessionize_blocks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{BlockEvent, BlockSession}
+    val gapMs = 30L * 60 * 1000
+    val blockMs = 6L * 3600 * 1000
+    // the registered op's input, globally ts-sorted and fed in two
+    // triggers (the funnel spec's cross-trigger ordering recipe)
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"))
+      .as[(Timestamp, Long, Long)].collect()
+      .sortBy(r => (r._1.getTime, r._3))
+      .map { case (t, u, e) => BlockEvent(t, u, e) }
+    val maxTs = evRows.map(_.ts.getTime).max
+    val sentinelUser = 999999999L
+    val input = MemoryStream[BlockEvent]
+    val q = EventStreams.sessionizeBlocksStream(input.toDS(), gapMs, blockMs)
+      .writeStream.format("memory").queryName("block_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evRows.take(evRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evRows.drop(evRows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      // two watermark pushes: the first advances the watermark past every
+      // real session's (lastTs + gap), the second triggers the timeouts
+      input.addData(BlockEvent(new Timestamp(maxTs + 3 * 3600 * 1000L), sentinelUser, 0L))
+      q.processAllAvailable()
+      input.addData(BlockEvent(new Timestamp(maxTs + 9 * 3600 * 1000L), sentinelUser, 1L))
+      q.processAllAvailable()
+      val emitted = spark.table("block_sessions")
+        .filter(col("user_id") =!= sentinelUser)
+      val got = EventStreams.mergeBlockSessions(emitted, gapMs)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("first_event"),
+          r.getAs[Long]("last_event"))).toSet
+      val want = graft.operators.WindowOps.sessionizeBlocksOp.fn(spark, sfTiny)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("first_event"),
+          r.getAs[Long]("last_event"))).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+    // constructed boundary straddle: a session crossing a block edge
+    // within gap must come back as ONE session after compaction
+    val b = blockMs * 4 // an arbitrary block boundary instant
+    val straddle = Seq(
+      // last session of block 3, ending 10 min before the boundary
+      (7L, 3L, 1L, b - 10 * 60000L, b - 10 * 60000L, 1L, 10L, 10L),
+      // first session of block 4, starting 5 min after — 15 min gap ≤ 30
+      (7L, 4L, 1L, b + 5 * 60000L, b + 5 * 60000L, 1L, 11L, 11L)
+    ).toDF("user_id", "bkt", "local_id", "start_ms", "end_ms", "n_events",
+      "first_event", "last_event")
+    val merged = EventStreams.mergeBlockSessions(straddle, gapMs).collect()
+    assert(merged.length == 1 && merged.head.getAs[Long]("n_events") == 2L,
+      merged.mkString(";"))
+  }
+
   test("streaming PQ serving equals batch pqSearchADC over the same persisted index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -388,7 +448,8 @@ class StreamingSpec extends SparkSpec {
     // split into two triggers at the midpoint
     val evRows = Tables.events(spark, sfTiny)
       .select(col("user_id"), col("event_type"),
-        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"))
+        org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp"))
+          .as("ts_us"))
       .orderBy("ts_us")
       .as[(Long, String, Long)].collect()
       .map { case (u, t, ts) => EventStreams.FunnelEvent(u, t, ts) }

@@ -82,11 +82,30 @@ object ScaleSmoke {
     // running N× the median while wall-time alone can't say WHY an op is
     // slow under skew. max/median task run time per op rides the JSON.
     val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // total executor CPU per op: wall seconds on this shared machine swing
+    // 2-3x with co-tenant load, but actual CPU consumed doesn't — growth
+    // audits and skew-vs-uniform ratios should read THIS when wall times
+    // disagree across runs
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage attribution: straggler diagnosis needs "WHICH stage owns
+    // the max task", not just the op-wide max — keyed by stageId, the
+    // name is the stage's callSite short form
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) taskMs.add(m.executorRunTime)
+        if (m != null) {
+          taskMs.add(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
+          stageAgg.merge(te.stageId, (m.executorRunTime, m.executorRunTime, 1),
+            (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+        }
       }
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageName.put(ss.stageInfo.stageId,
+          ss.stageInfo.name.takeWhile(_ != '\n').take(60))
     })
     def drainBus(): Unit =
       org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
@@ -160,7 +179,8 @@ object ScaleSmoke {
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
-          drainBus(); taskMs.clear()
+          drainBus(); taskMs.clear(); stageAgg.clear(); stageName.clear()
+          cpuNs.set(0L)
           val t0 = System.nanoTime()
           try {
             val rows = fn(spark, out).count()
@@ -174,9 +194,18 @@ object ScaleSmoke {
               if (durs.isEmpty) (0L, 0L)
               else (durs.last, durs(durs.length / 2))
             val skewRatio = if (tMed > 0) tMax.toDouble / tMed else 0.0
+            val cpuS = cpuNs.get() / 1e9
             println(f"[scale $tag%sx] $name%-28s ${sec}%8.2f s  $rows%12d rows" +
-              f"  task max/med ${tMax}%6d/${tMed}%-6d ms (${skewRatio}%.1fx)")
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}}""")
+              f"  task max/med ${tMax}%6d/${tMed}%-6d ms (${skewRatio}%.1fx)" +
+              f"  cpu ${cpuS}%8.1f s")
+            // top stages by max task — names the straggler's owner
+            import scala.jdk.CollectionConverters._
+            stageAgg.asScala.toSeq.sortBy(-_._2._1).take(8).foreach {
+              case (sid, (mx, sm, nt)) =>
+                println(f"[scale $tag%sx]   stage $sid%-5d max ${mx}%7d ms " +
+                  f"sum ${sm}%8d ms  $nt%5d tasks  ${stageName.getOrDefault(sid, "?")}%s")
+            }
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}}""")
           } catch {
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")

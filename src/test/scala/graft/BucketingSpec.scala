@@ -133,4 +133,51 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("persisted PQ index round-trips: reloaded codebooks+codes serve bit-identically") {
+    // the PQ side of the ivfIndex persistence story (the reference's
+    // CrossStagePersistence: train once, reuse the compiled artifact
+    // across stages): codebooks + codes written as tables, a later
+    // serving session reloads both and pqSearchADC must return the
+    // in-session build's rows BIT-identically — training determinism
+    // (fixed-point Lloyd) plus exact ADC folds make that a set equality
+    // on raw doubles, no tolerance.
+    import graft.api.GraftApi
+    val wh = tmpDir()
+    val db = "graft_pq"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    try {
+      val emb = Tables.embeddings(spark, sfTiny)
+      val queries = emb.filter(col("vec_id") < 8)
+      val cbs = CacheRegistry.track(
+        GraftApi.pqCodebooks(emb, "vec_id", "embedding", numSubs = 4, subDim = 16))
+      val codes = CacheRegistry.track(
+        GraftApi.pqEncode(emb, "vec_id", "embedding", cbs, numSubs = 4, subDim = 16))
+      def toSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("adc_dist"))).toSet
+      val inSession = toSet(GraftApi.pqSearchADC(codes, cbs, queries,
+        "vec_id", "embedding", numSubs = 4, subDim = 16))
+      // persist both index artifacts; codes bucketed by id like ivf lists
+      cbs.write.mode("overwrite").saveAsTable(s"$db.pq_codebooks")
+      codes.write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable(s"$db.pq_codes")
+      CacheRegistry.drain()
+      val served = GraftApi.pqSearchADC(spark.table(s"$db.pq_codes"),
+        spark.table(s"$db.pq_codebooks"), queries,
+        "vec_id", "embedding", numSubs = 4, subDim = 16)
+      // the persisted-serving plan shuffles ONLY query-sized data: the
+      // LUT aggregate and the top-k re-rank. The codes corpus pays no
+      // exchange (broadcast LUT against one codes scan) — unlike the
+      // in-session build, whose encode groupBy shuffles the corpus once.
+      val plan = served.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2,
+        s"expected 2 query-side exchanges (LUT agg + topK), got $exchanges:\n$plan")
+      assert(!plan.contains("hashpartitioning(vec_id"),
+        s"codes corpus side shuffled:\n$plan")
+      assert(toSet(served) == inSession && inSession.nonEmpty)
+      CacheRegistry.drain()
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }

@@ -113,6 +113,14 @@ object ScaleSmoke {
     val baseRows = Tables.load(spark, src, "lineitem").count()
     val parts = graft.api.GraftApi.partitionsFor(spark, baseRows * n)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // scan-split sizing: the digest-heavy ops (shingle+md5 sketching)
+    // are CPU-bound in the SCAN stage, and 128 MB file packing yields
+    // ~25 splits for a 100x documents table — 7 of 32 cores idle through
+    // the dominant stage. 32 MB splits keep scan tasks plentiful at
+    // every amplification without hurting the light scans (same knob a
+    // cluster tunes per spark_guide; shuffle partitions are already
+    // data-sized above).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
     println(s"[scale ${tag}x] shuffle partitions = $parts")
 
     // skew-mode per-replica rewrites (replica 0 always stays the base

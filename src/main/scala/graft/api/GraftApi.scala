@@ -451,6 +451,69 @@ object GraftApi {
     graft.operators.Similarity.ivfSearchAuto(corpus, queries, idCol, embCol,
       cells, iters, k, oversample)
 
+  /** IVF+PQ composed top-k (the canonical production ANN shape — FAISS's
+    * IVFADC family, here the no-residual variant so both index parts stay
+    * engine-exact): a coarse cosine quantizer routes each query to its
+    * top-`nprobe` cells, and candidates are ADC-scored from their PQ
+    * CODES — the raw vectors are touched only at index build, and unlike
+    * [[pqSearchADC]] (one full codes scan per query set) the codes table
+    * is probed by CELL KEY, so at 100 TB a query batch reads only its
+    * cells' code slivers:
+    *
+    *   scan mass ≈ |probed cells| · avg cell codes,  not |corpus|.
+    *
+    * Both index parts are the library's existing machinery — the bounded
+    * seed + fixed-point-Lloyd coarse cells of [[ivfTopK]] and the
+    * per-subvector codebooks of [[pqCodebooks]] — so the composition is
+    * bit-exact against the composed oracle. The probe side (probes ⋈
+    * per-query LUTs) is broadcast; candidate codes join their cell
+    * assignment on the id key and the probe set on the cell key; ranking
+    * through the bounded-heap TopKPerKey on (adc_dist asc, cand_id).
+    * A mass-duplicated hot cell concentrates this join exactly like the
+    * IVF list probe — serve from a persisted layout with the
+    * ivfIndexProbeSearch hot-cell split when cell occupancy demands it.
+    */
+  def ivfPqSearchADC(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, cells: Int = 16, nprobe: Int = 4, numSubs: Int = 4,
+      subDim: Int = 16, codebookSize: Int = 16, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.vec.{vec_dot, vec_distsq}
+    val (_, c1p, assign1) = graft.operators.Similarity.ivfBuild(
+      corpus, idCol, embCol, cells, iters = 1)
+    val cbs = pqCodebooks(corpus, idCol, embCol, numSubs, subDim, codebookSize)
+    val codes = pqEncode(corpus, idCol, embCol, cbs, numSubs, subDim)
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        col(embCol).as("q_emb"))
+      .withColumn("q_nrm", sqrt(vec_dot(col("q_emb"), col("q_emb"))))
+    val ranked = q.crossJoin(broadcast(c1p.drop("part")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
+        (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
+        col("cent_id"))))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
+    val lut = pqSplit(queries, idCol, embCol, numSubs, subDim)
+      .join(broadcast(cbs), "part")
+      .select(col("pid").as("l_qid"), col("part"), col("cent_id"),
+        vec_distsq(col("emb"), col("c_emb")).as("dsq"))
+      .groupBy(col("l_qid"))
+      .agg(expr(
+        s"map_from_entries(collect_list(struct(int(part * $codebookSize + cent_id), dsq)))")
+        .as("lut"))
+    val adc = (0 until numSubs).map(s =>
+        expr(s"element_at(lut, int(${s * codebookSize} + element_at(codes, ${s + 1})))"))
+      .reduce(_ + _)
+    val probeLut = broadcast(probes.join(lut, col("l_qid") === col("p_qid")))
+    val scored = codes
+      .join(assign1, col(idCol) === col("a_vec"))
+      .join(probeLut,
+        col("a_cent") === col("p_cent") && col(idCol) =!= col("p_qid"))
+      .select(col("p_qid").as("q_id"), col(idCol).cast("long").as("cand_id"),
+        adc.as("adc_dist"))
+      .withColumn("neg_dist", -col("adc_dist"))
+    topKPerKey(scored, "q_id", "neg_dist", "cand_id", k)
+      .select("q_id", "cand_id", "adc_dist")
+  }
+
   /** SimHash near-dup pairs over any (doc_id, text) frame through the
     * multi-block band machinery — see
     * graft.operators.Dedup.{simhashSignatures, simhashPairsFromSigs}.

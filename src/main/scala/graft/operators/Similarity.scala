@@ -538,7 +538,7 @@ object Similarity {
     * prefix of [[ivfSearch]], factored so [[ivfIndex]] can persist the
     * same index a search run would train.
     */
-  private def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
+  private[graft] def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
       cells: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
     val v = graft.CacheRegistry.track(
@@ -1024,8 +1024,96 @@ object Similarity {
           " else array_max(zip_with(d, q, (x, qi) -> abs(x - qi * scale))) end")
           .as("max_abs_err"))
 
+  /** IVF+PQ composed top-k — the registered face of
+    * [[graft.api.GraftApi.ivfPqSearchADC]] (FAISS's IVFADC shape, the
+    * no-residual variant): coarse cosine cells route each query to its
+    * top-4 of 16 cells; candidates are ADC-scored from PQ codes WITHIN
+    * probed cells only, so the codes table is read by cell key, never
+    * fully scanned (contrast [[pqSearch]]). Both index parts are the
+    * existing engine-exact machinery (bounded-seed fixed-point-Lloyd
+    * cells; per-subvector codebooks), so the oracle is literally the two
+    * ops' CTE chains composed: the pq chain verbatim (v/sub/c0/a0/
+    * contrib/c1/a1) plus a k-prefixed copy of the kmeans chain at
+    * cells=16, joined at the adc step through (cell ∈ probes) ∧ (code
+    * match). Ranking (adc_dist asc, cand_id) through TopKPerKey.
+    */
+  val ivfPqTopK: Op = Op(
+    "ann_ivfpq_topk",
+    s"""WITH $pqCteSql,
+      |w AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |k0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      |       FROM w WHERE vec_id < 16),
+      |kassign0 AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT w.vec_id, k0.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY w.vec_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(w.embedding)),
+      |            i -> CAST(w.embedding[i] AS DOUBLE) * CAST(k0.c_emb[i] AS DOUBLE))),
+      |          (acc, p) -> acc + p) / (w.nrm * k0.c_nrm) DESC, k0.cent_id) AS rn
+      |    FROM w, k0) WHERE rn = 1),
+      |kcontrib AS (
+      |  SELECT a.cent_id, t.d,
+      |    CAST(round(CAST(x.embedding[t.d] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM w x JOIN kassign0 a ON a.vec_id = x.vec_id,
+      |       UNNEST(generate_series(1, 64)) AS t(d)),
+      |kc1 AS (
+      |  SELECT cent_id, list(mean ORDER BY d) AS c_emb FROM (
+      |    SELECT cent_id, d,
+      |      CAST(SUM(qv) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean
+      |    FROM kcontrib GROUP BY cent_id, d) GROUP BY cent_id),
+      |kc1n AS (SELECT cent_id, c_emb,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(c_emb, x -> x * x)), (acc, p) -> acc + p)) AS c_nrm
+      |  FROM kc1),
+      |kassign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT w.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY w.vec_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(w.embedding)),
+      |            i -> CAST(w.embedding[i] AS DOUBLE) * c.c_emb[i])),
+      |          (acc, p) -> acc + p) / (w.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM w, kc1n c) WHERE rn = 1),
+      |kq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      |       FROM w WHERE vec_id < 8),
+      |kprobes AS (
+      |  SELECT q_id, cent_id FROM (
+      |    SELECT kq.q_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY kq.q_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(kq.q_emb)),
+      |            i -> CAST(kq.q_emb[i] AS DOUBLE) * c.c_emb[i])),
+      |          (acc, p) -> acc + p) / (kq.q_nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM kq, kc1n c) WHERE rn <= 4),
+      |lut AS (SELECT sq.vec_id AS q_id, sq.s, c1.code,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, 16),
+      |        i -> (sq.sv[i] - c1.c_emb[i]) * (sq.sv[i] - c1.c_emb[i]))),
+      |      (acc, p) -> acc + p) AS dsq
+      |  FROM sub sq JOIN c1 ON c1.s = sq.s WHERE sq.vec_id < 8),
+      |adc AS (
+      |  SELECT l.q_id, a1.vec_id AS cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dsq ORDER BY l.s)),
+      |      (acc, p) -> acc + p) AS adc_dist
+      |  FROM a1 JOIN lut l ON l.s = a1.s AND l.code = a1.code
+      |       JOIN kassign ka ON ka.vec_id = a1.vec_id
+      |       JOIN kprobes p ON p.q_id = l.q_id AND p.cent_id = ka.cent_id
+      |  WHERE a1.vec_id <> l.q_id
+      |  GROUP BY l.q_id, a1.vec_id)
+      |SELECT q_id, cand_id, adc_dist FROM (
+      |  SELECT q_id, cand_id, adc_dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, cand_id) AS rn
+      |  FROM adc) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.GraftApi.ivfPqSearchADC(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", cells = 16, nprobe = 4, numSubs = 4,
+      subDim = 16, codebookSize = 16, k = 5)
+  }
+
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
       annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annRandomHyperplaneTopK,
-      embedQuantize, pqCodes, pqSearch)
+      embedQuantize, pqCodes, pqSearch, ivfPqTopK)
 }

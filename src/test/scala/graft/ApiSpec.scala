@@ -294,6 +294,38 @@ class ApiSpec extends SparkSpec {
     assert(fresh.nonEmpty)
   }
 
+  test("ivfPqSearchADC at nprobe=cells equals the full-scan pqSearchADC") {
+    // probing EVERY cell makes the cell routing a no-op, so the composed
+    // index must return exactly the exhaustive ADC scan's rows — the
+    // equivalence that proves the probe stage only PRUNES, never rescores
+    val emb = Tables.embeddings(spark, sfTiny)
+    val queries = emb.filter(col("vec_id") < 8)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    val cbs = CacheRegistry.track(GraftApi.pqCodebooks(
+      emb, "vec_id", "embedding", numSubs = 4, subDim = 16))
+    val codes = CacheRegistry.track(GraftApi.pqEncode(
+      emb, "vec_id", "embedding", cbs, numSubs = 4, subDim = 16))
+    val full = toSet(GraftApi.pqSearchADC(codes, cbs, queries,
+      "vec_id", "embedding", numSubs = 4, subDim = 16, codebookSize = 16, k = 5))
+    CacheRegistry.drain()
+    val composed = GraftApi.ivfPqSearchADC(emb, queries, "vec_id", "embedding",
+      cells = 16, nprobe = 16, numSubs = 4, subDim = 16, codebookSize = 16, k = 5)
+    assert(toSet(composed) == full && full.nonEmpty)
+    // the candidate join is KEYED (id to assignment, cell to probes) —
+    // never the full-scan nested loop the exhaustive ADC op pays. The
+    // FINAL plan's only nested loop is the |Q|×cells probe-ranking
+    // crossJoin (16 broadcast centroid rows — every IVF op carries it);
+    // the codes path must contribute none. (Final section only: the AQE
+    // echo below it repeats the joins.)
+    val finalSection = composed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(finalSection).size
+    assert(nlj == 1, s"expected only the centroid-ranking nested loop, got $nlj")
+    CacheRegistry.drain()
+  }
+
   test("generic ivfTopK works on renamed columns and matches the registered op") {
     val emb = Tables.embeddings(spark, sfTiny)
     val renamed = emb.select(col("vec_id").as("item"), col("embedding").as("vec"))

@@ -14,7 +14,7 @@ class PlanLintSpec extends SparkSpec {
     // one-row hyperplane matrix / centroid set cross the scan by design
     // (autoprobe adds a one-row occupancy-stats frame on top)
     "ann_rh_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
-    "ann_ivf_autoprobe",
+    "ann_ivf_autoprobe", "ann_ivfpq_topk",
     // one-row global-min aggregate crossed onto the per-lang counts
     // (a handful of rows), never the corpus
     "q_mix_balance",

@@ -101,6 +101,17 @@ object GraftSession {
       // the skew-100x cartprod join, 10.9 -> 7.7 s warm.)
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // ObjectHashAggregate (collect_set_bounded / collect_list /
+      // TypedImperativeAggregate posting-list builds) falls back to
+      // SORT-based aggregation after 128 distinct keys per task by
+      // default — a silent n·log n + spill cliff the 300x smoke measured
+      // as 16x cpu for 3x data on the minhash band aggregation. Every
+      // object-agg payload in this library is BOUNDED by construction
+      // (the posting caps arc), so a keys-per-task bound is the right
+      // fallback guard, sized to the partitionsFor state budget
+      // (~560k rows/task; band keys ≤ rows): hash-aggregate up to 4M
+      // keys, fall back only past that.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Naive (un-annotated) parquet timestamps read as TIMESTAMP in the
       // UTC session, not TIMESTAMP_NTZ: epoch arithmetic (unix_micros /

@@ -114,6 +114,14 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()
     CacheRegistry.drain()
     assert(got.length == 2, got.mkString(","))
+    // ivfpq on the same 2-vector corpus: 2 live cells, 2 codewords per
+    // subspace, nprobe past the live cell count — must degrade to the
+    // exact pairing, not throw
+    val pq = graft.api.GraftApi.ivfPqSearchADC(
+      two, two, "vec_id", "embedding", cells = 16, nprobe = 4,
+      numSubs = 4, subDim = 16, codebookSize = 16, k = 5).collect()
+    CacheRegistry.drain()
+    assert(pq.length == 2, pq.mkString(","))
   }
 
   test("operators run concurrently in one session (no shared mutable catalog state)") {

@@ -39,7 +39,7 @@ object ScaleSmoke {
     "dedup_simhash_blocks", "dedup_bloom_bucketed",
     "dedup_clusters", "pipeline_curate", "pipeline_keep_best",
     "pipeline_pack_sequences", "mm_dedup_phash", "decontam_ngram",
-    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_codes",
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_codes",
     "q_time_resample", "q_skew_salted_join", "q3_shipping_priority",
     "q5_local_supplier", "q18_large_orders")
 

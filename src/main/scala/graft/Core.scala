@@ -113,13 +113,22 @@ object GraftSession {
       // TypedImperativeAggregate posting-list builds) falls back to
       // SORT-based aggregation after 128 distinct keys per task by
       // default — a silent n·log n + spill cliff the 300x smoke measured
-      // as 16x cpu for 3x data on the minhash band aggregation. Every
-      // object-agg payload in this library is BOUNDED by construction
-      // (the posting caps arc), so a keys-per-task bound is the right
-      // fallback guard, sized to the partitionsFor state budget
-      // (~560k rows/task; band keys ≤ rows): hash-aggregate up to 4M
-      // keys, fall back only past that.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      // as 16x cpu for 3x data on the minhash band aggregation. But the
+      // threshold is also the aggregation map's ONLY memory bound: the
+      // map side of a high-cardinality posting aggregation materializes
+      // a buffer for nearly every distinct key in every task, and the
+      // first 4M-key setting let the 300x ngram-shingle aggregation
+      // (~200k string keys × cap-64 posting buffers × 32 concurrent
+      // tasks) OOM the executor heap. 64k keys is the budget-derived
+      // value: with CompactBoundedSet's ≤~600 B cap-64 long buffers
+      // that is ≤40 MB of map per task (~1.2 GB across 32 local cores;
+      // ≤256 MB/core even at the ~4 KB generic-struct worst), while
+      // every aggregation this library WANTS in hash mode stays there —
+      // the minhash/simhash band keyspaces are sketch-bounded (#docs ×
+      // bands ≈ 40k at sf0.1) and fit under 64k; only the open-ended
+      // shingle-df aggregations tip into sort mode, which is their
+      // pre-threshold behavior and linear-measured at 300x.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Naive (un-annotated) parquet timestamps read as TIMESTAMP in the
       // UTC session, not TIMESTAMP_NTZ: epoch arithmetic (unix_micros /

@@ -44,12 +44,19 @@ case class CollectSetBounded(
     cap: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends Collect[mutable.HashSet[Any]] with UnaryLike[Expression] {
+  extends Collect[CompactBoundedSet] with UnaryLike[Expression] {
 
   require(cap >= 1, "collect_set_bounded cap must be >= 1")
 
-  override def createAggregationBuffer(): mutable.HashSet[Any] =
-    mutable.HashSet.empty
+  // CompactBoundedSet, not mutable.HashSet[Any]: one buffer lives per
+  // distinct key in the ObjectHashAggregate map, and the map side of a
+  // high-cardinality posting aggregation holds nearly every key in
+  // every task — at the boxed-HashSet ~90 B/element the 300× smoke OOMed
+  // the ngram-shingle aggregation (200k keys × cap-64 buffers ≈ 1.5 GB
+  // per task). Unboxed long storage is ~8 B/element, which is what makes
+  // the sortBased.fallbackThreshold a memory BOUND rather than a bet.
+  override def createAggregationBuffer(): CompactBoundedSet =
+    new CompactBoundedSet
 
   // identical to CollectSet: buffer elements are copied catalyst values
   // of the child type (UnsafeRow-backed values are materialized so the
@@ -63,19 +70,19 @@ case class CollectSetBounded(
     * sentinel state. The +1 is what makes the flag exact under merges.
     */
   override def update(
-      buffer: mutable.HashSet[Any],
-      input: InternalRow): mutable.HashSet[Any] =
+      buffer: CompactBoundedSet,
+      input: InternalRow): CompactBoundedSet =
     if (buffer.size > cap) buffer else super.update(buffer, input)
 
   override def merge(
-      buffer: mutable.HashSet[Any],
-      other: mutable.HashSet[Any]): mutable.HashSet[Any] = {
+      buffer: CompactBoundedSet,
+      other: CompactBoundedSet): CompactBoundedSet = {
     val it = other.iterator
     while (buffer.size <= cap && it.hasNext) buffer += it.next()
     buffer
   }
 
-  override def eval(buffer: mutable.HashSet[Any]): Any =
+  override def eval(buffer: CompactBoundedSet): Any =
     if (buffer.size > cap) null else new GenericArrayData(buffer.toSeq)
 
   override def nullable: Boolean = true

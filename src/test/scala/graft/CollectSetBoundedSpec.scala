@@ -72,6 +72,38 @@ class CollectSetBoundedSpec extends SparkSpec {
     assert(over)
   }
 
+  test("caps past the linear threshold escalate to the hash index exactly") {
+    import spark.implicits._
+    // 300 distinct longs under a cap of 400: crosses CompactBoundedSet's
+    // 128-element linear→hash boundary; must still equal collect_set.
+    // Long.MinValue rides along to pin the open-hash EMPTY sentinel.
+    val rows = (0 until 900).map(i => (1, (i % 300).toLong)) :+ ((1, Long.MinValue))
+    val got = rows.toDF("k", "v").repartition(16)
+      .groupBy("k").agg(array_sort(collect_set_bounded(col("v"), 400)).as("ids"))
+      .select("ids").as[Seq[Long]].head()
+    assert(got == (Long.MinValue +: (0L until 300L)).sorted, got.length)
+  }
+
+  test("string elements past the linear threshold (generic hash path)") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i => (1, s"s${i % 200}"))
+    val got = rows.toDF("k", "v").repartition(8)
+      .groupBy("k").agg(array_sort(collect_set_bounded(col("v"), 256)).as("ids"))
+      .select("ids").as[Seq[String]].head()
+    assert(got == (0 until 200).map(i => s"s$i").sorted, got.length)
+  }
+
+  test("CompactBoundedSet distinct-insert across representations") {
+    val s = new graft.functions.CompactBoundedSet
+    (0 until 200).foreach(i => s += Long.box(i % 50))
+    assert(s.size == 50 && s.iterator.map(_.asInstanceOf[Long]).toSet == (0L until 50L).toSet)
+    val g = new graft.functions.CompactBoundedSet
+    (0 until 200).foreach(i => g += s"v${i % 150}") // crosses LinearMax in generic mode
+    assert(g.size == 150)
+    g += "v0"
+    assert(g.size == 150)
+  }
+
   test("nulls are ignored and an all-null group yields an empty set") {
     import spark.implicits._
     val df = Seq((1, Some(5L)), (1, None), (2, None))

@@ -31,8 +31,15 @@ object CacheRegistry {
     * cache-free can pin it at zero). */
   def liveCount: Int = synchronized(live.size)
 
-  def drain(): Unit = synchronized {
-    live.foreach(_.unpersist(blocking = false))
+  def drain(): Unit = drain(blocking = false)
+
+  /** `blocking = true` waits for block removal — the measurement-harness
+    * form: leftover storage blocks from a previous query otherwise
+    * starve the next query's execution memory mid-run (unified memory
+    * eviction churn → aggregation spills charged to the wrong op).
+    */
+  def drain(blocking: Boolean): Unit = synchronized {
+    live.foreach(_.unpersist(blocking))
     live.clear()
   }
 }

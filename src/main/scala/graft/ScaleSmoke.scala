@@ -87,6 +87,12 @@ object ScaleSmoke {
     // audits and skew-vs-uniform ratios should read THIS when wall times
     // disagree across runs
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // spill attribution: execution-memory starvation shows up as
+    // aggregation/sort spills whose (de)serialization cpu is charged to
+    // the task — the signature of a heap-context measurement artifact
+    // (and, on a real executor, of an undersized memory fraction)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
     // per-stage attribution: straggler diagnosis needs "WHICH stage owns
     // the max task", not just the op-wide max — keyed by stageId, the
     // name is the stage's callSite short form
@@ -98,6 +104,8 @@ object ScaleSmoke {
         if (m != null) {
           taskMs.add(m.executorRunTime)
           cpuNs.addAndGet(m.executorCpuTime)
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
           stageAgg.merge(te.stageId, (m.executorRunTime, m.executorRunTime, 1),
             (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
         }
@@ -188,7 +196,7 @@ object ScaleSmoke {
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           drainBus(); taskMs.clear(); stageAgg.clear(); stageName.clear()
-          cpuNs.set(0L)
+          cpuNs.set(0L); spillMem.set(0L); spillDisk.set(0L)
           val t0 = System.nanoTime()
           try {
             val rows = fn(spark, out).count()
@@ -203,9 +211,10 @@ object ScaleSmoke {
               else (durs.last, durs(durs.length / 2))
             val skewRatio = if (tMed > 0) tMax.toDouble / tMed else 0.0
             val cpuS = cpuNs.get() / 1e9
+            val spillMb = spillDisk.get() / 1048576
             println(f"[scale $tag%sx] $name%-28s ${sec}%8.2f s  $rows%12d rows" +
               f"  task max/med ${tMax}%6d/${tMed}%-6d ms (${skewRatio}%.1fx)" +
-              f"  cpu ${cpuS}%8.1f s")
+              f"  cpu ${cpuS}%8.1f s  spill ${spillMb}%5d MB")
             // top stages by max task — names the straggler's owner
             import scala.jdk.CollectionConverters._
             stageAgg.asScala.toSeq.sortBy(-_._2._1).take(8).foreach {
@@ -213,12 +222,27 @@ object ScaleSmoke {
                 println(f"[scale $tag%sx]   stage $sid%-5d max ${mx}%7d ms " +
                   f"sum ${sm}%8d ms  $nt%5d tasks  ${stageName.getOrDefault(sid, "?")}%s")
             }
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}}""")
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb}""")
           } catch {
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")
-          } finally CacheRegistry.drain()
+          } finally {
+            // Heap hygiene BETWEEN ops (outside the timed region): the
+            // warm-solo adjudications keep showing in-sweep cpu_s
+            // inflated several× by the previous ops' surviving garbage
+            // and cached blocks (300x sweep: minhash 1076 in-sweep vs
+            // 174 warm-solo) — without this, per-op attribution mostly
+            // measures heap context, not the op.
+            CacheRegistry.drain(blocking = true)
+            spark.catalog.clearCache()
+            // GC → reference-queue processing → ContextCleaner removes
+            // dead broadcast/shuffle blocks; the brief wait lets that
+            // finish so leftover storage can't evict-churn the next op's
+            // execution memory (spills would charge the wrong op)
+            System.gc()
+            Thread.sleep(300)
+          }
         case None => System.err.println(s"unknown op: $name"); None
       }
     }

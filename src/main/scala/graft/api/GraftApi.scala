@@ -476,23 +476,54 @@ object GraftApi {
   def ivfPqSearchADC(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, cells: Int = 16, nprobe: Int = 4, numSubs: Int = 4,
       subDim: Int = 16, codebookSize: Int = 16, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.vec.{vec_dot, vec_distsq}
     val (_, c1p, assign1) = graft.operators.Similarity.ivfBuild(
       corpus, idCol, embCol, cells, iters = 1)
     val cbs = pqCodebooks(corpus, idCol, embCol, numSubs, subDim, codebookSize)
     val codes = pqEncode(corpus, idCol, embCol, cbs, numSubs, subDim)
+    val cwc = codes.join(assign1, col(idCol) === col("a_vec"))
+      .select(col(idCol), col("codes"), col("a_cent").as("cent_id"))
+    ivfPqSearchADCFromIndex(c1p.drop("part"), cbs, cwc, queries, idCol,
+      embCol, nprobe, numSubs, subDim, codebookSize, k)
+  }
+
+  /** [[ivfPqSearchADC]]'s search tail over PERSISTED index parts — the
+    * serving deployment shape (an IVFADC index is built offline; a query
+    * batch only searches): `cents` are the coarse cell centroids
+    * (cent_id, c_emb, c_nrm), `codebooks` the PQ codebooks, `codes` the
+    * cell-keyed code layout (<idCol>, codes, cent_id) — stored
+    * `bucketBy(cent_id)` so each probed cell's codes read with zero
+    * exchange. Training is deterministic (bounded seeds, fixed-point
+    * Lloyd), so serving from the persisted parts is bit-identical to the
+    * inline build.
+    *
+    * Hot-cell split, as in the IVF list probe (Similarity.
+    * ivfIndexProbeSearch): a mass-duplicated corpus concentrates most
+    * codes AND most probes into one cell, whose single bucketed-scan
+    * task would ADC-score hot_queries × hot_cell candidates. Cells whose
+    * code count exceeds `hotCellBound` (floored at corpus/partitions)
+    * redistribute by a content hash of the id before the probe join; the
+    * probe side stays broadcast, so sub-slices score independently and
+    * union exactly. The split decision reads ≤`cells` occupancy rows —
+    * bounded index metadata, never the corpus.
+    */
+  def ivfPqSearchADCFromIndex(cents: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int = 4, numSubs: Int = 4, subDim: Int = 16,
+      codebookSize: Int = 16, k: Int = 5,
+      hotCellBound: Long = 16384L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.vec.{vec_dot, vec_distsq}
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))
       .withColumn("q_nrm", sqrt(vec_dot(col("q_emb"), col("q_emb"))))
-    val ranked = q.crossJoin(broadcast(c1p.drop("part")))
+    val ranked = q.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
         col("cent_id"))))
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("q_id").as("p_qid"), col("cent_id").as("p_cent"))
     val lut = pqSplit(queries, idCol, embCol, numSubs, subDim)
-      .join(broadcast(cbs), "part")
+      .join(broadcast(codebooks), "part")
       .select(col("pid").as("l_qid"), col("part"), col("cent_id"),
         vec_distsq(col("emb"), col("c_emb")).as("dsq"))
       .groupBy(col("l_qid"))
@@ -503,14 +534,26 @@ object GraftApi {
         expr(s"element_at(lut, int(${s * codebookSize} + element_at(codes, ${s + 1})))"))
       .reduce(_ + _)
     val probeLut = broadcast(probes.join(lut, col("l_qid") === col("p_qid")))
-    val scored = codes
-      .join(assign1, col(idCol) === col("a_vec"))
+    def score(cand: DataFrame): DataFrame = cand
       .join(probeLut,
-        col("a_cent") === col("p_cent") && col(idCol) =!= col("p_qid"))
+        col("cent_id") === col("p_cent") && col(idCol) =!= col("p_qid"))
       .select(col("p_qid").as("q_id"), col(idCol).cast("long").as("cand_id"),
         adc.as("adc_dist"))
-      .withColumn("neg_dist", -col("adc_dist"))
-    topKPerKey(scored, "q_id", "neg_dist", "cand_id", k)
+    val spark = codes.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    val occ = codes.groupBy("cent_id").agg(count(lit(1)).as("cnt")).collect()
+    val bound = math.max(hotCellBound, occ.map(_.getLong(1)).sum / parts)
+    val hotIds = occ.filter(_.getLong(1) > bound).map(_.getLong(0)).toSeq
+    val scored =
+      if (hotIds.isEmpty) score(codes)
+      else {
+        val cold = score(codes.filter(!col("cent_id").isin(hotIds: _*)))
+        val hot = score(codes.filter(col("cent_id").isin(hotIds: _*))
+          .repartition(parts, pmod(hash(col(idCol)), lit(parts))))
+        cold.unionByName(hot)
+      }
+    topKPerKey(scored.withColumn("neg_dist", -col("adc_dist")),
+        "q_id", "neg_dist", "cand_id", k)
       .select("q_id", "cand_id", "adc_dist")
   }
 

@@ -326,6 +326,25 @@ class ApiSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("ann_ivfpq_topk serves from the persisted index bit-identically to the inline build") {
+    // the registered op searches persisted IVFADC parts (cells +
+    // codebooks + cell-bucketed codes); deterministic training means the
+    // served result must equal re-training both parts inline per run
+    val emb = Tables.embeddings(spark, sfTiny)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("adc_dist"))).toSet
+    val served = toSet(SparkEntry.queries("ann_ivfpq_topk")(spark, sfTiny))
+    CacheRegistry.drain()
+    val inline = toSet(GraftApi.ivfPqSearchADC(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      cells = 16, nprobe = 4, numSubs = 4, subDim = 16,
+      codebookSize = 16, k = 5))
+    CacheRegistry.drain()
+    assert(served == inline && served.nonEmpty,
+      s"served=${served.size} inline=${inline.size}")
+  }
+
   test("generic ivfTopK works on renamed columns and matches the registered op") {
     val emb = Tables.embeddings(spark, sfTiny)
     val renamed = emb.select(col("vec_id").as("item"), col("embedding").as("vec"))

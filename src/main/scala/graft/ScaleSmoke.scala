@@ -254,7 +254,7 @@ object ScaleSmoke {
       if (java.nio.file.Files.exists(path))
         entryRe.findAllMatchIn(java.nio.file.Files.readString(path))
           .map(m => m.group(1) -> m.group(2)).toSeq
-          .filterNot(_._1 == "amplification")
+          .filterNot(k => k._1 == "amplification" || k._1 == "heap_gb")
       else Seq.empty
     val freshAll = results.map { r =>
       entryRe.findFirstMatchIn(r) match {
@@ -271,8 +271,15 @@ object ScaleSmoke {
     val merged = (prior.filterNot(p => fresh.exists(_._1 == p._1)) ++ fresh)
       .sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }
+    // self-documenting run config: deep amplifications need the local
+    // heap scaled with the data (there is no cluster here to absorb it —
+    // 24g/32 cores is still under real per-core executor provisioning),
+    // and a ratio read across different heaps must say so
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     java.nio.file.Files.writeString(path,
-      merged.mkString(s"""{\n  "amplification": $n,\n""", ",\n", "\n}"))
+      merged.mkString(
+        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n""",
+        ",\n", "\n}"))
 
     // Growth audit against the largest smaller-amplification artifact:
     // time should scale ~linearly with N, so a ratio far past the

@@ -557,6 +557,38 @@ object GraftApi {
       .select("q_id", "cand_id", "adc_dist")
   }
 
+  /** Exact re-rank of an ANN shortlist against the ORIGINAL vectors —
+    * the refine step (FAISS RefineFlat shape) every production IVFADC
+    * deployment runs: the quantized index proposes `shortlist` rows
+    * (q_id, cand_id, ...), and only those candidates' true embeddings
+    * are fetched and scored with exact cosine, recovering the recall PQ
+    * approximation loses for the price of a query-sized join. Scale
+    * shape: the shortlist is |Q|·k' rows — broadcast — so the corpus
+    * scan is probed by id (bucketed/partition-pruned at 100 TB) and
+    * never shuffles; exact scores rank through the bounded-heap
+    * TopKPerKey. Scores are the house engine-exact sequential-fold
+    * cosine, so refined output is bit-comparable to brute force on the
+    * shortlisted candidates.
+    */
+  def refineTopK(corpus: DataFrame, shortlist: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    import graft.functions.vec.vec_dot
+    val q = queries.select(col(idCol).cast("long").as("rq_id"),
+        col(embCol).as("rq_emb"))
+      .withColumn("rq_nrm", sqrt(vec_dot(col("rq_emb"), col("rq_emb"))))
+    val pairs = shortlist.select(col("q_id"), col("cand_id"))
+    val fetched = corpus
+      .select(col(idCol).cast("long").as("rc_id"), col(embCol).as("rc_emb"))
+      .join(broadcast(pairs), col("rc_id") === col("cand_id"))
+      .withColumn("rc_nrm", sqrt(vec_dot(col("rc_emb"), col("rc_emb"))))
+    val scored = fetched.join(broadcast(q), col("rq_id") === col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        (vec_dot(col("rq_emb"), col("rc_emb")) /
+          (col("rq_nrm") * col("rc_nrm"))).as("cosine"))
+    topKPerKey(scored, "q_id", "cosine", "cand_id", k)
+      .select("q_id", "cand_id", "cosine")
+  }
+
   /** SimHash near-dup pairs over any (doc_id, text) frame through the
     * multi-block band machinery — see
     * graft.operators.Dedup.{simhashSignatures, simhashPairsFromSigs}.

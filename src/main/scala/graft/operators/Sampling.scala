@@ -64,6 +64,40 @@ object Sampling {
       .select("doc_id", "tokens", "p_keep")
   }
 
+  /** Deterministic EXACT-SIZE per-stratum sample — the distributed
+    * replacement for reservoir sampling: keep each language's k=7
+    * documents with the SMALLEST content-stable md5 coins (bottom-k by
+    * hash ≡ a uniform sample without replacement, but mergeable across
+    * partitions and reproducible on any engine/cluster, which a
+    * stateful reservoir is not). Fraction-based stratification
+    * (q_sample_stratified) can't promise exact per-stratum counts;
+    * this op does — the eval-set/holdout-carving verb. Runs through
+    * the bounded-heap TopKPerKeyExec (PARTIAL/FINAL: per-partition
+    * heaps shrink the corpus to langs·k rows BEFORE the exchange), so
+    * at 100 TB nothing but winner slivers ever shuffles and no group
+    * is sorted.
+    */
+  val reservoirSample: Op = Op(
+    "q_sample_reservoir",
+    """SELECT lang, doc_id, coin FROM (
+      |  SELECT lang, doc_id, coin,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY coin, doc_id) AS rn
+      |  FROM (SELECT lang, doc_id,
+      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS coin
+      |        FROM documents))
+      |WHERE rn <= 7""".stripMargin,
+  ) { (spark, dir) =>
+    val coin = expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+      .cast("long")
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), coin.as("coin"))
+      .withColumn("neg_coin", -col("coin"))
+    // TopKPerKey keeps the k LARGEST by `order` (tiebreak asc) — negate
+    // the coin so bottom-k-by-hash comes out, ties broken by doc_id
+    graft.api.GraftApi.topKPerKey(scored, "lang", "neg_coin", "doc_id", k = 7)
+      .select("lang", "doc_id", "coin")
+  }
+
   /** Corpus vocabulary: global token frequencies with a deterministic
     * top-k — the vocab-building pass before tokenizer training.
     */
@@ -147,6 +181,6 @@ object Sampling {
   }
 
   val ops: Seq[Op] =
-    Seq(stratifiedSample, weightedSample, vocabTopK, approxDistinct,
-      approxPercentile, mixBalance)
+    Seq(stratifiedSample, weightedSample, reservoirSample, vocabTopK,
+      approxDistinct, approxPercentile, mixBalance)
 }

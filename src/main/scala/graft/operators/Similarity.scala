@@ -1064,21 +1064,11 @@ object Similarity {
           " else array_max(zip_with(d, q, (x, qi) -> abs(x - qi * scale))) end")
           .as("max_abs_err"))
 
-  /** IVF+PQ composed top-k — the registered face of
-    * [[graft.api.GraftApi.ivfPqSearchADC]] (FAISS's IVFADC shape, the
-    * no-residual variant): coarse cosine cells route each query to its
-    * top-4 of 16 cells; candidates are ADC-scored from PQ codes WITHIN
-    * probed cells only, so the codes table is read by cell key, never
-    * fully scanned (contrast [[pqSearch]]). Both index parts are the
-    * existing engine-exact machinery (bounded-seed fixed-point-Lloyd
-    * cells; per-subvector codebooks), so the oracle is literally the two
-    * ops' CTE chains composed: the pq chain verbatim (v/sub/c0/a0/
-    * contrib/c1/a1) plus a k-prefixed copy of the kmeans chain at
-    * cells=16, joined at the adc step through (cell ∈ probes) ∧ (code
-    * match). Ranking (adc_dist asc, cand_id) through TopKPerKey.
+  /** The composed IVFADC chain as oracle SQL, parameterized by the final
+    * per-query candidate count so [[ivfPqRefineTopK]] can reuse the
+    * identical chain as its shortlist CTE.
     */
-  val ivfPqTopK: Op = Op(
-    "ann_ivfpq_topk",
+  private def ivfPqOracleSql(kCand: Int): String =
     s"""WITH $pqCteSql,
       |w AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
       |k0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
@@ -1144,7 +1134,24 @@ object Similarity {
       |SELECT q_id, cand_id, adc_dist FROM (
       |  SELECT q_id, cand_id, adc_dist,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, cand_id) AS rn
-      |  FROM adc) WHERE rn <= 5""".stripMargin,
+      |  FROM adc) WHERE rn <= $kCand""".stripMargin
+
+  /** IVF+PQ composed top-k — the registered face of
+    * [[graft.api.GraftApi.ivfPqSearchADC]] (FAISS's IVFADC shape, the
+    * no-residual variant): coarse cosine cells route each query to its
+    * top-4 of 16 cells; candidates are ADC-scored from PQ codes WITHIN
+    * probed cells only, so the codes table is read by cell key, never
+    * fully scanned (contrast [[pqSearch]]). Both index parts are the
+    * existing engine-exact machinery (bounded-seed fixed-point-Lloyd
+    * cells; per-subvector codebooks), so the oracle is literally the two
+    * ops' CTE chains composed: the pq chain verbatim (v/sub/c0/a0/
+    * contrib/c1/a1) plus a k-prefixed copy of the kmeans chain at
+    * cells=16, joined at the adc step through (cell ∈ probes) ∧ (code
+    * match). Ranking (adc_dist asc, cand_id) through TopKPerKey.
+    */
+  val ivfPqTopK: Op = Op(
+    "ann_ivfpq_topk",
+    ivfPqOracleSql(5),
   ) { (spark, dir) =>
     // the SERVING deployment shape (the same move that took
     // ann_ivf_autoprobe from 2.75 to 0.53 s): search the persisted
@@ -1160,8 +1167,103 @@ object Similarity {
       nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5)
   }
 
+  /** IVFADC shortlist + exact re-rank — the refine step (FAISS
+    * RefineFlat shape) that completes the production ANN serving story:
+    * the quantized index proposes a 20-candidate shortlist per query
+    * (the [[ivfPqTopK]] machinery verbatim, served from the persisted
+    * index), then ONLY those candidates' true embeddings are fetched by
+    * id and scored with exact sequential-fold cosine, and the top 5 by
+    * TRUE similarity are kept. Recall lost to PQ approximation is
+    * recovered for the price of a |Q|·20-row broadcast join against the
+    * corpus — the corpus itself never shuffles and is read once (by id;
+    * bucketed/partition-pruned at 100 TB). Oracle = the composed IVFADC
+    * chain at k=20 wrapped as the shortlist CTE + the brute-force
+    * cosine re-rank — both stages engine-exact, so the hash gate holds.
+    */
+  val ivfPqRefineTopK: Op = Op(
+    "ann_ivfpq_refine_topk",
+    s"""WITH short AS (${ivfPqOracleSql(20)}),
+      |wv AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |ex AS (
+      |  SELECT s.q_id, s.cand_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q.embedding)),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS cosine
+      |  FROM short s JOIN wv q ON q.vec_id = s.q_id
+      |       JOIN wv c ON c.vec_id = s.cand_id)
+      |SELECT q_id, cand_id, cosine FROM (
+      |  SELECT q_id, cand_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM ex) WHERE rn <= 5""".stripMargin,
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val (cents, cbs, codes) = persistedIvfPqIndex(spark, dir,
+      cells = 16, numSubs = 4, subDim = 16, codebookSize = 16)
+    val short = graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes,
+      queries, "vec_id", "embedding",
+      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 20)
+    graft.api.GraftApi.refineTopK(emb, short, queries, "vec_id", "embedding",
+      k = 5)
+  }
+
+  /** Embedding-KNN label vote — the quality-classifier verb of a modern
+    * curation pipeline (classify each document by its nearest labeled
+    * seeds, the FineWeb-Edu/DCLM seed-similarity shape): for each query
+    * vector, the k=10 exact-cosine nearest neighbors vote and the
+    * majority label wins (ties: most votes first, then smallest label —
+    * fully deterministic). Labels ride the SCORED side of the broadcast
+    * probe, so no second corpus join fetches them; the vote aggregation
+    * sees only winner slivers (|Q|·k rows) from the bounded-heap
+    * TopKPerKey. At 100 TB: queries are the labeled seed batch
+    * (broadcast), the corpus scans once, and per-query work is one heap.
+    */
+  val annKnnClassify: Op = Op(
+    "ann_knn_classify",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, label FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q_id, vec_id AS cand_id, label,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(q_emb)),
+      |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |      (acc, p) -> acc + p) / (q_nrm * nrm) AS cosine
+      |  FROM q JOIN v ON q_id <> vec_id),
+      |top AS (SELECT q_id, label FROM (
+      |    SELECT q_id, label,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+      |    FROM scored) WHERE rn <= 10),
+      |votes AS (SELECT q_id, label, COUNT(*) AS n FROM top GROUP BY q_id, label)
+      |SELECT q_id, pred_label, votes FROM (
+      |  SELECT q_id, label AS pred_label, n AS votes,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS rn
+      |  FROM votes) WHERE rn = 1""".stripMargin,
+  ) { (spark, dir) =>
+    val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val dot = vec_dot(col("q_emb"), col("embedding"))
+    val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("label"),
+        (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
+    val top = graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id",
+      k = 10)
+    val votes = top.groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    // the vote table is |Q|·(≤k) rows — a window over it is driver-cheap
+    // at any corpus size because its cardinality is query-bound
+    import org.apache.spark.sql.expressions.Window
+    votes
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n").as("votes"))
+  }
+
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
       annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annRandomHyperplaneTopK,
-      embedQuantize, pqCodes, pqSearch, ivfPqTopK)
+      embedQuantize, pqCodes, pqSearch, ivfPqTopK, ivfPqRefineTopK,
+      annKnnClassify)
 }

@@ -41,6 +41,41 @@ object Sources {
           .getField("k").as("k"))
   }
 
+  /** Malformed-record quarantine — the ingestion reality a crawl/JSONL
+    * feed forces: a deterministic 1-in-7 of the JSON payloads is
+    * corrupted (a stray '{' prefix — invalid JSON), parsed in
+    * PERMISSIVE mode with a columnNameOfCorruptRecord quarantine
+    * column, and the per-event-type audit reports rows, corrupt rows,
+    * and the sum over the fields that DID parse. Nothing throws, no row
+    * is dropped silently, and the quarantine count is the data-quality
+    * signal a 100 TB ingest monitors. One scan, codegen'd parse, no
+    * shuffle beyond the final tiny aggregate.
+    */
+  val jsonCorrupt: Op = Op(
+    "q_json_corrupt",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(SUM(CASE WHEN event_id % 7 <> 0
+      |        THEN COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)
+      |        ELSE 0 END) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    val mangled = Tables.events(spark, dir)
+      .withColumn("line",
+        when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
+          .otherwise(col("props")))
+    mangled
+      .select(col("event_type"),
+        from_json(col("line"), "k BIGINT, _corrupt STRING",
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("j._corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(coalesce(col("j.k"), lit(0L))).as("sum_k"))
+  }
+
   /** CSV round-trip under the exact-hash gate: write customer to CSV,
     * read it back schema-on-read, aggregate — the result must equal the
     * oracle computed from the original parquet, proving the text format
@@ -104,5 +139,6 @@ object Sources {
         min(col("s_name")).as("first_name"))
   }
 
-  val ops: Seq[Op] = Seq(jsonExtract, jsonStruct, csvRoundTrip, orcRoundTrip)
+  val ops: Seq[Op] =
+    Seq(jsonExtract, jsonStruct, jsonCorrupt, csvRoundTrip, orcRoundTrip)
 }

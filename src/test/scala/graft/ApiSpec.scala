@@ -326,6 +326,81 @@ class ApiSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("refineTopK on the full candidate set equals brute-force top-k") {
+    // refine semantics: exact cosine over whatever shortlist it is given.
+    // Handing it EVERY (query, candidate) pair must reproduce the
+    // brute-force operator exactly — scores and ranking both — which
+    // pins the re-rank stage as bit-identical to the house exact cosine.
+    val emb = Tables.embeddings(spark, sfTiny)
+    val queries = emb.filter(col("vec_id") < 8)
+    val allPairs = queries.select(col("vec_id").as("q_id"))
+      .crossJoin(emb.select(col("vec_id").as("cand_id")))
+      .filter(col("q_id") =!= col("cand_id"))
+    val refined = GraftApi.refineTopK(emb, allPairs, queries,
+        "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val brute = graft.operators.Similarity.annBruteForceTopK.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(refined == brute && brute.nonEmpty)
+  }
+
+  test("ann_ivfpq_refine_topk output is its ADC shortlist re-ranked by exact cosine") {
+    val op = graft.operators.Similarity.ivfPqRefineTopK.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine")))
+    assert(op.nonEmpty)
+    // per query: ≤5 rows, descending exact cosine, candidates distinct
+    op.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"q=$q has ${rows.length} rows")
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    // every emitted cosine must BE the exact cosine of that pair (the
+    // refine contract: scores come from true vectors, not the ADC
+    // approximation)
+    val emb = Tables.embeddings(spark, sfTiny)
+    import graft.functions.vec.vec_dot
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
+    val exact = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"))
+      .crossJoin(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")))
+      .filter(col("a_id") < 8)
+      .select(col("a_id"), col("b_id"),
+        (vec_dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+          .as("cos"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("cos")).toMap
+    op.foreach { case (q, c, cos) =>
+      assert(exact((q, c)) == cos, s"($q,$c): refine $cos != exact ${exact((q, c))}")
+    }
+  }
+
+  test("ann_knn_classify: one deterministic majority row per query, consistent with brute-force neighbors") {
+    val preds = graft.operators.Similarity.annKnnClassify.fn(spark, sfTiny)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(preds.keySet == (0L until 8L).toSet)
+    preds.values.foreach { case (_, v) => assert(v >= 1 && v <= 10) }
+    // recount from first principles: top-10 exact-cosine neighbors
+    // (the brute-force op at k=10) joined to labels must reproduce the
+    // vote and the (votes desc, label asc) winner
+    val emb = Tables.embeddings(spark, sfTiny)
+    val labels = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val top10 = graft.operators.Similarity.annBruteForceTopK.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+    top10.groupBy(_._1).foreach { case (q, rows) =>
+      val votes = rows.map(r => labels(r._2)).groupBy(identity)
+        .view.mapValues(_.size).toSeq
+      val (bestLabel, bestVotes) = votes.minBy { case (l, n) => (-n, l) }
+      assert(preds(q) == (bestLabel, bestVotes.toLong),
+        s"q=$q: op ${preds(q)} vs recount ($bestLabel, $bestVotes)")
+    }
+  }
+
   test("ann_ivfpq_topk serves from the persisted index bit-identically to the inline build") {
     // the registered op searches persisted IVFADC parts (cells +
     // codebooks + cell-bucketed codes); deterministic training means the

@@ -15,6 +15,12 @@ class PlanLintSpec extends SparkSpec {
     // (autoprobe adds a one-row occupancy-stats frame on top)
     "ann_rh_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "ann_ivf_autoprobe", "ann_ivfpq_topk",
+    // the IVFADC shortlist machinery (centroid-ranking cross) feeding the
+    // exact re-rank; the refine joins themselves are keyed broadcasts
+    "ann_ivfpq_refine_topk",
+    // same ≤8-query broadcast scoring pass as ann_bruteforce_topk, with
+    // labels riding the scored side
+    "ann_knn_classify",
     // one-row global-min aggregate crossed onto the per-lang counts
     // (a handful of rows), never the corpus
     "q_mix_balance",

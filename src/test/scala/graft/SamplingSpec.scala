@@ -16,6 +16,34 @@ class SamplingSpec extends SparkSpec {
     assert(enKept / en > 0.6 && enKept / en < 0.95, s"en keep rate ${enKept / en}")
   }
 
+  test("reservoir sample: exact min(k, stratum) rows per language, bottom-k by coin") {
+    val res = Sampling.reservoirSample.fn(spark, sfTiny)
+    val got = res.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("coin")))
+    // expected: per-lang ROW_NUMBER over (coin, doc_id) <= 7 — the window
+    // formulation the bounded-heap plan must match exactly
+    val docs = Tables.documents(spark, sfTiny)
+    val coin = expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+      .cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val expected = docs.select(col("lang"), col("doc_id"), coin.as("coin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("coin"), col("doc_id"))))
+      .filter(col("rn") <= 7).drop("rn")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("coin")))
+    assert(got.toSet == expected.toSet && got.nonEmpty)
+    // exact-size contract: every stratum yields min(7, its size)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val perLang = got.groupBy(_._1).view.mapValues(_.length)
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(7L, n).toInt,
+        s"$lang: got ${perLang.getOrElse(lang, 0)} of $n")
+    }
+  }
+
   test("approx distinct is within 5% of exact") {
     val joined = Sampling.approxDistinct.fn(spark, sfTiny)
       .join(Tables.events(spark, sfTiny)

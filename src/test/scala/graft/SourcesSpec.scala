@@ -18,6 +18,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.sameElements(nation.columns))
   }
 
+  test("json corrupt-record quarantine counts exactly the mangled rows") {
+    val events = Tables.events(spark, sfTiny)
+    val total = events.count()
+    val mangled = events.filter(col("event_id") % 7 === 0).count()
+    val res = graft.operators.Sources.jsonCorrupt.fn(spark, sfTiny)
+      .agg(sum("n").as("n"), sum("n_corrupt").as("c")).collect()(0)
+    // nothing dropped, nothing thrown: row total preserved, and the
+    // quarantine column flags EXACTLY the deterministically-corrupted set
+    assert(res.getAs[Long]("n") == total)
+    assert(res.getAs[Long]("c") == mangled && mangled > 0)
+  }
+
   test("json lines round-trip preserves values") {
     val dir = tmpDir()
     val region = Tables.region(spark, sfTiny)

@@ -137,6 +137,67 @@ object AnnServe {
       }
   }
 
+  /** IVFADC top-k for a STREAM of (id, embedding) queries against the
+    * persisted IVF+PQ index (Similarity's persisted layout: `centroids`
+    * (cent_id, c_emb, c_nrm), `codebooks` (part, cent_id, c_emb), and
+    * `codes` (id, codes, cent_id) bucketed by cell) — the serving face
+    * of the canonical production ANN index, composing the two existing
+    * faces: the cell routing of [[ivfServeStream]] (per-row array_sort
+    * over a packed centroid broadcast) and the ADC LUT of
+    * [[pqServeStream]] (one projection against the packed codebooks).
+    * The stream-static codes join is KEYED on cent_id, so each
+    * micro-batch reads only its queries' probed cells — scan mass ≈
+    * probed cells, never the corpus. Emits the same (q_id, cand_id,
+    * adc_dist) rows the batch ivfPqSearchADCFromIndex produces.
+    */
+  def ivfPqServeStream(queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, idCol: String, embCol: String,
+      nprobe: Int = 4, numSubs: Int = 4, subDim: Int = 16,
+      codebookSize: Int = 16, k: Int = 5): Dataset[AdcScore] = {
+    import queries.sparkSession.implicits._
+    val packedCents = broadcast(centroids.groupBy().agg(
+      collect_list(struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents")))
+    val packedCbs = broadcast(codebooks.groupBy().agg(
+      collect_list(struct(col("part"), col("cent_id"), col("c_emb"))).as("cbs")))
+    // per query, in one projection pass: the full ADC LUT (computed once,
+    // BEFORE the probe explode duplicates the row nprobe×) and the
+    // top-nprobe cells in the batch (−cosine, cent_id) order
+    val lutProbes = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("qd"))
+      .withColumn("q_nrm", expr("sqrt(vec_dot(qd, qd))"))
+      .join(packedCents).join(packedCbs)
+      .select(col("q_id"),
+        expr(s"map_from_entries(transform(cbs, c -> struct(" +
+          s"int(c.part * $codebookSize + c.cent_id), " +
+          s"vec_distsq(slice(qd, c.part * $subDim + 1, $subDim), c.c_emb))))")
+          .as("lut"),
+        explode(expr(
+          s"slice(array_sort(transform(cents, c -> struct(" +
+            s"-(vec_dot(qd, c.c_emb) / (q_nrm * c.c_nrm)) as cost," +
+            s" c.cent_id as cent_id))), 1, $nprobe)")).as("p"))
+      .select(col("q_id"), col("lut"), col("p.cent_id").as("p_cent"))
+    val adc = (0 until numSubs).map(s =>
+        expr(s"element_at(lut, int(${s * codebookSize} + element_at(codes, ${s + 1})))"))
+      .reduce(_ + _)
+    val scored = broadcast(lutProbes)
+      .join(codes, col("cent_id") === col("p_cent") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).cast("long").as("cand_id"),
+        adc.as("adc_dist"))
+    scored.as[AdcScore].groupByKey(_.q_id)
+      .flatMapGroupsWithState[Long, AdcScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, _) =>
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[AdcScore](Ordering.by(s => (s.adc_dist, s.cand_id)))
+          rows.foreach { r =>
+            heap += r
+            if (heap.size > k) heap.dequeue()
+          }
+          heap.toList.sortBy(s => (s.adc_dist, s.cand_id)).iterator
+      }
+  }
+
   /** [[ivfServeStream]] with nprobe derived from the persisted index's
     * own cell occupancy — the serving face of
     * graft.operators.Similarity.ivfSearchAuto, same bound: smallest

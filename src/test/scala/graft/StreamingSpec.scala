@@ -588,6 +588,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVFADC serving equals batch ivfPqSearchADCFromIndex over the same parts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnnServe
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfTiny)
+    // the persisted-IVFADC parts, constructed exactly as the registered
+    // op's index build: coarse cells (1 Lloyd pass), PQ codebooks, and
+    // codes carrying their cell assignment
+    val (_, c1p, assign1) = graft.operators.Similarity.ivfBuild(
+      emb, "vec_id", "embedding", cells = 16, iters = 1)
+    val cents = CacheRegistry.track(c1p.drop("part"))
+    val cbs = CacheRegistry.track(graft.api.GraftApi.pqCodebooks(
+      emb, "vec_id", "embedding", numSubs = 4, subDim = 16))
+    val codes = CacheRegistry.track(graft.api.GraftApi.pqEncode(
+        emb, "vec_id", "embedding", cbs, numSubs = 4, subDim = 16)
+      .join(assign1, col("vec_id") === col("a_vec"))
+      .select(col("vec_id"), col("codes"), col("a_cent").as("cent_id")))
+    val queries = emb.filter(col("vec_id") < 8)
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = AnnServe.ivfPqServeStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, cbs, codes,
+      "vec_id", "embedding", nprobe = 4, numSubs = 4, subDim = 16,
+      codebookSize = 16, k = 5)
+    val q = served.writeStream.format("memory").queryName("ivfpq_serve")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(qRows.take(4).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(qRows.drop(4).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ivfpq_serve")
+        .as[AnnServe.AdcScore].collect()
+        .map(s => (s.q_id, s.cand_id, s.adc_dist)).toSet
+      val batch = graft.api.GraftApi.ivfPqSearchADCFromIndex(
+          cents, cbs, codes, queries, "vec_id", "embedding",
+          nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("adc_dist"))).toSet
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("ivfServeStreamAuto on an empty index fails fast, not NPE") {
     import spark.implicits._
     import graft.streaming.AnnServe

@@ -589,6 +589,40 @@ object GraftApi {
       .select("q_id", "cand_id", "cosine")
   }
 
+  /** Embedding-KNN label vote over any labeled (id, float-array) corpus —
+    * the generic face of the registered ann_knn_classify (the
+    * seed-similarity quality-classifier verb): each query's k
+    * exact-cosine nearest corpus rows vote, majority label wins (votes
+    * desc, then smallest label — deterministic). Labels ride the scored
+    * side of the broadcast probe, so no second corpus join fetches them;
+    * the vote window runs over the query-bound winner sliver only.
+    * Queries must be broadcast-small (a labeled seed batch / micro-batch
+    * at 100 TB); the corpus scans once and never shuffles.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int = 10): DataFrame = {
+    import graft.functions.vec.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    val v = corpus.select(col(idCol).cast("long").as("c_id"),
+        col(embCol).as("c_emb"), col(labelCol).as("label"))
+      .withColumn("c_nrm", nrmOf(col("c_emb")))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        col(embCol).as("q_emb"))
+      .withColumn("q_nrm", nrmOf(col("q_emb")))
+    val scored = v.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("cand_id"), col("label"),
+        (vec_dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm"))).as("cosine"))
+    val votes = topKPerKey(scored, "q_id", "cosine", "cand_id", k)
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n"))
+    votes
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n").as("votes"))
+  }
+
   /** SimHash near-dup pairs over any (doc_id, text) frame through the
     * multi-block band machinery — see
     * graft.operators.Dedup.{simhashSignatures, simhashPairsFromSigs}.

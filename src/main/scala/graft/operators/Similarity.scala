@@ -1240,25 +1240,9 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS rn
       |  FROM votes) WHERE rn = 1""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
-    val dot = vec_dot(col("q_emb"), col("embedding"))
-    val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"), col("label"),
-        (dot / (col("q_nrm") * col("nrm"))).as("cosine"))
-    val top = graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id",
-      k = 10)
-    val votes = top.groupBy(col("q_id"), col("label"))
-      .agg(count(lit(1)).as("n"))
-    // the vote table is |Q|·(≤k) rows — a window over it is driver-cheap
-    // at any corpus size because its cardinality is query-bound
-    import org.apache.spark.sql.expressions.Window
-    votes
-      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("n").desc, col("label"))))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("label").as("pred_label"), col("n").as("votes"))
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.GraftApi.knnClassify(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", "label", k = 10)
   }
 
   val ops: Seq[Op] =

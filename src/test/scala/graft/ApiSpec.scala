@@ -401,6 +401,20 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("generic knnClassify works on renamed columns and matches the registered op") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val renamed = emb.select(col("vec_id").as("item"),
+      col("embedding").as("vec"), col("label").as("tag"))
+    val got = GraftApi.knnClassify(renamed, renamed.filter(col("item") < 8),
+        "item", "vec", "tag", k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Int]("pred_label"), r.getAs[Long]("votes"))).toSet
+    val want = graft.operators.Similarity.annKnnClassify.fn(spark, sfTiny)
+      .collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Int]("pred_label"), r.getAs[Long]("votes"))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("ann_ivfpq_topk serves from the persisted index bit-identically to the inline build") {
     // the registered op searches persisted IVFADC parts (cells +
     // codebooks + cell-bucketed codes); deterministic training means the

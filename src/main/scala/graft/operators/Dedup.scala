@@ -637,7 +637,14 @@ object Dedup {
     } else {
       val provenNew = delta.filter(!might_contain(bytes, key))
       val maybeDup = delta.filter(might_contain(bytes, key))
-      val verifiedNew = maybeDup.join(corpus.select(col("text").as("c_text")),
+      // anti-join needs EXISTENCE, not multiplicity — distinct the corpus
+      // projection so a hot text value (a template at 90% of a skewed
+      // corpus) collapses map-side in the partial aggregate instead of
+      // landing millions of identical rows in one join partition; the
+      // join reuses the distinct's hash partitioning on text, so this
+      // costs one agg pass, not a second shuffle
+      val verifiedNew = maybeDup.join(
+        corpus.select(col("text").as("c_text")).distinct(),
         col("text") === col("c_text"), "left_anti")
       provenNew.unionByName(verifiedNew)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -701,8 +708,10 @@ object Dedup {
         case Some(bytes) =>
           val provenNew = dB.filter(!might_contain(bytes, key))
           val maybeDup = dB.filter(might_contain(bytes, key))
+          // existence-only build side, deduped — see bloomNewDocs
           val verifiedNew = maybeDup.join(
-            corpusB.filter(col("bkt") === b).select(col("text").as("c_text")),
+            corpusB.filter(col("bkt") === b)
+              .select(col("text").as("c_text")).distinct(),
             col("text") === col("c_text"), "left_anti")
           provenNew.unionByName(verifiedNew)
             .select(col("doc_id"), md5(col("text")).as("content_hash"))

@@ -108,6 +108,15 @@ class PlanSpec extends SparkSpec {
     assert(plan(Relational.antiJoinNotExists).contains("LeftAnti"))
   }
 
+  test("bloom verify anti-join builds against a DEDUPED corpus side") {
+    // existence-only build side: a hot template (90% of a skewed corpus)
+    // must collapse in a map-side partial aggregate before the join
+    // shuffle, not land as millions of identical rows in one partition
+    val p = plan(Dedup.bloomNew)
+    assert(p.contains("LeftAnti"), p)
+    assert("HashAggregate\\(keys=\\[c_text".r.findFirstIn(p).isDefined, p)
+  }
+
   test("view fusion: filter-map-filter chain stays in one codegen stage") {
     // codegen'd operators print as "*(stageId) Op"; one fused stage → only *(1)
     val p = plan(Extended.viewFusion)

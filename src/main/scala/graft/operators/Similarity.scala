@@ -1245,9 +1245,92 @@ object Similarity {
       "vec_id", "embedding", "label", k = 10)
   }
 
+  /** SemDeDup (Abbas et al. 2023) — semantic deduplication by cluster-
+    * local cosine pruning: assign every embedding to its nearest
+    * centroid, then inside each cluster drop any vector that has cosine
+    * ≥ τ with a LOWER-id vector of the same cluster (the kept vector is
+    * the cluster-canonical representative; τ = 0.2, the family
+    * threshold). The clustering is exactly what bounds the quadratic:
+    * pairs are only formed within a cell, never across the corpus.
+    *
+    * Centroids are the bounded deterministic subset the IVF family uses
+    * (64 lowest ids — production k-means a sampled seed, changing only
+    * how `c` is produced), assignment runs through the codegen'd argmin
+    * kernel (one broadcast, one row in → one row out), and cells past
+    * 128 members pass through unpruned with `cell_capped` = 1 — the
+    * posting-list cap discipline: a mass-duplicated cell would make
+    * in-cell pairs quadratic in duplication depth, and the production
+    * answer there is re-clustering with more centroids (k ∝ N), not an
+    * unbounded pair join. Output: every vector with its cell, the keep
+    * decision, and the cap audit flag.
+    */
+  val semDedup: Op = Op(
+    "dedup_semdedup",
+    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      |      FROM v WHERE vec_id < 64),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(v.embedding)),
+      |            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))),
+      |          (acc, p) -> acc + p) / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |    FROM v, c) WHERE rn = 1),
+      |cells AS (SELECT cent_id, COUNT(*) AS n FROM assign GROUP BY cent_id),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |       JOIN cells ce ON ce.cent_id = a.cent_id AND ce.n <= 128
+      |       JOIN v va ON va.vec_id = a.vec_id
+      |       JOIN v vb ON vb.vec_id = b.vec_id
+      |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, len(va.embedding)),
+      |            i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+      |          (acc, p) -> acc + p) / (va.nrm * vb.nrm) >= 0.2)
+      |SELECT a.vec_id, a.cent_id,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      |  CAST(CASE WHEN ce.n > 128 THEN 1 ELSE 0 END AS BIGINT) AS cell_capped
+      |FROM assign a JOIN cells ce ON ce.cent_id = a.cent_id
+      |     LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin,
+  ) { (spark, dir) =>
+    val v = graft.CacheRegistry.track(
+      Tables.embeddings(spark, dir).withColumn("nrm", nrmCol))
+    val cents = v.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assign = graft.CacheRegistry.track(assignTo(
+        v.select(col("vec_id").as("pid"), lit(0).as("part"),
+          col("embedding").as("emb"), col("nrm")),
+        cents.withColumn("part", lit(0)), NegCos)
+      .select(col("pid").as("vec_id"), col("a_cent").as("cent_id")))
+    // cell sizes: a centroid-cardinality-sized frame (≤ 64 rows) — broadcast
+    val cells = assign.groupBy("cent_id").agg(count(lit(1)).as("n"))
+    val va = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"))
+    val vb = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"))
+    val aAss = assign.select(col("vec_id").as("a_id"), col("cent_id"))
+    val bAss = assign.select(col("vec_id").as("b_id"), col("cent_id").as("b_cent"))
+    val dropped = aAss
+      .join(broadcast(cells.filter(col("n") <= 128)), "cent_id")
+      .join(bAss, col("cent_id") === col("b_cent") && col("a_id") < col("b_id"))
+      .join(va, "a_id").join(vb, "b_id")
+      .filter(vec_dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) >= 0.2)
+      .select(col("b_id").as("d_id")).distinct()
+    assign
+      .join(broadcast(cells), "cent_id")
+      .join(dropped, col("vec_id") === col("d_id"), "left_outer")
+      .select(col("vec_id"), col("cent_id"),
+        when(col("d_id").isNull, 1L).otherwise(0L).as("keep"),
+        when(col("n") > 128, 1L).otherwise(0L).as("cell_capped"))
+  }
+
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
       annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annRandomHyperplaneTopK,
       embedQuantize, pqCodes, pqSearch, ivfPqTopK, ivfPqRefineTopK,
-      annKnnClassify)
+      annKnnClassify, semDedup)
 }

@@ -262,7 +262,119 @@ object Temporal {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Exponentially-weighted moving average of each user's event values —
+    * the smoothing/feature-engineering primitive every timeseries
+    * pipeline carries (α = 0.25 over the trailing 8 observations).
+    *
+    * Exactness discipline: the float recurrence `e = αx + (1−α)e` is
+    * partial-order dependent, so the weights are PRECOMPUTED integer
+    * micro-units (round(10^6·0.75^d), literal constants identical in
+    * both engines), values are floored to integer milli-units, and the
+    * EWMA is one integer division of two exact long sums — bit-identical
+    * across engines and partitionings. Shape: 8 lag() reads over ONE
+    * (user, time)-keyed window pass — a single keyed shuffle, each
+    * partition sorted once, O(1) state per row; no self-join, no
+    * per-row frame re-scan.
+    */
+  val windowEwma: Op = Op(
+    "q_window_ewma",
+    """SELECT event_id, user_id, x_milli,
+      |  ( w0*x_milli
+      |  + CASE WHEN x1 IS NULL THEN 0 ELSE w1*x1 END
+      |  + CASE WHEN x2 IS NULL THEN 0 ELSE w2*x2 END
+      |  + CASE WHEN x3 IS NULL THEN 0 ELSE w3*x3 END
+      |  + CASE WHEN x4 IS NULL THEN 0 ELSE w4*x4 END
+      |  + CASE WHEN x5 IS NULL THEN 0 ELSE w5*x5 END
+      |  + CASE WHEN x6 IS NULL THEN 0 ELSE w6*x6 END
+      |  + CASE WHEN x7 IS NULL THEN 0 ELSE w7*x7 END)
+      |  //
+      |  ( w0
+      |  + CASE WHEN x1 IS NULL THEN 0 ELSE w1 END
+      |  + CASE WHEN x2 IS NULL THEN 0 ELSE w2 END
+      |  + CASE WHEN x3 IS NULL THEN 0 ELSE w3 END
+      |  + CASE WHEN x4 IS NULL THEN 0 ELSE w4 END
+      |  + CASE WHEN x5 IS NULL THEN 0 ELSE w5 END
+      |  + CASE WHEN x6 IS NULL THEN 0 ELSE w6 END
+      |  + CASE WHEN x7 IS NULL THEN 0 ELSE w7 END) AS ewma_milli
+      |FROM (SELECT event_id, user_id,
+      |    CAST(floor(value * 1000) AS BIGINT) AS x_milli,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 1) OVER w AS x1,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 2) OVER w AS x2,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 3) OVER w AS x3,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 4) OVER w AS x4,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 5) OVER w AS x5,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 6) OVER w AS x6,
+      |    LAG(CAST(floor(value * 1000) AS BIGINT), 7) OVER w AS x7
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  (SELECT 1000000 AS w0, 750000 AS w1, 562500 AS w2, 421875 AS w3,
+      |          316406 AS w4, 237305 AS w5, 177979 AS w6, 133484 AS w7)""".stripMargin,
+  ) { (spark, dir) =>
+    // round(10^6 · 0.75^d), d = 0..7 — fixed literals, same in the oracle
+    val weights = Seq(1000000L, 750000L, 562500L, 421875L,
+      316406L, 237305L, 177979L, 133484L)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val x = floor(col("value") * 1000).cast("long")
+    val lags = weights.indices.map(d => if (d == 0) x else lag(x, d).over(w))
+    val num = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNull, 0L).otherwise(l * wt) }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNull, 0L).otherwise(wt) }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), x.as("x_milli"),
+        num.as("num"), den.as("den"))
+      // SQL `div` is exact integer division — Column `/` would round-trip
+      // through a double whose nearest-representable rounding can cross
+      // an integer boundary the true quotient doesn't
+      .select(col("event_id"), col("user_id"), col("x_milli"),
+        expr("num div den").as("ewma_milli"))
+  }
+
+  /** Rolling z-score outlier flag — the anomaly gate of a metrics/
+    * monitoring pipeline: an event is anomalous when its value sits more
+    * than k=2 standard deviations from the trailing-window mean (its own
+    * window of the previous 7 + current observation, n ≥ 4 required).
+    *
+    * Exactness discipline: |x−μ| > kσ is evaluated with both sides
+    * squared and cross-multiplied into integers —
+    * (n·x − s1)² > k²·(n·s2 − s1²) — over exact long window sums of
+    * milli-scaled values; no sqrt, no float mean, no per-engine libm.
+    * Shape: one (user, time)-keyed window pass, three running sums per
+    * row, a single keyed shuffle — never a self-join against the frame.
+    */
+  val anomalyZscore: Op = Op(
+    "q_anomaly_zscore",
+    """SELECT event_id, user_id, x_milli, n_window,
+      |  CAST(CASE WHEN n_window >= 4
+      |    AND (n_window*x_milli - s1)*(n_window*x_milli - s1)
+      |        > 4*(n_window*s2 - s1*s1)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM (SELECT event_id, user_id,
+      |    CAST(floor(value * 1000) AS BIGINT) AS x_milli,
+      |    SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS s1,
+      |    SUM(CAST(floor(value * 1000) AS BIGINT)
+      |        * CAST(floor(value * 1000) AS BIGINT)) OVER w AS s2,
+      |    COUNT(*) OVER w AS n_window
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    val x = floor(col("value") * 1000).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), x.as("x_milli"),
+        sum(x).over(w).as("s1"), sum(x * x).over(w).as("s2"),
+        count(lit(1)).over(w).as("n_window"))
+      .select(col("event_id"), col("user_id"), col("x_milli"), col("n_window"),
+        when(col("n_window") >= 4 &&
+          (col("n_window") * col("x_milli") - col("s1")) *
+            (col("n_window") * col("x_milli") - col("s1")) >
+            lit(4) * (col("n_window") * col("s2") - col("s1") * col("s1")),
+          1L).otherwise(0L).as("anomaly"))
+  }
+
   val ops: Seq[Op] =
     Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect,
-      funnel, retentionCohort)
+      funnel, retentionCohort, windowEwma, anomalyZscore)
 }

@@ -294,7 +294,56 @@ object TextAnalysis {
           count(lit(1))) / 1000000.0).as("rarity"))
   }
 
+  /** Gopher-rule document filter (Rae et al. 2021 §A1.1 heuristics —
+    * the standard web-corpus quality gate): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio, alphabetic-word fraction, and
+    * a minimum stopword presence. Every rule is evaluated as an INTEGER
+    * cross-multiplied comparison (3·words ≤ chars ≤ 10·words instead of
+    * a float mean), so the pass flag is bit-identical across engines and
+    * partitionings. Pure per-row array HOFs — one codegen'd scan, zero
+    * shuffle, linear in input splits at any corpus size.
+    */
+  val gopherQuality: Op = Op(
+    "text_gopher_quality",
+    """SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols, n_stop_hits,
+      |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+      |    AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+      |    AND 10 * n_symbols <= n_words
+      |    AND 5 * n_alpha_words >= 4 * n_words
+      |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+      |FROM (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(list_aggregate(list_transform(w, x -> len(x)), 'sum'), 0) AS BIGINT) AS word_chars,
+      |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+      |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+      |  CAST(len(list_filter(['the','a','of','to','and'],
+      |    s -> list_contains(list_transform(w, x -> lower(x)), s))) AS BIGINT) AS n_stop_hits
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents))""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("word_chars"),
+        size(expr("filter(w, x -> x rlike '[A-Za-z]')")).cast("long")
+          .as("n_alpha_words"),
+        size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("long")
+          .as("n_symbols"),
+        size(expr("filter(array('the','a','of','to','and')," +
+          " s -> array_contains(transform(w, x -> lower(x)), s))")).cast("long")
+          .as("n_stop_hits"))
+      .withColumn("gopher_pass",
+        when(col("n_words") >= 50 && col("n_words") <= 100000
+          && col("word_chars") >= lit(3) * col("n_words")
+          && col("word_chars") <= lit(10) * col("n_words")
+          && lit(10) * col("n_symbols") <= col("n_words")
+          && lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
+          && col("n_stop_hits") >= 2, 1L).otherwise(0L))
+  }
+
   val ops: Seq[Op] =
     Seq(tokenCount, quality, langId, fingerprint, normalize, repetition,
-      piiRedact, idfRarity)
+      piiRedact, idfRarity, gopherQuality)
 }

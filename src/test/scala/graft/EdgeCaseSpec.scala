@@ -41,6 +41,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.fingerprint.fn(spark, weirdDocsDir).count() == 5)
     val q = TextAnalysis.quality.fn(spark, weirdDocsDir)
     assert(q.count() == 4) // empty text filtered by length > 0
+    // gopher gate: every weird doc is far below the 50-word floor → all
+    // fail, but every row still scores (no throw, no dropped rows)
+    val g = TextAnalysis.gopherQuality.fn(spark, weirdDocsDir).collect()
+    assert(g.length == 5 && g.forall(_.getAs[Long]("gopher_pass") == 0L))
+    // and the rules discriminate on the real corpus: both classes present
+    val real = TextAnalysis.gopherQuality.fn(spark, sfTiny)
+      .groupBy("gopher_pass").count().collect()
+    assert(real.length == 2, real.mkString(";"))
   }
 
   test("repetition scoring: fractions bounded, short docs score zero") {
@@ -440,5 +448,63 @@ class EdgeCaseSpec extends SparkSpec {
     assert(toSet(split) == want)
     CacheRegistry.drain()
     assert(want.nonEmpty)
+  }
+
+  test("window EWMA: constant series is a fixed point; first row equals its value") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 constant 2.5 → every EWMA == 2500 milli (weights cancel);
+    // u2 a step series → EWMA strictly between min and max, first row = x
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 2.5, "{}"), (2L, t(2), 1L, "view", 2.5, "{}"),
+      (3L, t(3), 1L, "view", 2.5, "{}"), (4L, t(4), 1L, "view", 2.5, "{}"),
+      (5L, t(1), 2L, "view", 0.0, "{}"), (6L, t(2), 2L, "view", 10.0, "{}"),
+      (7L, t(3), 2L, "view", 10.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir(); writeTable(dir, "events", rows)
+    val got = Temporal.windowEwma.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma_milli")).toMap
+    assert((1L to 4L).forall(got(_) == 2500L), got)
+    assert(got(5L) == 0L) // first row: only w0 present
+    assert(got(6L) > 0L && got(6L) < 10000L, got(6L)) // pulled toward history
+    assert(got(7L) > got(6L) && got(7L) < 10000L, got) // converging upward
+  }
+
+  test("anomaly z-score: spike flagged, constant series never flags") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: seven 5.0s then a 100.0 spike; u2: all-constant (zero variance
+    // must NOT divide-by-zero or flag — strict > on both zero sides)
+    val u1 = (1 to 7).map(i => (i.toLong, t(i), 1L, "view", 5.0, "{}")) :+
+      ((8L, t(8), 1L, "view", 100.0, "{}"))
+    val u2 = (11 to 16).map(i => (i.toLong, t(i - 10), 2L, "view", 7.0, "{}"))
+    val dir = tmpDir()
+    writeTable(dir, "events",
+      (u1 ++ u2).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Temporal.anomalyZscore.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("anomaly")).toMap
+    assert(got(8L) == 1L, got) // the spike
+    assert((1L to 7L).forall(got(_) == 0L), got)
+    assert((11L to 16L).forall(got(_) == 0L), got)
+  }
+
+  test("semdedup: exact duplicate in a cell drops, orthogonal survives") {
+    import spark.implicits._
+    // one centroid (vec 0); vec 100 duplicates it (cosine 1 → dropped),
+    // vec 101 is orthogonal to both (cosine 0 < τ → kept)
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows = Seq((0L, e1, 0), (100L, e1, 0), (101L, e2, 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tmpDir(); writeTable(dir, "embeddings", rows)
+    val got = graft.operators.Similarity.semDedup.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("keep"), r.getAs[Long]("cell_capped")))).toMap
+    CacheRegistry.drain()
+    assert(got(0L) == ((1L, 0L)), got)
+    assert(got(100L) == ((0L, 0L)), got) // duplicate of the canonical
+    assert(got(101L) == ((1L, 0L)), got) // orthogonal: survives
   }
 }

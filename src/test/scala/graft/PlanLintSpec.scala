@@ -21,6 +21,9 @@ class PlanLintSpec extends SparkSpec {
     // same ≤8-query broadcast scoring pass as ann_bruteforce_topk, with
     // labels riding the scored side
     "ann_knn_classify",
+    // the one-row packed-codebook cross of the assignTo kernel (the IVF
+    // family's allowance); every pair/flag join is keyed
+    "dedup_semdedup",
     // one-row global-min aggregate crossed onto the per-lang counts
     // (a handful of rows), never the corpus
     "q_mix_balance",

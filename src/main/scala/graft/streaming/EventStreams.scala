@@ -419,4 +419,50 @@ object EventStreams {
       .filter(jac >= jaccardMin)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
+
+  case class ValEvent(ts: Timestamp, user_id: Long, event_id: Long,
+      value: Double)
+  case class AnomalyOut(user_id: Long, event_id: Long, x_milli: Long,
+      n_window: Long, anomaly: Long)
+  case class RingState(xs: List[Long])
+
+  /** Streaming face of q_anomaly_zscore (operators/Temporal.scala): the
+    * live metrics anomaly gate as per-key state — the trailing ≤7 prior
+    * milli-scaled values ride in GroupState and each arriving event is
+    * judged by the SAME squared cross-multiplied integer inequality as
+    * the batch window pass, so stream ≡ batch row for row when events
+    * arrive in (ts, event_id) order per key (the sessionize-face
+    * ordering contract; late data would need the watermark + re-emit
+    * treatment those faces document). State is O(8 longs) per key —
+    * bounded regardless of history length, the 100 TB requirement.
+    */
+  def anomalyStream(events: Dataset[ValEvent]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RingState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ValEvent], state: GroupState[RingState]) =>
+          // same total order as the batch window (ts at full precision,
+          // event_id tiebreak)
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var hist = state.getOption.map(_.xs).getOrElse(Nil)
+          val out = sorted.map { e =>
+            // identical double→long scaling to the batch floor(value*1000)
+            val x = math.floor(e.value * 1000).toLong
+            val win = (hist :+ x).takeRight(8)
+            val n = win.size.toLong
+            val s1 = win.sum
+            val s2 = win.iterator.map(v => v * v).sum
+            val lhs = n * x - s1
+            val flag =
+              if (n >= 4 && lhs * lhs > 4L * (n * s2 - s1 * s1)) 1L else 0L
+            hist = (hist :+ x).takeRight(7)
+            AnomalyOut(user, e.event_id, x, n, flag)
+          }
+          state.update(RingState(hist))
+          out.iterator
+      }
+  }
 }

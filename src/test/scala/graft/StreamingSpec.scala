@@ -701,4 +701,39 @@ class StreamingSpec extends SparkSpec {
         s"verified ${streamedVerified.size} vs batch ${batchVerified.size}")
     } finally { query.stop(); verified.stop() }
   }
+
+  test("anomalyStream equals batch q_anomaly_zscore on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{ValEvent, AnomalyOut}
+    // the registered op's input, globally ts-ordered, fed in two triggers
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
+        col("value"))
+      .as[(Timestamp, Long, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
+      .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
+    val input = MemoryStream[ValEvent]
+    val q = EventStreams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = evRows.splitAt(evRows.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("anomaly_out").as[AnomalyOut].collect()
+        .map(r => r.event_id -> ((r.x_milli, r.n_window, r.anomaly))).toMap
+      val want = graft.operators.Temporal.anomalyZscore.fn(spark, sfTiny)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("x_milli"), r.getAs[Long]("n_window"),
+            r.getAs[Long]("anomaly")))).toMap
+      assert(want.nonEmpty && want.values.exists(_._3 == 1L),
+        "batch run must flag at least one anomaly for the spec to bite")
+      assert(got == want,
+        s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
 }

@@ -499,18 +499,24 @@ object GraftApi {
     * Hot-cell split, as in the IVF list probe (Similarity.
     * ivfIndexProbeSearch): a mass-duplicated corpus concentrates most
     * codes AND most probes into one cell, whose single bucketed-scan
-    * task would ADC-score hot_queries × hot_cell candidates. Cells whose
-    * code count exceeds `hotCellBound` (floored at corpus/partitions)
-    * redistribute by a content hash of the id before the probe join; the
-    * probe side stays broadcast, so sub-slices score independently and
-    * union exactly. The split decision reads ≤`cells` occupancy rows —
-    * bounded index metadata, never the corpus.
+    * task would ADC-score hot_queries × hot_cell candidates. A PRE-SPLIT
+    * persisted layout (detected by a `slice` column in the codes: hot
+    * cells content-hash-sliced at build time and bucketed on
+    * (cent_id, slice)) serves with NO runtime repartition and no
+    * occupancy read. Otherwise, cells whose code count exceeds
+    * `hotCellBound` (floored at corpus/partitions) redistribute by a
+    * content hash of the id before the probe join; the probe side stays
+    * broadcast, so sub-slices score independently and union exactly.
+    * That split decision reads the persisted `stats` when provided
+    * (≤`cells` occupancy rows — bounded index metadata), else a codes
+    * aggregate.
     */
   def ivfPqSearchADCFromIndex(cents: DataFrame, codebooks: DataFrame,
       codes: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       nprobe: Int = 4, numSubs: Int = 4, subDim: Int = 16,
       codebookSize: Int = 16, k: Int = 5,
-      hotCellBound: Long = 16384L): DataFrame = {
+      hotCellBound: Long = 16384L,
+      stats: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.vec.{vec_dot, vec_distsq}
     val q = queries.select(col(idCol).cast("long").as("q_id"),
@@ -540,17 +546,25 @@ object GraftApi {
       .select(col("p_qid").as("q_id"), col(idCol).cast("long").as("cand_id"),
         adc.as("adc_dist"))
     val spark = codes.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
-    val occ = codes.groupBy("cent_id").agg(count(lit(1)).as("cnt")).collect()
-    val bound = math.max(hotCellBound, occ.map(_.getLong(1)).sum / parts)
-    val hotIds = occ.filter(_.getLong(1) > bound).map(_.getLong(0)).toSeq
     val scored =
-      if (hotIds.isEmpty) score(codes)
-      else {
-        val cold = score(codes.filter(!col("cent_id").isin(hotIds: _*)))
-        val hot = score(codes.filter(col("cent_id").isin(hotIds: _*))
-          .repartition(parts, pmod(hash(col(idCol)), lit(parts))))
-        cold.unionByName(hot)
+      if (codes.columns.contains("slice")) {
+        // pre-split persisted layout: hot cells already spread across
+        // bucket files at rest — nothing to decide or repartition
+        score(codes)
+      } else {
+        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+        val occ = stats.getOrElse(
+            codes.groupBy("cent_id").agg(count(lit(1)).as("cnt")))
+          .select(col("cent_id"), col("cnt")).collect()
+        val bound = math.max(hotCellBound, occ.map(_.getLong(1)).sum / parts)
+        val hotIds = occ.filter(_.getLong(1) > bound).map(_.getLong(0)).toSeq
+        if (hotIds.isEmpty) score(codes)
+        else {
+          val cold = score(codes.filter(!col("cent_id").isin(hotIds: _*)))
+          val hot = score(codes.filter(col("cent_id").isin(hotIds: _*))
+            .repartition(parts, pmod(hash(col(idCol)), lit(parts))))
+          cold.unionByName(hot)
+        }
       }
     topKPerKey(scored.withColumn("neg_dist", -col("adc_dist")),
         "q_id", "neg_dist", "cand_id", k)

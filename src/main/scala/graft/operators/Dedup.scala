@@ -661,16 +661,19 @@ object Dedup {
     * filter (the one-literal contract applies per bucket), so corpus
     * cardinality scales to buckets × 2e8.
     *
-    * Why per-bucket literals and not "join the (bucket, filter) frame":
+    * Why a literal filter MAP and not "join the (bucket, filter) frame":
     * a filter is ~1.2 bytes/item — joining it onto delta rows would copy
     * up to 240 MB of binary PER ROW through the join (UnsafeRow binary
-    * access copies), and Spark's BloomFilterMightContain requires a
-    * foldable/scalar-subquery filter anyway. The driver holds all
+    * access copies). Instead every delta row probes its own bucket's
+    * filter through [[graft.functions.bloom.might_contain_bucketed]] in
+    * ONE codegen'd scan (the r7 8-branch-per-bucket union paid
+    * `2·buckets` delta scans + `buckets` corpus branch scans of 5-20 ms
+    * tasks — pure plan overhead). The driver AND each executor hold all
     * `buckets` filters while the plan exists (the totalItems contract
-    * below); past THAT bound, run buckets as separate jobs against a
-    * corpus persisted `partitionBy(bkt)` — each job then reads one
-    * bucket's files only (partition pruning; spec-pinned), which is the
-    * incremental form this function's per-bucket branches already take.
+    * below — the map ships like any sketch literal); past THAT bound,
+    * run buckets as separate jobs against a corpus persisted
+    * `partitionBy(bkt)` — each job then reads one bucket's files only
+    * (partition pruning; spec-pinned) and probes one literal filter.
     *
     * If `corpus`/`delta` already carry a `bkt` column (a partitioned
     * layout), it is trusted and must equal pmod(xxhash64(text), buckets).
@@ -684,8 +687,8 @@ object Dedup {
       s"bloomNewDocsBucketed: expectedItemsPerBucket=$expectedItemsPerBucket " +
         "exceeds the per-bucket one-literal contract (~2e8); add buckets")
     require(buckets.toLong * expectedItemsPerBucket <= 2000000000L,
-      "bloomNewDocsBucketed: the driver holds every bucket's filter while " +
-        s"the plan exists (${buckets}x$expectedItemsPerBucket items ~ " +
+      "bloomNewDocsBucketed: every bucket's filter is plan-resident " +
+        s"(${buckets}x$expectedItemsPerBucket items ~ " +
         s"${buckets.toLong * expectedItemsPerBucket * 12 / 10 >> 20} MB); " +
         "past this, run buckets as separate jobs over a partitionBy(bkt) layout")
     val key = xxhash64(col("text"))
@@ -693,30 +696,26 @@ object Dedup {
     def withBkt(df: DataFrame) =
       if (df.columns.contains("bkt")) df else df.withColumn("bkt", bktOf)
     val corpusB = withBkt(corpus)
-    val deltaB = graft.CacheRegistry.track(withBkt(delta))
+    val deltaB = withBkt(delta)
     // one corpus pass → every bucket's filter (tiny result: `buckets` rows)
     val filters = corpusB.groupBy("bkt")
       .agg(bloom_filter_agg(key, expectedItemsPerBucket).as("bf"))
       .collect() // Number: a partitionBy(bkt) layout reads back as int
       .map(r => r.getAs[Number]("bkt").longValue -> r.getAs[Array[Byte]]("bf"))
-      .toMap
-    (0L until buckets.toLong).map { b =>
-      val dB = deltaB.filter(col("bkt") === b)
-      filters.get(b).filter(_ != null) match {
-        case None => // empty corpus bucket: every delta row in it is new
-          dB.select(col("doc_id"), md5(col("text")).as("content_hash"))
-        case Some(bytes) =>
-          val provenNew = dB.filter(!might_contain(bytes, key))
-          val maybeDup = dB.filter(might_contain(bytes, key))
-          // existence-only build side, deduped — see bloomNewDocs
-          val verifiedNew = maybeDup.join(
-            corpusB.filter(col("bkt") === b)
-              .select(col("text").as("c_text")).distinct(),
-            col("text") === col("c_text"), "left_anti")
-          provenNew.unionByName(verifiedNew)
-            .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      }
-    }.reduce(_.unionByName(_))
+      .filter(_._2 != null).toMap
+    // single pass: each row probes its own bucket's filter; !probe rows
+    // are PROVEN new (an absent bucket proves absence too — nothing was
+    // ever inserted) and skip the join; probe-positive rows pay the
+    // exact anti-join. Text equality ⇒ same hash ⇒ same bucket, so the
+    // verify join keys on text alone; the DISTINCT build side collapses
+    // hot template values map-side (see bloomNewDocs).
+    val probe = might_contain_bucketed(filters, col("bkt"), key)
+    val provenNew = deltaB.filter(!probe)
+    val verifiedNew = deltaB.filter(probe).join(
+      corpusB.select(col("text").as("c_text")).distinct(),
+      col("text") === col("c_text"), "left_anti")
+    provenNew.unionByName(verifiedNew)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
   /** Registered form: doc_id % 10 = 0 is the arriving shard (same split

@@ -483,40 +483,84 @@ object Similarity {
     // the persisted index ≡ what an inline build would train and the
     // oracle is unchanged.
     val emb = Tables.embeddings(spark, dir)
-    val (cents, lists) = persistedIvfIndex(spark, dir, cells = 256, iters = 1)
+    val (cents, lists, stats) = persistedIvfIndex(spark, dir, cells = 256,
+      iters = 1)
     ivfSearchAutoFromIndex(cents, lists, emb.filter(col("vec_id") < 8),
-      "vec_id", "embedding", k = 5, oversample = 8)
+      "vec_id", "embedding", k = 5, oversample = 8, stats = Some(stats))
   }
 
   /** Get-or-build the persisted IVF index of `dir`'s embeddings table:
     * first call per (session, corpus) trains [[ivfIndex]] and writes it
-    * to a session-catalog database (lists bucketBy(cent_id), so probe
-    * joins read the corpus with zero exchange — BucketingSpec); later
-    * calls only read the tables. In-memory-catalog sessions rebuild per
-    * session; a warehouse deployment keeps the tables across jobs and
-    * refreshes them on corpus change (which is an index rebuild anywhere).
+    * to a session-catalog database; later calls only read the tables.
+    * In-memory-catalog sessions rebuild per session; a warehouse
+    * deployment keeps the tables across jobs and refreshes them on
+    * corpus change (which is an index rebuild anywhere).
+    *
+    * The persisted layout carries everything serving would otherwise
+    * recompute per search (the addIndex precompute-once contract —
+    * reference Optimization.scala:31):
+    *   - `stats` — per-cell occupancy (cent_id, cnt), ≤`cells` rows.
+    *     Autoprobe's nprobe bound and any hot-cell decision read THIS,
+    *     never a corpus-sized lists scan.
+    *   - `lists` PRE-SPLIT: cells whose inverted list exceeds the hot
+    *     bound get `slice` = content-hash(vec_id) mod [[hotSlices]]
+    *     (cold cells slice 0), and the table is bucketBy(cent_id, slice)
+    *     — a hot cell's rows spread across bucket files AT REST, so the
+    *     probe-join scan parallelizes over the hot cell with NO runtime
+    *     repartition exchange. Serving detects the layout by the slice
+    *     column ([[ivfIndexProbeSearch]]).
     */
   private val ivfIdxLock = new Object
+  /** Sub-cell count for pre-split hot inverted lists — matches the local
+    * bucket count; a cluster deployment sizes both to its executor
+    * parallelism at index-build time.
+    */
+  private[graft] val hotSlices = 32
   private def persistedIvfIndex(spark: SparkSession, dir: String,
-      cells: Int, iters: Int): (DataFrame, DataFrame) = {
+      cells: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$cells|$iters".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val db = s"graft_ivf_$keyHex"
+    // v3 prefix: layout change (stats table + pre-split slice column)
+    val db = s"graft_ivf3_$keyHex"
     ivfIdxLock.synchronized {
       if (!spark.catalog.databaseExists(db) ||
-          !spark.catalog.tableExists(s"$db.lists")) {
+          !spark.catalog.tableExists(s"$db.stats")) {
         val loc = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         val (cents, lists) = ivfIndex(
           Tables.embeddings(spark, dir), "vec_id", "embedding", cells, iters)
         cents.write.mode("overwrite").saveAsTable(s"$db.cents")
-        lists.write.mode("overwrite")
-          .bucketBy(8, "cent_id").sortBy("cent_id")
+        val occ = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+        occ.write.mode("overwrite").saveAsTable(s"$db.stats")
+        preSplitByOccupancy(lists, spark.table(s"$db.stats"), "vec_id")
+          .write.mode("overwrite")
+          .bucketBy(hotSlices, "cent_id", "slice").sortBy("cent_id", "slice")
           .saveAsTable(s"$db.lists")
       }
     }
-    (spark.table(s"$db.cents"), spark.table(s"$db.lists"))
+    (spark.table(s"$db.cents"), spark.table(s"$db.lists"),
+      spark.table(s"$db.stats"))
+  }
+
+  /** Add the pre-split `slice` column to a cell-keyed frame: rows of
+    * cells whose occupancy exceeds the [[ivfIndexProbeSearch]] hot bound
+    * slice by content hash of `idCol` (deterministic under stage retry),
+    * cold cells stay slice 0. The decision reads `stats` — ≤cells rows.
+    */
+  private[graft] def preSplitByOccupancy(keyed: DataFrame, stats: DataFrame,
+      idCol: String, hotCellBound: Long = 16384L): DataFrame = {
+    val occ = stats.collect()
+    val parts = keyed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.max(1)
+    val bound = math.max(hotCellBound, occ.map(_.getAs[Long]("cnt")).sum / parts)
+    val hotIds = occ.filter(_.getAs[Long]("cnt") > bound)
+      .map(_.getAs[Long]("cent_id")).toSeq
+    val slice =
+      if (hotIds.isEmpty) lit(0)
+      else when(col("cent_id").isin(hotIds: _*),
+        pmod(hash(col(idCol)), lit(hotSlices))).otherwise(lit(0))
+    keyed.withColumn("slice", slice)
   }
 
   /** Get-or-build the persisted IVF+PQ index of `dir`'s embeddings table
@@ -530,14 +574,15 @@ object Similarity {
     */
   private def persistedIvfPqIndex(spark: SparkSession, dir: String,
       cells: Int, numSubs: Int, subDim: Int, codebookSize: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$cells|$numSubs|$subDim|$codebookSize".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val db = s"graft_ivfpq_$keyHex"
+    // v3 prefix: layout change (stats table + pre-split slice column)
+    val db = s"graft_ivfpq3_$keyHex"
     ivfIdxLock.synchronized {
       if (!spark.catalog.databaseExists(db) ||
-          !spark.catalog.tableExists(s"$db.codes")) {
+          !spark.catalog.tableExists(s"$db.stats")) {
         val loc = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         val emb = Tables.embeddings(spark, dir)
@@ -550,13 +595,16 @@ object Similarity {
           .select(col("vec_id"), col("codes"), col("a_cent").as("cent_id"))
         c1p.drop("part").write.mode("overwrite").saveAsTable(s"$db.cents")
         cbs.write.mode("overwrite").saveAsTable(s"$db.cbs")
-        codes.write.mode("overwrite")
-          .bucketBy(8, "cent_id").sortBy("cent_id")
+        codes.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").saveAsTable(s"$db.stats")
+        preSplitByOccupancy(codes, spark.table(s"$db.stats"), "vec_id")
+          .write.mode("overwrite")
+          .bucketBy(hotSlices, "cent_id", "slice").sortBy("cent_id", "slice")
           .saveAsTable(s"$db.codes")
       }
     }
     (spark.table(s"$db.cents"), spark.table(s"$db.cbs"),
-      spark.table(s"$db.codes"))
+      spark.table(s"$db.codes"), spark.table(s"$db.stats"))
   }
 
   /** Lloyd-refined IVF cosine top-k as a library function over any
@@ -624,26 +672,33 @@ object Similarity {
   }
 
   /** Batch serving off a PERSISTED [[ivfIndex]], nprobe auto-derived from
-    * the index's own occupancy — [[ivfSearchAuto]] minus the build: the
-    * occupancy stats and the cell clamp both read index frames (`cells`
-    * rows after the lists groupBy; the centroid count), ride the plan as
-    * one-row broadcasts, and the candidate score joins the inverted
-    * lists ONCE on cent_id (no assign⋈vectors re-join — the lists ARE
-    * the assignment with its vectors). With lists stored
-    * bucketBy(cent_id), that join reads the corpus with zero exchange
-    * (BucketingSpec) — the same shape the streaming face
-    * (AnnServe.ivfServeStreamAuto) serves per micro-batch.
+    * the index's own occupancy — [[ivfSearchAuto]] minus the build: when
+    * the index ships its `stats` table (the [[persistedIvfIndex]]
+    * contract) the occupancy read is ≤`cells` persisted rows — no lists
+    * scan per search — and it rides the plan as a one-row broadcast; the
+    * candidate score joins the inverted lists ONCE on cent_id (no
+    * assign⋈vectors re-join — the lists ARE the assignment with its
+    * vectors). A pre-split lists layout serves hot cells with zero
+    * runtime exchange (see [[ivfIndexProbeSearch]]) — the same shape the
+    * streaming face (AnnServe.ivfServeStreamAuto) serves per micro-batch.
     */
   def ivfSearchAutoFromIndex(cents: DataFrame, lists: DataFrame,
       queries: DataFrame, idCol: String, embCol: String, k: Int,
-      oversample: Int = 8, hotCellBound: Long = 16384L): DataFrame = {
-    val occ = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+      oversample: Int = 8, hotCellBound: Long = 16384L,
+      stats: Option[DataFrame] = None): DataFrame = {
+    // occupancy: the persisted stats table when the index ships one
+    // (≤cells rows — the footer-sized read), else derived in-plan from
+    // the lists (a second corpus pass; acceptable only for ad-hoc
+    // in-memory indexes)
+    val occ = stats.getOrElse(
+      lists.groupBy("cent_id").agg(count(lit(1)).as("cnt")))
     val np = occ
       .crossJoin(broadcast(cents.agg(count(lit(1)).as("cells"))))
       .agg(least(max(col("cells")), greatest(lit(1L),
         ceil(lit((k.toLong * oversample).toDouble) * sum("cnt") /
           sum(col("cnt") * col("cnt"))))).as("np"))
-    ivfIndexProbeSearch(cents, lists, queries, idCol, embCol, k, hotCellBound)(
+    ivfIndexProbeSearch(cents, lists, queries, idCol, embCol, k, hotCellBound,
+      stats)(
       _.crossJoin(broadcast(np)).filter(col("rn") <= col("np")))
   }
 
@@ -656,23 +711,32 @@ object Similarity {
     * corpus AND most probes into one cell): the bucketed lists scan reads
     * one task per bucket, so a cell holding 90% of the corpus scores
     * hot_queries × hot_list candidates in a SINGLE task — a straggler
-    * that grows quadratically with duplication concentration. Cells whose
-    * inverted list exceeds `hotCellBound` (floored at tot/partitions) are
-    * redistributed by a content hash of vec_id (deterministic under stage
-    * retry — see [[Skew.saltedJoin]]'s note) across the session's shuffle
-    * parallelism before the probe join; the probe side stays a broadcast,
-    * so each sub-slice scores independently and the union over slices is
-    * EXACTLY the cell's result — the oracle is unchanged. Cold cells keep
-    * the zero-exchange bucketed-scan plan (BucketingSpec), and their scan
-    * prunes hot-cell row groups via the pushed `cent_id NOT IN` filter
-    * (lists are sortBy(cent_id), so row groups are cell-clustered).
-    * The split decision reads the per-cell counts: ≤`cells` rows (a
-    * build-time constant), the footer-sized index-stats read any IVF
-    * serving node performs at startup — bounded, never corpus-sized.
+    * that grows quadratically with duplication concentration. Two tiers:
+    *
+    *   - PRE-SPLIT (preferred; detected by a `slice` column in the
+    *     lists): [[persistedIvfIndex]] already sliced hot cells by
+    *     content hash at BUILD time and bucketed the table on
+    *     (cent_id, slice), so the hot cell's rows sit spread across
+    *     bucket files at rest — the probe-join scan parallelizes over
+    *     them and serving pays NO runtime repartition and NO occupancy
+    *     read at all (the addIndex precompute-once contract, reference
+    *     Optimization.scala:31).
+    *   - RUNTIME split (ad-hoc in-memory indexes): cells whose inverted
+    *     list exceeds `hotCellBound` (floored at tot/partitions) are
+    *     redistributed by a content hash of vec_id (deterministic under
+    *     stage retry — see [[Skew.saltedJoin]]'s note) across the
+    *     session's shuffle parallelism before the probe join; the probe
+    *     side stays a broadcast, so each sub-slice scores independently
+    *     and the union over slices is EXACTLY the cell's result — the
+    *     oracle is unchanged. Cold cells keep the zero-exchange
+    *     bucketed-scan plan (BucketingSpec) with hot-cell row groups
+    *     pruned via the pushed `cent_id NOT IN` filter. The split
+    *     decision reads the persisted `stats` when provided (≤`cells`
+    *     rows — bounded index metadata), else a lists aggregate.
     */
   private def ivfIndexProbeSearch(cents: DataFrame, lists: DataFrame,
       queries: DataFrame, idCol: String, embCol: String, k: Int,
-      hotCellBound: Long = 16384L)(
+      hotCellBound: Long = 16384L, stats: Option[DataFrame] = None)(
       cut: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
@@ -692,17 +756,32 @@ object Similarity {
         (vec_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
           .as("cosine"))
     val spark = lists.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
-    val occ = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt")).collect()
-    val bound = math.max(hotCellBound, occ.map(_.getLong(1)).sum / parts)
-    val hotIds = occ.filter(_.getLong(1) > bound).map(_.getLong(0)).toSeq
     val scored =
-      if (hotIds.isEmpty) score(lists)
-      else {
-        val cold = score(lists.filter(!col("cent_id").isin(hotIds: _*)))
-        val hot = score(lists.filter(col("cent_id").isin(hotIds: _*))
-          .repartition(parts, pmod(hash(col("vec_id")), lit(parts))))
-        cold.unionByName(hot)
+      if (lists.columns.contains("slice")) {
+        // PRE-SPLIT persisted layout ([[persistedIvfIndex]]): hot cells
+        // already spread across bucket files by their slice column, so
+        // the probe-join scan parallelizes over them with zero runtime
+        // exchange — serving pays nothing, ever. The slice column is
+        // dropped by score()'s projection.
+        score(lists)
+      } else {
+        // ad-hoc (unpersisted) index: runtime split. The occupancy read
+        // is the persisted stats when provided (≤cells rows), else a
+        // corpus-column aggregate — the fallback an in-memory index
+        // can't avoid.
+        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+        val occ = stats.getOrElse(
+            lists.groupBy("cent_id").agg(count(lit(1)).as("cnt")))
+          .select(col("cent_id"), col("cnt")).collect()
+        val bound = math.max(hotCellBound, occ.map(_.getLong(1)).sum / parts)
+        val hotIds = occ.filter(_.getLong(1) > bound).map(_.getLong(0)).toSeq
+        if (hotIds.isEmpty) score(lists)
+        else {
+          val cold = score(lists.filter(!col("cent_id").isin(hotIds: _*)))
+          val hot = score(lists.filter(col("cent_id").isin(hotIds: _*))
+            .repartition(parts, pmod(hash(col("vec_id")), lit(parts))))
+          cold.unionByName(hot)
+        }
       }
     graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k)
       .select("q_id", "cand_id", "cosine")
@@ -1160,11 +1239,12 @@ object Similarity {
     // index parts inline per run. Deterministic training keeps the
     // composed oracle unchanged.
     val emb = Tables.embeddings(spark, dir)
-    val (cents, cbs, codes) = persistedIvfPqIndex(spark, dir,
+    val (cents, cbs, codes, stats) = persistedIvfPqIndex(spark, dir,
       cells = 16, numSubs = 4, subDim = 16, codebookSize = 16)
     graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes,
       emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5)
+      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5,
+      stats = Some(stats))
   }
 
   /** IVFADC shortlist + exact re-rank — the refine step (FAISS
@@ -1199,11 +1279,12 @@ object Similarity {
   ) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 8)
-    val (cents, cbs, codes) = persistedIvfPqIndex(spark, dir,
+    val (cents, cbs, codes, stats) = persistedIvfPqIndex(spark, dir,
       cells = 16, numSubs = 4, subDim = 16, codebookSize = 16)
     val short = graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes,
       queries, "vec_id", "embedding",
-      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 20)
+      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 20,
+      stats = Some(stats))
     graft.api.GraftApi.refineTopK(emb, short, queries, "vec_id", "embedding",
       k = 5)
   }
@@ -1273,10 +1354,11 @@ object Similarity {
       |  SELECT vec_id, cent_id FROM (
       |    SELECT v.vec_id, c.cent_id,
       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        CASE WHEN v.nrm * c.c_nrm = 0 THEN CAST('-infinity' AS DOUBLE)
+      |        ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |          list_transform(generate_series(1, len(v.embedding)),
       |            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))),
-      |          (acc, p) -> acc + p) / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+      |          (acc, p) -> acc + p) / (v.nrm * c.c_nrm) END DESC, c.cent_id) AS rn
       |    FROM v, c) WHERE rn = 1),
       |cells AS (SELECT cent_id, COUNT(*) AS n FROM assign GROUP BY cent_id),
       |dropped AS (
@@ -1313,9 +1395,19 @@ object Similarity {
       col("nrm").as("b_nrm"))
     val aAss = assign.select(col("vec_id").as("a_id"), col("cent_id"))
     val bAss = assign.select(col("vec_id").as("b_id"), col("cent_id").as("b_cent"))
+    // Both pair sides are pruned through the broadcast uncapped-cell
+    // list BEFORE the shuffle: without the b-side semi-join, every
+    // member of a capped hot cell still ships to one reducer only to
+    // find an empty a-side — the exact hot-key concentration the cap
+    // exists to avoid (a mass-duplicated corpus concentrates on ≤ 64
+    // distinct join keys).
+    val okCells = cells.filter(col("n") <= 128)
+    val bOk = bAss.join(
+      broadcast(okCells.select(col("cent_id").as("b_cent"))),
+      Seq("b_cent"), "left_semi")
     val dropped = aAss
-      .join(broadcast(cells.filter(col("n") <= 128)), "cent_id")
-      .join(bAss, col("cent_id") === col("b_cent") && col("a_id") < col("b_id"))
+      .join(broadcast(okCells), "cent_id")
+      .join(bOk, col("cent_id") === col("b_cent") && col("a_id") < col("b_id"))
       .join(va, "a_id").join(vb, "b_id")
       .filter(vec_dot(col("a_emb"), col("b_emb")) /
         (col("a_nrm") * col("b_nrm")) >= 0.2)

@@ -279,7 +279,7 @@ object Temporal {
   val windowEwma: Op = Op(
     "q_window_ewma",
     """SELECT event_id, user_id, x_milli,
-      |  ( w0*x_milli
+      |  ( CASE WHEN x_milli IS NULL THEN 0 ELSE w0*x_milli END
       |  + CASE WHEN x1 IS NULL THEN 0 ELSE w1*x1 END
       |  + CASE WHEN x2 IS NULL THEN 0 ELSE w2*x2 END
       |  + CASE WHEN x3 IS NULL THEN 0 ELSE w3*x3 END
@@ -288,7 +288,7 @@ object Temporal {
       |  + CASE WHEN x6 IS NULL THEN 0 ELSE w6*x6 END
       |  + CASE WHEN x7 IS NULL THEN 0 ELSE w7*x7 END)
       |  //
-      |  ( w0
+      |  ( CASE WHEN x_milli IS NULL THEN 0 ELSE w0 END
       |  + CASE WHEN x1 IS NULL THEN 0 ELSE w1 END
       |  + CASE WHEN x2 IS NULL THEN 0 ELSE w2 END
       |  + CASE WHEN x3 IS NULL THEN 0 ELSE w3 END

@@ -294,10 +294,18 @@ object TextAnalysis {
           count(lit(1))) / 1000000.0).as("rarity"))
   }
 
-  /** Gopher-rule document filter (Rae et al. 2021 §A1.1 heuristics —
-    * the standard web-corpus quality gate): word-count bounds, mean word
-    * length bounds, symbol-to-word ratio, alphabetic-word fraction, and
-    * a minimum stopword presence. Every rule is evaluated as an INTEGER
+  /** Gopher-STYLE document filter (after Rae et al. 2021 §A1.1 — the
+    * standard web-corpus quality gate): word-count bounds, mean word
+    * length bounds, per-symbol ('#' and '...' each, the paper's 0.1
+    * threshold applied per symbol) symbol-to-word ratios, alphabetic-word
+    * fraction, and a minimum stopword presence (≥ 2 distinct hits).
+    * One DOCUMENTED deviation from the paper: the stopword list is
+    * {the, a, of, to, and}, not the paper's {the, be, to, of, and, that,
+    * have, with} — the synthetic documents vocabulary contains only
+    * "a"/"the" of the paper's list, so the paper-exact ≥2 gate would be
+    * vacuously false corpus-wide and the rule would stop discriminating
+    * (a real deployment swaps the literal list for its corpus's). Every
+    * rule is evaluated as an INTEGER
     * cross-multiplied comparison (3·words ≤ chars ≤ 10·words instead of
     * a float mean), so the pass flag is bit-identical across engines and
     * partitionings. Pure per-row array HOFs — one codegen'd scan, zero
@@ -305,17 +313,19 @@ object TextAnalysis {
     */
   val gopherQuality: Op = Op(
     "text_gopher_quality",
-    """SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols, n_stop_hits,
+    """SELECT doc_id, n_words, word_chars, n_alpha_words, n_hash, n_ellipsis, n_stop_hits,
       |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
       |    AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
-      |    AND 10 * n_symbols <= n_words
+      |    AND 10 * n_hash <= n_words
+      |    AND 10 * n_ellipsis <= n_words
       |    AND 5 * n_alpha_words >= 4 * n_words
       |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
       |FROM (SELECT doc_id,
       |  CAST(len(w) AS BIGINT) AS n_words,
       |  CAST(COALESCE(list_aggregate(list_transform(w, x -> len(x)), 'sum'), 0) AS BIGINT) AS word_chars,
       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-      |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+      |  CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+      |  CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ellipsis,
       |  CAST(len(list_filter(['the','a','of','to','and'],
       |    s -> list_contains(list_transform(w, x -> lower(x)), s))) AS BIGINT) AS n_stop_hits
       |  FROM (SELECT doc_id, text,
@@ -329,8 +339,10 @@ object TextAnalysis {
         expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("word_chars"),
         size(expr("filter(w, x -> x rlike '[A-Za-z]')")).cast("long")
           .as("n_alpha_words"),
-        size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("long")
-          .as("n_symbols"),
+        size(expr("regexp_extract_all(text, '#', 0)")).cast("long")
+          .as("n_hash"),
+        size(expr("regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)")).cast("long")
+          .as("n_ellipsis"),
         size(expr("filter(array('the','a','of','to','and')," +
           " s -> array_contains(transform(w, x -> lower(x)), s))")).cast("long")
           .as("n_stop_hits"))
@@ -338,7 +350,8 @@ object TextAnalysis {
         when(col("n_words") >= 50 && col("n_words") <= 100000
           && col("word_chars") >= lit(3) * col("n_words")
           && col("word_chars") <= lit(10) * col("n_words")
-          && lit(10) * col("n_symbols") <= col("n_words")
+          && lit(10) * col("n_hash") <= col("n_words")
+          && lit(10) * col("n_ellipsis") <= col("n_words")
           && lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
           && col("n_stop_hits") >= 2, 1L).otherwise(0L))
   }

@@ -297,7 +297,7 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Set(2L), got2)
   }
 
-  test("bucketed bloom over a partitionBy(bkt) layout prunes corpus partitions") {
+  test("bucketed bloom over a partitionBy(bkt) layout: single-pass plan; per-bucket jobs prune") {
     import spark.implicits._
     val buckets = 8
     val docs = (0 until 200)
@@ -308,18 +308,45 @@ class DedupSpec extends SparkSpec {
     docs.write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$dir/corpus_bkt.parquet")
     val corpusP = spark.read.parquet(s"$dir/corpus_bkt.parquet")
-    val delta = Seq((9000L, "partitioned corpus doc number 7"),
+    // delta must be file-backed: a LocalRelation delta would let
+    // ConvertToLocalRelation fold the probe away before the plan prints
+    Seq((9000L, "partitioned corpus doc number 7"),
       (9001L, "a brand new document")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/delta.parquet")
+    val delta = spark.read.parquet(s"$dir/delta.parquet")
     val out = Dedup.bloomNewDocsBucketed(corpusP, delta, 100L, buckets)
     val formatted = out.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    // the verify branches' corpus scans carry bkt partition filters — each
-    // branch reads ONE bucket's files (the zero-extra-IO incremental shape)
-    assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(formatted).isDefined,
-      formatted.take(4000))
+    // r8 plan shape: ONE proven∪verified union — never the r7
+    // branch-per-bucket fan-out (2·buckets delta scans of 5-20 ms tasks)
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(opt.split("Union").length - 1 == 1, opt.take(4000))
+    // the single-scan probe rides a codegen'd filter
+    assert(formatted.contains("might_contain_bucketed"), formatted.take(4000))
     val got = out.select("doc_id").as[Long].collect().toSet
     CacheRegistry.drain()
     assert(got == Set(9001L), got)
+    // the past-plan-residency incremental shape (docstring contract):
+    // each bucket as its OWN JOB over the partitioned layout — the
+    // bucket's corpus scan then reads one bucket's files only
+    // (partition pruning), and the per-job answer equals the full run
+    // restricted to that bucket.
+    val dupBkt = docs.filter(col("doc_id") === 7L)
+      .select("bkt").as[Long].head()
+    val deltaB = delta.withColumn("bkt",
+      pmod(xxhash64(col("text")), lit(buckets.toLong)))
+    val oneJob = Dedup.bloomNewDocsBucketed(
+      corpusP.filter(col("bkt") === dupBkt),
+      deltaB.filter(col("bkt") === dupBkt), 100L, buckets)
+    val oneFmt = oneJob.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(oneFmt).isDefined,
+      oneFmt.take(4000))
+    val oneGot = oneJob.select("doc_id").as[Long].collect().toSet
+    CacheRegistry.drain()
+    val wantB = deltaB.filter(col("bkt") === dupBkt)
+      .select("doc_id").as[Long].collect().toSet - 9000L
+    assert(oneGot == wantB, s"got=$oneGot want=$wantB")
   }
 
   test("simhash: identical docs identical signatures; near dups within small hamming") {

@@ -303,7 +303,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e1.getMessage.contains("per-bucket"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
       Dedup.bloomNewDocsBucketed(df, df, 100000000L, 1000))
-    assert(e2.getMessage.contains("driver"), e2.getMessage)
+    assert(e2.getMessage.contains("plan-resident"), e2.getMessage)
   }
 
   test("newDocs bucket sizing honors BOTH bloom contracts across the whole legal range") {
@@ -446,6 +446,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(split.queryExecution.optimizedPlan.toString.contains("pmod"),
       "forced split must repartition the hot branch by content hash")
     assert(toSet(split) == want)
+    CacheRegistry.drain()
+    // persisted-split layout: slices assigned at BUILD time
+    // (preSplitByOccupancy, forced hot via bound 1 → every cell sliced
+    // by content hash), serving detects the slice column and must use
+    // ZERO runtime repartition — and still return exactly the unsplit
+    // result. Stats ride as the persisted ≤cells-row table, so no
+    // corpus-sized occupancy scan appears in the plan either.
+    val stats = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    val pre = graft.operators.Similarity.preSplitByOccupancy(
+      lists, stats, "vec_id", hotCellBound = 1L)
+    assert(pre.columns.contains("slice"))
+    assert(pre.filter(col("slice") > 0).count() > 0,
+      "forced bound must slice at least one hot cell's rows")
+    val served = graft.operators.Similarity.ivfSearchAutoFromIndex(
+      cents, pre, queries, "vec_id", "embedding", k = 5,
+      hotCellBound = 1L, stats = Some(stats))
+    assert(!served.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "pre-split serving must not add a runtime content-hash repartition")
+    assert(toSet(served) == want)
     CacheRegistry.drain()
     assert(want.nonEmpty)
   }

@@ -664,6 +664,44 @@ object Similarity {
     (c1p.drop("part"), lists)
   }
 
+  /** The persistable SemDeDup index of a corpus — the serving-side
+    * counterpart of the registered [[semDedup]] pass (reference analog:
+    * addIndex's precompute-once contract, Optimization.scala:31):
+    *   - `cents` (cent_id, c_emb, c_nrm): the bounded deterministic seed
+    *     subset (`nCents` lowest ids — broadcast material, same seeds as
+    *     the registered op);
+    *   - `members` (cent_id, vec_id, embedding, nrm): the cell-keyed
+    *     corpus, `bucketBy(cent_id)` at scale so a query's cell reads
+    *     with zero exchange;
+    *   - `stats` (cent_id, n): ≤`nCents` occupancy rows — the cell-cap
+    *     decision reads THIS, never the corpus.
+    * Assignment runs the same codegen'd argmin kernel as the batch op,
+    * so decisions served from these parts are bit-identical to the
+    * batch pass (StreamingSpec proves the streaming face ≡ batch).
+    */
+  def semDedupIndex(corpus: DataFrame, idCol: String, embCol: String,
+      nCents: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+    def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    val v = graft.CacheRegistry.track(
+      corpus.select(col(idCol).cast("long").as("vec_id"),
+          col(embCol).as("embedding"))
+        .withColumn("nrm", nrmOf(col("embedding"))))
+    val seedIds = broadcast(v.select(col("vec_id").as("seed_id"))
+      .orderBy("seed_id").limit(nCents))
+    val cents = v.join(seedIds, col("vec_id") === col("seed_id"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assign = assignTo(
+        v.select(col("vec_id").as("pid"), lit(0).as("part"),
+          col("embedding").as("emb"), col("nrm")),
+        cents.withColumn("part", lit(0)), NegCos)
+      .select(col("pid").as("vec_id"), col("a_cent").as("cent_id"))
+    val members = assign.join(v, "vec_id")
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val stats = assign.groupBy("cent_id").agg(count(lit(1)).as("n"))
+    (cents, members, stats)
+  }
+
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, cells: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
     val (v, c1p, assign1) = ivfBuild(corpus, idCol, embCol, cells, iters)

@@ -198,6 +198,127 @@ object AnnServe {
       }
   }
 
+  case class LabeledScore(q_id: Long, cand_id: Long, cosine: Double,
+      label: Long)
+  case class KnnVote(q_id: Long, pred_label: Long, votes: Long)
+  case class SemDedupDecision(vec_id: Long, cent_id: Long, keep: Long,
+      cell_capped: Long)
+
+  /** KNN label vote for a STREAM of (id, embedding) queries against a
+    * STATIC labeled corpus — the streaming face of
+    * [[graft.api.GraftApi.knnClassify]] (the FineWeb-Edu/DCLM
+    * seed-similarity classifier served online): per arriving query, the
+    * k exact-cosine nearest corpus vectors vote and the majority label
+    * wins (ties: most votes, then smallest label — the batch order
+    * exactly). The micro-batch rides as the BROADCAST side of one corpus
+    * scan (labels on the scored side, so no second fetch join), and both
+    * the top-k heap and the vote tally run inside ONE
+    * flatMapGroupsWithState group pass — a query's candidates all land
+    * in its own trigger, so no state survives the batch.
+    */
+  def knnClassifyStream(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int = 10): Dataset[KnnVote] = {
+    import queries.sparkSession.implicits._
+    val v = corpus.select(col(idCol).cast("long").as("c_id"),
+        col(embCol).as("c_emb"), col(labelCol).cast("long").as("label"))
+      .withColumn("c_nrm", expr("sqrt(vec_dot(c_emb, c_emb))"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("qd"))
+      .withColumn("q_nrm", expr("sqrt(vec_dot(qd, qd))"))
+    val scored = broadcast(q)
+      .join(v, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("cand_id"),
+        (expr("vec_dot(qd, c_emb)") / (col("q_nrm") * col("c_nrm")))
+          .as("cosine"),
+        col("label"))
+    scored.as[LabeledScore].groupByKey(_.q_id)
+      .flatMapGroupsWithState[Long, KnnVote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid, rows, _) =>
+          // bounded heap in the batch (cosine desc, cand_id asc) order,
+          // then the vote tally over exactly the kept k
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[LabeledScore](Ordering.by(s => (-s.cosine, s.cand_id)))
+          rows.foreach { r =>
+            heap += r
+            if (heap.size > k) heap.dequeue()
+          }
+          if (heap.isEmpty) Iterator.empty
+          else {
+            val (label, n) = heap.toList.groupBy(_.label)
+              .view.mapValues(_.size).toSeq
+              .minBy { case (l, c) => (-c, l) }
+            Iterator(KnnVote(qid, label, n.toLong))
+          }
+      }
+  }
+
+  /** SemDeDup keep/drop decisions for a STREAM of (id, embedding)
+    * vectors against a persisted [[graft.operators.Similarity
+    * .semDedupIndex]] — the online admission face of the registered
+    * dedup_semdedup pass: assign the arriving vector to its nearest
+    * centroid (the same packed-broadcast argmin routing as
+    * [[ivfServeStream]], NaN costs ordered last like the batch kernel),
+    * then drop it iff some LOWER-id member of that cell has cosine ≥
+    * `tau` — checked by a cell-KEYED stream-static join against the
+    * members table (scan mass ≈ the queries' cells, never the corpus).
+    * Cells past `cellCap` members pass through undecided with
+    * `cell_capped` = 1, reading the ≤cells-row stats broadcast — the
+    * registered op's cap discipline exactly. Emits the batch op's
+    * (vec_id, cent_id, keep, cell_capped) row per arriving vector.
+    */
+  def semDedupServeStream(queries: DataFrame, cents: DataFrame,
+      members: DataFrame, stats: DataFrame, idCol: String, embCol: String,
+      tau: Double = 0.2, cellCap: Long = 128L): Dataset[SemDedupDecision] = {
+    import queries.sparkSession.implicits._
+    // packed centroid broadcast; c_emb cast to double = the batch
+    // packCents payload, so the per-row argmin fold is bit-identical
+    val packed = broadcast(cents.groupBy().agg(
+      collect_list(struct(col("cent_id"),
+        expr("cast(c_emb as array<double>)").as("c_emb"),
+        col("c_nrm"))).as("cents")))
+    val assigned = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("qd"))
+      .withColumn("q_nrm", expr("sqrt(vec_dot(qd, qd))"))
+      .join(packed)
+      .select(col("q_id"), col("qd"), col("q_nrm"), expr(
+        "element_at(array_sort(transform(cents, c -> struct(" +
+          "-(vec_dot(qd, c.c_emb) / (q_nrm * c.c_nrm)) as cost," +
+          " c.cent_id as cent_id))), 1).cent_id").as("a_cent"))
+      .join(broadcast(stats.select(col("cent_id").as("s_cent"), col("n"))),
+        col("a_cent") === col("s_cent"), "left_outer")
+      .withColumn("cell_capped",
+        when(col("n") > cellCap, 1L).otherwise(0L))
+    // keep-decision rows: every query emits a base row (no match
+    // marker); capped cells contribute no pair rows (the batch cap
+    // discipline); otherwise each ≥tau lower-id cell member adds a hit
+    // row. One group pass folds them into the final decision — all rows
+    // of a query land in its own trigger, so no state survives.
+    val base = assigned.select(col("q_id"), col("a_cent"),
+      col("cell_capped"), lit(null).cast("long").as("m_id"))
+    val m = members.select(col("cent_id").as("m_cent"),
+      col("vec_id").as("m_id"), col("embedding").as("m_emb"),
+      col("nrm").as("m_nrm"))
+    val hits = broadcast(assigned.filter(col("cell_capped") === 0))
+      .join(m, col("a_cent") === col("m_cent") && col("m_id") < col("q_id") &&
+        (expr("vec_dot(qd, m_emb)") / (col("q_nrm") * col("m_nrm"))) >= tau)
+      .select(col("q_id"), col("a_cent"), col("cell_capped"), col("m_id"))
+    base.unionByName(hits).as[(Long, Long, Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, SemDedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid, rows, _) =>
+          var cent = 0L; var capped = 0L; var dropped = false
+          rows.foreach { case (_, c, cap, mid) =>
+            cent = c; capped = cap
+            if (mid.isDefined) dropped = true
+          }
+          Iterator(SemDedupDecision(qid, cent,
+            if (dropped) 0L else 1L, capped))
+      }
+  }
+
   /** [[ivfServeStream]] with nprobe derived from the persisted index's
     * own cell occupancy — the serving face of
     * graft.operators.Similarity.ivfSearchAuto, same bound: smallest

@@ -736,4 +736,108 @@ class StreamingSpec extends SparkSpec {
           s"batch-only=${(want.toSet -- got.toSet).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming KNN classify equals batch knnClassify") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnnServe
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfTiny)
+    val queries = emb.filter(col("vec_id") < 8)
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = AnnServe.knnClassifyStream(
+      input.toDF().toDF("vec_id", "embedding"), emb,
+      "vec_id", "embedding", "label", k = 10)
+    val q = served.writeStream.format("memory").queryName("knn_serve")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(qRows.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(qRows.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("knn_serve").as[AnnServe.KnnVote].collect()
+        .map(s => (s.q_id, s.pred_label, s.votes)).toSet
+      val batch = graft.api.GraftApi.knnClassify(emb, queries,
+          "vec_id", "embedding", "label", k = 10)
+        .collect().map(r => (r.getAs[Long]("q_id"),
+          r.getAs[Number]("pred_label").longValue,
+          r.getAs[Long]("votes"))).toSet
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} " +
+          s"batch-only=${(batch -- streamed).take(3)}")
+      assert(streamed.size == 8)
+    } finally q.stop()
+  }
+
+  test("streaming semDedup decisions equal the registered batch pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnnServe
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfTiny)
+    val (cents, members, stats) = graft.operators.Similarity.semDedupIndex(
+      emb, "vec_id", "embedding", nCents = 64)
+    // stream the WHOLE corpus through the admission face: each vector's
+    // keep/drop against lower-id cell members is exactly the batch
+    // pass's per-row decision, so the decision sets must coincide
+    val vRows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = AnnServe.semDedupServeStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, members, stats,
+      "vec_id", "embedding", tau = 0.2, cellCap = 128L)
+    val q = served.writeStream.format("memory").queryName("semdedup_serve")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = vRows.splitAt(vRows.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("semdedup_serve")
+        .as[AnnServe.SemDedupDecision].collect()
+        .map(s => (s.vec_id, s.cent_id, s.keep, s.cell_capped)).toSet
+      val batch = SparkEntry.queries("dedup_semdedup")(spark, sfTiny)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Long]("cent_id"), r.getAs[Long]("keep"),
+          r.getAs[Long]("cell_capped"))).toSet
+      CacheRegistry.drain()
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} " +
+          s"batch-only=${(batch -- streamed).take(3)}")
+      assert(streamed.size == vRows.length)
+      assert(streamed.exists(_._3 == 0L),
+        "corpus must contain at least one semantic dup for the spec to bite")
+    } finally q.stop()
+  }
+
+  test("streaming semDedup cap discipline: forced cap passes everything through flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnnServe
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfTiny)
+    val (cents, members, stats) = graft.operators.Similarity.semDedupIndex(
+      emb, "vec_id", "embedding", nCents = 64)
+    val vRows = emb.select(col("vec_id"), col("embedding")).limit(32)
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    // cellCap = 0 caps every cell: nothing may be dropped, everything
+    // rides out flagged — the capped-cell pass-through contract
+    val served = AnnServe.semDedupServeStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, members, stats,
+      "vec_id", "embedding", tau = 0.2, cellCap = 0L)
+    val q = served.writeStream.format("memory").queryName("semdedup_capped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(vRows.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("semdedup_capped")
+        .as[AnnServe.SemDedupDecision].collect()
+      CacheRegistry.drain()
+      assert(got.length == vRows.length)
+      assert(got.forall(d => d.keep == 1L && d.cell_capped == 1L),
+        got.filterNot(d => d.keep == 1L && d.cell_capped == 1L).take(3).toSeq)
+    } finally q.stop()
+  }
 }

@@ -61,9 +61,39 @@ object Bench {
     (l1, l5, memKb)
   }
 
+  /** The pinned baseline total from BASELINE.md's machine-readable
+    * comment block, if present — Bench emits total/baseline as
+    * `vs_baseline` so the 2× gate reads off the artifact itself.
+    */
+  private def baselineTotal(): Option[Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.md")))
+      """BENCH-BASELINE \{"total":([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  /** Idle gate (VERDICT r7 item 7: two rounds of committed headline
+    * numbers were load-contaminated): wait — bounded, so a driver run
+    * can never hang — for load_avg_1m to drop below the threshold
+    * before the warmup pass. Returns seconds waited; the artifact
+    * records it with the final load fields, so a run that proceeded
+    * loaded after the timeout is still self-identifying.
+    */
+  private def awaitIdle(threshold: Double = 3.0, maxWaitS: Int = 300): Int = {
+    var waited = 0
+    while (machineLoad()._1 > threshold && waited < maxWaitS) {
+      System.err.println(s"[bench] load_avg_1m ${machineLoad()._1} > " +
+        s"$threshold — waiting for idle (${waited}s)")
+      Thread.sleep(15000); waited += 15
+    }
+    waited
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val gateWaitedS = awaitIdle()
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -144,8 +174,14 @@ object Bench {
     val total = f3(good.map(_.best).sum)
     val totalWorst = f3(good.map(_.worst).sum)
     val (l1, l5, memKb) = machineLoad()
-    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"mem_available_kb":$memKb"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_worst":$qsWorst,"total_worst":$totalWorst,"failed":$failed,$loadJson,"sf":"$sfDir"}""")
+    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS"""
+    // the pinned baseline is the HEADLINE total — a custom query set's
+    // sum is not comparable, so the ratio only rides the headline run
+    val vsBaseline = baselineTotal()
+      .filter(_ => names == headline)
+      .map(b => s""","vs_baseline":${f3(good.map(_.best).sum / b)}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_worst":$qsWorst,"total_worst":$totalWorst,"failed":$failed,$loadJson$vsBaseline,"sf":"$sfDir"}""")
     if (benchAll) {
       val rows = results.map { r =>
         s"""  "${r.name}": {"sec": ${f3(r.best)}, "sec_worst": ${f3(r.worst)}, "ok": ${r.ok}, "peak_exec_mem_bytes": ${r.peak}, "shuffle_write_bytes": ${r.shuffle}}"""

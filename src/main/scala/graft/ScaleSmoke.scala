@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * Writes the amplified tables under /tmp/graft_scale_N (reused across
   * runs), prints per-op seconds and row counts.
   *
+  * r8 era note: materialization switched from count() to a
+  * hash-of-all-columns aggregate — count() let Catalyst prune Window/
+  * Project nodes, so projection-only ops (window EWMA, lead/lag, text
+  * scoring) had been timing a bare parquet scan. Projection-op entries
+  * recorded before r8 understate; join/agg ops are era-stable (their
+  * plans cannot be pruned by count).
+  *
   * No warmup pass (unlike Bench): timings include first-run JIT/codegen
   * and cold page cache, so compare ops WITHIN one full sweep — a solo
   * run of one op reads several× slower than its slot in a sweep. The
@@ -36,10 +43,11 @@ object ScaleSmoke {
 
   private val defaultOps = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "dedup_simhash_blocks", "dedup_bloom_bucketed",
+    "dedup_simhash_blocks", "dedup_bloom_bucketed", "dedup_semdedup",
     "dedup_clusters", "pipeline_curate", "pipeline_keep_best",
     "pipeline_pack_sequences", "mm_dedup_phash", "decontam_ngram",
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_codes",
+    "ann_ivfpq_refine_topk", "ann_knn_classify",
     "q_time_resample", "q_skew_salted_join", "q3_shipping_priority",
     "q5_local_supplier", "q18_large_orders")
 
@@ -199,7 +207,19 @@ object ScaleSmoke {
           cpuNs.set(0L); spillMem.set(0L); spillDisk.set(0L)
           val t0 = System.nanoTime()
           try {
-            val rows = fn(spark, out).count()
+            // Materialize through a hash-of-every-column aggregate, NOT
+            // count(): count lets Catalyst prune unreferenced Window and
+            // Project nodes, so projection-only ops (window EWMA, text
+            // scoring) were timing a bare parquet scan — 30M-row window
+            // ops "ran" in 0.3 cpu-s. xxhash64(struct(*)) forces every
+            // output column to evaluate (registered ops emit scalar
+            // columns only — the driver-gate contract), for one extra
+            // reduction that is noise next to the real compute.
+            val df = fn(spark, out)
+            val rows = df
+              .select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+              .agg(count(lit(1)).as("n"), sum("_h"))
+              .head().getLong(0)
             val sec = (System.nanoTime() - t0) / 1e9
             drainBus()
             val durs = {

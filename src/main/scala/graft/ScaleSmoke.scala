@@ -218,7 +218,7 @@ object ScaleSmoke {
             val df = fn(spark, out)
             val rows = df
               .select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
-              .agg(count(lit(1)).as("n"), sum("_h"))
+              .agg(count(lit(1)).as("n"), expr("bit_xor(_h)")) // xor: ANSI-safe
               .head().getLong(0)
             val sec = (System.nanoTime() - t0) / 1e9
             drainBus()

@@ -161,4 +161,36 @@ class FunctionsSpec extends SparkSpec {
     val b = words.collect().map(_.getSeq[String](0).distinct.sorted)
     assert(a.map(_.toList).toSet == b.map(_.toList).toSet)
   }
+
+  test("might_contain_bucketed: per-bucket probe, absent bucket proves absence, null rides") {
+    import spark.implicits._
+    import graft.functions.bloom._
+    // two buckets with known membership, bucket 2 deliberately absent
+    def filterOf(keys: Seq[Long]): Array[Byte] =
+      keys.toDF("k").agg(bloom_filter_agg(col("k"), 100L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    val filters = Map(0L -> filterOf(Seq(10L, 11L)), 1L -> filterOf(Seq(20L)))
+    val rows = Seq(
+      (Some(0L), Some(10L), true),   // member of its bucket
+      (Some(0L), Some(20L), false),  // member of the OTHER bucket only
+      (Some(1L), Some(20L), true),
+      (Some(2L), Some(10L), false),  // absent bucket: proven absent
+      (Option.empty[Long], Some(10L), false), // null bkt → null out
+      (Some(0L), Option.empty[Long], false))  // null key → null out
+      .toDF("bkt", "k", "want")
+    // file-backed so ConvertToLocalRelation cannot fold the probe —
+    // the codegen'd path must agree with the interpreted semantics
+    val dir = tmpDir()
+    rows.write.mode("overwrite").parquet(s"$dir/probe.parquet")
+    val got = spark.read.parquet(s"$dir/probe.parquet")
+      .withColumn("hit", might_contain_bucketed(filters, col("bkt"), col("k")))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("bkt")) || r.isNullAt(r.fieldIndex("k")))
+        assert(r.isNullAt(r.fieldIndex("hit")), r.toString)
+      else
+        assert(r.getAs[Boolean]("hit") == r.getAs[Boolean]("want"), r.toString)
+    }
+    assert(got.length == 6)
+  }
 }

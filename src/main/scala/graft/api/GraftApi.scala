@@ -273,6 +273,84 @@ object GraftApi {
       .drop("_bkt", "_ls", "_sk", "_sb", "_offset")
   }
 
+  /** Exact trailing ROW-lags (lag 1..`depth`) under a hot-key-safe block
+    * layout — the [[sessionizeBlocks]] move applied to the windowed-lag
+    * family (EWMA, rolling z-score): a plain
+    * `lag(x, k) OVER (PARTITION BY key ORDER BY time)` puts a hot key's
+    * ENTIRE history in one window partition — the skew-1000x sweep
+    * measured the 90%-hot-user mode at one 450-580x straggler task with
+    * a 324-631 MB sort spill while cpu stayed flat. Here rows partition
+    * by (key, time-block) instead and each block is seeded with CARRY
+    * rows, so the per-partition work is one block's rows + `depth`:
+    *
+    *   1. per (key, block): the block's `depth` latest rows (a
+    *      block-local window — parallel across blocks);
+    *   2. per block: the carry = the `depth` latest rows of the WHOLE
+    *      key prefix, assembled from the previous `depth` NON-EMPTY
+    *      blocks' tails (exact by construction: every one of the
+    *      prefix's `depth` latest rows lives in one of the last `depth`
+    *      non-empty blocks — each non-empty block holds ≥ 1 row — and
+    *      is among that block's `depth` latest). The assembly window
+    *      runs over (key) ordered by block with a ROWS `depth` PRECEDING
+    *      frame — per-key work is #non-empty-blocks, never #rows;
+    *   3. carry rows union into the block and a (key, block)-local
+    *      window computes the lags; carry rows are dropped on emit.
+    *      Row j of a block sees (j−1) own predecessors + `depth`
+    *      carries ≥ `depth` rows back — every lag ≤ `depth` is exact,
+    *      including across sparse blocks (a previous block with fewer
+    *      than `depth` rows — the case a naive one-block carry misses).
+    *
+    * Ordering is (time, `tiebreak`) at microsecond precision — the
+    * single-window ops' exact order. Returns one row per input row
+    * (carry rows excluded): (key, tiebreak, value, lag_1..lag_depth).
+    * Any `blockMs` is correct; size it so a hot key's densest block is
+    * a comfortable task (default 1 h).
+    */
+  def rowLagsBlocks(df: DataFrame, key: String, time: String,
+      tiebreak: String, value: Column, depth: Int,
+      blockMs: Long = 3600000L): DataFrame = {
+    require(depth >= 1 && depth <= 64,
+      s"rowLagsBlocks: depth=$depth out of range [1, 64] — the carry is " +
+        "depth² structs per block; past that, rethink the formulation")
+    require(blockMs >= 1, s"rowLagsBlocks: blockMs=$blockMs must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(time))
+    val base = df.select(col(key).as("_k"), col(tiebreak).as("_tb"),
+        value.as("_x"), us.as("_us"))
+      .withColumn("_bkt", floor(col("_us") / (blockMs * 1000L)))
+    // (1) block tails: the depth latest rows of each (key, block)
+    val wLoc = Window.partitionBy(col("_k"), col("_bkt"))
+      .orderBy(col("_us").desc, col("_tb").desc)
+    val tails = base
+      .withColumn("_rnd", row_number().over(wLoc))
+      .filter(col("_rnd") <= depth)
+      .groupBy(col("_k"), col("_bkt"))
+      .agg(collect_list(struct(col("_us"), col("_tb"), col("_x"))).as("_tail"))
+    // (2) carry per block: latest `depth` of the prefix, off the last
+    // `depth` non-empty blocks' tails (≤ depth² structs to sort)
+    val carries = tails
+      .withColumn("_carry", expr(
+        s"slice(reverse(array_sort(flatten(collect_list(_tail) OVER " +
+          s"(PARTITION BY _k ORDER BY _bkt ROWS BETWEEN $depth PRECEDING " +
+          s"AND 1 PRECEDING)))), 1, $depth)"))
+      .select(col("_k"), col("_bkt"), explode(col("_carry")).as("_c"))
+      .select(col("_k"), col("_bkt"), col("_c._us").as("_us"),
+        col("_c._tb").as("_tb"), col("_c._x").as("_x"),
+        lit(1).as("_is_carry"))
+    // (3) block-local lag pass over carry ∪ own rows
+    val own = base.select(col("_k"), col("_bkt"), col("_us"), col("_tb"),
+      col("_x"), lit(0).as("_is_carry"))
+    val wFin = Window.partitionBy(col("_k"), col("_bkt"))
+      .orderBy(col("_us"), col("_tb"))
+    val lagCols = (1 to depth).map(d => lag(col("_x"), d).over(wFin).as(s"lag_$d"))
+    own.unionByName(carries)
+      .select(Seq(col("_k"), col("_bkt"), col("_us"), col("_tb"), col("_x"),
+        col("_is_carry")) ++ lagCols: _*)
+      .filter(col("_is_carry") === 0)
+      .select(Seq(col("_k").as(key), col("_tb").as(tiebreak),
+        col("_x").as("value")) ++ (1 to depth).map(d => col(s"lag_$d")): _*)
+  }
+
   /** Generic bounded range join: pairs (left, right) with equal `key`
     * where `rightTime` lands in [leftTime+lowerMs, leftTime+upperMs].
     * Both sides are binned to windows of the range width and joined on

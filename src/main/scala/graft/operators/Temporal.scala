@@ -374,7 +374,76 @@ object Temporal {
           1L).otherwise(0L).as("anomaly"))
   }
 
+  /** [[windowEwma]]'s hot-key-safe twin — the q_sessionize_blocks
+    * discipline applied to the windowed-lag family: the simple form's
+    * single `PARTITION BY user` window puts a hot user's entire history
+    * in one task (skew-1000x measured one 527x straggler task with a
+    * 324 MB sort spill, cpu flat), while this form partitions by
+    * (user, time-block) and seeds each block with the EXACT trailing-8
+    * carry via [[graft.api.GraftApi.rowLagsBlocks]] — per-task work is
+    * one block's rows + 7, at any key skew and any depth. Result
+    * bit-identical to the simple form (same oracle, verbatim), proven
+    * by the spec across sparse blocks where a naive one-block carry
+    * breaks.
+    */
+  val windowEwmaBlocks: Op = Op(
+    "q_window_ewma_blocks",
+    windowEwma.oracle.get,
+  ) { (spark, dir) =>
+    val weights = Seq(1000000L, 750000L, 562500L, 421875L,
+      316406L, 237305L, 177979L, 133484L)
+    val x = floor(col("value") * 1000).cast("long")
+    val lagged = graft.api.GraftApi.rowLagsBlocks(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"),
+        col("event_id"), x.as("xm")),
+      "user_id", "ts", "event_id", col("xm"), depth = 7)
+    val lags = col("value") +: (1 to 7).map(d => col(s"lag_$d"))
+    val num = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNull, 0L).otherwise(l * wt) }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNull, 0L).otherwise(wt) }.reduce(_ + _)
+    lagged
+      .select(col("event_id"), col("user_id"), col("value").as("x_milli"),
+        num.as("num"), den.as("den"))
+      .select(col("event_id"), col("user_id"), col("x_milli"),
+        expr("num div den").as("ewma_milli"))
+  }
+
+  /** [[anomalyZscore]]'s hot-key-safe twin: the trailing-8 window sums
+    * (s1, s2, n) are algebra over the exact lag-1..7 values the
+    * blocks-carry machinery provides, so the same
+    * [[graft.api.GraftApi.rowLagsBlocks]] pass serves both twins — one
+    * (user, block)-keyed shuffle, per-task work bounded by a block at
+    * any skew. Same oracle as the simple form, verbatim.
+    */
+  val anomalyZscoreBlocks: Op = Op(
+    "q_anomaly_zscore_blocks",
+    anomalyZscore.oracle.get,
+  ) { (spark, dir) =>
+    val x = floor(col("value") * 1000).cast("long")
+    val lagged = graft.api.GraftApi.rowLagsBlocks(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"),
+        col("event_id"), x.as("xm")),
+      "user_id", "ts", "event_id", col("xm"), depth = 7)
+    val lags = (1 to 7).map(d => col(s"lag_$d"))
+    val n = lags.map(l => when(l.isNull, 0L).otherwise(1L))
+      .reduce(_ + _) + lit(1L)
+    val s1 = lags.map(l => coalesce(l, lit(0L))).reduce(_ + _) + col("value")
+    val s2 = lags.map(l => coalesce(l * l, lit(0L))).reduce(_ + _) +
+      col("value") * col("value")
+    lagged
+      .select(col("event_id"), col("user_id"), col("value").as("x_milli"),
+        n.as("n_window"), s1.as("s1"), s2.as("s2"))
+      .select(col("event_id"), col("user_id"), col("x_milli"), col("n_window"),
+        when(col("n_window") >= 4 &&
+          (col("n_window") * col("x_milli") - col("s1")) *
+            (col("n_window") * col("x_milli") - col("s1")) >
+            lit(4) * (col("n_window") * col("s2") - col("s1") * col("s1")),
+          1L).otherwise(0L).as("anomaly"))
+  }
+
   val ops: Seq[Op] =
     Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect,
-      funnel, retentionCohort, windowEwma, anomalyZscore)
+      funnel, retentionCohort, windowEwma, anomalyZscore,
+      windowEwmaBlocks, anomalyZscoreBlocks)
 }

@@ -469,6 +469,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("rowLagsBlocks: sparse blocks, cross-block lags, and ties match the single window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one event per 10 min for u1 (EVERY lag crosses a block at
+    // blockMs = 10 min; lag 7 spans 7 blocks — the case a naive
+    // previous-block-only carry misses), an irregular burst + gap for
+    // u2, and a same-timestamp tie broken by event_id for u3
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val rows =
+      (0 until 12).map(i => (100L + i, t(i * 600L), 1L, i.toDouble)) ++
+      Seq((200L, t(0L), 2L, 5.0), (201L, t(5L), 2L, 6.0),
+        (202L, t(9000L), 2L, 7.0), (203L, t(9001L), 2L, 8.0)) ++
+      Seq((300L, t(42L), 3L, 1.0), (301L, t(42L), 3L, 2.0),
+        (302L, t(42L), 3L, 3.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val got = graft.api.GraftApi.rowLagsBlocks(
+        df, "user_id", "ts", "event_id", col("value"), depth = 7,
+        blockMs = 600000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (1 to 7).map(d => Option(r.get(r.fieldIndex(s"lag_$d"))))).toMap
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = df.select(col("event_id") +:
+        (1 to 7).map(d => lag(col("value"), d).over(w).as(s"lag_$d")): _*)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (1 to 7).map(d => Option(r.get(r.fieldIndex(s"lag_$d"))))).toMap
+    assert(got.keySet == want.keySet)
+    val diff = got.keys.filter(k => got(k) != want(k)).toSeq.sorted
+    assert(diff.isEmpty, diff.map(k => s"$k: ${got(k)} vs ${want(k)}").take(3))
+    // the registered twins equal their single-window forms on real data
+    def toMapEwma(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma_milli")).toMap
+    assert(toMapEwma(Temporal.windowEwmaBlocks.fn(spark, sfTiny)) ==
+      toMapEwma(Temporal.windowEwma.fn(spark, sfTiny)))
+    def toMapZ(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_window"), r.getAs[Long]("anomaly")))).toMap
+    assert(toMapZ(Temporal.anomalyZscoreBlocks.fn(spark, sfTiny)) ==
+      toMapZ(Temporal.anomalyZscore.fn(spark, sfTiny)))
+  }
+
   test("window EWMA: constant series is a fixed point; first row equals its value") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -293,12 +293,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"exact verify must be an anti-join:\n$p")
   }
 
-  test("bucketed bloom: every non-empty bucket gates with its own filter, verifies anti") {
+  test("bucketed bloom: single-pass per-bucket probe gates both branches, verifies anti") {
     val p = plan(graft.operators.Dedup.bloomNewBucketed)
-    // per-bucket branches: each carries proven-new + maybe-dup probes of
-    // ITS OWN filter literal (per-task memory = one bucket's filter)
-    assert("might_contain".r.findAllIn(p).size >= 4, p)
-    assert("LeftAnti".r.findAllIn(p).size >= 2, p)
+    // r8 single-pass shape: ONE codegen'd might_contain_bucketed probe
+    // per branch (proven-new NOT-probe; probe-positive feeding the one
+    // anti join) — never the r7 branch-per-bucket fan-out
+    // (the expression echoes in Filter nodes and scan DataFilters —
+    // count presence, pin the branch structure via Union/LeftAnti)
+    assert("might_contain_bucketed".r.findAllIn(p).size >= 2, p)
+    assert("LeftAnti".r.findAllIn(p).size == 1, p)
+    assert("\\bUnion\\b".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

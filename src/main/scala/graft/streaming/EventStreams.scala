@@ -465,4 +465,45 @@ object EventStreams {
           out.iterator
       }
   }
+
+  case class EwmaOut(user_id: Long, event_id: Long, x_milli: Long,
+      ewma_milli: Long)
+
+  /** Streaming face of q_window_ewma (operators/Temporal.scala): the
+    * same ≤7-prior-values GroupState ring as [[anomalyStream]], each
+    * arriving event smoothed with the batch op's exact integer
+    * arithmetic (micro-unit weight literals, one integer division) —
+    * stream ≡ batch row for row under the per-key (ts, event_id)
+    * arrival-order contract. Together with the q_window_ewma_blocks
+    * batch twin this completes the family: simple window, hot-key-safe
+    * batch, and online serving, all three bit-identical.
+    */
+  def ewmaStream(events: Dataset[ValEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val weights = Array(1000000L, 750000L, 562500L, 421875L,
+      316406L, 237305L, 177979L, 133484L)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RingState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ValEvent], state: GroupState[RingState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var hist = state.getOption.map(_.xs).getOrElse(Nil)
+          val out = sorted.map { e =>
+            val x = math.floor(e.value * 1000).toLong
+            // newest-first: index d pairs value lag-d with weight w_d,
+            // exactly the batch lag() column order
+            val win = ((hist :+ x).takeRight(8)).reverse
+            val num = win.iterator.zipWithIndex
+              .map { case (v, d) => v * weights(d) }.sum
+            val den = win.iterator.zipWithIndex
+              .map { case (_, d) => weights(d) }.sum
+            hist = (hist :+ x).takeRight(7)
+            EwmaOut(user, e.event_id, x, Math.floorDiv(num, den))
+          }
+          state.update(RingState(hist))
+          out.iterator
+      }
+  }
 }

@@ -737,6 +737,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream equals batch q_window_ewma on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{ValEvent, EwmaOut}
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
+        col("value"))
+      .as[(Timestamp, Long, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
+      .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
+    val input = MemoryStream[ValEvent]
+    val q = EventStreams.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = evRows.splitAt(evRows.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ewma_out").as[EwmaOut].collect()
+        .map(r => r.event_id -> ((r.x_milli, r.ewma_milli))).toMap
+      val want = graft.operators.Temporal.windowEwma.fn(spark, sfTiny)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("x_milli"), r.getAs[Long]("ewma_milli")))).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming KNN classify equals batch knnClassify") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

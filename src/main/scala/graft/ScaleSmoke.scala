@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val defaultOps = Seq(
+  private[graft] val defaultOps = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_simhash_blocks", "dedup_bloom_bucketed", "dedup_semdedup",
     "dedup_clusters", "pipeline_curate", "pipeline_keep_best",

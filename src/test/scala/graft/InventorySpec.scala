@@ -22,6 +22,11 @@ class InventorySpec extends SparkSpec {
       s"registered but not in SURVEY §2: $missingFromSurvey")
   }
 
+  test("ScaleSmoke default ops are all registered queries") {
+    val unknown = ScaleSmoke.defaultOps.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"defaultOps not in registry: $unknown")
+  }
+
   test("every oracle key has a query and the flagship entry runs") {
     val q = SparkEntry.queries.keySet
     SparkEntry.oracleSql.keySet.foreach(k => assert(q.contains(k), k))

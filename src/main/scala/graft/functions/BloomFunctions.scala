@@ -63,7 +63,13 @@ object bloom {
   * probe stays inside the enclosing WholeStageCodegen span.
   */
 case class BucketedBloomMightContain(filters: Map[Long, Array[Byte]],
-    left: Expression, right: Expression) extends BinaryExpression {
+    left: Expression, right: Expression) extends BinaryExpression
+    // analysis-time rejection of non-long inputs: without this a wrong
+    // type ClassCastExceptions in interpreted eval but silently widens in
+    // the generated code path — inconsistent behavior for a public
+    // Column API (the trait lives in graftshim: AbstractDataType is
+    // private[sql])
+    with org.apache.spark.sql.graftshim.ExpectsLongLongInputs {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "might_contain_bucketed"

@@ -636,7 +636,10 @@ object Dedup {
       delta.select(col("doc_id"), md5(col("text")).as("content_hash"))
     } else {
       val provenNew = delta.filter(!might_contain(bytes, key))
-      val maybeDup = delta.filter(might_contain(bytes, key))
+      // null text ⇒ null key ⇒ null probe: route through the exact verify
+      // join (null never matches ⇒ kept new, the anti-join's own answer)
+      // instead of silently dropping the row from both branches
+      val maybeDup = delta.filter(coalesce(might_contain(bytes, key), lit(true)))
       // anti-join needs EXISTENCE, not multiplicity — distinct the corpus
       // projection so a hot text value (a template at 90% of a skewed
       // corpus) collapses map-side in the partial aggregate instead of
@@ -693,8 +696,12 @@ object Dedup {
         "past this, run buckets as separate jobs over a partitionBy(bkt) layout")
     val key = xxhash64(col("text"))
     val bktOf = pmod(key, lit(buckets.toLong))
+    // a trusted layout's bkt reads back as INT from partitionBy
+    // directories — widen to long so the strict LongType probe contract
+    // (BucketedBloomMightContain.inputTypes) holds for both origins
     def withBkt(df: DataFrame) =
-      if (df.columns.contains("bkt")) df else df.withColumn("bkt", bktOf)
+      if (df.columns.contains("bkt")) df.withColumn("bkt", col("bkt").cast("long"))
+      else df.withColumn("bkt", bktOf)
     val corpusB = withBkt(corpus)
     val deltaB = withBkt(delta)
     // one corpus pass → every bucket's filter (tiny result: `buckets` rows)
@@ -710,8 +717,13 @@ object Dedup {
     // verify join keys on text alone; the DISTINCT build side collapses
     // hot template values map-side (see bloomNewDocs).
     val probe = might_contain_bucketed(filters, col("bkt"), key)
+    // NULL-probe rows (null text ⇒ null key; or a TRUSTED caller layout
+    // carrying a null bkt) must not fall through both branches and vanish:
+    // route them into the exact verify join, where a null text never
+    // matches the corpus and is correctly kept new — identical to the
+    // plain anti-join's NOT EXISTS semantics
     val provenNew = deltaB.filter(!probe)
-    val verifiedNew = deltaB.filter(probe).join(
+    val verifiedNew = deltaB.filter(coalesce(probe, lit(true))).join(
       corpusB.select(col("text").as("c_text")).distinct(),
       col("text") === col("c_text"), "left_anti")
     provenNew.unionByName(verifiedNew)

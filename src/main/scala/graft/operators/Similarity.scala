@@ -560,8 +560,25 @@ object Similarity {
       if (hotIds.isEmpty) lit(0)
       else when(col("cent_id").isin(hotIds: _*),
         pmod(hash(col(idCol)), lit(hotSlices))).otherwise(lit(0))
-    keyed.withColumn("slice", slice)
+    keyed.withColumn("slice", slice).withMetadata("slice", presplitMeta)
   }
+
+  /** Explicit marker for the pre-split layout: a StructField-metadata flag
+    * on the `slice` column, written by [[preSplitByOccupancy]] and
+    * persisted through saveAsTable (Spark stores field metadata in the
+    * catalog schema and the parquet footer). Detection by the mere
+    * PRESENCE of a column named `slice` was fragile — any caller-supplied
+    * lists/codes frame that happened to carry one would silently disable
+    * hot-cell splitting and reintroduce the quadratic straggler; an
+    * unflagged `slice` column now routes through the runtime-split tier
+    * like any other payload column.
+    */
+  private[graft] val presplitMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.presplit", true).build()
+  private[graft] def isPresplit(df: DataFrame): Boolean =
+    df.schema.fields.exists(f =>
+      f.name == "slice" && f.metadata.contains("graft.presplit"))
 
   /** Get-or-build the persisted IVF+PQ index of `dir`'s embeddings table
     * — the FAISS-IVFADC storage layout: coarse centroids + PQ codebooks
@@ -795,12 +812,13 @@ object Similarity {
           .as("cosine"))
     val spark = lists.sparkSession
     val scored =
-      if (lists.columns.contains("slice")) {
-        // PRE-SPLIT persisted layout ([[persistedIvfIndex]]): hot cells
-        // already spread across bucket files by their slice column, so
-        // the probe-join scan parallelizes over them with zero runtime
-        // exchange — serving pays nothing, ever. The slice column is
-        // dropped by score()'s projection.
+      if (isPresplit(lists)) {
+        // PRE-SPLIT persisted layout ([[persistedIvfIndex]], detected by
+        // the graft.presplit metadata flag on the slice column — see
+        // [[presplitMeta]]): hot cells already spread across bucket files
+        // by their slice column, so the probe-join scan parallelizes over
+        // them with zero runtime exchange — serving pays nothing, ever.
+        // The slice column is dropped by score()'s projection.
         score(lists)
       } else {
         // ad-hoc (unpersisted) index: runtime split. The occupancy read

@@ -288,14 +288,14 @@ object Temporal {
       |  + CASE WHEN x6 IS NULL THEN 0 ELSE w6*x6 END
       |  + CASE WHEN x7 IS NULL THEN 0 ELSE w7*x7 END)
       |  //
-      |  ( CASE WHEN x_milli IS NULL THEN 0 ELSE w0 END
+      |  NULLIF( CASE WHEN x_milli IS NULL THEN 0 ELSE w0 END
       |  + CASE WHEN x1 IS NULL THEN 0 ELSE w1 END
       |  + CASE WHEN x2 IS NULL THEN 0 ELSE w2 END
       |  + CASE WHEN x3 IS NULL THEN 0 ELSE w3 END
       |  + CASE WHEN x4 IS NULL THEN 0 ELSE w4 END
       |  + CASE WHEN x5 IS NULL THEN 0 ELSE w5 END
       |  + CASE WHEN x6 IS NULL THEN 0 ELSE w6 END
-      |  + CASE WHEN x7 IS NULL THEN 0 ELSE w7 END) AS ewma_milli
+      |  + CASE WHEN x7 IS NULL THEN 0 ELSE w7 END, 0) AS ewma_milli
       |FROM (SELECT event_id, user_id,
       |    CAST(floor(value * 1000) AS BIGINT) AS x_milli,
       |    LAG(CAST(floor(value * 1000) AS BIGINT), 1) OVER w AS x1,
@@ -325,9 +325,13 @@ object Temporal {
         num.as("num"), den.as("den"))
       // SQL `div` is exact integer division — Column `/` would round-trip
       // through a double whose nearest-representable rounding can cross
-      // an integer boundary the true quotient doesn't
+      // an integer boundary the true quotient doesn't. NULLIF: a window
+      // that is ALL-null (a user's first row carrying a null value) has
+      // den = 0 — under ANSI a bare div would throw mid-scan; the defined
+      // answer is a null EWMA (no observations to smooth), same NULLIF in
+      // the oracle.
       .select(col("event_id"), col("user_id"), col("x_milli"),
-        expr("num div den").as("ewma_milli"))
+        expr("num div nullif(den, 0)").as("ewma_milli"))
   }
 
   /** Rolling z-score outlier flag — the anomaly gate of a metrics/
@@ -406,7 +410,7 @@ object Temporal {
       .select(col("event_id"), col("user_id"), col("value").as("x_milli"),
         num.as("num"), den.as("den"))
       .select(col("event_id"), col("user_id"), col("x_milli"),
-        expr("num div den").as("ewma_milli"))
+        expr("num div nullif(den, 0)").as("ewma_milli"))
   }
 
   /** [[anomalyZscore]]'s hot-key-safe twin: the trailing-8 window sums
@@ -420,19 +424,26 @@ object Temporal {
     "q_anomaly_zscore_blocks",
     anomalyZscore.oracle.get,
   ) { (spark, dir) =>
+    // the lag value rides as a one-field STRUCT so row PRESENCE and value
+    // nullness stay distinguishable: the oracle's n_window is COUNT(*)
+    // over the ROWS frame (rows with NULL x_milli count), and a bare
+    // lag(x) is null for both "no row" and "row with null x" — the struct
+    // wrapper is never null for a present row, so n counts rows exactly
     val x = floor(col("value") * 1000).cast("long")
     val lagged = graft.api.GraftApi.rowLagsBlocks(
       Tables.events(spark, dir).select(col("user_id"), col("ts"),
         col("event_id"), x.as("xm")),
-      "user_id", "ts", "event_id", col("xm"), depth = 7)
+      "user_id", "ts", "event_id", struct(col("xm").as("x")), depth = 7)
     val lags = (1 to 7).map(d => col(s"lag_$d"))
+    val xs = (1 to 7).map(d => col(s"lag_$d.x"))
+    val cur = col("value.x")
     val n = lags.map(l => when(l.isNull, 0L).otherwise(1L))
       .reduce(_ + _) + lit(1L)
-    val s1 = lags.map(l => coalesce(l, lit(0L))).reduce(_ + _) + col("value")
-    val s2 = lags.map(l => coalesce(l * l, lit(0L))).reduce(_ + _) +
-      col("value") * col("value")
+    val s1 = xs.map(l => coalesce(l, lit(0L))).reduce(_ + _) + cur
+    val s2 = xs.map(l => coalesce(l * l, lit(0L))).reduce(_ + _) +
+      cur * cur
     lagged
-      .select(col("event_id"), col("user_id"), col("value").as("x_milli"),
+      .select(col("event_id"), col("user_id"), cur.as("x_milli"),
         n.as("n_window"), s1.as("s1"), s2.as("s2"))
       .select(col("event_id"), col("user_id"), col("x_milli"), col("n_window"),
         when(col("n_window") >= 4 &&

@@ -500,7 +500,13 @@ object EventStreams {
             val den = win.iterator.zipWithIndex
               .map { case (_, d) => weights(d) }.sum
             hist = (hist :+ x).takeRight(7)
-            EwmaOut(user, e.event_id, x, Math.floorDiv(num, den))
+            // plain truncating long division, matching the batch op's SQL
+            // `num div den` (IntegralDivide truncates toward zero) —
+            // Math.floorDiv would diverge by 1 milli-unit whenever the
+            // numerator is negative (any negative event value), silently
+            // breaking the stream ≡ batch contract (StreamingSpec pins a
+            // negative-value case)
+            EwmaOut(user, e.event_id, x, num / den)
           }
           state.update(RingState(hist))
           out.iterator

@@ -29,3 +29,16 @@ object Shim {
       timeoutMillis: Long = 30000L): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }
+
+/** ExpectsInputTypes with a (long, long) contract — `AbstractDataType`
+  * (the `inputTypes` element type) is private[sql], so the trait is
+  * declared here and mixed into graft expressions that take two long
+  * inputs (e.g. BucketedBloomMightContain): analysis rejects wrong input
+  * types uniformly instead of ClassCastException-in-interpreted /
+  * silent-widening-in-codegen divergence.
+  */
+trait ExpectsLongLongInputs
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+}

@@ -466,7 +466,64 @@ class EdgeCaseSpec extends SparkSpec {
       "pre-split serving must not add a runtime content-hash repartition")
     assert(toSet(served) == want)
     CacheRegistry.drain()
+    // an UNFLAGGED caller-supplied column that merely happens to be named
+    // `slice` must NOT read as the pre-split layout (ADVICE r8: magic
+    // column-name detection silently disabled hot-cell splitting) — the
+    // runtime split still engages and the result is unchanged
+    assert(!graft.operators.Similarity.isPresplit(
+      lists.withColumn("slice", lit(0))))
+    assert(graft.operators.Similarity.isPresplit(pre))
+    val decoy = graft.operators.Similarity.ivfSearchAutoFromIndex(
+      cents, lists.withColumn("slice", lit(0)), queries, "vec_id",
+      "embedding", k = 5, hotCellBound = 1L, stats = Some(stats))
+    assert(decoy.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "unflagged slice column must still trigger the runtime hot-cell split")
+    assert(toSet(decoy) == want)
+    CacheRegistry.drain()
     assert(want.nonEmpty)
+  }
+
+  test("zscore/ewma blocks twins match the simple forms on NULL values") {
+    // ADVICE r8: the oracle's n_window is COUNT(*) over the ROWS frame —
+    // rows with NULL value COUNT. The blocks twin derived n from non-null
+    // lag values, so a null-value row shrank later rows' n_window. The
+    // twin now threads row presence as a one-field struct through
+    // rowLagsBlocks; this corpus (nulls interleaved mid-window) pins the
+    // two forms equal — including n_window on rows whose trailing frame
+    // spans the nulls.
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val rows = Seq(
+      (1L, 1L, t(0), "view", Option(1.0)),
+      (2L, 1L, t(60), "view", Option.empty[Double]),
+      (3L, 1L, t(120), "view", Option(2.0)),
+      (4L, 1L, t(180), "view", Option.empty[Double]),
+      (5L, 1L, t(240), "view", Option(40.0)),
+      (6L, 1L, t(300), "view", Option(2.5)),
+      (7L, 1L, t(360), "view", Option(2.0)),
+      (8L, 2L, t(0), "view", Option.empty[Double]),
+      (9L, 2L, t(60), "view", Option(3.0)))
+    val dir = tmpDir()
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    def toMapZ(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(r.fieldIndex("x_milli"))),
+          r.getAs[Long]("n_window"), r.getAs[Long]("anomaly")))).toMap
+    val simple = toMapZ(Temporal.anomalyZscore.fn(spark, dir))
+    val blocks = toMapZ(Temporal.anomalyZscoreBlocks.fn(spark, dir))
+    // row 7's trailing frame holds all 7 user-1 rows incl. 2 nulls:
+    // COUNT(*) semantics demand n_window = 7, not 5
+    assert(simple(7L)._2 == 7L, simple(7L))
+    assert(blocks == simple,
+      blocks.keys.filter(k => blocks(k) != simple(k))
+        .map(k => s"$k: ${blocks(k)} vs ${simple(k)}").take(3))
+    def toMapE(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(r.fieldIndex("x_milli"))),
+          Option(r.get(r.fieldIndex("ewma_milli")))))).toMap
+    assert(toMapE(Temporal.windowEwmaBlocks.fn(spark, dir)) ==
+      toMapE(Temporal.windowEwma.fn(spark, dir)))
   }
 
   test("rowLagsBlocks: sparse blocks, cross-block lags, and ties match the single window") {

@@ -192,5 +192,14 @@ class FunctionsSpec extends SparkSpec {
         assert(r.getAs[Boolean]("hit") == r.getAs[Boolean]("want"), r.toString)
     }
     assert(got.length == 6)
+    // analysis-time type contract (ADVICE r8): a non-long bkt/key must be
+    // rejected uniformly at analysis, not ClassCastException in
+    // interpreted eval / silent widening in codegen
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", 1L)).toDF("s", "k")
+        .withColumn("hit", might_contain_bucketed(filters, col("s"), col("k")))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"), err.getMessage)
   }
 }

@@ -49,7 +49,9 @@ object ScaleSmoke {
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_codes",
     "ann_ivfpq_refine_topk", "ann_knn_classify",
     "q_time_resample", "q_skew_salted_join", "q_window_ewma_blocks",
-    "q_anomaly_zscore_blocks", "q3_shipping_priority",
+    "q_anomaly_zscore_blocks", "q_lead_lag_blocks", "q_burst_detect_blocks",
+    "q_asof_join_blocks", "q_window_running_blocks", "q_window_sliding_blocks",
+    "q_window_ntile_blocks", "q3_shipping_priority",
     "q5_local_supplier", "q18_large_orders")
 
   def main(args: Array[String]): Unit = {

@@ -302,16 +302,27 @@ object GraftApi {
     *
     * Ordering is (time, `tiebreak`) at microsecond precision — the
     * single-window ops' exact order. Returns one row per input row
-    * (carry rows excluded): (key, tiebreak, value, lag_1..lag_depth).
+    * (carry rows excluded): (key, tiebreak, value, lag_1..lag_depth
+    * [, lead_1..lead_leads]).
     * Any `blockMs` is correct; size it so a hot key's densest block is
     * a comfortable task (default 1 h).
+    *
+    * `leads` > 0 additionally computes forward offsets (lead_1..lead_N)
+    * by the mirror construction: each block is ALSO seeded with a
+    * forward carry — the `leads` EARLIEST rows of the key's suffix,
+    * assembled from the next `leads` non-empty blocks' heads (exact by
+    * the mirrored argument). Forward carries sort after every own row,
+    * so they are invisible to the lag columns, and backward carries sort
+    * before every own row, invisible to the lead columns.
     */
   def rowLagsBlocks(df: DataFrame, key: String, time: String,
       tiebreak: String, value: Column, depth: Int,
-      blockMs: Long = 3600000L): DataFrame = {
+      blockMs: Long = 3600000L, leads: Int = 0): DataFrame = {
     require(depth >= 1 && depth <= 64,
       s"rowLagsBlocks: depth=$depth out of range [1, 64] — the carry is " +
         "depth² structs per block; past that, rethink the formulation")
+    require(leads >= 0 && leads <= 64,
+      s"rowLagsBlocks: leads=$leads out of range [0, 64]")
     require(blockMs >= 1, s"rowLagsBlocks: blockMs=$blockMs must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val us = unix_micros(col(time))
@@ -337,18 +348,260 @@ object GraftApi {
       .select(col("_k"), col("_bkt"), col("_c._us").as("_us"),
         col("_c._tb").as("_tb"), col("_c._x").as("_x"),
         lit(1).as("_is_carry"))
-    // (3) block-local lag pass over carry ∪ own rows
+    // (2b) forward carry per block (leads > 0): earliest `leads` of the
+    // SUFFIX, off the next `leads` non-empty blocks' heads — the exact
+    // mirror of (1)+(2)
+    val fwdCarries =
+      if (leads == 0) None
+      else {
+        val wLocAsc = Window.partitionBy(col("_k"), col("_bkt"))
+          .orderBy(col("_us"), col("_tb"))
+        val heads = base
+          .withColumn("_rnd", row_number().over(wLocAsc))
+          .filter(col("_rnd") <= leads)
+          .groupBy(col("_k"), col("_bkt"))
+          .agg(collect_list(struct(col("_us"), col("_tb"), col("_x"))).as("_head"))
+        Some(heads
+          .withColumn("_fc", expr(
+            s"slice(array_sort(flatten(collect_list(_head) OVER " +
+              s"(PARTITION BY _k ORDER BY _bkt ROWS BETWEEN 1 FOLLOWING " +
+              s"AND $leads FOLLOWING))), 1, $leads)"))
+          .select(col("_k"), col("_bkt"), explode(col("_fc")).as("_c"))
+          .select(col("_k"), col("_bkt"), col("_c._us").as("_us"),
+            col("_c._tb").as("_tb"), col("_c._x").as("_x"),
+            lit(1).as("_is_carry")))
+      }
+    // (3) block-local lag/lead pass over carries ∪ own rows
     val own = base.select(col("_k"), col("_bkt"), col("_us"), col("_tb"),
       col("_x"), lit(0).as("_is_carry"))
     val wFin = Window.partitionBy(col("_k"), col("_bkt"))
       .orderBy(col("_us"), col("_tb"))
     val lagCols = (1 to depth).map(d => lag(col("_x"), d).over(wFin).as(s"lag_$d"))
-    own.unionByName(carries)
+    val leadCols = (1 to leads).map(d => lead(col("_x"), d).over(wFin).as(s"lead_$d"))
+    (Seq(own, carries) ++ fwdCarries.toSeq).reduce(_.unionByName(_))
       .select(Seq(col("_k"), col("_bkt"), col("_us"), col("_tb"), col("_x"),
-        col("_is_carry")) ++ lagCols: _*)
+        col("_is_carry")) ++ lagCols ++ leadCols: _*)
       .filter(col("_is_carry") === 0)
       .select(Seq(col("_k").as(key), col("_tb").as(tiebreak),
-        col("_x").as("value")) ++ (1 to depth).map(d => col(s"lag_$d")): _*)
+        col("_x").as("value")) ++ (1 to depth).map(d => col(s"lag_$d")) ++
+        (1 to leads).map(d => col(s"lead_$d")): _*)
+  }
+
+  /** Running (rows-unbounded-preceding) per-key aggregate under the
+    * hot-key-safe block layout — the carry-of-partial-aggregates variant
+    * of [[rowLagsBlocks]]: a plain `SUM(x) OVER (PARTITION BY key ORDER
+    * BY time ROWS UNBOUNDED PRECEDING)` puts a hot key's entire history
+    * in ONE window task (skew-1000x measured q_window_running at 11.7×
+    * uniform wall, task-skew 248, cpu flat). Here the per-row pass
+    * partitions by (key, time-block); the cross-block prefix is folded
+    * through ONE row of partials per (key, block) — running sums are
+    * associative, so carry = (Σ value, row count) over prior blocks,
+    * computed as running sums over the per-key block-summary sequence
+    * (serial work per key = #blocks, never #rows), and a co-partitioned
+    * (key, block) join folds the offsets back.
+    *
+    * Returns (key, tiebreak, value, running, seq): `running` = the
+    * running sum of `value` (null until the prefix holds a non-null, the
+    * window-SUM convention), `seq` = the 1-based row number. Exact for
+    * any orderable/summable value; decimal sums stay decimal-exact.
+    */
+  def runningSumBlocks(df: DataFrame, key: String, time: String,
+      tiebreak: String, value: Column, blockMs: Long = 3600000L): DataFrame = {
+    require(blockMs >= 1, s"runningSumBlocks: blockMs=$blockMs must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(key).as("_k"), col(tiebreak).as("_tb"),
+        value.as("_x"), unix_micros(col(time)).as("_us"))
+      .withColumn("_bkt", floor(col("_us") / (blockMs * 1000L)))
+    val wLoc = Window.partitionBy(col("_k"), col("_bkt"))
+      .orderBy(col("_us"), col("_tb"))
+    val local = base
+      .withColumn("_ls", sum(col("_x")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_ln", row_number().over(wLoc).cast("long"))
+    val wKey = Window.partitionBy(col("_sk")).orderBy(col("_sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("_k").as("_sk"), col("_bkt").as("_sb"))
+      .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("_sk"), col("_sb"),
+        sum(col("_s")).over(wKey).as("_offS"),
+        coalesce(sum(col("_n")).over(wKey), lit(0L)).as("_offN"))
+    local.join(offsets, col("_k") === col("_sk") && col("_bkt") === col("_sb"))
+      // window-SUM null convention: null only while the WHOLE prefix is
+      // null-free of non-null values (prior blocks' _offS null AND the
+      // in-block prefix _ls null)
+      .withColumn("running",
+        when(col("_ls").isNull && col("_offS").isNull, lit(null))
+          .otherwise(coalesce(col("_offS"), lit(0)) + coalesce(col("_ls"), lit(0))))
+      .withColumn("seq", col("_offN") + col("_ln"))
+      .select(col("_k").as(key), col("_tb").as(tiebreak), col("_x").as("value"),
+        col("running"), col("seq"))
+  }
+
+  /** Trailing event-time RANGE aggregate (sum of `value` + row count over
+    * [t − widthUs, t]) under the hot-key-safe block layout. A RANGE
+    * window `PARTITION BY key ORDER BY time` concentrates a hot key in
+    * one task (q_window_sliding ×20.8 wall / q_burst_detect ×11.0 at
+    * skew-1000x, cpu flat). With `blockUs` ≥ `widthUs`, every row's
+    * trailing window spans at most its own and the PREVIOUS time block,
+    * so each row is shipped twice — once as itself, once as a carry into
+    * the next block — and the RANGE window runs per (key, block): task
+    * work is ≤ 2 blocks' rows at any key skew, and the shuffle carries
+    * 2× rows instead of concentrating them.
+    *
+    * Appends `range_sum` (sum of `value` over the trailing range) and
+    * `range_n` (row count over it) to the input columns. Boundary
+    * semantics are the RANGE frame's own: ties at t included, t−widthUs
+    * inclusive.
+    */
+  def trailingRangeBlocks(df: DataFrame, key: String, time: String,
+      value: Column, widthUs: Long, blockUs: Long = 3600000000L): DataFrame = {
+    require(widthUs >= 0, s"trailingRangeBlocks: widthUs=$widthUs negative")
+    require(blockUs >= math.max(widthUs, 1L),
+      s"trailingRangeBlocks: blockUs ($blockUs) must be >= widthUs " +
+        s"($widthUs) or a window could span more than two blocks")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("_x", value)
+      .withColumn("_us", unix_micros(col(time).cast("timestamp")))
+      .withColumn("_ownbkt", floor(col("_us") / blockUs))
+    val own = base.withColumn("_bkt", col("_ownbkt"))
+      .withColumn("_is_carry", lit(0))
+    val carry = base.withColumn("_bkt", col("_ownbkt") + 1)
+      .withColumn("_is_carry", lit(1))
+    val w = Window.partitionBy(col(key), col("_bkt")).orderBy(col("_us"))
+      .rangeBetween(-widthUs, Window.currentRow)
+    own.unionByName(carry)
+      .withColumn("range_sum", sum(col("_x")).over(w))
+      .withColumn("range_n", count(lit(1)).over(w))
+      .filter(col("_is_carry") === 0)
+      .drop("_x", "_us", "_ownbkt", "_bkt", "_is_carry")
+  }
+
+  /** Exact per-key rank and key row-count by VALUE order under a
+    * hot-key-safe layout — the primitive behind distribution-position
+    * window functions (NTILE, CUME_DIST), whose `PARTITION BY key ORDER
+    * BY value` puts a hot key in one sort task (q_window_ntile ×18.9
+    * wall / task-skew 870 at skew-1000x). Time blocks don't apply (the
+    * order is by value), so the split dimension is the VALUE RANGE:
+    * `bins` fixed-width bins over the global [min, max] (one cheap
+    * two-value aggregate; bin of null = −1, mirroring Spark's nulls-
+    * first ascending order). Bin index is monotone in value, so global
+    * rank = block-local row_number + Σ counts of lower bins — the
+    * sessionizeBlocks offset idiom, serial work per key = #bins.
+    *
+    * Appends `key_rank` (1-based rank by (value, tiebreak) within key)
+    * and `key_n` (total rows of the key). Hot keys spread over bins;
+    * a key whose values are ALL IDENTICAL still lands in one bin — that
+    * is a genuine total-order constraint (equal values are one rank
+    * neighborhood), documented rather than hidden.
+    */
+  def valueRankBlocks(df: DataFrame, key: String, value: String,
+      tiebreak: String, bins: Int = 1024): DataFrame = {
+    require(bins >= 1 && bins <= 65536,
+      s"valueRankBlocks: bins=$bins out of range [1, 65536]")
+    import org.apache.spark.sql.expressions.Window
+    val mm = df.agg(min(col(value)).cast("double").as("lo"),
+      max(col(value)).cast("double").as("hi")).head()
+    val binCol =
+      if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
+        when(col(value).isNull, lit(-1)).otherwise(lit(0))
+      else {
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        when(col(value).isNull, lit(-1)).otherwise(
+          least(lit(bins - 1), greatest(lit(0),
+            floor((col(value).cast("double") - lit(lo)) / lit(hi - lo) * bins)
+              .cast("int"))))
+      }
+    val wLoc = Window.partitionBy(col(key), col("_bin"))
+      .orderBy(col(value), col(tiebreak))
+    val local = df.withColumn("_bin", binCol)
+      .withColumn("_lr", row_number().over(wLoc).cast("long"))
+    val wKey = Window.partitionBy(col("_sk")).orderBy(col("_sb"))
+    val offsets = local.groupBy(col(key).as("_sk"), col("_bin").as("_sb"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("_sk"), col("_sb"),
+        coalesce(sum(col("_n")).over(
+          wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
+        sum(col("_n")).over(wKey.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("_nkey"))
+    local.join(offsets, col(key) === col("_sk") && col("_bin") === col("_sb"))
+      .withColumn("key_rank", col("_off") + col("_lr"))
+      .withColumn("key_n", col("_nkey"))
+      .drop("_bin", "_lr", "_sk", "_sb", "_off", "_nkey")
+  }
+
+  /** [[asofJoin]]'s hot-key-safe twin — the sessionizeBlocks boundary-
+    * merge idiom applied to carry-forward: the union-of-sides pass
+    * partitions by (key, time-block); the carry INTO each block is the
+    * best (latest (time, payload)) right row of all PRIOR blocks, folded
+    * as a running max over the per-(key, block) summary sequence (one
+    * row per non-empty block — serial work per key = #blocks); a
+    * co-partitioned (key, block) join hands each left row
+    * coalesce(in-block last-non-null, carry-in). Identical output to
+    * [[asofJoin]] (right rows with a NULL payload are no-ops there —
+    * dropped up front here, exactly equivalent).
+    */
+  def asofJoinBlocks(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: String,
+      blockMs: Long = 3600000L): DataFrame = {
+    require(blockMs >= 1, s"asofJoinBlocks: blockMs=$blockMs must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val payloadType = right.schema(payload).dataType
+    val leftStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l = left.select(col(key).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"), lit(null).cast(payloadType).as("_p"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_row"))
+    val r = right.select(col(key).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        lit(0).as("_side"), col(payload).as("_p"),
+        lit(null).cast(leftStruct).as("_row"))
+      .filter(col("_p").isNotNull)
+    val u = r.unionByName(l)
+      .withColumn("_bkt", floor(unix_millis(col("_t")) / blockMs))
+    val wLoc = Window.partitionBy(col("_k"), col("_bkt"))
+      .orderBy(col("_t"), col("_side"), col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("_lastp", last(col("_p"), ignoreNulls = true).over(wLoc))
+    // per-(key, block) summaries over ALL blocks present (a block with no
+    // right rows still needs a carry-in row): best = max (time, payload)
+    // struct over the block's right rows (max ignores the left rows'
+    // null), then carry-in = running max over PRIOR blocks
+    val wKey = Window.partitionBy(col("_ck")).orderBy(col("_cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = u
+      .groupBy(col("_k").as("_ck"), col("_bkt").as("_cb"))
+      .agg(max(when(col("_side") === 0, struct(col("_t"), col("_p")))).as("_best"))
+      .select(col("_ck"), col("_cb"), max(col("_best")).over(wKey).as("_cin"))
+    local.join(carries, col("_k") === col("_ck") && col("_bkt") === col("_cb"))
+      .filter(col("_side") === 1)
+      .withColumn("_asof", coalesce(col("_lastp"), col("_cin._p")))
+      .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$payload")): _*)
+  }
+
+  /** Skew-adaptive formulation dispatch — the [[adaptiveBroadcast]]
+    * pattern applied to the simple/blocks window pairs: ONE cheap
+    * keyed-count probe (the indexBy stats shape — a count aggregate, no
+    * data collect) reads the hottest key's row count; at or below
+    * `hotKeyBound` the plain single-window formulation runs (fewer
+    * shuffles — the right plan on organic key distributions), above it
+    * the hot-key-safe blocks formulation (bounded tasks — the right plan
+    * when one bot-grade key holds a history no single task should sort).
+    * Both branches are result-identical by the twins' own specs; the
+    * session conf `graft.skewAdaptive.hotKeyBound` overrides the bound
+    * (the ops knob, and the test hook that forces each branch).
+    * The default bound is the ~560k-row per-partition wave size
+    * [[partitionsFor]] encodes, with ~4× headroom: a key past 2M rows
+    * is guaranteed to dominate whatever task it lands on.
+    */
+  def skewAdaptive(df: DataFrame, key: String, hotKeyBound: Long = 2000000L)(
+      simple: DataFrame => DataFrame)(
+      blocks: DataFrame => DataFrame): DataFrame = {
+    val limit = df.sparkSession.conf.getOption("graft.skewAdaptive.hotKeyBound")
+      .map(_.toLong).getOrElse(hotKeyBound)
+    val cached = graft.CacheRegistry.track(df)
+    val maxg = cached.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head()
+    val hottest = if (maxg.isNullAt(0)) 0L else maxg.getLong(0)
+    if (hottest <= limit) simple(cached) else blocks(cached)
   }
 
   /** Generic bounded range join: pairs (left, right) with equal `key`
@@ -625,9 +878,12 @@ object GraftApi {
         adc.as("adc_dist"))
     val spark = codes.sparkSession
     val scored =
-      if (codes.columns.contains("slice")) {
-        // pre-split persisted layout: hot cells already spread across
-        // bucket files at rest — nothing to decide or repartition
+      if (graft.operators.Similarity.isPresplit(codes)) {
+        // pre-split persisted layout (graft.presplit metadata flag on the
+        // slice column — an UNFLAGGED caller-supplied column named slice
+        // routes through the runtime-split tier instead of silently
+        // disabling it): hot cells already spread across bucket files at
+        // rest — nothing to decide or repartition
         score(codes)
       } else {
         val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)

@@ -453,8 +453,72 @@ object Temporal {
           1L).otherwise(0L).as("anomaly"))
   }
 
+  /** [[leadLag]]'s hot-key-safe twin: prev/next event and gap from ONE
+    * [[graft.api.GraftApi.rowLagsBlocks]] pass with depth = leads = 1 —
+    * lead is the mirrored carry (next block heads), so a hot user's
+    * timeline spreads over (user, hour-block) tasks instead of one
+    * straggler (skew-1000x measured the simple form at ×10.3 wall,
+    * task-skew 395, cpu flat). The (event_id, epoch-ms) pair rides as a
+    * struct value; same oracle verbatim.
+    */
+  val leadLagBlocks: Op = Op(
+    "q_lead_lag_blocks",
+    leadLag.oracle.get,
+  ) { (spark, dir) =>
+    val lagged = graft.api.GraftApi.rowLagsBlocks(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id")),
+      "user_id", "ts", "event_id",
+      struct(col("event_id").as("eid"),
+        unix_millis(col("ts").cast("timestamp")).as("tms")),
+      depth = 1, leads = 1)
+    lagged.select(col("event_id"), col("user_id"),
+      col("lag_1.eid").as("prev_event_id"),
+      (col("value.tms") - col("lag_1.tms")).as("gap_ms"),
+      col("lead_1.eid").as("next_event_id"))
+  }
+
+  /** [[burstDetect]]'s hot-key-safe twin: the trailing 5-minute RANGE
+    * count through [[graft.api.GraftApi.trailingRangeBlocks]] — each row
+    * ships into its own and the next hour-block, the RANGE window runs
+    * per (user, block), task work ≤ 2 blocks' rows at any skew (the
+    * simple form measured ×11.0 wall / task-skew 302 at skew-1000x).
+    * Same oracle verbatim.
+    */
+  val burstDetectBlocks: Op = Op(
+    "q_burst_detect_blocks",
+    burstDetect.oracle.get,
+  ) { (spark, dir) =>
+    graft.api.GraftApi.trailingRangeBlocks(
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", lit(1L), widthUs = 300L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("range_n").as("n_5m"))
+      .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
+  }
+
+  /** [[asofJoin]]'s hot-key-safe twin via
+    * [[graft.api.GraftApi.asofJoinBlocks]]: the union-of-sides carry-
+    * forward runs per (user, 6h block) with a boundary-merged best-right
+    * carry (the sessionize-blocks idiom), so a hot user's history spreads
+    * instead of one task sorting it (simple form ×6.4 wall / task-skew
+    * 218 at skew-1000x). Same oracle verbatim.
+    */
+  val asofJoinBlocksOp: Op = Op(
+    "q_asof_join_blocks",
+    asofJoin.oracle.get,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+    graft.api.GraftApi.asofJoinBlocks(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = "event_id", blockMs = 6L * 3600 * 1000)
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_id"))
+  }
+
   val ops: Seq[Op] =
     Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect,
       funnel, retentionCohort, windowEwma, anomalyZscore,
-      windowEwmaBlocks, anomalyZscoreBlocks)
+      windowEwmaBlocks, anomalyZscoreBlocks,
+      leadLagBlocks, burstDetectBlocks, asofJoinBlocksOp)
 }

@@ -288,8 +288,80 @@ object WindowOps {
       col("n"))
   }
 
+  /** [[windowRunning]]'s hot-key-safe twin via
+    * [[graft.api.GraftApi.runningSumBlocks]] — the carry-of-partial-
+    * aggregates variant of the blocks discipline: running sums are
+    * associative, so the cross-block prefix folds through ONE partials
+    * row (Σ value, count) per (user, hour-block) instead of one task
+    * sorting the hot user's whole history (simple form ×11.7 wall /
+    * task-skew 248 at skew-1000x, cpu flat). Decimal sums stay
+    * decimal-exact; same oracle verbatim.
+    */
+  val windowRunningBlocks: Op = Op(
+    "q_window_running_blocks",
+    windowRunning.oracle.get,
+  ) { (spark, dir) =>
+    graft.api.GraftApi.runningSumBlocks(
+        Tables.events(spark, dir).select(col("user_id"), col("ts"),
+          col("event_id"), col("value").cast("decimal(12,2)").as("v")),
+        "user_id", "ts", "event_id", col("v"))
+      .select(col("event_id"), col("user_id"),
+        col("running").cast("double").as("running_value"),
+        col("seq").cast("int").as("seq"))
+  }
+
+  /** [[slidingWindow]]'s hot-key-safe twin via
+    * [[graft.api.GraftApi.trailingRangeBlocks]]: with block ≥ window
+    * width, a row's trailing 10-minute RANGE frame spans at most its own
+    * and the previous hour-block, so each row ships twice and the RANGE
+    * window runs per (user, block) — task work ≤ 2 blocks' rows at any
+    * skew (the simple form was the worst straggler of the six: ×20.8
+    * wall / task-skew 579 at skew-1000x). Same oracle verbatim.
+    */
+  val slidingWindowBlocks: Op = Op(
+    "q_window_sliding_blocks",
+    slidingWindow.oracle.get,
+  ) { (spark, dir) =>
+    graft.api.GraftApi.trailingRangeBlocks(
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("value").cast("decimal(12,2)").as("v")),
+        "user_id", "ts", col("v"), widthUs = 600L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("range_sum").cast("double").as("sum_10m"))
+  }
+
+  /** [[windowNtile]]'s hot-key-safe twin via
+    * [[graft.api.GraftApi.valueRankBlocks]]: NTILE and CUME_DIST are pure
+    * functions of (rank, key count) under a total order, so the global
+    * per-key rank is assembled from value-range bins — block-local
+    * row_number + lower-bin count offsets (the sessionizeBlocks idiom
+    * along the VALUE axis, since ordering by value defeats time blocks).
+    * Simple form: ×18.9 wall / task-skew 870 at skew-1000x. Same oracle
+    * verbatim; the quartile arithmetic is the standard NTILE fill
+    * (first n mod 4 buckets get ⌈n/4⌉).
+    */
+  val windowNtileBlocks: Op = Op(
+    "q_window_ntile_blocks",
+    windowNtile.oracle.get,
+  ) { (spark, dir) =>
+    val ranked = graft.api.GraftApi.valueRankBlocks(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+        col("value")),
+      "user_id", "value", "event_id")
+    val r = col("key_rank")
+    val bigBuckets = (expr("key_n div 4") + 1) * pmod(col("key_n"), lit(4L))
+    val quartile = when(r <= bigBuckets,
+        expr("(key_rank - 1) div (key_n div 4 + 1) + 1"))
+      .otherwise(pmod(col("key_n"), lit(4L)) +
+        expr("(key_rank - (key_n div 4 + 1) * (key_n % 4) - 1) div (key_n div 4) + 1"))
+    ranked.select(col("event_id"), col("user_id"),
+      quartile.cast("int").as("quartile"),
+      (r.cast("double") / col("key_n").cast("double")).as("cdist"))
+  }
+
   val ops: Seq[Op] =
     Seq(windowRunning, windowRank, tumblingWindow, sessionize,
       sessionizeBlocksOp, topKPerKeyOp,
-      slidingWindow, percentiles, windowNtile, corrExact, pivotWide, unpivotLong)
+      slidingWindow, percentiles, windowNtile, corrExact, pivotWide, unpivotLong,
+      windowRunningBlocks, slidingWindowBlocks, windowNtileBlocks)
 }

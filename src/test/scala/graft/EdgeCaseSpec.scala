@@ -526,6 +526,92 @@ class EdgeCaseSpec extends SparkSpec {
       toMapE(Temporal.windowEwma.fn(spark, dir)))
   }
 
+  test("r9 blocks twins equal their simple forms on engineered block boundaries") {
+    import spark.implicits._
+    // corpus engineered for every twin's hard case:
+    //  - user 1: rows straddling hour-block boundaries, one row EXACTLY
+    //    window-width after another (RANGE boundary inclusion through the
+    //    carry), a same-timestamp tie, a null value mid-stream
+    //  - user 2: a single event (all lags/leads null, n=1 ntile)
+    //  - user 3: constant value (one rank bin holds the whole key)
+    //  - user 4: 7 rows (ntile n%4=3 — uneven bucket fill)
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val rows = Seq(
+      (1L, 1L, t(0), "view", Option(1.0)),
+      (2L, 1L, t(3599), "click", Option(5.0)),
+      (3L, 1L, t(3600), "purchase", Option(2.0)),    // block boundary
+      (4L, 1L, t(4199), "click", Option.empty[Double]),
+      (5L, 1L, t(4200), "purchase", Option(8.0)),    // exactly 600s after #3
+      (6L, 1L, t(4200), "view", Option(3.0)),        // tie ts with #5
+      (7L, 1L, t(90000), "purchase", Option(4.0)),   // far block, empty gap
+      (8L, 2L, t(50), "purchase", Option(9.0)),      // lone event, no click
+      (9L, 3L, t(0), "view", Option(6.0)),
+      (10L, 3L, t(7200), "click", Option(6.0)),      // constant values
+      (11L, 3L, t(7300), "purchase", Option(6.0)),
+      (12L, 3L, t(7400), "view", Option(6.0))) ++
+      (0 until 7).map(i => (20L + i, 4L, t(i * 1800L), "view", Option(i * 1.5)))
+    val dir = tmpDir()
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    def toMap(d: org.apache.spark.sql.DataFrame) = {
+      val cols = d.columns.toSeq
+      d.collect().map(r => r.getAs[Long]("event_id") ->
+        cols.filterNot(_ == "event_id").map(c => Option(r.get(r.fieldIndex(c))))).toMap
+    }
+    val pairs = Seq(
+      (Temporal.leadLag, Temporal.leadLagBlocks),
+      (Temporal.burstDetect, Temporal.burstDetectBlocks),
+      (WindowOps.windowRunning, WindowOps.windowRunningBlocks),
+      (WindowOps.slidingWindow, WindowOps.slidingWindowBlocks),
+      (WindowOps.windowNtile, WindowOps.windowNtileBlocks))
+    pairs.foreach { case (simple, blocks) =>
+      val want = toMap(simple.fn(spark, dir))
+      val got = toMap(blocks.fn(spark, dir))
+      assert(got.keySet == want.keySet, s"${blocks.name} keys")
+      val diff = got.keys.filter(k => got(k) != want(k)).toSeq.sorted
+      assert(diff.isEmpty, s"${blocks.name}: " +
+        diff.map(k => s"$k: ${got(k)} vs ${want(k)}").take(3))
+    }
+    // asof keys by (purchase event_id); same comparison
+    val wantA = toMap(Temporal.asofJoin.fn(spark, dir))
+    val gotA = toMap(Temporal.asofJoinBlocksOp.fn(spark, dir))
+    assert(gotA == wantA,
+      gotA.keys.filter(k => gotA.get(k) != wantA.get(k)).take(3)
+        .map(k => s"$k: ${gotA.get(k)} vs ${wantA.get(k)}"))
+  }
+
+  test("skewAdaptive picks simple vs blocks by hottest-key probe; branches identical") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val df = ((0 until 40).map(i => (i.toLong, 7L, t(i * 60L), i * 1.0)) ++
+      (0 until 5).map(i => (100L + i, 8L, t(i * 60L), i * 2.0)))
+      .toDF("event_id", "user_id", "ts", "value")
+    def simple(d: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      d.select(col("event_id"),
+        lag(col("value"), 1).over(w).as("prev"))
+        .withColumn("form", lit("simple"))
+    }
+    def blocks(d: org.apache.spark.sql.DataFrame) =
+      graft.api.GraftApi.rowLagsBlocks(d, "user_id", "ts", "event_id",
+          col("value"), depth = 1)
+        .select(col("event_id"), col("lag_1").as("prev"))
+        .withColumn("form", lit("blocks"))
+    def run(bound: Long) = {
+      spark.conf.set("graft.skewAdaptive.hotKeyBound", bound.toString)
+      try graft.api.GraftApi.skewAdaptive(df, "user_id")(simple)(blocks)
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          Option(r.get(r.fieldIndex("prev"))), r.getAs[String]("form"))).toSet
+      finally spark.conf.unset("graft.skewAdaptive.hotKeyBound")
+    }
+    val viaSimple = run(1000L)   // hottest key = 40 rows <= 1000 → simple
+    val viaBlocks = run(10L)     // 40 > 10 → blocks
+    assert(viaSimple.forall(_._3 == "simple") && viaBlocks.forall(_._3 == "blocks"))
+    assert(viaSimple.map(x => (x._1, x._2)) == viaBlocks.map(x => (x._1, x._2)))
+    CacheRegistry.drain()
+  }
+
   test("rowLagsBlocks: sparse blocks, cross-block lags, and ties match the single window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -612,10 +612,26 @@ object GraftApi {
     * bound is mandatory: it is what keeps the join an equi-join instead
     * of the nested loop Catalyst plans for a bare inequality.
     * Column names must be disjoint between the two sides.
+    *
+    * OUTPUT contract (the indexBy/decontaminate fail-fast discipline —
+    * range-join output is quadratic in per-(key, bucket) co-occurrence
+    * by SEMANTICS, and a hot key × wide window at 100 TB is a
+    * storage-filling event): a cheap pre-aggregate estimates candidate
+    * pairs as Σ over (key, bucket) of |left|·|right| — grouped counts,
+    * so the probe shuffles (key, bucket) GROUPS, never rows — and the
+    * join fails fast with a sizing message past `maxPairs` (session conf
+    * `graft.rangeJoin.maxPairs` overrides; the skew-1000x corpus emits
+    * an honest 2.29B pairs, inside the 4e9 default). When the consumer
+    * only needs the best few matches per left row, use
+    * [[graft.operators.Temporal.rangeJoinCappedOp]]'s shape — rangeJoin
+    * into the bounded-heap [[topKPerKey]] — whose OUTPUT is |left|·k by
+    * construction (pass maxPairs = Long.MaxValue there: compute is
+    * inherent to the semantics, the cap bounds what lands in storage).
     */
   def rangeJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
-      lowerMs: Long, upperMs: Long): DataFrame = {
+      lowerMs: Long, upperMs: Long,
+      maxPairs: Long = 4000000000L): DataFrame = {
     require(upperMs > lowerMs, "empty range")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"overlapping columns: ${overlap.mkString(",")}")
@@ -625,6 +641,24 @@ object GraftApi {
     val l = left.withColumn("_bkt", explode(sequence(
       floor((lMs + lowerMs) / widthMs), floor((lMs + upperMs) / widthMs))))
     val r = right.withColumn("_rbkt", floor(rMs / widthMs))
+    val limit = left.sparkSession.conf.getOption("graft.rangeJoin.maxPairs")
+      .map(_.toLong).getOrElse(maxPairs)
+    if (limit < Long.MaxValue) {
+      val est = l.groupBy(col(leftKey).as("_ek"), col("_bkt").as("_eb"))
+        .agg(count(lit(1)).as("_lc"))
+        .join(r.groupBy(col(rightKey).as("_fk"), col("_rbkt").as("_fb"))
+            .agg(count(lit(1)).as("_rc")),
+          col("_ek") === col("_fk") && col("_eb") === col("_fb"))
+        .agg(sum(col("_lc") * col("_rc"))).head()
+      val pairs = if (est.isNullAt(0)) 0L else est.getLong(0)
+      require(pairs <= limit,
+        s"rangeJoin: ~$pairs candidate pairs exceed maxPairs=$limit — a " +
+          "hot key × wide window is about to emit a storage-filling " +
+          "result; narrow the window, pre-aggregate the hot keys, raise " +
+          "the bound (graft.rangeJoin.maxPairs) if the sink really wants " +
+          "them, or keep only the best matches per row via the capped " +
+          "topKPerKey composition (q_range_join_capped's shape)")
+    }
     l.join(r, col("_bkt") === col("_rbkt") && col(leftKey) === col(rightKey))
       .filter(rMs >= lMs + lowerMs && rMs <= lMs + upperMs)
       .drop("_bkt", "_rbkt")
@@ -1108,6 +1142,27 @@ object GraftApi {
   def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
       cells: Int = 256, iters: Int = 1): (DataFrame, DataFrame) =
     graft.operators.Similarity.ivfIndex(corpus, idCol, embCol, cells, iters)
+
+  /** Incremental maintenance of persisted ANN indexes — assign a delta
+    * shard against the FROZEN quantizers, append to the cell-keyed
+    * layout, merge occupancy stats, re-derive the hot-cell pre-split
+    * (the dedup_incremental contract applied to ANN; reference analog
+    * Optimization.addIndex + IncrementalResult). See
+    * graft.operators.Similarity.{ivfIndexUpsert, ivfPqIndexUpsert}.
+    */
+  def ivfIndexUpsert(cents: DataFrame, lists: DataFrame, stats: DataFrame,
+      delta: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      hotCellBound: Long = 16384L): (DataFrame, DataFrame) =
+    graft.operators.Similarity.ivfIndexUpsert(cents, lists, stats, delta,
+      idCol, embCol, hotCellBound)
+  def ivfPqIndexUpsert(cents: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, stats: DataFrame, delta: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      numSubs: Int = 4, subDim: Int = 16,
+      hotCellBound: Long = 16384L): (DataFrame, DataFrame) =
+    graft.operators.Similarity.ivfPqIndexUpsert(cents, codebooks, codes,
+      stats, delta, idCol, embCol, numSubs, subDim, hotCellBound)
 
   /** Train/eval decontamination over any (id, shingles) frames — see
     * graft.operators.Pipeline.decontaminate (benchmark n-grams broadcast,

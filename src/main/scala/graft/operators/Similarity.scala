@@ -681,6 +681,102 @@ object Similarity {
     (c1p.drop("part"), lists)
   }
 
+  /** Assign arbitrary vectors to FROZEN IVF centroids — the serving-time
+    * quantizer (the same codegen'd broadcast argmin kernel the index
+    * build uses), returning inverted-list rows (cent_id, vec_id,
+    * embedding, nrm). The shared kernel of index build, query routing,
+    * and [[ivfIndexUpsert]]'s delta assignment.
+    */
+  private[graft] def ivfAssignToCells(cents: DataFrame, vecs: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("embedding"))
+      .withColumn("nrm", nrmOf(col("embedding")))
+    assignTo(
+        v.select(col("vec_id").as("pid"), lit(0).as("part"),
+          col("embedding").as("emb"), col("nrm")),
+        cents.withColumn("part", lit(0)), NegCos)
+      .select(col("pid").as("vec_id"), col("a_cent").as("cent_id"))
+      .join(v, "vec_id")
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
+  }
+
+  /** Incremental maintenance of a persisted IVF index — the
+    * dedup_incremental contract applied to ANN (reference analog:
+    * Optimization.addIndex + collections/IncrementalResult — a
+    * registered index absorbs base-collection deltas instead of
+    * rebuilding): a new shard's vectors are assigned to the EXISTING
+    * centroids with the same argmin kernel the build used, appended to
+    * the inverted lists, the occupancy `stats` merged, and any cell the
+    * delta pushes past `hotCellBound` (re-)pre-split by the build-time
+    * content-hash slice layout — so serving keeps the zero-exchange
+    * pre-split contract after every upsert.
+    *
+    * The quantizer is FROZEN (standard production add() semantics —
+    * FAISS adds to a trained index without re-training): the result is
+    * spec-proven identical to assigning corpus ∪ delta against the same
+    * centroids from scratch (BucketingSpec), NOT to re-running Lloyd on
+    * the union — re-training is a rebuild by definition; schedule one
+    * when drift accumulates (the stats table's occupancy shape is the
+    * drift signal: a cell absorbing most deltas means the centroids no
+    * longer tile the data).
+    *
+    * Returns (lists', stats'): delta-assigned rows unioned into the
+    * lists (slice re-derived from the merged occupancy — the presplit
+    * metadata flag rides the new slice column), stats summed per cell.
+    * Persist back with the index's own bucketBy((cent_id, slice)) layout;
+    * per-shard cost is ONE delta-sized assignment projection + a
+    * lists-sized rewrite of only what a saveAsTable overwrite touches —
+    * at 100 TB, partition the lists table by shard epoch and append.
+    */
+  def ivfIndexUpsert(cents: DataFrame, lists: DataFrame, stats: DataFrame,
+      delta: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      hotCellBound: Long = 16384L): (DataFrame, DataFrame) = {
+    val deltaLists = ivfAssignToCells(cents, delta, idCol, embCol)
+    val mergedStats = mergeCellStats(stats, deltaLists)
+    val union = lists.drop("slice").unionByName(deltaLists)
+    (preSplitByOccupancy(union, mergedStats, "vec_id", hotCellBound),
+      mergedStats)
+  }
+
+  /** [[ivfIndexUpsert]] for the IVFADC (IVF+PQ) index: the delta is
+    * PQ-encoded with the FROZEN codebooks and coarse-assigned with the
+    * FROZEN centroids — both quantizers trained once at build — then
+    * appended to the cell-keyed codes with merged stats and a re-derived
+    * hot-cell slice layout. Spec-proven ≡ encoding corpus ∪ delta from
+    * scratch against the same frozen index parts.
+    */
+  def ivfPqIndexUpsert(cents: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, stats: DataFrame, delta: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      numSubs: Int = 4, subDim: Int = 16,
+      hotCellBound: Long = 16384L): (DataFrame, DataFrame) = {
+    val assign = ivfAssignToCells(cents, delta, idCol, embCol)
+      .select(col("vec_id").as("a_vec"), col("cent_id"))
+    val deltaCodes = graft.api.GraftApi.pqEncode(
+        delta, idCol, embCol, codebooks, numSubs, subDim)
+      .join(assign, col(idCol) === col("a_vec"))
+      .select(col(idCol), col("codes"), col("cent_id"))
+    val mergedStats = mergeCellStats(stats, deltaCodes)
+    val union = codes.drop("slice").unionByName(deltaCodes)
+    (preSplitByOccupancy(union, mergedStats, idCol, hotCellBound),
+      mergedStats)
+  }
+
+  /** Merge a persisted (cent_id, cnt) occupancy table with a delta
+    * frame's per-cell counts — full outer, absent side counts 0.
+    */
+  private def mergeCellStats(stats: DataFrame, deltaRows: DataFrame): DataFrame =
+    stats.select(col("cent_id").as("s_cent"), col("cnt").as("s_cnt"))
+      .join(deltaRows.groupBy(col("cent_id").as("d_cent"))
+          .agg(count(lit(1)).as("d_cnt")),
+        col("s_cent") === col("d_cent"), "full_outer")
+      .select(coalesce(col("s_cent"), col("d_cent")).as("cent_id"),
+        (coalesce(col("s_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt"))
+
   /** The persistable SemDeDup index of a corpus — the serving-side
     * counterpart of the registered [[semDedup]] pass (reference analog:
     * addIndex's precompute-once contract, Optimization.scala:31):

@@ -80,6 +80,49 @@ object Temporal {
           unix_millis(col("s_ts").cast("timestamp"))).as("delay_ms"))
   }
 
+  /** [[rangeJoin]] with the house OUTPUT cap: only each signup's k=4
+    * earliest in-window purchases (smallest delay, ties by purchase id)
+    * survive, through the bounded-heap TopKPerKey — range-join output is
+    * quadratic in per-(key, window) co-occurrence BY SEMANTICS, so when
+    * the consumer wants "the matches", not "all pairs", this is the
+    * 100 TB-safe face: output is |signups|·4 no matter how hot a key
+    * gets, and no task materializes a hot key's full pair set (the heap
+    * keeps 4). The uncapped op's fail-fast maxPairs contract points
+    * here; the cap makes the bound moot (maxPairs = ∞ internally —
+    * compute is inherent, the cap governs what lands in storage).
+    */
+  val rangeJoinCappedOp: Op = Op(
+    "q_range_join_capped",
+    """SELECT signup_id, purchase_id, delay_ms FROM (
+      |  SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      |    epoch_ms(p.ts) - epoch_ms(s.ts) AS delay_ms,
+      |    ROW_NUMBER() OVER (PARTITION BY s.event_id
+      |      ORDER BY epoch_ms(p.ts) - epoch_ms(s.ts), p.event_id) AS rn
+      |  FROM events s JOIN events p
+      |    ON s.user_id = p.user_id
+      |   AND s.event_type = 'signup' AND p.event_type = 'purchase'
+      |   AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes')
+      |WHERE rn <= 4""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val pairs = graft.api.GraftApi.rangeJoin(signups, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "s_ts", rightTime = "p_ts",
+        lowerMs = 0L, upperMs = 30L * 60 * 1000, maxPairs = Long.MaxValue)
+      .select(col("signup_id"), col("purchase_id"),
+        (unix_millis(col("p_ts").cast("timestamp")) -
+          unix_millis(col("s_ts").cast("timestamp"))).as("delay_ms"))
+      .withColumn("neg_delay", -col("delay_ms"))
+    graft.api.GraftApi.topKPerKey(pairs, "signup_id", "neg_delay",
+        "purchase_id", k = 4)
+      .select("signup_id", "purchase_id", "delay_ms")
+  }
+
   /** lead/lag deltas (IncrementalResult's per-update delta view, batch
     * face): previous event id and millisecond gap per user timeline.
     */
@@ -488,9 +531,12 @@ object Temporal {
     "q_burst_detect_blocks",
     burstDetect.oracle.get,
   ) { (spark, dir) =>
+    // blockUs = widthUs — width-sized blocks keep a hot key's per-
+    // partition sort depth at ~2 windows' rows (see the sliding twin)
     graft.api.GraftApi.trailingRangeBlocks(
         Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts")),
-        "user_id", "ts", lit(1L), widthUs = 300L * 1000000L)
+        "user_id", "ts", lit(1L), widthUs = 300L * 1000000L,
+        blockUs = 300L * 1000000L)
       .select(col("event_id"), col("user_id"), col("range_n").as("n_5m"))
       .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
   }
@@ -517,7 +563,8 @@ object Temporal {
   }
 
   val ops: Seq[Op] =
-    Seq(asofJoin, rangeJoin, leadLag, dateParts, timeResample, burstDetect,
+    Seq(asofJoin, rangeJoin, rangeJoinCappedOp, leadLag, dateParts,
+      timeResample, burstDetect,
       funnel, retentionCohort, windowEwma, anomalyZscore,
       windowEwmaBlocks, anomalyZscoreBlocks,
       leadLagBlocks, burstDetectBlocks, asofJoinBlocksOp)

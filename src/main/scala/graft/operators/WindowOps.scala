@@ -322,10 +322,15 @@ object WindowOps {
     "q_window_sliding_blocks",
     slidingWindow.oracle.get,
   ) { (spark, dir) =>
+    // blockUs = widthUs (the legal minimum): per-partition sort depth is
+    // ~2 windows' rows — the knob that keeps a 900×-dense hot key's
+    // (key, block) sorts shallow (1h blocks measured ~2× uniform cpu at
+    // skew-1000x from sort depth alone; width-sized blocks erase it)
     graft.api.GraftApi.trailingRangeBlocks(
         Tables.events(spark, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("value").cast("decimal(12,2)").as("v")),
-        "user_id", "ts", col("v"), widthUs = 600L * 1000000L)
+        "user_id", "ts", col("v"), widthUs = 600L * 1000000L,
+        blockUs = 600L * 1000000L)
       .select(col("event_id"), col("user_id"),
         col("range_sum").cast("double").as("sum_10m"))
   }

@@ -90,6 +90,94 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexUpsert equals a frozen-quantizer rebuild on corpus ∪ delta") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfTiny)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val (cents, lists0raw) = Similarity.ivfIndex(
+      corpus, "vec_id", "embedding", cells = 16, iters = 1)
+    val lists0 = CacheRegistry.track(lists0raw)
+    val stats0 = lists0.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    val (lists1, stats1) = graft.api.GraftApi.ivfIndexUpsert(
+      cents, lists0, stats0, delta)
+    // the frozen-quantizer rebuild: corpus ∪ delta assigned against the
+    // SAME centroids (re-training Lloyd on the union is a REBUILD by
+    // definition, not an upsert — the doc'd contract)
+    val rebuilt = CacheRegistry.track(
+      Similarity.ivfAssignToCells(cents, emb, "vec_id", "embedding"))
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cent_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellSet(lists1) == cellSet(rebuilt))
+    val wantStats = rebuilt.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    def statSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("cnt"))).toSet
+    assert(statSet(stats1) == statSet(wantStats))
+    // serving from the upserted parts ≡ serving from the rebuilt parts
+    val queries = emb.filter(col("vec_id") < 8)
+    def res(l: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchAutoFromIndex(cents, l, queries,
+          "vec_id", "embedding", k = 5, stats = Some(s))
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("cosine"))).toSet
+    val got = res(lists1, stats1)
+    assert(got.nonEmpty && got == res(rebuilt, wantStats))
+    // a delta pushing cells past the hot bound re-derives the pre-split
+    // slice layout (presplit metadata flag rides the new column) — the
+    // bound floors at corpus/partitions, so pin partitions high enough
+    // that the floor is 1 and every multi-row cell counts as hot
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    val (hotLists, _) =
+      try graft.api.GraftApi.ivfIndexUpsert(
+        cents, lists0, stats0, delta, hotCellBound = 1L)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    assert(Similarity.isPresplit(hotLists))
+    assert(hotLists.filter(col("slice") > 0).count() > 0)
+    assert(cellSet(hotLists) == cellSet(rebuilt))
+    CacheRegistry.drain()
+  }
+
+  test("ivfPqIndexUpsert equals frozen-quantizer re-encode on corpus ∪ delta") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfTiny)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val (_, c1p, assign1) = Similarity.ivfBuild(
+      corpus, "vec_id", "embedding", cells = 8, iters = 1)
+    val cents = c1p.drop("part")
+    val cbs = CacheRegistry.track(graft.api.GraftApi.pqCodebooks(
+      corpus, "vec_id", "embedding", numSubs = 4, subDim = 16))
+    val codes0 = CacheRegistry.track(
+      graft.api.GraftApi.pqEncode(corpus, "vec_id", "embedding", cbs, 4, 16)
+        .join(assign1, col("vec_id") === col("a_vec"))
+        .select(col("vec_id"), col("codes"), col("a_cent").as("cent_id")))
+    val stats0 = codes0.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    val (codes1, stats1) = graft.api.GraftApi.ivfPqIndexUpsert(
+      cents, cbs, codes0, stats0, delta)
+    val rebuilt = CacheRegistry.track(
+      graft.api.GraftApi.pqEncode(emb, "vec_id", "embedding", cbs, 4, 16)
+        .join(Similarity.ivfAssignToCells(cents, emb, "vec_id", "embedding")
+            .select(col("vec_id").as("a_vec"), col("cent_id")),
+          col("vec_id") === col("a_vec"))
+        .select(col("vec_id"), col("codes"), col("cent_id")))
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getSeq[Long](r.fieldIndex("codes")).mkString(","))).toSet
+    assert(codeSet(codes1) == codeSet(rebuilt))
+    val queries = emb.filter(col("vec_id") < 4)
+    def res(c: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+      graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, c, queries,
+          "vec_id", "embedding", stats = Some(s))
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Double]("adc_dist"))).toSet
+    val wantStats = rebuilt.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    val got = res(codes1, stats1)
+    assert(got.nonEmpty && got == res(rebuilt, wantStats))
+    CacheRegistry.drain()
+  }
+
   test("bucketed sketch posting table: incremental dedup shuffles ONLY the delta") {
     // the warehouse-native addIndex: the corpus's MinHash posting lists are
     // persisted bucketBy(hash), so every arriving shard's candidate join

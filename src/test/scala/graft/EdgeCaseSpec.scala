@@ -580,6 +580,34 @@ class EdgeCaseSpec extends SparkSpec {
         .map(k => s"$k: ${gotA.get(k)} vs ${wantA.get(k)}"))
   }
 
+  test("rangeJoin output contract: pair-estimate guard trips with a sizing message") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    // one hot key: 6 lefts × 8 rights co-occurring in one window ⇒ 48
+    // candidate pairs — past a forced bound of 10
+    val left = (0 until 6).map(i => (7L, 1000L + i, t(i)))
+      .toDF("k", "lid", "lts")
+    val right = (0 until 8).map(i => (7L, 2000L + i, t(10 + i)))
+      .toDF("rk", "rid", "rts")
+    spark.conf.set("graft.rangeJoin.maxPairs", "10")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        graft.api.GraftApi.rangeJoin(left, right, "k", "rk", "lts", "rts",
+          0L, 60000L).count()
+      }
+      assert(err.getMessage.contains("maxPairs"), err.getMessage)
+      assert(err.getMessage.contains("candidate pairs"), err.getMessage)
+    } finally spark.conf.unset("graft.rangeJoin.maxPairs")
+    // within bound: identical result to the unguarded join (the estimate
+    // moves nothing), and maxPairs = MaxValue skips the pre-agg entirely
+    val bounded = graft.api.GraftApi.rangeJoin(left, right, "k", "rk",
+      "lts", "rts", 0L, 60000L).select("lid", "rid").collect().toSet
+    val unguarded = graft.api.GraftApi.rangeJoin(left, right, "k", "rk",
+      "lts", "rts", 0L, 60000L, maxPairs = Long.MaxValue)
+      .select("lid", "rid").collect().toSet
+    assert(bounded == unguarded && bounded.size == 48)
+  }
+
   test("skewAdaptive picks simple vs blocks by hottest-key probe; branches identical") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)

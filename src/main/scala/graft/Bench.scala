@@ -94,6 +94,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val gateWaitedS = awaitIdle()
+    // post-gate/pre-run load: the _machine fields at the END of a run are
+    // inflated by our own 32 threads (the r8 bench_full recorded 9.17 —
+    // that was mostly US), so the START snapshot is the one that says
+    // whether the RUN began contaminated
+    val loadStart = machineLoad()._1
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -174,7 +179,7 @@ object Bench {
     val total = f3(good.map(_.best).sum)
     val totalWorst = f3(good.map(_.worst).sum)
     val (l1, l5, memKb) = machineLoad()
-    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS"""
+    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS"""
     // the pinned baseline is the HEADLINE total — a custom query set's
     // sum is not comparable, so the ratio only rides the headline run
     val vsBaseline = baselineTotal()

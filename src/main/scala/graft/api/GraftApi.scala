@@ -887,6 +887,9 @@ object GraftApi {
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))
       .withColumn("q_nrm", sqrt(vec_dot(col("q_emb"), col("q_emb"))))
+      // zero-norm queries excluded: the retrieval contract
+      // (Similarity.normed) — ANSI double division crashes on 0/0
+      .filter(col("q_nrm") > 0)
     val ranked = q.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
@@ -958,11 +961,13 @@ object GraftApi {
     val q = queries.select(col(idCol).cast("long").as("rq_id"),
         col(embCol).as("rq_emb"))
       .withColumn("rq_nrm", sqrt(vec_dot(col("rq_emb"), col("rq_emb"))))
+      .filter(col("rq_nrm") > 0)
     val pairs = shortlist.select(col("q_id"), col("cand_id"))
     val fetched = corpus
       .select(col(idCol).cast("long").as("rc_id"), col(embCol).as("rc_emb"))
       .join(broadcast(pairs), col("rc_id") === col("cand_id"))
       .withColumn("rc_nrm", sqrt(vec_dot(col("rc_emb"), col("rc_emb"))))
+      .filter(col("rc_nrm") > 0)
     val scored = fetched.join(broadcast(q), col("rq_id") === col("q_id"))
       .select(col("q_id"), col("cand_id"),
         (vec_dot(col("rq_emb"), col("rc_emb")) /
@@ -989,9 +994,11 @@ object GraftApi {
     val v = corpus.select(col(idCol).cast("long").as("c_id"),
         col(embCol).as("c_emb"), col(labelCol).as("label"))
       .withColumn("c_nrm", nrmOf(col("c_emb")))
+      .filter(col("c_nrm") > 0)
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))
       .withColumn("q_nrm", nrmOf(col("q_emb")))
+      .filter(col("q_nrm") > 0)
     val scored = v.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id").as("cand_id"), col("label"),
         (vec_dot(col("q_emb"), col("c_emb")) /

@@ -232,7 +232,7 @@ object Dedup {
       |            THEN list_transform(generate_series(1, len(w)-2),
       |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |            ELSE w END), t -> md5(t)) AS md5s
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
+      |      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents))""".stripMargin,
   ) { (spark, dir) =>
     // Features are word-3-grams (token fallback for docs shorter than 3
     // words): single tokens carry too little entropy on a small-vocabulary
@@ -264,7 +264,7 @@ object Dedup {
       |              THEN list_transform(generate_series(1, len(w)-2),
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |              ELSE w END), t -> md5(t)) AS md5s
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |        FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents))),
       |bands AS (
       |  SELECT doc_id, simhash,
       |    CAST(b AS VARCHAR) || ':' || substr(simhash, 16*b+1, 16) AS band
@@ -301,7 +301,11 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .withColumn("words", split(col("text"), " "))
+      // null text normalizes to the empty document (null-gate r9): both
+      // engines then derive the same ''-signature instead of Spark NULL
+      // vs DuckDB's zero-fold — and null-text docs keep a signature row,
+      // the per-doc contract of the simhash family
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .withColumn("md5s", expr(
         "transform(array_distinct(case when size(words) >= 3" +
           " then transform(sequence(1, size(words)-2)," +
@@ -585,7 +589,24 @@ object Dedup {
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
-    val local = pos.groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
+    // ONE gram exchange, not two: hash-partitioning on g alone satisfies
+    // BOTH the (g, doc_id) aggregation's clustering AND the window's
+    // partitionBy(g), so the explicit repartition(g) replaces the plan
+    // Catalyst would pick (exchange on (g, doc_id) for the agg, then a
+    // SECOND full string exchange on g for the window). The traded-away
+    // map-side partial agg is worthless here — (g, doc_id) pairs are
+    // near-unique (a gram rarely repeats within one doc), so the partial
+    // collapsed ~nothing while the extra exchange shipped every posting
+    // again. Measured at uniform-1000x: 4621 → 2452 cpu-s, 167 → 93 s
+    // wall (the registry's priciest op, cut ~47%); the reduce-side sort
+    // now spills what the dropped exchange used to absorb (~6 GB at
+    // 1000x) — a fair trade at half the cpu. The deeper map-side
+    // singleton-kill the long tail invites is NOT implementable exactly:
+    // a "seen twice" structure over ~1e9 distinct grams exceeds any
+    // broadcast/literal budget, and a count-min stand-in over-keeps at
+    // precisely the scales where it would matter.
+    val local = pos.repartition(col("g"))
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
     val scored = local.withColumn("n_total",
       sum(col("n_local")).over(Window.partitionBy(col("g"))))
     val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
@@ -773,7 +794,7 @@ object Dedup {
         |              THEN list_transform(generate_series(1, len(w)-2),
         |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
         |              ELSE w END), t -> md5(t)) AS md5s
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |        FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents))),
         |bands AS (
         |$bandSelects),
         |small AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 64),

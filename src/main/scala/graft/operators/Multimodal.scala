@@ -58,8 +58,8 @@ object Multimodal {
     * of the binary column).
     */
   private val encSql =
-    """enc AS (SELECT doc_id, hex(encode(text)) AS h,
-      |               octet_length(encode(text)) AS n FROM documents),
+    """enc AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+      |               octet_length(encode(coalesce(text, ''))) AS n FROM documents),
       |bytes AS (SELECT doc_id, h, n,
       |  CASE WHEN length(h) >= 2 THEN
       |    (strpos('0123456789ABCDEF', substr(h,1,1))-1)*16
@@ -84,7 +84,11 @@ object Multimodal {
   ) { (spark, dir) =>
     import spark.implicits._
     val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        // null text ≡ empty payload (r9 null-gate convention): a null
+        // binary column NPE'd the typed mapPartitions stubs, and a real
+        // media pipeline treats a missing payload as zero bytes
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRow]
     media.mapPartitions { rows =>
       // simulate per-partition decoder initialization (expensive in real codecs)
@@ -113,7 +117,11 @@ object Multimodal {
     import spark.implicits._
     val stride = 64
     val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        // null text ≡ empty payload (r9 null-gate convention): a null
+        // binary column NPE'd the typed mapPartitions stubs, and a real
+        // media pipeline treats a missing payload as zero bytes
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRow]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -157,7 +165,11 @@ object Multimodal {
   ) { (spark, dir) =>
     import spark.implicits._
     val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        // null text ≡ empty payload (r9 null-gate convention): a null
+        // binary column NPE'd the typed mapPartitions stubs, and a real
+        // media pipeline treats a missing payload as zero bytes
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRow]
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -198,7 +210,11 @@ object Multimodal {
   ) { (spark, dir) =>
     import spark.implicits._
     val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        // null text ≡ empty payload (r9 null-gate convention): a null
+        // binary column NPE'd the typed mapPartitions stubs, and a real
+        // media pipeline treats a missing payload as zero bytes
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRow]
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -260,7 +276,11 @@ object Multimodal {
   ) { (spark, dir) =>
     import spark.implicits._
     val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        // null text ≡ empty payload (r9 null-gate convention): a null
+        // binary column NPE'd the typed mapPartitions stubs, and a real
+        // media pipeline treats a missing payload as zero bytes
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRow]
     // the "decoder": 14 bytes sampled at fixed stride, low nibble each —
     // stands in for downsample+DCT; the banded join below is the real

@@ -313,10 +313,14 @@ object Relational {
     """SELECT event_id, value * 2 AS boosted
       |FROM events WHERE event_type = 'purchase'""".stripMargin,
   ) { (spark, dir) =>
+    // filter on the CASE CONDITION, not result-non-null: a partial
+    // function is defined by its guard, and `collect { case purchase =>
+    // value*2 }` keeps a purchase whose value is NULL (boosted = null) —
+    // the old boosted.isNotNull proxy silently dropped those rows
+    // (null-gate r9)
     Tables.events(spark, dir)
-      .select(col("event_id"),
-        when(col("event_type") === "purchase", col("value") * 2).as("boosted"))
-      .filter(col("boosted").isNotNull)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("value") * 2).as("boosted"))
   }
 
   /** groupBySel + folds (traversableOps.scala:41,206). min/max on doubles

@@ -33,6 +33,20 @@ object Similarity {
       " list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))," +
       " (acc, v) -> acc + v))"
 
+  /** Zero-norm contract (null-gate r9): a zero vector has no direction —
+    * cosine against it is 0/0, which Spark's ANSI double division turns
+    * into a mid-scan DIVIDE_BY_ZERO crash and DuckDB into NaN (silently
+    * unrankable). Retrieval ops therefore EXCLUDE zero-norm vectors from
+    * both the corpus and the query set, in engine and oracle alike; the
+    * per-vector decision op (dedup_semdedup) instead keeps the row and
+    * guards its divisions. At 100 TB a zero embedding (a failed encoder
+    * batch) is a certainty, not an edge case.
+    */
+  private def normed(df: DataFrame): DataFrame =
+    df.withColumn("nrm", nrmCol).filter(col("nrm") > 0)
+  private val normedVSql =
+    s"SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings) WHERE nrm > 0"
+
   /** Exact cosine top-k: a small query set (vec_id < 8) against all
     * vectors. The query side is tiny → broadcast; per (query, candidate)
     * the dot product is a sequential fold; ranking runs through the house
@@ -40,7 +54,7 @@ object Similarity {
     */
   val annBruteForceTopK: Op = Op(
     "ann_bruteforce_topk",
-    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+    s"""WITH v AS ($normedVSql),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 8),
       |scored AS (
       |  SELECT q_id, vec_id AS cand_id,
@@ -54,7 +68,7 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 10""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
+    val v = normed(Tables.embeddings(spark, dir))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val dot = vec_dot(col("q_emb"), col("embedding"))
@@ -84,8 +98,8 @@ object Similarity {
     */
   val dedupEmbeddingCosine: Op = Op(
     "dedup_embedding_cosine",
-    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
-      |           FROM embeddings),
+    s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
+      |           FROM embeddings) WHERE nrm > 0),
       |small AS (SELECT sk FROM v GROUP BY sk HAVING COUNT(*) BETWEEN 2 AND 64),
       |cand AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -97,8 +111,7 @@ object Similarity {
       |  WHERE a.sk IN (SELECT sk FROM small))
       |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val v = graft.CacheRegistry.track(Tables.embeddings(spark, dir)
-      .withColumn("nrm", nrmCol)
+    val v = graft.CacheRegistry.track(normed(Tables.embeddings(spark, dir))
       .withColumn("sk", expr(sketchExpr)))
     // the family bucket cap (multiplicity contract): a degenerate sketch
     // bucket — mass-duplicated vectors — makes in-bucket pairs quadratic
@@ -164,8 +177,8 @@ object Similarity {
     */
   val annLshTopK: Op = Op(
     "ann_lsh_topk",
-    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
-      |           FROM embeddings),
+    s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm, $sketchSql AS sk
+      |           FROM embeddings) WHERE nrm > 0),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, sk AS q_sk
       |      FROM v WHERE vec_id < 8),
       |scored AS (
@@ -180,8 +193,7 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables.embeddings(spark, dir)
-      .withColumn("nrm", nrmCol)
+    val v = normed(Tables.embeddings(spark, dir))
       .withColumn("sk", expr(sketchExpr))
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
@@ -211,7 +223,7 @@ object Similarity {
     */
   val annIvfTopK: Op = Op(
     "ann_ivf_topk",
-    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+    s"""WITH v AS ($normedVSql),
       |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       |      FROM v WHERE vec_id < 256),
       |assign AS (
@@ -248,7 +260,7 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables.embeddings(spark, dir).withColumn("nrm", nrmCol)
+    val v = normed(Tables.embeddings(spark, dir))
     val cents = v.filter(col("vec_id") < 256)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
@@ -326,8 +338,8 @@ object Similarity {
   val annRandomHyperplaneTopK: Op = Op(
     "ann_rh_lsh_topk",
     s"""WITH $rhOracleSketch,
-      |v AS (SELECT e.vec_id, e.embedding, $normSql AS nrm, sk.sk
-      |      FROM embeddings e JOIN sk ON sk.vec_id = e.vec_id),
+      |v AS (SELECT * FROM (SELECT e.vec_id, e.embedding, $normSql AS nrm, sk.sk
+      |      FROM embeddings e JOIN sk ON sk.vec_id = e.vec_id) WHERE nrm > 0),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, sk AS q_sk
       |      FROM v WHERE vec_id < 8),
       |scored AS (
@@ -346,6 +358,7 @@ object Similarity {
     val v = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(planes))
       .withColumn("nrm", nrmCol)
+      .filter(col("nrm") > 0)
       .withColumn("sk", graft.functions.vec.vec_signs(col("embedding"), col("w")))
       .select("vec_id", "embedding", "nrm", "sk")
     val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -384,9 +397,9 @@ object Similarity {
     * exactly once and both ops provably share it.
     */
   private def ivfKmeansOracleSql(extraCtes: String, probeLimit: String): String =
-    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+    s"""WITH v AS ($normedVSql),
       |c0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      |       FROM v WHERE vec_id < 256),
+      |       FROM v ORDER BY vec_id LIMIT 256),
       |assign0 AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT v.vec_id, c0.cent_id,
@@ -646,10 +659,13 @@ object Similarity {
   private[graft] def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
       cells: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    // zero-norm vectors are excluded from the INDEX (the retrieval
+    // contract: no direction, no cosine) — [[normed]]'s rationale
     val v = graft.CacheRegistry.track(
       corpus.select(col(idCol).cast("long").as("vec_id"),
           col(embCol).as("embedding"))
-        .withColumn("nrm", nrmOf(col("embedding"))))
+        .withColumn("nrm", nrmOf(col("embedding")))
+        .filter(col("nrm") > 0))
     val pts = v.select(col("vec_id").as("pid"), lit(0).as("part"),
       col("embedding").as("emb"), col("nrm"))
     val seedIds = broadcast(v.select(col("vec_id").as("seed_id"))
@@ -894,6 +910,7 @@ object Similarity {
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))
       .withColumn("q_nrm", nrmOf(col("q_emb")))
+      .filter(col("q_nrm") > 0)
     val ranked = q.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
@@ -979,6 +996,7 @@ object Similarity {
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         col(embCol).as("q_emb"))
       .withColumn("q_nrm", nrmOf(col("q_emb")))
+      .filter(col("q_nrm") > 0)
     val ranked = q.crossJoin(c1b)
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
@@ -1301,9 +1319,9 @@ object Similarity {
     */
   private def ivfPqOracleSql(kCand: Int): String =
     s"""WITH $pqCteSql,
-      |w AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |w AS ($normedVSql),
       |k0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      |       FROM w WHERE vec_id < 16),
+      |       FROM w ORDER BY vec_id LIMIT 16),
       |kassign0 AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT w.vec_id, k0.cent_id,
@@ -1415,7 +1433,7 @@ object Similarity {
   val ivfPqRefineTopK: Op = Op(
     "ann_ivfpq_refine_topk",
     s"""WITH short AS (${ivfPqOracleSql(20)}),
-      |wv AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+      |wv AS ($normedVSql),
       |ex AS (
       |  SELECT s.q_id, s.cand_id,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1454,7 +1472,7 @@ object Similarity {
     */
   val annKnnClassify: Op = Op(
     "ann_knn_classify",
-    s"""WITH v AS (SELECT vec_id, embedding, $normSql AS nrm, label FROM embeddings),
+    s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm, label FROM embeddings) WHERE nrm > 0),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 8),
       |scored AS (
       |  SELECT q_id, vec_id AS cand_id, label,
@@ -1561,8 +1579,12 @@ object Similarity {
       .join(broadcast(okCells), "cent_id")
       .join(bOk, col("cent_id") === col("b_cent") && col("a_id") < col("b_id"))
       .join(va, "a_id").join(vb, "b_id")
-      .filter(vec_dot(col("a_emb"), col("b_emb")) /
-        (col("a_nrm") * col("b_nrm")) >= 0.2)
+      // zero-norm guard (And short-circuits, so the ANSI double division
+      // never sees a 0 denominator): a zero-norm pair member can never be
+      // "similar" — mirrored by the oracle's NaN >= tau being false
+      .filter(col("a_nrm") * col("b_nrm") =!= 0 &&
+        vec_dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")) >= 0.2)
       .select(col("b_id").as("d_id")).distinct()
     assign
       .join(broadcast(cells), "cent_id")

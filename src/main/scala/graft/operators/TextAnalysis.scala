@@ -122,13 +122,16 @@ object TextAnalysis {
       |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tokens_before,
       |  CAST(len(list_filter(string_split(text, ' '),
       |        w -> w <> '' AND w <> 'a' AND w <> 'the')) AS BIGINT) AS tokens_after,
-      |  array_to_string(list_filter(string_split(text, ' '),
-      |        w -> w <> '' AND w <> 'a' AND w <> 'the'), ' ') AS normalized
-      |FROM documents""".stripMargin,
+      |  COALESCE(array_to_string(list_filter(string_split(text, ' '),
+      |        w -> w <> '' AND w <> 'a' AND w <> 'the'), ' '), '') AS normalized
+      |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)""".stripMargin,
   ) { (spark, dir) =>
-    val words = split(col("text"), " ")
-    val nonEmptyCount = size(expr("filter(split(text, ' '), w -> w != '')"))
-    val kept = expr("filter(split(text, ' '), w -> w != '' AND w != 'a' AND w != 'the')")
+    // null text ≡ empty document (the r9 null-gate convention shared
+    // with the simhash family): both engines then emit 0 counts and an
+    // empty normalized string instead of diverging null renderings
+    val nonEmptyCount = size(expr("filter(split(coalesce(text, ''), ' '), w -> w != '')"))
+    val kept = expr(
+      "filter(split(coalesce(text, ''), ' '), w -> w != '' AND w != 'a' AND w != 'the')")
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nonEmptyCount.cast("long").as("tokens_before"),
@@ -210,11 +213,11 @@ object TextAnalysis {
     """WITH enriched AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 3 = 0 THEN
-      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
       |           || '@mail.example.com at 10.0.'
       |           || CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-'
       |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
-      |    ELSE text END AS t
+      |    ELSE coalesce(text, '') END AS t
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
@@ -226,12 +229,13 @@ object TextAnalysis {
       |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text
       |FROM enriched""".stripMargin,
   ) { (spark, dir) =>
+    val txt = coalesce(col("text"), lit(""))  // null text ≡ empty doc
     val enriched = when(col("doc_id") % 3 === 0,
-      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      concat(txt, lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com at 10.0."), (col("doc_id") % 256).cast("string"),
         lit(".7 or 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
         lit("-0199")))
-      .otherwise(col("text"))
+      .otherwise(txt)
     graft.api.GraftApi.redactPii(
         Tables.documents(spark, dir).withColumn("t", enriched), "t")
       .select(col("doc_id"), col("n_pii"), col("t_redacted").as("red_text"))
@@ -328,11 +332,12 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ellipsis,
       |  CAST(len(list_filter(['the','a','of','to','and'],
       |    s -> list_contains(list_transform(w, x -> lower(x)), s))) AS BIGINT) AS n_stop_hits
-      |  FROM (SELECT doc_id, text,
-      |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
       |        FROM documents))""".stripMargin,
   ) { (spark, dir) =>
     Tables.documents(spark, dir)
+      .withColumn("text", coalesce(col("text"), lit("")))  // null ≡ empty
       .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),

@@ -235,7 +235,7 @@ object WindowOps {
       |  NTILE(4) OVER w AS quartile,
       |  CUME_DIST() OVER w AS cdist
       |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)""".stripMargin,
   ) { (spark, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
     Tables.events(spark, dir).select(

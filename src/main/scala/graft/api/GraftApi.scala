@@ -543,7 +543,7 @@ object GraftApi {
     */
   def asofJoinBlocks(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: String,
-      blockMs: Long = 3600000L): DataFrame = {
+      blockMs: Long = 3600000L, strict: Boolean = false): DataFrame = {
     require(blockMs >= 1, s"asofJoinBlocks: blockMs=$blockMs must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val payloadType = right.schema(payload).dataType
@@ -551,8 +551,12 @@ object GraftApi {
     val l = left.select(col(key).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lit(null).cast(payloadType).as("_p"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("_row"))
+    // strict: right rows at the SAME time as a left row sort AFTER it
+    // (side 2 > 1), so the carry is "latest right STRICTLY before" —
+    // the semantics a successor-rank lookup needs; default (side 0)
+    // keeps the inclusive at-or-before contract
     val r = right.select(col(key).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side"), col(payload).as("_p"),
+        lit(if (strict) 2 else 0).as("_side"), col(payload).as("_p"),
         lit(null).cast(leftStruct).as("_row"))
       .filter(col("_p").isNotNull)
     val u = r.unionByName(l)
@@ -569,12 +573,73 @@ object GraftApi {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = u
       .groupBy(col("_k").as("_ck"), col("_bkt").as("_cb"))
-      .agg(max(when(col("_side") === 0, struct(col("_t"), col("_p")))).as("_best"))
+      .agg(max(when(col("_side") =!= 1, struct(col("_t"), col("_p")))).as("_best"))
       .select(col("_ck"), col("_cb"), max(col("_best")).over(wKey).as("_cin"))
     local.join(carries, col("_k") === col("_ck") && col("_bkt") === col("_cb"))
       .filter(col("_side") === 1)
       .withColumn("_asof", coalesce(col("_lastp"), col("_cin._p")))
       .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$payload")): _*)
+  }
+
+  /** Output-capped interval join with NO quadratic stage anywhere: each
+    * left row gains its `k` EARLIEST right matches (same `key`,
+    * rightTime in [leftTime, leftTime + windowMs], ordered by
+    * (millisecond delay, right id) — millisecond precision, the
+    * SQL-oracle contract). Equivalent to rangeJoin → per-left top-k,
+    * but THAT shape must push the full quadratic pair set through
+    * either an exchange or an aggregation-fallback sort — measured as a
+    * ~35 GB spill and a disk-full death under a hot key at skew-300x,
+    * with both the broadcast and shuffle join variants (AQE re-widens
+    * keys-per-task past the hash-agg bound). Here no pair set ever
+    * exists:
+    *
+    *   1. rank right rows per key by (ms time, id) —
+    *      [[runningSumBlocks]]'s seq, hot-key-safe by blocks;
+    *   2. for each left row, r* = 1 + rank of the latest right row
+    *      STRICTLY before leftTime — [[asofJoinBlocks]] with
+    *      strict = true (one bounded carry pass, hot-key-safe);
+    *   3. candidates are EXACTLY ranks r*..r*+k−1: explode k rank keys
+    *      per left row and equi-join on (key, rank) — |L|·k rows against
+    *      |R|, uniformly keyed even when one key holds everything —
+    *      then post-filter rightTime ≤ leftTime + windowMs.
+    *
+    * Work is O(|L|·k + |R|) past the two block passes; output ≤ |L|·k
+    * by construction. Returns (leftId, rightId, delay_ms).
+    */
+  def rangeJoinEarliestK(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      leftId: String, rightId: String, windowMs: Long, k: Int,
+      blockMs: Long = 3600000L): DataFrame = {
+    require(windowMs >= 0, s"rangeJoinEarliestK: windowMs=$windowMs negative")
+    require(k >= 1 && k <= 1024, s"rangeJoinEarliestK: k=$k out of [1, 1024]")
+    // ms-truncated right timeline: delay ties must resolve by id at the
+    // same MILLISECOND (epoch_ms arithmetic), not at full precision —
+    // ranking at micros would order two same-ms purchases differently
+    // than the (delay_ms, id) contract cuts them
+    val rMs = unix_millis(col(rightTime).cast("timestamp"))
+    val ranked = graft.CacheRegistry.track(runningSumBlocks(
+        right.select(col(rightKey).as("_k"), timestamp_millis(rMs).as("_rt"),
+          col(rightId).as("_rid")),
+        "_k", "_rt", "_rid", unix_millis(col("_rt")), blockMs)
+      .select(col("_k").as("_jk"), col("_rid"), col("value").as("_rms"),
+        col("seq").as("_rseq")))
+    val lMs = unix_millis(col(leftTime).cast("timestamp"))
+    val lefts = left.select(col(leftKey).as("_k"), col(leftId).as("_lid"),
+      timestamp_millis(lMs).as("_lt"))
+    val withPrev = asofJoinBlocks(
+      lefts,
+      ranked.select(col("_jk").as("_k"), timestamp_millis(col("_rms")).as("_pt"),
+        col("_rseq")),
+      key = "_k", leftTime = "_lt", rightTime = "_pt", payload = "_rseq",
+      blockMs = blockMs, strict = true)
+    withPrev
+      .select(col("_k"), col("_lid"), unix_millis(col("_lt")).as("_lms"),
+        explode(sequence(coalesce(col("asof__rseq"), lit(0L)) + 1,
+          coalesce(col("asof__rseq"), lit(0L)) + k)).as("_want"))
+      .join(ranked, col("_k") === col("_jk") && col("_want") === col("_rseq"))
+      .filter(col("_rms") <= col("_lms") + windowMs)
+      .select(col("_lid").as(leftId), col("_rid").as(rightId),
+        (col("_rms") - col("_lms")).as("delay_ms"))
   }
 
   /** Skew-adaptive formulation dispatch — the [[adaptiveBroadcast]]

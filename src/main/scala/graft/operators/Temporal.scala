@@ -81,15 +81,19 @@ object Temporal {
   }
 
   /** [[rangeJoin]] with the house OUTPUT cap: only each signup's k=4
-    * earliest in-window purchases (smallest delay, ties by purchase id)
-    * survive, through the bounded-heap TopKPerKey — range-join output is
-    * quadratic in per-(key, window) co-occurrence BY SEMANTICS, so when
-    * the consumer wants "the matches", not "all pairs", this is the
-    * 100 TB-safe face: output is |signups|·4 no matter how hot a key
-    * gets, and no task materializes a hot key's full pair set (the heap
-    * keeps 4). The uncapped op's fail-fast maxPairs contract points
-    * here; the cap makes the bound moot (maxPairs = ∞ internally —
-    * compute is inherent, the cap governs what lands in storage).
+    * earliest in-window purchases (smallest ms delay, ties by purchase
+    * id) survive — via [[graft.api.GraftApi.rangeJoinEarliestK]], the
+    * rank-composition with NO quadratic stage: purchases ranked per
+    * user by blocks, each signup's first in-window rank found by a
+    * strict as-of carry, candidates fetched by an equi-join on
+    * (user, rank..rank+3). Range-join output is quadratic in
+    * per-(key, window) co-occurrence BY SEMANTICS; when the consumer
+    * wants "the matches", not "all pairs", this is the 100 TB-safe
+    * face — work O(|signups|·4 + |purchases|), output |signups|·4 at
+    * any key heat, and unlike a pair-join → top-k shape, no stage ever
+    * materializes, exchanges, or sorts a hot key's pair set (that
+    * shape measured a ~35 GB spill and disk-full death at skew-300x).
+    * The uncapped op's fail-fast maxPairs contract points here.
     */
   val rangeJoinCappedOp: Op = Op(
     "q_range_join_capped",
@@ -110,17 +114,11 @@ object Temporal {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
-    val pairs = graft.api.GraftApi.rangeJoin(signups, purchases,
-        leftKey = "user_id", rightKey = "p_user",
-        leftTime = "s_ts", rightTime = "p_ts",
-        lowerMs = 0L, upperMs = 30L * 60 * 1000, maxPairs = Long.MaxValue)
-      .select(col("signup_id"), col("purchase_id"),
-        (unix_millis(col("p_ts").cast("timestamp")) -
-          unix_millis(col("s_ts").cast("timestamp"))).as("delay_ms"))
-      .withColumn("neg_delay", -col("delay_ms"))
-    graft.api.GraftApi.topKPerKey(pairs, "signup_id", "neg_delay",
-        "purchase_id", k = 4)
-      .select("signup_id", "purchase_id", "delay_ms")
+    graft.api.GraftApi.rangeJoinEarliestK(signups, purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "s_ts", rightTime = "p_ts",
+      leftId = "signup_id", rightId = "purchase_id",
+      windowMs = 30L * 60 * 1000, k = 4)
   }
 
   /** lead/lag deltas (IncrementalResult's per-update delta view, batch

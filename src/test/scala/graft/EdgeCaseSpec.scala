@@ -608,6 +608,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(bounded == unguarded && bounded.size == 48)
   }
 
+  test("rangeJoinEarliestK equals pair-join + rank, incl. same-ms ties and window edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // micros timestamps engineered so two rights share one MILLISECOND
+    // with ids ordered against their micros (the tie the ms contract
+    // must cut by id), plus exact window-boundary rights and a left with
+    // no match
+    def ts(ms: Long, us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochMilli(86400000L + ms).plusNanos(us * 1000))
+    val lefts = Seq(
+      (7L, 100L, ts(0, 0)), (7L, 101L, ts(5000, 0)), (8L, 102L, ts(0, 0)))
+      .toDF("k", "lid", "lt")
+    val rights = Seq(
+      (7L, 200L, ts(0, 0)),      // at exactly left time → in window
+      (7L, 202L, ts(1000, 500)), // same ms as 201, larger id, later us
+      (7L, 201L, ts(1000, 900)), // ms tie: id must win, not micros
+      (7L, 203L, ts(2000, 0)),
+      (7L, 204L, ts(3000, 0)),
+      (7L, 205L, ts(65000, 0)),  // past every window
+      (9L, 206L, ts(0, 0)))      // other key
+      .toDF("k2", "rid", "rt")
+    val got = graft.api.GraftApi.rangeJoinEarliestK(lefts, rights,
+        "k", "k2", "lt", "rt", "lid", "rid", windowMs = 60000L, k = 3,
+        blockMs = 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: full pair join + (delay_ms, rid) rank
+    val pairs = lefts.join(rights, col("k") === col("k2"))
+      .withColumn("delay_ms",
+        unix_millis(col("rt").cast("timestamp")) -
+          unix_millis(col("lt").cast("timestamp")))
+      .filter(col("delay_ms") >= 0 && col("delay_ms") <= 60000L)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lid"))
+        .orderBy(col("delay_ms"), col("rid"))))
+      .filter(col("rn") <= 3)
+      .select("lid", "rid", "delay_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == pairs, s"got $got want $pairs")
+    // the ms tie at +1000ms resolved by ID: 201 before 202 for left 100
+    assert(got.contains((100L, 201L, 1000L)) && got.contains((100L, 202L, 1000L)))
+    CacheRegistry.drain()
+  }
+
   test("skewAdaptive picks simple vs blocks by hottest-key probe; branches identical") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)

@@ -202,4 +202,33 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("type"), err.getMessage)
   }
+
+  test("topk_agg keeps the k smallest (struct lexicographic), any merge order") {
+    import spark.implicits._
+    import graft.functions.TopKAgg.topk_agg
+    // deterministic pseudo-random (value, id) pairs across groups, spread
+    // over partitions so partial heaps genuinely merge
+    val rows = (0 until 500).map { i =>
+      (i % 7L, (i * 2654435761L) % 1000L, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(13)
+    val got = df.groupBy("g")
+      .agg(topk_agg(struct(col("v"), col("id")), 5).as("top"))
+      .collect().map(r => r.getAs[Long]("g") ->
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top"))
+          .map(x => (x.getLong(0), x.getLong(1)))).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(5)
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, top) =>
+      assert(top == want(g), s"group $g: $top vs ${want(g)}")
+    }
+    // groups smaller than k return everything, ascending
+    val tiny = Seq((1L, 9L, 1L), (1L, 3L, 2L)).toDF("g", "v", "id")
+      .groupBy("g").agg(topk_agg(struct(col("v"), col("id")), 5).as("top"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(tiny == Seq((3L, 2L), (9L, 1L)))
+  }
 }

@@ -642,6 +642,45 @@ object GraftApi {
         (col("_rms") - col("_lms")).as("delay_ms"))
   }
 
+  /** Size-adaptive [[rangeJoinEarliestK]] — the [[adaptiveBroadcast]] /
+    * [[skewAdaptive]] discipline applied to the capped interval join:
+    * ONE [[rangeJoinPairEstimate]] probe picks the plan. At or below
+    * `pairBound` the plain pair join + per-left rank runs (one join, one
+    * clustering pass over a small pair set — the cheap plan on organic
+    * co-occurrence; ~2× faster than the rank composition at uniform
+    * scale); above it the rank composition runs (no quadratic stage —
+    * the only plan that survives a hot key; the pair-join variant
+    * measured a disk-full death at skew-300x). Both branches are
+    * result-identical (EdgeCaseSpec pins them on the same corpus); conf
+    * `graft.rangeJoinEarliestK.pairBound` overrides.
+    */
+  def rangeJoinEarliestKAuto(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      leftId: String, rightId: String, windowMs: Long, k: Int,
+      pairBound: Long = 50000000L, blockMs: Long = 3600000L): DataFrame = {
+    val bound = left.sparkSession.conf
+      .getOption("graft.rangeJoinEarliestK.pairBound")
+      .map(_.toLong).getOrElse(pairBound)
+    val est = rangeJoinPairEstimate(left, right, leftKey, rightKey,
+      leftTime, rightTime, 0L, windowMs)
+    if (est > bound)
+      rangeJoinEarliestK(left, right, leftKey, rightKey, leftTime, rightTime,
+        leftId, rightId, windowMs, k, blockMs)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = rangeJoin(left, right, leftKey, rightKey, leftTime,
+          rightTime, 0L, windowMs, maxPairs = Long.MaxValue)
+        .select(col(leftId), col(rightId),
+          (unix_millis(col(rightTime).cast("timestamp")) -
+            unix_millis(col(leftTime).cast("timestamp"))).as("delay_ms"))
+      pairs.withColumn("_rn", row_number().over(
+          Window.partitionBy(col(leftId))
+            .orderBy(col("delay_ms"), col(rightId))))
+        .filter(col("_rn") <= k)
+        .drop("_rn")
+    }
+  }
+
   /** Skew-adaptive formulation dispatch — the [[adaptiveBroadcast]]
     * pattern applied to the simple/blocks window pairs: ONE cheap
     * keyed-count probe (the indexBy stats shape — a count aggregate, no
@@ -709,24 +748,44 @@ object GraftApi {
     val limit = left.sparkSession.conf.getOption("graft.rangeJoin.maxPairs")
       .map(_.toLong).getOrElse(maxPairs)
     if (limit < Long.MaxValue) {
-      val est = l.groupBy(col(leftKey).as("_ek"), col("_bkt").as("_eb"))
-        .agg(count(lit(1)).as("_lc"))
-        .join(r.groupBy(col(rightKey).as("_fk"), col("_rbkt").as("_fb"))
-            .agg(count(lit(1)).as("_rc")),
-          col("_ek") === col("_fk") && col("_eb") === col("_fb"))
-        .agg(sum(col("_lc") * col("_rc"))).head()
-      val pairs = if (est.isNullAt(0)) 0L else est.getLong(0)
+      val pairs = rangeJoinPairEstimate(left, right, leftKey, rightKey,
+        leftTime, rightTime, lowerMs, upperMs)
       require(pairs <= limit,
         s"rangeJoin: ~$pairs candidate pairs exceed maxPairs=$limit — a " +
           "hot key × wide window is about to emit a storage-filling " +
           "result; narrow the window, pre-aggregate the hot keys, raise " +
           "the bound (graft.rangeJoin.maxPairs) if the sink really wants " +
           "them, or keep only the best matches per row via the capped " +
-          "topKPerKey composition (q_range_join_capped's shape)")
+          "rank composition (rangeJoinEarliestK, q_range_join_capped's " +
+          "shape)")
     }
     l.join(r, col("_bkt") === col("_rbkt") && col(leftKey) === col(rightKey))
       .filter(rMs >= lMs + lowerMs && rMs <= lMs + upperMs)
       .drop("_bkt", "_rbkt")
+  }
+
+  /** The [[rangeJoin]] contract's candidate-pair estimate as a reusable
+    * probe: Σ over (key, bucket) of |left|·|right| — an upper bound on
+    * emitted pairs, computed from grouped counts (the shuffle carries
+    * (key, bucket) GROUPS, never rows). One cheap keyed aggregate pass
+    * over each side.
+    */
+  def rangeJoinPairEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      lowerMs: Long, upperMs: Long): Long = {
+    val widthMs = upperMs - lowerMs
+    val lMs = unix_millis(col(leftTime).cast("timestamp"))
+    val rMs = unix_millis(col(rightTime).cast("timestamp"))
+    val est = left.withColumn("_bkt", explode(sequence(
+        floor((lMs + lowerMs) / widthMs), floor((lMs + upperMs) / widthMs))))
+      .groupBy(col(leftKey).as("_ek"), col("_bkt").as("_eb"))
+      .agg(count(lit(1)).as("_lc"))
+      .join(right.withColumn("_rbkt", floor(rMs / widthMs))
+          .groupBy(col(rightKey).as("_fk"), col("_rbkt").as("_fb"))
+          .agg(count(lit(1)).as("_rc")),
+        col("_ek") === col("_fk") && col("_eb") === col("_fb"))
+      .agg(sum(col("_lc") * col("_rc"))).head()
+    if (est.isNullAt(0)) 0L else est.getLong(0)
   }
 
   // -------------------------------------------------------------------

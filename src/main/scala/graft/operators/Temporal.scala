@@ -114,7 +114,11 @@ object Temporal {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
-    graft.api.GraftApi.rangeJoinEarliestK(signups, purchases,
+    // the Auto face: one pair-estimate probe picks the cheap pair-join
+    // plan on organic co-occurrence (the gate corpus) and the
+    // no-quadratic-stage rank composition past the bound (the skew
+    // smokes) — both branches artifact-covered, results identical
+    graft.api.GraftApi.rangeJoinEarliestKAuto(signups, purchases,
       leftKey = "user_id", rightKey = "p_user",
       leftTime = "s_ts", rightTime = "p_ts",
       leftId = "signup_id", rightId = "purchase_id",

@@ -466,6 +466,89 @@ object EventStreams {
       }
   }
 
+  case class RunState(sumCents: Long, n: Long)
+  case class RunOut(user_id: Long, event_id: Long, running_value: Double,
+      seq: Int)
+
+  /** Streaming face of q_window_running (operators/WindowOps.scala): the
+    * per-user running decimal(12,2) sum and 1-based sequence number,
+    * maintained as O(1) GroupState (exact integer cents + a count).
+    * Values scale to cents with the SAME half-up rounding Spark's
+    * double→decimal(12,2) cast applies, so stream ≡ batch bit-identical
+    * under the per-key (ts, event_id) arrival-order contract. Together
+    * with the q_window_running_blocks batch twin this completes the
+    * family triad: simple window, hot-key-safe batch, online serving.
+    */
+  def runningStream(events: Dataset[ValEvent]): Dataset[RunOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ValEvent], state: GroupState[RunState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var s = state.getOption.getOrElse(RunState(0L, 0L))
+          val out = sorted.map { e =>
+            // exact cents via the decimal(12,2) cast's HALF_UP rounding
+            val cents = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            s = RunState(s.sumCents + cents, s.n + 1)
+            RunOut(user, e.event_id,
+              java.math.BigDecimal.valueOf(s.sumCents, 2).doubleValue(),
+              s.n.toInt)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  case class WinState(times: List[Long])
+  case class BurstOut(user_id: Long, event_id: Long, n_5m: Long, burst: Long)
+
+  /** Streaming face of q_burst_detect: the trailing-5-minute event count
+    * per user — the textbook streaming sliding window, state = the
+    * window's event times (micros) per key, evicted as time advances.
+    * State is O(events-in-window) BY SEMANTICS (the same bound the
+    * blocks batch twin pays per task); a bot key flooding one window is
+    * the upstream-gating case, not a state leak — eviction keeps state
+    * at exactly one window regardless of history length.
+    *
+    * RANGE-frame tie semantics: the batch window includes ALL rows at
+    * the same microsecond, so same-micros events are processed as one
+    * group here and each member reports the whole group — stream ≡
+    * batch requires a micro-batch boundary not to split a per-key
+    * same-microsecond group (the arrival-order contract's tie clause).
+    */
+  def burstStream(events: Dataset[ValEvent], windowUs: Long = 300L * 1000000L,
+      threshold: Long = 10L): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WinState, BurstOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ValEvent], state: GroupState[WinState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstOut]
+          // process same-microsecond runs as one group (RANGE tie rule)
+          val byUs = sorted.groupBy(e => usOf(e.ts)).toSeq.sortBy(_._1)
+          byUs.foreach { case (us, group) =>
+            times = (times ++ group.map(_ => us)).filter(_ >= us - windowUs)
+            val n = times.length.toLong
+            group.foreach { e =>
+              out += BurstOut(user, e.event_id, n, if (n > threshold) 1L else 0L)
+            }
+          }
+          state.update(WinState(times))
+          out.iterator
+      }
+  }
+
   case class EwmaOut(user_id: Long, event_id: Long, x_milli: Long,
       ewma_milli: Long)
 

@@ -647,6 +647,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == pairs, s"got $got want $pairs")
     // the ms tie at +1000ms resolved by ID: 201 before 202 for left 100
     assert(got.contains((100L, 201L, 1000L)) && got.contains((100L, 202L, 1000L)))
+    // the Auto face: both branches (pair-join under the bound, rank
+    // composition above it) produce the identical set
+    def auto(bound: Long) = {
+      spark.conf.set("graft.rangeJoinEarliestK.pairBound", bound.toString)
+      try graft.api.GraftApi.rangeJoinEarliestKAuto(lefts, rights,
+          "k", "k2", "lt", "rt", "lid", "rid", windowMs = 60000L, k = 3,
+          blockMs = 2000L)
+        .collect().map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid"),
+          r.getAs[Long]("delay_ms"))).toSet
+      finally spark.conf.unset("graft.rangeJoinEarliestK.pairBound")
+    }
+    assert(auto(1000000L) == pairs)  // pair-join branch
+    assert(auto(0L) == pairs)        // rank branch
     CacheRegistry.drain()
   }
 

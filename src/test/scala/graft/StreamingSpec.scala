@@ -769,6 +769,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningStream equals batch q_window_running on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{ValEvent, RunOut}
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
+        col("value"))
+      .as[(Timestamp, Long, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
+      .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
+    val input = MemoryStream[ValEvent]
+    val q = EventStreams.runningStream(input.toDS())
+      .writeStream.format("memory").queryName("run_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = evRows.splitAt(evRows.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("run_out").as[RunOut].collect()
+        .map(r => r.event_id -> ((r.running_value, r.seq))).toMap
+      val want = graft.operators.WindowOps.windowRunning.fn(spark, sfTiny)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Double]("running_value"), r.getAs[Int]("seq")))).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("burstStream equals batch q_burst_detect on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{ValEvent, BurstOut}
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
+        col("value"))
+      .as[(Timestamp, Long, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
+      .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
+    // the tie clause of the arrival contract: a micro-batch boundary
+    // must not split a per-key same-microsecond group — walk the split
+    // point forward past any tie
+    def us(t: Timestamp) = Math.floorDiv(t.getTime, 1000L) * 1000000L +
+      t.getNanos / 1000L
+    var cut = evRows.length / 2
+    while (cut < evRows.length && cut > 0 &&
+      evRows(cut - 1).user_id == evRows(cut).user_id &&
+      us(evRows(cut - 1).ts) == us(evRows(cut).ts)) cut += 1
+    val input = MemoryStream[ValEvent]
+    val q = EventStreams.burstStream(input.toDS())
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = evRows.splitAt(cut)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("burst_out").as[BurstOut].collect()
+        .map(r => r.event_id -> ((r.n_5m, r.burst))).toMap
+      val want = graft.operators.Temporal.burstDetect.fn(spark, sfTiny)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("n_5m"), r.getAs[Long]("burst")))).toMap
+      assert(want.nonEmpty && want.values.exists(_._1 > 1L),
+        "batch must see some multi-event windows for the spec to bite")
+      assert(got == want,
+        s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("ewmaStream equals both batch faces on NEGATIVE values (division rounding)") {
     // ADVICE r8: Math.floorDiv (floor) vs Spark `div` (truncate toward
     // zero) differ by exactly 1 whenever num is negative and not a

@@ -46,7 +46,8 @@ object ScaleSmoke {
     "dedup_simhash_blocks", "dedup_bloom_bucketed", "dedup_semdedup",
     "dedup_clusters", "pipeline_curate", "pipeline_keep_best",
     "pipeline_pack_sequences", "mm_dedup_phash", "decontam_ngram",
-    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_codes",
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_ivf_upsert",
+    "ann_ivfpq_topk", "ann_pq_codes",
     "ann_ivfpq_refine_topk", "ann_knn_classify",
     "q_time_resample", "q_skew_salted_join", "q_window_ewma_blocks",
     "q_anomaly_zscore_blocks", "q_lead_lag_blocks", "q_burst_detect_blocks",

@@ -396,10 +396,12 @@ object Similarity {
     * `extraCtes`). One builder so the fixed-point Lloyd algebra is written
     * exactly once and both ops provably share it.
     */
-  private def ivfKmeansOracleSql(extraCtes: String, probeLimit: String): String =
+  private def ivfKmeansOracleSql(extraCtes: String, probeLimit: String,
+      trainFilter: String = "TRUE"): String =
     s"""WITH v AS ($normedVSql),
+      |vt AS (SELECT * FROM v WHERE $trainFilter),
       |c0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      |       FROM v ORDER BY vec_id LIMIT 256),
+      |       FROM vt ORDER BY vec_id LIMIT 256),
       |assign0 AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT v.vec_id, c0.cent_id,
@@ -408,11 +410,11 @@ object Similarity {
       |          list_transform(generate_series(1, len(v.embedding)),
       |            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c0.c_emb[i] AS DOUBLE))),
       |          (acc, p) -> acc + p) / (v.nrm * c0.c_nrm) DESC, c0.cent_id) AS rn
-      |    FROM v, c0) WHERE rn = 1),
+      |    FROM vt v, c0) WHERE rn = 1),
       |contrib AS (
       |  SELECT a.cent_id, t.d,
       |    CAST(round(CAST(v.embedding[t.d] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-      |  FROM v JOIN assign0 a ON a.vec_id = v.vec_id,
+      |  FROM vt v JOIN assign0 a ON a.vec_id = v.vec_id,
       |       UNNEST(generate_series(1, 64)) AS t(d)),
       |c1 AS (
       |  SELECT cent_id, list(mean ORDER BY d) AS c_emb FROM (
@@ -500,6 +502,39 @@ object Similarity {
       iters = 1)
     ivfSearchAutoFromIndex(cents, lists, emb.filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 5, oversample = 8, stats = Some(stats))
+  }
+
+  /** Incremental index maintenance, end to end and oracle-gated: an IVF
+    * index trained on 4/5 of the corpus (vec_id % 5 ≠ 0) absorbs the
+    * remaining fifth as a delta shard via [[ivfIndexUpsert]] — assigned
+    * against the FROZEN centroids, appended to the lists, stats merged,
+    * hot-cell pre-split re-derived — then serves an autoprobe search
+    * over the merged index. The oracle is the kmeans chain with the
+    * TRAINING CTEs restricted to the corpus subset and the assignment/
+    * occupancy/search over everything: exactly the frozen-quantizer
+    * contract (re-training on the union is a rebuild, not an upsert —
+    * the dedup_incremental discipline applied to ANN; reference analog
+    * Optimization.addIndex + IncrementalResult).
+    */
+  val annIvfUpsert: Op = Op(
+    "ann_ivf_upsert",
+    ivfKmeansOracleSql(
+      """
+        |occ AS (SELECT cent_id, COUNT(*) AS cnt FROM assign1 GROUP BY cent_id),
+        |np AS (SELECT LEAST(256, GREATEST(1,
+        |  CAST(ceil(40.0 * SUM(cnt) / SUM(cnt * cnt)) AS BIGINT))) AS np FROM occ),""",
+      "(SELECT np FROM np)",
+      trainFilter = "vec_id % 5 <> 0"),
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val (cents, lists) = ivfIndex(corpus, "vec_id", "embedding",
+      cells = 256, iters = 1)
+    val stats = lists.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    val (lists1, stats1) = ivfIndexUpsert(cents, lists, stats, delta)
+    ivfSearchAutoFromIndex(cents, lists1, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, oversample = 8, stats = Some(stats1))
   }
 
   /** Get-or-build the persisted IVF index of `dir`'s embeddings table:
@@ -706,9 +741,13 @@ object Similarity {
   private[graft] def ivfAssignToCells(cents: DataFrame, vecs: DataFrame,
       idCol: String, embCol: String): DataFrame = {
     def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    // the retrieval contract ([[normed]]): zero-norm vectors never enter
+    // the index — an upserted delta shard obeys the same exclusion the
+    // build does
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
         col(embCol).as("embedding"))
       .withColumn("nrm", nrmOf(col("embedding")))
+      .filter(col("nrm") > 0)
     assignTo(
         v.select(col("vec_id").as("pid"), lit(0).as("part"),
           col("embedding").as("emb"), col("nrm")),
@@ -1596,7 +1635,8 @@ object Similarity {
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
-      annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annRandomHyperplaneTopK,
+      annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annIvfUpsert,
+      annRandomHyperplaneTopK,
       embedQuantize, pqCodes, pqSearch, ivfPqTopK, ivfPqRefineTopK,
       annKnnClassify, semDedup)
 }

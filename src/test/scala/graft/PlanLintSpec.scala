@@ -15,6 +15,9 @@ class PlanLintSpec extends SparkSpec {
     // (autoprobe adds a one-row occupancy-stats frame on top)
     "ann_rh_lsh_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "ann_ivf_autoprobe", "ann_ivfpq_topk",
+    // same centroid-ranking cross as autoprobe, served from the
+    // upserted index parts
+    "ann_ivf_upsert",
     // the IVFADC shortlist machinery (centroid-ranking cross) feeding the
     // exact re-rank; the refine joins themselves are keyed broadcasts
     "ann_ivfpq_refine_topk",

@@ -1157,12 +1157,22 @@ object Similarity {
     * fixed-point Lloyd pass, final per-subvector code assignment (a1) —
     * the training+encoding prefix of both PQ operators.
     */
-  private val pqCteSql =
-    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  private val pqCteSql = pqCteSqlFor("TRUE")
+  /** [[pqCteSql]] with the TRAINING subset parameterized (seeds, a0,
+    * Lloyd contrib restricted to `trainFilter`; the final a1 encode runs
+    * over everything) — the frozen-codebook upsert contract. Seeds are
+    * the 16 LOWEST TRAIN ids (ORDER BY LIMIT — for TRUE this is
+    * `vec_id < 16`, the historical seed set, verbatim).
+    */
+  private def pqCteSqlFor(trainFilter: String): String =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |           FROM embeddings),
       |sub AS (SELECT vec_id, s, list_slice(d, 16*s+1, 16*(s+1)) AS sv
       |        FROM v, UNNEST(generate_series(0, 3)) AS t(s)),
-      |c0 AS (SELECT s, vec_id AS code, sv AS c_emb FROM sub WHERE vec_id < 16),
+      |subt AS (SELECT * FROM sub WHERE $trainFilter),
+      |seeds AS (SELECT DISTINCT vec_id FROM subt ORDER BY vec_id LIMIT 16),
+      |c0 AS (SELECT s, vec_id AS code, sv AS c_emb FROM subt
+      |       WHERE vec_id IN (SELECT vec_id FROM seeds)),
       |a0 AS (
       |  SELECT vec_id, s, code FROM (
       |    SELECT sub.vec_id, sub.s, c0.code,
@@ -1171,11 +1181,11 @@ object Similarity {
       |          list_transform(generate_series(1, 16),
       |            i -> (sub.sv[i] - c0.c_emb[i]) * (sub.sv[i] - c0.c_emb[i]))),
       |          (acc, p) -> acc + p), c0.code) AS rn
-      |    FROM sub JOIN c0 ON c0.s = sub.s) WHERE rn = 1),
+      |    FROM subt sub JOIN c0 ON c0.s = sub.s) WHERE rn = 1),
       |contrib AS (
       |  SELECT a0.s, a0.code, t.d AS dim,
       |    CAST(round(sub.sv[t.d] * 1000000) AS BIGINT) AS qv
-      |  FROM sub JOIN a0 ON a0.vec_id = sub.vec_id AND a0.s = sub.s,
+      |  FROM subt sub JOIN a0 ON a0.vec_id = sub.vec_id AND a0.s = sub.s,
       |       UNNEST(generate_series(1, 16)) AS t(d)),
       |c1 AS (
       |  SELECT s, code, list(mean ORDER BY dim) AS c_emb FROM (
@@ -1356,11 +1366,12 @@ object Similarity {
     * per-query candidate count so [[ivfPqRefineTopK]] can reuse the
     * identical chain as its shortlist CTE.
     */
-  private def ivfPqOracleSql(kCand: Int): String =
-    s"""WITH $pqCteSql,
+  private def ivfPqOracleSql(kCand: Int, trainFilter: String = "TRUE"): String =
+    s"""WITH ${pqCteSqlFor(trainFilter)},
       |w AS ($normedVSql),
+      |wt AS (SELECT * FROM w WHERE $trainFilter),
       |k0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      |       FROM w ORDER BY vec_id LIMIT 16),
+      |       FROM wt ORDER BY vec_id LIMIT 16),
       |kassign0 AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT w.vec_id, k0.cent_id,
@@ -1369,11 +1380,11 @@ object Similarity {
       |          list_transform(generate_series(1, len(w.embedding)),
       |            i -> CAST(w.embedding[i] AS DOUBLE) * CAST(k0.c_emb[i] AS DOUBLE))),
       |          (acc, p) -> acc + p) / (w.nrm * k0.c_nrm) DESC, k0.cent_id) AS rn
-      |    FROM w, k0) WHERE rn = 1),
+      |    FROM wt w, k0) WHERE rn = 1),
       |kcontrib AS (
       |  SELECT a.cent_id, t.d,
       |    CAST(round(CAST(x.embedding[t.d] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-      |  FROM w x JOIN kassign0 a ON a.vec_id = x.vec_id,
+      |  FROM wt x JOIN kassign0 a ON a.vec_id = x.vec_id,
       |       UNNEST(generate_series(1, 64)) AS t(d)),
       |kc1 AS (
       |  SELECT cent_id, list(mean ORDER BY d) AS c_emb FROM (
@@ -1454,6 +1465,41 @@ object Similarity {
       emb.filter(col("vec_id") < 8), "vec_id", "embedding",
       nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5,
       stats = Some(stats))
+  }
+
+  /** [[annIvfUpsert]]'s IVFADC sibling: BOTH quantizers (coarse cells
+    * AND PQ codebooks) train on 4/5 of the corpus, the remaining fifth
+    * is absorbed via [[ivfPqIndexUpsert]] (frozen-codebook encode +
+    * frozen-centroid cell assignment, merged stats, re-derived
+    * pre-split), and the merged index serves an ADC search — the full
+    * FAISS add() lifecycle, oracle-gated: the composed oracle restricts
+    * every TRAINING CTE (PQ seeds/a0/contrib; coarse k0/kassign0/
+    * kcontrib) to the corpus subset while encoding, assignment, and
+    * search run over everything.
+    */
+  val annIvfPqUpsert: Op = Op(
+    "ann_ivfpq_upsert",
+    ivfPqOracleSql(5, trainFilter = "vec_id % 5 <> 0"),
+  ) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val (_, c1p, assign1) = ivfBuild(corpus, "vec_id", "embedding",
+      cells = 16, iters = 1)
+    val cents = c1p.drop("part")
+    val cbs = graft.api.GraftApi.pqCodebooks(
+      corpus, "vec_id", "embedding", numSubs = 4, subDim = 16)
+    val codes0 = graft.api.GraftApi.pqEncode(
+        corpus, "vec_id", "embedding", cbs, 4, 16)
+      .join(assign1, col("vec_id") === col("a_vec"))
+      .select(col("vec_id"), col("codes"), col("a_cent").as("cent_id"))
+    val stats0 = codes0.groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+    val (codes1, stats1) = graft.api.GraftApi.ivfPqIndexUpsert(
+      cents, cbs, codes0, stats0, delta)
+    graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes1,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5,
+      stats = Some(stats1))
   }
 
   /** IVFADC shortlist + exact re-rank — the refine step (FAISS
@@ -1637,6 +1683,7 @@ object Similarity {
     Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
       annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annIvfUpsert,
       annRandomHyperplaneTopK,
-      embedQuantize, pqCodes, pqSearch, ivfPqTopK, ivfPqRefineTopK,
+      embedQuantize, pqCodes, pqSearch, ivfPqTopK, annIvfPqUpsert,
+      ivfPqRefineTopK,
       annKnnClassify, semDedup)
 }

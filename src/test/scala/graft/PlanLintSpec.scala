@@ -17,7 +17,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivf_autoprobe", "ann_ivfpq_topk",
     // same centroid-ranking cross as autoprobe, served from the
     // upserted index parts
-    "ann_ivf_upsert",
+    "ann_ivf_upsert", "ann_ivfpq_upsert",
     // the IVFADC shortlist machinery (centroid-ranking cross) feeding the
     // exact re-rank; the refine joins themselves are keyed broadcasts
     "ann_ivfpq_refine_topk",

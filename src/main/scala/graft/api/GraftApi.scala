@@ -267,8 +267,11 @@ object GraftApi {
           sum(col("_merge")).over(wKey.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
       .select(col("_sk"), col("_sb"), col("_offset"))
+    // null-safe join: the simple window keeps a null-key partition
+    // (Window.partitionBy groups nulls), so the blocks form must too —
+    // a plain === would silently drop every null-key row
     flagged
-      .join(offsets, col(key) === col("_sk") && col("_bkt") === col("_sb"))
+      .join(offsets, col(key) <=> col("_sk") && col("_bkt") <=> col("_sb"))
       .withColumn("session_id", col("_offset") + col("_ls"))
       .drop("_bkt", "_ls", "_sk", "_sb", "_offset")
   }
@@ -406,7 +409,8 @@ object GraftApi {
     * any orderable/summable value; decimal sums stay decimal-exact.
     */
   def runningSumBlocks(df: DataFrame, key: String, time: String,
-      tiebreak: String, value: Column, blockMs: Long = 3600000L): DataFrame = {
+      tiebreak: String, value: Column, blockMs: Long = 3600000L,
+      includeSum: Boolean = true): DataFrame = {
     require(blockMs >= 1, s"runningSumBlocks: blockMs=$blockMs must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(key).as("_k"), col(tiebreak).as("_tb"),
@@ -414,18 +418,27 @@ object GraftApi {
       .withColumn("_bkt", floor(col("_us") / (blockMs * 1000L)))
     val wLoc = Window.partitionBy(col("_k"), col("_bkt"))
       .orderBy(col("_us"), col("_tb"))
-    val local = base
-      .withColumn("_ls", sum(col("_x")).over(
+    // includeSum = false: the rank-only face (callers that need `seq`
+    // and the value passthrough but not `running` — e.g.
+    // rangeJoinEarliestK's right-side rank) skips both windowed sums
+    val local0 = base.withColumn("_ln", row_number().over(wLoc).cast("long"))
+    val local =
+      if (includeSum) local0.withColumn("_ls", sum(col("_x")).over(
         wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_ln", row_number().over(wLoc).cast("long"))
+      else local0.withColumn("_ls", lit(null).cast("double"))
     val wKey = Window.partitionBy(col("_sk")).orderBy(col("_sb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("_k").as("_sk"), col("_bkt").as("_sb"))
-      .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+    val offAgg = base.groupBy(col("_k").as("_sk"), col("_bkt").as("_sb"))
+      .agg(sum(if (includeSum) col("_x") else lit(null).cast("double")).as("_s"),
+        count(lit(1)).as("_n"))
+    val offsets = offAgg
       .select(col("_sk"), col("_sb"),
-        sum(col("_s")).over(wKey).as("_offS"),
+        (if (includeSum) sum(col("_s")).over(wKey)
+         else lit(null).cast("double")).as("_offS"),
         coalesce(sum(col("_n")).over(wKey), lit(0L)).as("_offN"))
-    local.join(offsets, col("_k") === col("_sk") && col("_bkt") === col("_sb"))
+    // null-safe: a null-key/null-time row must survive the fold-back
+    // join exactly as it survives the simple window's null partition
+    local.join(offsets, col("_k") <=> col("_sk") && col("_bkt") <=> col("_sb"))
       // window-SUM null convention: null only while the WHOLE prefix is
       // null-free of non-null values (prior blocks' _offS null AND the
       // in-block prefix _ls null)
@@ -500,17 +513,37 @@ object GraftApi {
     require(bins >= 1 && bins <= 65536,
       s"valueRankBlocks: bins=$bins out of range [1, 65536]")
     import org.apache.spark.sql.expressions.Window
-    val mm = df.agg(min(col(value)).cast("double").as("lo"),
-      max(col(value)).cast("double").as("hi")).head()
+    // NaN discipline (floating values only): Spark orders NaN GREATEST,
+    // and a NaN-poisoned max() would make every bin expression NaN —
+    // whose int cast THROWS under ANSI. Bounds aggregate over finite
+    // values; NaN rows get a dedicated top bin (bins — above every
+    // numeric bin, matching the sort order); ±infinities clamp into the
+    // edge bins and any residual NaN arithmetic (e.g. an infinite lo)
+    // collapses to bin 0 — degenerate but ordered, never a crash.
+    val isFloating = df.schema(value).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val vClean = if (isFloating) when(!isnan(col(value)), col(value))
+      else col(value)
+    val mm = df.agg(min(vClean).cast("double").as("lo"),
+      max(vClean).cast("double").as("hi")).head()
+    def withNullNan(base: Column): Column =
+      if (isFloating)
+        when(col(value).isNull, lit(-1))
+          .when(isnan(col(value)), lit(bins)).otherwise(base)
+      else when(col(value).isNull, lit(-1)).otherwise(base)
     val binCol =
       if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
-        when(col(value).isNull, lit(-1)).otherwise(lit(0))
+        withNullNan(lit(0))
       else {
         val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-        when(col(value).isNull, lit(-1)).otherwise(
-          least(lit(bins - 1), greatest(lit(0),
-            floor((col(value).cast("double") - lit(lo)) / lit(hi - lo) * bins)
-              .cast("int"))))
+        val clamped = least(lit((bins - 1).toDouble), greatest(lit(0.0),
+          floor((col(value).cast("double") - lit(lo)) / lit(hi - lo) * bins)))
+        val safe = if (isFloating)
+          when(isnan(clamped), lit(0.0)).otherwise(clamped) else clamped
+        withNullNan(safe.cast("int"))
       }
     val wLoc = Window.partitionBy(col(key), col("_bin"))
       .orderBy(col(value), col(tiebreak))
@@ -524,7 +557,9 @@ object GraftApi {
           wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
         sum(col("_n")).over(wKey.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).as("_nkey"))
-    local.join(offsets, col(key) === col("_sk") && col("_bin") === col("_sb"))
+    // null-safe: null keys keep their rank partition (see the simple
+    // window's null group)
+    local.join(offsets, col(key) <=> col("_sk") && col("_bin") <=> col("_sb"))
       .withColumn("key_rank", col("_off") + col("_lr"))
       .withColumn("key_n", col("_nkey"))
       .drop("_bin", "_lr", "_sk", "_sb", "_off", "_nkey")
@@ -575,7 +610,10 @@ object GraftApi {
       .groupBy(col("_k").as("_ck"), col("_bkt").as("_cb"))
       .agg(max(when(col("_side") =!= 1, struct(col("_t"), col("_p")))).as("_best"))
       .select(col("_ck"), col("_cb"), max(col("_best")).over(wKey).as("_cin"))
-    local.join(carries, col("_k") === col("_ck") && col("_bkt") === col("_cb"))
+    // null-safe: asofJoin (union + window, no join) carries null-key
+    // left rows through their own partition — the blocks form must not
+    // drop them at the fold-back join
+    local.join(carries, col("_k") <=> col("_ck") && col("_bkt") <=> col("_cb"))
       .filter(col("_side") === 1)
       .withColumn("_asof", coalesce(col("_lastp"), col("_cin._p")))
       .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$payload")): _*)
@@ -620,7 +658,8 @@ object GraftApi {
     val ranked = graft.CacheRegistry.track(runningSumBlocks(
         right.select(col(rightKey).as("_k"), timestamp_millis(rMs).as("_rt"),
           col(rightId).as("_rid")),
-        "_k", "_rt", "_rid", unix_millis(col("_rt")), blockMs)
+        "_k", "_rt", "_rid", unix_millis(col("_rt")), blockMs,
+        includeSum = false)
       .select(col("_k").as("_jk"), col("_rid"), col("value").as("_rms"),
         col("seq").as("_rseq")))
     val lMs = unix_millis(col(leftTime).cast("timestamp"))
@@ -661,8 +700,13 @@ object GraftApi {
     val bound = left.sparkSession.conf
       .getOption("graft.rangeJoinEarliestK.pairBound")
       .map(_.toLong).getOrElse(pairBound)
-    val est = rangeJoinPairEstimate(left, right, leftKey, rightKey,
-      leftTime, rightTime, 0L, windowMs)
+    // windowMs = 0 (exact-time matches) is legal for the rank path but
+    // the estimate's bucket width would divide by zero — route straight
+    // to the always-safe branch
+    val est =
+      if (windowMs == 0) Long.MaxValue
+      else rangeJoinPairEstimate(left, right, leftKey, rightKey,
+        leftTime, rightTime, 0L, windowMs)
     if (est > bound)
       rangeJoinEarliestK(left, right, leftKey, rightKey, leftTime, rightTime,
         leftId, rightId, windowMs, k, blockMs)

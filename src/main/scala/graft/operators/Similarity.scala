@@ -1622,10 +1622,11 @@ object Similarity {
       |       JOIN cells ce ON ce.cent_id = a.cent_id AND ce.n <= 128
       |       JOIN v va ON va.vec_id = a.vec_id
       |       JOIN v vb ON vb.vec_id = b.vec_id
-      |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  WHERE CASE WHEN va.nrm * vb.nrm = 0 THEN CAST('-infinity' AS DOUBLE)
+      |        ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |          list_transform(generate_series(1, len(va.embedding)),
       |            i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
-      |          (acc, p) -> acc + p) / (va.nrm * vb.nrm) >= 0.2)
+      |          (acc, p) -> acc + p) / (va.nrm * vb.nrm) END >= 0.2)
       |SELECT a.vec_id, a.cent_id,
       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
       |  CAST(CASE WHEN ce.n > 128 THEN 1 ELSE 0 END AS BIGINT) AS cell_capped
@@ -1664,12 +1665,16 @@ object Similarity {
       .join(broadcast(okCells), "cent_id")
       .join(bOk, col("cent_id") === col("b_cent") && col("a_id") < col("b_id"))
       .join(va, "a_id").join(vb, "b_id")
-      // zero-norm guard (And short-circuits, so the ANSI double division
-      // never sees a 0 denominator): a zero-norm pair member can never be
-      // "similar" — mirrored by the oracle's NaN >= tau being false
-      .filter(col("a_nrm") * col("b_nrm") =!= 0 &&
-        vec_dot(col("a_emb"), col("b_emb")) /
-          (col("a_nrm") * col("b_nrm")) >= 0.2)
+      // zero-norm guard as a CASE, not an And-conjunct: CaseWhen is
+      // per-row lazy and survives predicate reordering, so the ANSI
+      // double division can never see a 0 denominator (And operand order
+      // is not an optimizer guarantee); the oracle spells the identical
+      // CASE → -infinity, which also stays correct on DuckDB ≥ 1.1
+      // where 0/0 is IEEE NaN and NaN compares GREATER than any value
+      .filter(when(col("a_nrm") * col("b_nrm") =!= 0,
+          vec_dot(col("a_emb"), col("b_emb")) /
+            (col("a_nrm") * col("b_nrm")))
+        .otherwise(lit(Double.NegativeInfinity)) >= 0.2)
       .select(col("b_id").as("d_id")).distinct()
     assign
       .join(broadcast(cells), "cent_id")

@@ -63,7 +63,8 @@ object Temporal {
       |FROM events s JOIN events p
       |  ON s.user_id = p.user_id
       | AND s.event_type = 'signup' AND p.event_type = 'purchase'
-      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'""".stripMargin,
+      | AND epoch_ms(p.ts) >= epoch_ms(s.ts)
+      | AND epoch_ms(p.ts) <= epoch_ms(s.ts) + 1800000""".stripMargin,
   ) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     val signups = ev.filter(col("event_type") === "signup")
@@ -105,7 +106,8 @@ object Temporal {
       |  FROM events s JOIN events p
       |    ON s.user_id = p.user_id
       |   AND s.event_type = 'signup' AND p.event_type = 'purchase'
-      |   AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes')
+      |   AND epoch_ms(p.ts) >= epoch_ms(s.ts)
+      |   AND epoch_ms(p.ts) <= epoch_ms(s.ts) + 1800000)
       |WHERE rn <= 4""".stripMargin,
   ) { (spark, dir) =>
     val ev = Tables.events(spark, dir)

@@ -537,19 +537,26 @@ class EdgeCaseSpec extends SparkSpec {
     //  - user 4: 7 rows (ntile n%4=3 — uneven bucket fill)
     def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
     val rows = Seq(
-      (1L, 1L, t(0), "view", Option(1.0)),
-      (2L, 1L, t(3599), "click", Option(5.0)),
-      (3L, 1L, t(3600), "purchase", Option(2.0)),    // block boundary
-      (4L, 1L, t(4199), "click", Option.empty[Double]),
-      (5L, 1L, t(4200), "purchase", Option(8.0)),    // exactly 600s after #3
-      (6L, 1L, t(4200), "view", Option(3.0)),        // tie ts with #5
-      (7L, 1L, t(90000), "purchase", Option(4.0)),   // far block, empty gap
-      (8L, 2L, t(50), "purchase", Option(9.0)),      // lone event, no click
-      (9L, 3L, t(0), "view", Option(6.0)),
-      (10L, 3L, t(7200), "click", Option(6.0)),      // constant values
-      (11L, 3L, t(7300), "purchase", Option(6.0)),
-      (12L, 3L, t(7400), "view", Option(6.0))) ++
-      (0 until 7).map(i => (20L + i, 4L, t(i * 1800L), "view", Option(i * 1.5)))
+      (1L, Option(1L), t(0), "view", Option(1.0)),
+      (2L, Option(1L), t(3599), "click", Option(5.0)),
+      (3L, Option(1L), t(3600), "purchase", Option(2.0)),  // block boundary
+      (4L, Option(1L), t(4199), "click", Option.empty[Double]),
+      (5L, Option(1L), t(4200), "purchase", Option(8.0)),  // exactly 600s after #3
+      (6L, Option(1L), t(4200), "view", Option(3.0)),      // tie ts with #5
+      (7L, Option(1L), t(90000), "purchase", Option(4.0)), // far block, empty gap
+      (8L, Option(2L), t(50), "purchase", Option(9.0)),    // lone event, no click
+      (9L, Option(3L), t(0), "view", Option(6.0)),
+      (10L, Option(3L), t(7200), "click", Option(6.0)),    // constant values
+      (11L, Option(3L), t(7300), "purchase", Option(6.0)),
+      (12L, Option(3L), t(7400), "view", Option(6.0)),
+      // NULL-KEY rows: the simple windows keep a null-key partition
+      // (nulls group together), so the blocks twins' fold-back joins
+      // must be null-safe or these rows silently vanish (review r9)
+      (40L, Option.empty[Long], t(100), "click", Option(1.0)),
+      (41L, Option.empty[Long], t(200), "purchase", Option(2.0)),
+      (42L, Option.empty[Long], t(4200), "view", Option(3.0))) ++
+      (0 until 7).map(i =>
+        (20L + i, Option(4L), t(i * 1800L), "view", Option(i * 1.5)))
     val dir = tmpDir()
     writeTable(dir, "events",
       rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
@@ -578,6 +585,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(gotA == wantA,
       gotA.keys.filter(k => gotA.get(k) != wantA.get(k)).take(3)
         .map(k => s"$k: ${gotA.get(k)} vs ${wantA.get(k)}"))
+  }
+
+  test("valueRankBlocks tolerates NaN values; Auto capped join tolerates windowMs=0") {
+    import spark.implicits._
+    // NaN sorts GREATEST in Spark — the ntile twin must bin it above
+    // every numeric bin instead of poisoning the bounds (a NaN max made
+    // the bin cast throw under ANSI before the r9 review fix)
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val rows = Seq(
+      (1L, 1L, t(0), "view", 1.0), (2L, 1L, t(60), "view", Double.NaN),
+      (3L, 1L, t(120), "view", 5.0), (4L, 1L, t(180), "view", 2.0),
+      (5L, 1L, t(240), "view", Double.NaN), (6L, 2L, t(0), "view", 3.0))
+    val dir = tmpDir()
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Int]("quartile"), r.getAs[Double]("cdist")))).toMap
+    val simple = toMap(WindowOps.windowNtile.fn(spark, dir))
+    val blocks = toMap(WindowOps.windowNtileBlocks.fn(spark, dir))
+    assert(simple.nonEmpty && blocks == simple,
+      blocks.keys.filter(k => blocks(k) != simple(k))
+        .map(k => s"$k: ${blocks(k)} vs ${simple(k)}").take(3))
+    // windowMs = 0: exact-time matches — legal on the rank path, and the
+    // Auto face must not divide by the zero bucket width in its estimate
+    val lefts = Seq((7L, 100L, t(10))).toDF("k", "lid", "lt")
+    val rights = Seq((7L, 200L, t(10)), (7L, 201L, t(11))).toDF("k2", "rid", "rt")
+    val z = graft.api.GraftApi.rangeJoinEarliestKAuto(lefts, rights,
+        "k", "k2", "lt", "rt", "lid", "rid", windowMs = 0L, k = 2)
+      .collect().map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid"))).toSet
+    assert(z == Set((100L, 200L)), z)
+    CacheRegistry.drain()
   }
 
   test("rangeJoin output contract: pair-estimate guard trips with a sizing message") {

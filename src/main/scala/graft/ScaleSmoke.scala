@@ -257,7 +257,11 @@ object ScaleSmoke {
                 if e.getMessage != null && e.getMessage.contains("maxPairs") =>
               println(s"[scale ${tag}x] $name GUARD TRIPPED (by design): " +
                 e.getMessage.linesIterator.next().take(160))
-              Some(s"""  "$name": {"ok": true, "guard_tripped": true}""")
+              // uniform per-op schema: consumers reading sec/rows/task_*
+              // across the sweep shouldn't special-case this row — the
+              // guard_tripped flag carries the meaning, placeholders keep
+              // the shape
+              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0}""")
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")

@@ -472,6 +472,16 @@ object GraftApi {
     require(blockUs >= math.max(widthUs, 1L),
       s"trailingRangeBlocks: blockUs ($blockUs) must be >= widthUs " +
         s"($widthUs) or a window could span more than two blocks")
+    // This helper APPENDS to the caller's frame (unlike the siblings,
+    // which project into fresh frames), so scratch/output names must not
+    // collide with caller columns — fail loudly instead of silently
+    // overwriting.
+    val reserved = Seq("_x", "_us", "_ownbkt", "_bkt", "_is_carry",
+      "range_sum", "range_n")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"trailingRangeBlocks: input columns ${clash.mkString(",")} collide " +
+        "with scratch/output names; rename them before calling")
     import org.apache.spark.sql.expressions.Window
     val base = df
       .withColumn("_x", value)
@@ -697,6 +707,7 @@ object GraftApi {
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
       leftId: String, rightId: String, windowMs: Long, k: Int,
       pairBound: Long = 50000000L, blockMs: Long = 3600000L): DataFrame = {
+    require(windowMs >= 0, s"rangeJoinEarliestKAuto: windowMs must be >= 0, got $windowMs")
     val bound = left.sparkSession.conf
       .getOption("graft.rangeJoinEarliestK.pairBound")
       .map(_.toLong).getOrElse(pairBound)
@@ -768,8 +779,11 @@ object GraftApi {
     * pairs as Σ over (key, bucket) of |left|·|right| — grouped counts,
     * so the probe shuffles (key, bucket) GROUPS, never rows — and the
     * join fails fast with a sizing message past `maxPairs` (session conf
-    * `graft.rangeJoin.maxPairs` overrides; the skew-1000x corpus emits
-    * an honest 2.29B pairs, inside the 4e9 default). When the consumer
+    * `graft.rangeJoin.maxPairs` overrides; the skew-1000x corpus
+    * estimates 457.9 B CANDIDATE pairs — the guard TRIPS there by
+    * design, and the sanctioned path past it is the capped rank
+    * composition below; the 2.29 B figure sometimes quoted is
+    * post-filter OUTPUT, not what the guard sizes). When the consumer
     * only needs the best few matches per left row, use
     * [[graft.operators.Temporal.rangeJoinCappedOp]]'s shape — rangeJoin
     * into the bounded-heap [[topKPerKey]] — whose OUTPUT is |left|·k by

@@ -624,9 +624,22 @@ object Similarity {
   private[graft] val presplitMeta: org.apache.spark.sql.types.Metadata =
     new org.apache.spark.sql.types.MetadataBuilder()
       .putBoolean("graft.presplit", true).build()
-  private[graft] def isPresplit(df: DataFrame): Boolean =
-    df.schema.fields.exists(f =>
+  private[graft] def isPresplit(df: DataFrame): Boolean = {
+    val flagged = df.schema.fields.exists(f =>
       f.name == "slice" && f.metadata.contains("graft.presplit"))
+    // Migration notice: indexes persisted before the metadata flag carry
+    // a plain `slice` column and now fall back (correctly) to the
+    // runtime hot-cell split path — a silent serving-perf regression for
+    // those tables unless re-saved. Say so once per schema shape.
+    if (!flagged && df.columns.contains("slice"))
+      System.err.println("[graft] note: `slice` column present but not " +
+        "stamped with the graft.presplit metadata flag — treating it as a " +
+        "payload column and using the runtime hot-cell split. If this is " +
+        "an index persisted before the flag existed, rebuild or re-save " +
+        "it (preSplitByOccupancy stamps the flag) to restore zero-cost " +
+        "pre-split serving.")
+    flagged
+  }
 
   /** Get-or-build the persisted IVF+PQ index of `dir`'s embeddings table
     * — the FAISS-IVFADC storage layout: coarse centroids + PQ codebooks

@@ -420,11 +420,20 @@ object EventStreams {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  /** Event row for the windowed-value streaming faces. `value` is
+    * Option[Double] BY CONTRACT: the batch twins run on a nullable
+    * events.value column (the null-gate corpus injects ~5% NULLs), and
+    * the null conventions below mirror the batch window semantics
+    * exactly — a null-valued row OCCUPIES its window position (counts in
+    * n_window/seq, consumes a lag slot) but contributes nothing to any
+    * sum, and an all-null window yields a null output (running_value /
+    * ewma_milli None, anomaly 0).
+    */
   case class ValEvent(ts: Timestamp, user_id: Long, event_id: Long,
-      value: Double)
-  case class AnomalyOut(user_id: Long, event_id: Long, x_milli: Long,
+      value: Option[Double])
+  case class AnomalyOut(user_id: Long, event_id: Long, x_milli: Option[Long],
       n_window: Long, anomaly: Long)
-  case class RingState(xs: List[Long])
+  case class RingState(xs: List[Option[Long]])
 
   /** Streaming face of q_anomaly_zscore (operators/Temporal.scala): the
     * live metrics anomaly gate as per-key state — the trailing ≤7 prior
@@ -449,15 +458,21 @@ object EventStreams {
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var hist = state.getOption.map(_.xs).getOrElse(Nil)
           val out = sorted.map { e =>
-            // identical double→long scaling to the batch floor(value*1000)
-            val x = math.floor(e.value * 1000).toLong
+            // identical double→long scaling to the batch floor(value*1000);
+            // a null value stays null (and its window slot still counts
+            // in n — the batch COUNT(*) convention)
+            val x = e.value.map(v => math.floor(v * 1000).toLong)
             val win = (hist :+ x).takeRight(8)
             val n = win.size.toLong
-            val s1 = win.sum
-            val s2 = win.iterator.map(v => v * v).sum
-            val lhs = n * x - s1
-            val flag =
-              if (n >= 4 && lhs * lhs > 4L * (n * s2 - s1 * s1)) 1L else 0L
+            val s1 = win.iterator.flatten.sum
+            val s2 = win.iterator.flatten.map(v => v * v).sum
+            // batch: a NULL x_milli nulls the whole inequality → flag 0
+            val flag = x match {
+              case Some(xv) =>
+                val lhs = n * xv - s1
+                if (n >= 4 && lhs * lhs > 4L * (n * s2 - s1 * s1)) 1L else 0L
+              case None => 0L
+            }
             hist = (hist :+ x).takeRight(7)
             AnomalyOut(user, e.event_id, x, n, flag)
           }
@@ -466,9 +481,9 @@ object EventStreams {
       }
   }
 
-  case class RunState(sumCents: Long, n: Long)
-  case class RunOut(user_id: Long, event_id: Long, running_value: Double,
-      seq: Int)
+  case class RunState(sumCents: Long, n: Long, nNonNull: Long)
+  case class RunOut(user_id: Long, event_id: Long,
+      running_value: Option[Double], seq: Int)
 
   /** Streaming face of q_window_running (operators/WindowOps.scala): the
     * per-user running decimal(12,2) sum and 1-based sequence number,
@@ -488,15 +503,21 @@ object EventStreams {
         (user: Long, rows: Iterator[ValEvent], state: GroupState[RunState]) =>
           val sorted = rows.toSeq
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var s = state.getOption.getOrElse(RunState(0L, 0L))
+          var s = state.getOption.getOrElse(RunState(0L, 0L, 0L))
           val out = sorted.map { e =>
-            // exact cents via the decimal(12,2) cast's HALF_UP rounding
-            val cents = java.math.BigDecimal.valueOf(e.value)
+            // exact cents via the decimal(12,2) cast's HALF_UP rounding;
+            // null values add nothing but the row still takes a seq slot,
+            // and running stays NULL until the prefix holds a non-null
+            // (the window-SUM convention)
+            val cents = e.value.map(v => java.math.BigDecimal.valueOf(v)
               .setScale(2, java.math.RoundingMode.HALF_UP)
-              .unscaledValue().longValueExact()
-            s = RunState(s.sumCents + cents, s.n + 1)
+              .unscaledValue().longValueExact())
+            s = RunState(s.sumCents + cents.getOrElse(0L), s.n + 1,
+              s.nNonNull + (if (cents.isDefined) 1L else 0L))
             RunOut(user, e.event_id,
-              java.math.BigDecimal.valueOf(s.sumCents, 2).doubleValue(),
+              if (s.nNonNull == 0L) None
+              else Some(java.math.BigDecimal.valueOf(s.sumCents, 2)
+                .doubleValue()),
               s.n.toInt)
           }
           state.update(s)
@@ -549,8 +570,8 @@ object EventStreams {
       }
   }
 
-  case class EwmaOut(user_id: Long, event_id: Long, x_milli: Long,
-      ewma_milli: Long)
+  case class EwmaOut(user_id: Long, event_id: Long, x_milli: Option[Long],
+      ewma_milli: Option[Long])
 
   /** Streaming face of q_window_ewma (operators/Temporal.scala): the
     * same ≤7-prior-values GroupState ring as [[anomalyStream]], each
@@ -574,14 +595,17 @@ object EventStreams {
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var hist = state.getOption.map(_.xs).getOrElse(Nil)
           val out = sorted.map { e =>
-            val x = math.floor(e.value * 1000).toLong
+            val x = e.value.map(v => math.floor(v * 1000).toLong)
             // newest-first: index d pairs value lag-d with weight w_d,
-            // exactly the batch lag() column order
+            // exactly the batch lag() column order. A null lag slot
+            // contributes 0 to num AND drops its weight from den (the
+            // batch CASE WHEN x IS NULL convention); all-null window →
+            // den 0 → null EWMA (the batch NULLIF).
             val win = ((hist :+ x).takeRight(8)).reverse
             val num = win.iterator.zipWithIndex
-              .map { case (v, d) => v * weights(d) }.sum
+              .map { case (v, d) => v.map(_ * weights(d)).getOrElse(0L) }.sum
             val den = win.iterator.zipWithIndex
-              .map { case (_, d) => weights(d) }.sum
+              .map { case (v, d) => if (v.isDefined) weights(d) else 0L }.sum
             hist = (hist :+ x).takeRight(7)
             // plain truncating long division, matching the batch op's SQL
             // `num div den` (IntegralDivide truncates toward zero) —
@@ -589,7 +613,8 @@ object EventStreams {
             // numerator is negative (any negative event value), silently
             // breaking the stream ≡ batch contract (StreamingSpec pins a
             // negative-value case)
-            EwmaOut(user, e.event_id, x, num / den)
+            EwmaOut(user, e.event_id, x,
+              if (den == 0L) None else Some(num / den))
           }
           state.update(RingState(hist))
           out.iterator

@@ -19,6 +19,14 @@ class StreamingSpec extends SparkSpec {
   private def ts(minutes: Long): Timestamp =
     new Timestamp(86400000L + minutes * 60 * 1000L)
 
+  /** Null-aware column reads for comparing batch (nullable column) rows
+    * against the streaming faces' Option-typed outputs.
+    */
+  private def optL(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+    if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+  private def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+    if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+
   test("windowed counts maintain per-window aggregates incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -711,7 +719,7 @@ class StreamingSpec extends SparkSpec {
     val evRows = Tables.events(spark, sfTiny)
       .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
         col("value"))
-      .as[(Timestamp, Long, Long, Double)].collect()
+      .as[(Timestamp, Long, Long, Option[Double])].collect()
       .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
       .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
     val input = MemoryStream[ValEvent]
@@ -727,7 +735,7 @@ class StreamingSpec extends SparkSpec {
       val want = graft.operators.Temporal.anomalyZscore.fn(spark, sfTiny)
         .collect()
         .map(r => r.getAs[Long]("event_id") ->
-          ((r.getAs[Long]("x_milli"), r.getAs[Long]("n_window"),
+          ((optL(r, "x_milli"), r.getAs[Long]("n_window"),
             r.getAs[Long]("anomaly")))).toMap
       assert(want.nonEmpty && want.values.exists(_._3 == 1L),
         "batch run must flag at least one anomaly for the spec to bite")
@@ -745,7 +753,7 @@ class StreamingSpec extends SparkSpec {
     val evRows = Tables.events(spark, sfTiny)
       .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
         col("value"))
-      .as[(Timestamp, Long, Long, Double)].collect()
+      .as[(Timestamp, Long, Long, Option[Double])].collect()
       .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
       .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
     val input = MemoryStream[ValEvent]
@@ -761,7 +769,7 @@ class StreamingSpec extends SparkSpec {
       val want = graft.operators.Temporal.windowEwma.fn(spark, sfTiny)
         .collect()
         .map(r => r.getAs[Long]("event_id") ->
-          ((r.getAs[Long]("x_milli"), r.getAs[Long]("ewma_milli")))).toMap
+          ((optL(r, "x_milli"), optL(r, "ewma_milli")))).toMap
       assert(want.nonEmpty)
       assert(got == want,
         s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
@@ -777,7 +785,7 @@ class StreamingSpec extends SparkSpec {
     val evRows = Tables.events(spark, sfTiny)
       .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
         col("value"))
-      .as[(Timestamp, Long, Long, Double)].collect()
+      .as[(Timestamp, Long, Long, Option[Double])].collect()
       .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
       .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
     val input = MemoryStream[ValEvent]
@@ -793,7 +801,7 @@ class StreamingSpec extends SparkSpec {
       val want = graft.operators.WindowOps.windowRunning.fn(spark, sfTiny)
         .collect()
         .map(r => r.getAs[Long]("event_id") ->
-          ((r.getAs[Double]("running_value"), r.getAs[Int]("seq")))).toMap
+          ((optD(r, "running_value"), r.getAs[Int]("seq")))).toMap
       assert(want.nonEmpty)
       assert(got == want,
         s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
@@ -809,7 +817,7 @@ class StreamingSpec extends SparkSpec {
     val evRows = Tables.events(spark, sfTiny)
       .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
         col("value"))
-      .as[(Timestamp, Long, Long, Double)].collect()
+      .as[(Timestamp, Long, Long, Option[Double])].collect()
       .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
       .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
     // the tie clause of the arrival contract: a micro-batch boundary
@@ -864,10 +872,10 @@ class StreamingSpec extends SparkSpec {
       rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
     def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => r.getAs[Long]("event_id") ->
-        ((r.getAs[Long]("x_milli"), r.getAs[Long]("ewma_milli")))).toMap
+        ((optL(r, "x_milli"), optL(r, "ewma_milli")))).toMap
     val batch = toMap(graft.operators.Temporal.windowEwma.fn(spark, dir))
     val blocks = toMap(graft.operators.Temporal.windowEwmaBlocks.fn(spark, dir))
-    assert(batch.nonEmpty && batch.values.exists(_._2 < 0L),
+    assert(batch.nonEmpty && batch.values.exists(_._2.exists(_ < 0L)),
       "the corpus must actually produce a negative EWMA for the spec to bite")
     assert(blocks == batch)
     val input = MemoryStream[ValEvent]
@@ -875,7 +883,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ewma_neg_out")
       .outputMode(OutputMode.Append()).start()
     try {
-      input.addData(rows.map { case (e, u, ts, _, v) => ValEvent(ts, u, e, v) }
+      input.addData(rows.map { case (e, u, ts, _, v) => ValEvent(ts, u, e, Some(v)) }
         .toIndexedSeq)
       q.processAllAvailable()
       val got = spark.table("ewma_neg_out").as[EwmaOut].collect()
@@ -884,6 +892,79 @@ class StreamingSpec extends SparkSpec {
         s"stream-only=${(got.toSet -- batch.toSet).take(3)} " +
           s"batch-only=${(batch.toSet -- got.toSet).take(3)}")
     } finally q.stop()
+  }
+
+  test("value-windowed streaming faces equal batch on NULL event values") {
+    // ADVICE r9: the streaming faces decoded events into a primitive
+    // Double, so the null-gate corpus (events.value NULL ~5%) crashed the
+    // encoder while every batch twin passed. ValEvent.value is now
+    // Option[Double]; this corpus pins the null conventions — a null row
+    // occupies its window slot (n_window/seq count it, it consumes a lag
+    // position) but adds nothing to sums; all-null prefix/window → null
+    // running/ewma, anomaly 0 — stream ≡ batch on each face.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{ValEvent, AnomalyOut, EwmaOut, RunOut, BurstOut}
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    // user 1: null-leading prefix then values; user 2: interleaved nulls;
+    // user 3: ALL null (the all-null-window edge)
+    val rows = Seq(
+      (1L, 1L, t(0), "view", None), (2L, 1L, t(60), "view", Some(2.5)),
+      (3L, 1L, t(120), "view", None), (4L, 1L, t(180), "view", Some(-1.25)),
+      (5L, 1L, t(240), "view", Some(4.0)), (6L, 2L, t(0), "view", Some(1.0)),
+      (7L, 2L, t(30), "view", None), (8L, 2L, t(90), "view", Some(3.0)),
+      (9L, 3L, t(0), "view", None), (10L, 3L, t(60), "view", None)
+    ): Seq[(Long, Long, java.sql.Timestamp, String, Option[Double])]
+    val dir = tmpDir()
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val evs = rows.map { case (e, u, ts, _, v) => ValEvent(ts, u, e, v) }
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    def run[O](name: String, face: org.apache.spark.sql.Dataset[ValEvent] =>
+        org.apache.spark.sql.Dataset[O]): Seq[O] = {
+      val input = MemoryStream[ValEvent]
+      val q = face(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(evs.toIndexedSeq); q.processAllAvailable()
+        spark.table(name).as[O](face(input.toDS()).encoder).collect().toSeq
+      } finally q.stop()
+    }
+
+    val gotAnom = run("null_anom_out", EventStreams.anomalyStream)
+      .map(r => r.event_id -> ((r.x_milli, r.n_window, r.anomaly))).toMap
+    val wantAnom = graft.operators.Temporal.anomalyZscore.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((optL(r, "x_milli"), r.getAs[Long]("n_window"),
+          r.getAs[Long]("anomaly")))).toMap
+    assert(gotAnom == wantAnom, s"anomaly: got=$gotAnom want=$wantAnom")
+
+    val gotEwma = run("null_ewma_out", EventStreams.ewmaStream)
+      .map(r => r.event_id -> ((r.x_milli, r.ewma_milli))).toMap
+    val wantEwma = graft.operators.Temporal.windowEwma.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((optL(r, "x_milli"), optL(r, "ewma_milli")))).toMap
+    assert(wantEwma.values.exists(_._2.isEmpty),
+      "corpus must produce an all-null window for the spec to bite")
+    assert(gotEwma == wantEwma, s"ewma: got=$gotEwma want=$wantEwma")
+
+    val gotRun = run("null_run_out", EventStreams.runningStream)
+      .map(r => r.event_id -> ((r.running_value, r.seq))).toMap
+    val wantRun = graft.operators.WindowOps.windowRunning.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((optD(r, "running_value"), r.getAs[Int]("seq")))).toMap
+    assert(wantRun.values.exists(_._1.isEmpty),
+      "corpus must produce a null-prefix running sum for the spec to bite")
+    assert(gotRun == wantRun, s"running: got=$gotRun want=$wantRun")
+
+    val gotBurst = run("null_burst_out",
+        (d: org.apache.spark.sql.Dataset[ValEvent]) => EventStreams.burstStream(d))
+      .map(r => r.event_id -> ((r.n_5m, r.burst))).toMap
+    val wantBurst = graft.operators.Temporal.burstDetect.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_5m"), r.getAs[Long]("burst")))).toMap
+    assert(gotBurst == wantBurst, s"burst: got=$gotBurst want=$wantBurst")
   }
 
   test("streaming KNN classify equals batch knnClassify") {

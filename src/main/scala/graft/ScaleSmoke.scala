@@ -254,7 +254,9 @@ object ScaleSmoke {
             // completes within bound") — record it as such, distinctly
             // from a crash
             case e: IllegalArgumentException
-                if e.getMessage != null && e.getMessage.contains("maxPairs") =>
+                if e.getMessage != null &&
+                  (e.getMessage.contains("maxPairs") ||
+                    e.getMessage.contains("maxGroupBytes")) =>
               println(s"[scale ${tag}x] $name GUARD TRIPPED (by design): " +
                 e.getMessage.linesIterator.next().take(160))
               // uniform per-op schema: consumers reading sec/rows/task_*

@@ -846,6 +846,73 @@ object GraftApi {
     if (est.isNullAt(0)) 0L else est.getLong(0)
   }
 
+  /** Grouped-collection export (groupBy key → the sorted elements joined
+    * into ONE string per key) under the house OUTPUT contract: a group
+    * string is a single aggregation-buffer value, so its size is a
+    * per-task MEMORY cost — three ~0.5 GB status groups OOM-killed the
+    * skew-1000x sweep twice before this guard existed. A cheap grouped
+    * pre-estimate (Σ serialized element length + separators per key —
+    * grouped counts, never a collected row) fails fast past
+    * `maxGroupBytes` (session conf `graft.groupExport.maxGroupBytes`
+    * overrides; "bytes" = characters of the joined string, exact for the
+    * ASCII ids this exports). Past the bound the sanctioned path is
+    * [[groupConcatExportSharded]] — same content, bounded pieces.
+    * Reference analog: groupBy → Map[K, Coll] materialization
+    * (GroupByTests.scala), whose in-memory cost the reference also pays;
+    * we fail loudly where it would OOM.
+    */
+  def groupConcatExport(df: DataFrame, key: String, elem: String,
+      out: String = "elems", maxGroupBytes: Long = 268435456L): DataFrame = {
+    val limit = df.sparkSession.conf
+      .getOption("graft.groupExport.maxGroupBytes")
+      .map(_.toLong).getOrElse(maxGroupBytes)
+    if (limit < Long.MaxValue) {
+      val est = df.groupBy(col(key))
+        .agg((sum(length(col(elem).cast("string"))) + count(lit(1)) - 1)
+          .as("_b"))
+        .agg(max(col("_b"))).head()
+      val maxB = if (est.isNullAt(0)) 0L else est.getLong(0)
+      require(maxB <= limit,
+        s"groupConcatExport: ~$maxB bytes in the largest group exceed " +
+          s"maxGroupBytes=$limit — a single group string that size is a " +
+          "per-task OOM, not a result; export bounded pieces instead " +
+          "(groupConcatExportSharded), aggregate rather than enumerate, " +
+          "or raise graft.groupExport.maxGroupBytes if one task really " +
+          "holds it")
+    }
+    df.groupBy(col(key))
+      .agg(array_join(expr(
+        s"transform(sort_array(collect_list($elem)), x -> cast(x as string))"),
+        ",").as(out))
+  }
+
+  /** [[groupConcatExport]]'s bounded-piece face — the 100 TB form: each
+    * key's sorted element sequence is cut into `rowsPerShard`-element
+    * shards keyed (key, shard), so no aggregation buffer ever holds more
+    * than one shard's string and a hot key spreads over #shards tasks.
+    * Shard index derives from the hot-key-safe per-key rank
+    * ([[valueRankBlocks]] — value-range bins, never one task per key),
+    * so shard boundaries are rank boundaries: concatenating a key's
+    * shards in shard order reproduces [[groupConcatExport]]'s string
+    * exactly (equal elements may permute WITHIN their run across a
+    * boundary — identical strings, same output). Downstream consumers
+    * stream shards instead of materializing group blobs.
+    */
+  def groupConcatExportSharded(df: DataFrame, key: String, elem: String,
+      rowsPerShard: Long, out: String = "elems"): DataFrame = {
+    require(rowsPerShard >= 1,
+      s"groupConcatExportSharded: rowsPerShard=$rowsPerShard must be >= 1")
+    val ranked = valueRankBlocks(df.select(col(key), col(elem)),
+      key, elem, tiebreak = elem)
+    ranked
+      .withColumn("shard",
+        floor((col("key_rank") - 1) / rowsPerShard).cast("long"))
+      .groupBy(col(key), col("shard"))
+      .agg(array_join(expr(
+        s"transform(sort_array(collect_list($elem)), x -> cast(x as string))"),
+        ",").as(out))
+  }
+
   // -------------------------------------------------------------------
   // LLM-pipeline operators as generic library functions: the registered
   // SURVEY §2.2 ops bind these to the test tables; a library user calls

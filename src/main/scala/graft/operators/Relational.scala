@@ -347,6 +347,15 @@ object Relational {
     * deterministic serialization of the Coll that any comparison harness
     * can hash (raw array columns are compared inconsistently across
     * engines/dataframe libraries).
+    *
+    * OUTPUT contract (the rangeJoin/indexBy fail-fast discipline): each
+    * group string is ONE aggregation-buffer value, i.e. per-task memory
+    * by semantics — at 1000x this op's three status groups are ~0.5 GB
+    * strings each, an OOM, not a result. [[graft.api.GraftApi
+    * .groupConcatExport]] pre-estimates bytes per group from grouped
+    * counts and fails fast past `graft.groupExport.maxGroupBytes`
+    * (default 256 MB); the sanctioned path past the bound is
+    * [[groupByNestedSharded]]'s shape (bounded pieces, same content).
     */
   val groupByNested: Op = Op(
     "q_groupby_nested",
@@ -354,10 +363,34 @@ object Relational {
       |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
       |FROM orders GROUP BY o_orderstatus""".stripMargin,
   ) { (spark, dir) =>
-    Tables.orders(spark, dir)
-      .groupBy(col("o_orderstatus"))
-      .agg(array_join(expr("transform(sort_array(collect_list(o_orderkey)), x -> cast(x as string))"), ",")
-        .as("orderkeys"))
+    graft.api.GraftApi.groupConcatExport(
+      Tables.orders(spark, dir).select(col("o_orderstatus"), col("o_orderkey")),
+      "o_orderstatus", "o_orderkey", out = "orderkeys")
+  }
+
+  /** [[groupByNested]]'s bounded-piece face — the 100 TB form of the
+    * grouped export: each status's sorted orderkey sequence is cut at
+    * rank boundaries into 2048-element shards keyed (status, shard), so
+    * no aggregation buffer holds more than one shard's string and a hot
+    * status spreads over #shards tasks (rank itself computed hot-key-safe
+    * via value-range bins — [[graft.api.GraftApi.valueRankBlocks]]).
+    * Concatenating a status's shards in shard order reproduces
+    * [[groupByNested]]'s string exactly; a consumer streams shards
+    * instead of materializing group blobs.
+    */
+  val groupByNestedSharded: Op = Op(
+    "q_groupby_nested_sharded",
+    """SELECT o_orderstatus, CAST((rnk - 1) // 2048 AS BIGINT) AS shard,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
+      |FROM (SELECT o_orderstatus, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_orderkey) AS rnk
+      |  FROM orders)
+      |GROUP BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    graft.api.GraftApi.groupConcatExportSharded(
+      Tables.orders(spark, dir).select(col("o_orderstatus"), col("o_orderkey")),
+      "o_orderstatus", "o_orderkey", rowsPerShard = 2048L, out = "orderkeys")
   }
 
   /** join (traversableOps.scala:48,214): shuffle equi-join on keys. */
@@ -701,7 +734,8 @@ object Relational {
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     q18LargeOrders,
     selectMap, filterWhere, flatMapExplode, collectPartial,
-    groupByAgg, groupByNested, joinEqui, joinBroadcast, cartProdToJoin,
+    groupByAgg, groupByNested, groupByNestedSharded, joinEqui, joinBroadcast,
+    cartProdToJoin,
     semiJoinExists, antiJoinNotExists, joinOuter, forallAgg, existsAgg,
     unionDistinct, unionAll, distinctToSet, sizeCount,
     foldSum, foldCustom, headLimit, sortTopK,

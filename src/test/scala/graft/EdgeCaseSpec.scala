@@ -734,6 +734,56 @@ class EdgeCaseSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("groupConcatExport guard trips past the bound; sharded face reassembles exactly") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfTiny)
+      .select(col("o_orderstatus"), col("o_orderkey"))
+    // 1. guard trips on a tiny bound with the house sizing message
+    spark.conf.set("graft.groupExport.maxGroupBytes", "64")
+    val err = try {
+      intercept[IllegalArgumentException] {
+        graft.api.GraftApi.groupConcatExport(orders,
+          "o_orderstatus", "o_orderkey", out = "orderkeys").collect()
+      }
+    } finally spark.conf.unset("graft.groupExport.maxGroupBytes")
+    assert(err.getMessage.contains("maxGroupBytes"), err.getMessage)
+    // 2. in-bound: the guarded export equals the raw aggregation
+    val guarded = graft.api.GraftApi.groupConcatExport(orders,
+        "o_orderstatus", "o_orderkey", out = "orderkeys")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val raw = orders.groupBy(col("o_orderstatus"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(o_orderkey)), x -> cast(x as string))"),
+        ",").as("orderkeys"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(guarded == raw)
+    // 3. sharded face: concatenating each key's shards in shard order
+    // reproduces the unsharded string exactly; every non-final shard
+    // holds exactly rowsPerShard elements
+    val shards = graft.api.GraftApi.groupConcatExportSharded(orders,
+        "o_orderstatus", "o_orderkey", rowsPerShard = 100L, out = "orderkeys")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val reassembled = shards.groupBy(_._1).map { case (k, ss) =>
+      k -> ss.sortBy(_._2).map(_._3).mkString(",") }
+    assert(reassembled == raw,
+      s"keys=${reassembled.keySet} raw=${raw.keySet}")
+    shards.groupBy(_._1).foreach { case (k, ss) =>
+      val sizes = ss.sortBy(_._2).map(_._3.count(_ == ',') + 1)
+      assert(sizes.init.forall(_ == 100),
+        s"$k non-final shard sizes ${sizes.init.distinct.mkString(",")}")
+      assert(ss.map(_._2).sorted.toSeq == (0L until ss.length.toLong),
+        s"$k shard indexes not dense: ${ss.map(_._2).sorted.mkString(",")}")
+    }
+    // 4. duplicate elements across a shard boundary: output is the same
+    // multiset per shard regardless of which copy lands where
+    val dups = Seq.fill(7)(("A", 5L)).toDF("k", "v")
+    val dupShards = graft.api.GraftApi.groupConcatExportSharded(dups,
+        "k", "v", rowsPerShard = 3L)
+      .collect().map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(dupShards.toSeq == Seq((0L, "5,5,5"), (1L, "5,5,5"), (2L, "5")))
+    CacheRegistry.drain()
+  }
+
   test("rowLagsBlocks: sparse blocks, cross-block lags, and ties match the single window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -30,6 +30,38 @@ object Temporal {
     * per-row rescan; an inequality join would be quadratic in the hot
     * user's history at 100 TB.
     */
+  private def asofSimple(ev: org.apache.spark.sql.DataFrame) = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.api.GraftApi.asofJoin(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts", payload = "event_id")
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_id"))
+  }
+
+  private def asofBlocks(ev: org.apache.spark.sql.DataFrame) = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.api.GraftApi.asofJoinBlocks(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = "event_id", blockMs = 6L * 3600 * 1000)
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_id"))
+  }
+
+  /** As-of join: for every purchase event, the same user's most recent
+    * click at-or-before it — see [[asofSimple]] for the union-of-sides
+    * single-shuffle shape (no join, no per-row rescan).
+    *
+    * Registered default is skew-adaptive ([[graft.api.GraftApi
+    * .skewAdaptive]]): the probe reads the hottest user's row count over
+    * the whole log (both sides of the as-of come from it) and picks the
+    * single-pass carry (organic keys) or [[asofJoinBlocksOp]]'s
+    * boundary-merged block plan (×6.4 wall / task-skew 218 at skew-1000x
+    * for the simple form on a bot-grade key).
+    */
   val asofJoin: Op = Op(
     "q_asof_join",
     """SELECT p.event_id, p.user_id,
@@ -39,13 +71,10 @@ object Temporal {
       |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
       |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
   ) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts")
-    val clicks = ev.filter(col("event_type") === "click")
-    graft.api.GraftApi.asofJoin(purchases, clicks,
-        key = "user_id", leftTime = "ts", rightTime = "ts", payload = "event_id")
-      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_id"))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+      "user_id")(asofSimple)(asofBlocks)
   }
 
   /** Bounded range (interval) join: purchases within 30 minutes after a
@@ -127,8 +156,35 @@ object Temporal {
       windowMs = 30L * 60 * 1000, k = 4)
   }
 
+  private def leadLagSimple(ev: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(
+      col("event_id"), col("user_id"),
+      lag(col("event_id"), 1).over(w).as("prev_event_id"),
+      (unix_millis(col("ts").cast("timestamp")) -
+        unix_millis(lag(col("ts"), 1).over(w).cast("timestamp"))).as("gap_ms"),
+      lead(col("event_id"), 1).over(w).as("next_event_id"))
+  }
+
+  private def leadLagBlocksForm(ev: org.apache.spark.sql.DataFrame) = {
+    val lagged = graft.api.GraftApi.rowLagsBlocks(
+      ev.select(col("user_id"), col("ts"), col("event_id")),
+      "user_id", "ts", "event_id",
+      struct(col("event_id").as("eid"),
+        unix_millis(col("ts").cast("timestamp")).as("tms")),
+      depth = 1, leads = 1)
+    lagged.select(col("event_id"), col("user_id"),
+      col("lag_1.eid").as("prev_event_id"),
+      (col("value.tms") - col("lag_1.tms")).as("gap_ms"),
+      col("lead_1.eid").as("next_event_id"))
+  }
+
   /** lead/lag deltas (IncrementalResult's per-update delta view, batch
     * face): previous event id and millisecond gap per user timeline.
+    *
+    * Registered default is skew-adaptive (see [[asofJoin]]): past the
+    * hot-key bound the [[leadLagBlocks]] plan runs (simple form ×10.3
+    * wall / task-skew 395 at skew-1000x).
     */
   val leadLag: Op = Op(
     "q_lead_lag",
@@ -139,13 +195,10 @@ object Temporal {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   ) { (spark, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir).select(
-      col("event_id"), col("user_id"),
-      lag(col("event_id"), 1).over(w).as("prev_event_id"),
-      (unix_millis(col("ts").cast("timestamp")) -
-        unix_millis(lag(col("ts"), 1).over(w).cast("timestamp"))).as("gap_ms"),
-      lead(col("event_id"), 1).over(w).as("next_event_id"))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts")),
+      "user_id")(leadLagSimple)(leadLagBlocksForm)
   }
 
   /** Calendar-part extraction + per-month rollup: the date scalar surface
@@ -225,11 +278,35 @@ object Temporal {
         col("filled_value"))
   }
 
+  private def burstSimple(ev: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
+      .rangeBetween(-300L * 1000000L, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_5m"))
+      .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
+  }
+
+  private def burstBlocks(ev: org.apache.spark.sql.DataFrame) =
+    // blockUs = widthUs — width-sized blocks keep a hot key's per-
+    // partition sort depth at ~2 windows' rows (see the sliding twin)
+    graft.api.GraftApi.trailingRangeBlocks(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", lit(1L), widthUs = 300L * 1000000L,
+        blockUs = 300L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("range_n").as("n_5m"))
+      .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
+
   /** Burst detection (bot/scraper signal for training-data curation):
     * events per user in the trailing 5 minutes via a RANGE window over
     * integer micros — ties included by value, so no tiebreak is needed
     * for determinism — flagged when the trailing count exceeds the
     * threshold. One keyed window pass, integer arithmetic end to end.
+    *
+    * Registered default is skew-adaptive (see [[asofJoin]]): past the
+    * hot-key bound the [[burstDetectBlocks]] plan runs (simple form
+    * ×11.0 wall / task-skew 302 at skew-1000x — and a bot-grade key is
+    * exactly what this op exists to flag).
     */
   val burstDetect: Op = Op(
     "q_burst_detect",
@@ -241,12 +318,10 @@ object Temporal {
       |    THEN 1 ELSE 0 END AS BIGINT) AS burst
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_micros(col("ts").cast("timestamp")))
-      .rangeBetween(-300L * 1000000L, Window.currentRow)
-    Tables.events(spark, dir).select(col("event_id"), col("user_id"),
-        count(lit(1)).over(w).as("n_5m"))
-      .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts")),
+      "user_id")(burstSimple)(burstBlocks)
   }
 
   /** Ordered funnel conversion over the event log: per user — a view,
@@ -511,18 +586,7 @@ object Temporal {
   val leadLagBlocks: Op = Op(
     "q_lead_lag_blocks",
     leadLag.oracle.get,
-  ) { (spark, dir) =>
-    val lagged = graft.api.GraftApi.rowLagsBlocks(
-      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id")),
-      "user_id", "ts", "event_id",
-      struct(col("event_id").as("eid"),
-        unix_millis(col("ts").cast("timestamp")).as("tms")),
-      depth = 1, leads = 1)
-    lagged.select(col("event_id"), col("user_id"),
-      col("lag_1.eid").as("prev_event_id"),
-      (col("value.tms") - col("lag_1.tms")).as("gap_ms"),
-      col("lead_1.eid").as("next_event_id"))
-  }
+  ) { (spark, dir) => leadLagBlocksForm(Tables.events(spark, dir)) }
 
   /** [[burstDetect]]'s hot-key-safe twin: the trailing 5-minute RANGE
     * count through [[graft.api.GraftApi.trailingRangeBlocks]] — each row
@@ -534,16 +598,7 @@ object Temporal {
   val burstDetectBlocks: Op = Op(
     "q_burst_detect_blocks",
     burstDetect.oracle.get,
-  ) { (spark, dir) =>
-    // blockUs = widthUs — width-sized blocks keep a hot key's per-
-    // partition sort depth at ~2 windows' rows (see the sliding twin)
-    graft.api.GraftApi.trailingRangeBlocks(
-        Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts")),
-        "user_id", "ts", lit(1L), widthUs = 300L * 1000000L,
-        blockUs = 300L * 1000000L)
-      .select(col("event_id"), col("user_id"), col("range_n").as("n_5m"))
-      .withColumn("burst", when(col("n_5m") > 10, 1L).otherwise(0L))
-  }
+  ) { (spark, dir) => burstBlocks(Tables.events(spark, dir)) }
 
   /** [[asofJoin]]'s hot-key-safe twin via
     * [[graft.api.GraftApi.asofJoinBlocks]]: the union-of-sides carry-
@@ -555,16 +610,7 @@ object Temporal {
   val asofJoinBlocksOp: Op = Op(
     "q_asof_join_blocks",
     asofJoin.oracle.get,
-  ) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts")
-    val clicks = ev.filter(col("event_type") === "click")
-    graft.api.GraftApi.asofJoinBlocks(purchases, clicks,
-        key = "user_id", leftTime = "ts", rightTime = "ts",
-        payload = "event_id", blockMs = 6L * 3600 * 1000)
-      .select(col("event_id"), col("user_id"), col("asof_event_id").as("click_id"))
-  }
+  ) { (spark, dir) => asofBlocks(Tables.events(spark, dir)) }
 
   val ops: Seq[Op] =
     Seq(asofJoin, rangeJoin, rangeJoinCappedOp, leadLag, dateParts,

@@ -19,7 +19,33 @@ object WindowOps {
   private val byUserTime = Window.partitionBy(col("user_id"))
     .orderBy(col("ts"), col("event_id"))
 
-  /** Running per-user aggregate: rows-unbounded-preceding frame. */
+  private def runningSimple(ev: org.apache.spark.sql.DataFrame) =
+    ev.select(
+      col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(12,2)"))
+        .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_value"),
+      row_number().over(byUserTime).as("seq"))
+
+  private def runningBlocks(ev: org.apache.spark.sql.DataFrame) =
+    graft.api.GraftApi.runningSumBlocks(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(12,2)").as("v")),
+        "user_id", "ts", "event_id", col("v"))
+      .select(col("event_id"), col("user_id"),
+        col("running").cast("double").as("running_value"),
+        col("seq").cast("int").as("seq"))
+
+  /** Running per-user aggregate: rows-unbounded-preceding frame.
+    *
+    * The registered default is SKEW-ADAPTIVE ([[graft.api.GraftApi
+    * .skewAdaptive]]): one hottest-key count probe picks the single
+    * window (organic keys — no carry overhead) or [[windowRunningBlocks]]'s
+    * hot-key-safe plan (a bot-grade key past the bound would otherwise
+    * sort its whole history in one task: ×11.7 wall / task-skew 248 at
+    * skew-1000x). Both branches are result-identical; conf
+    * `graft.skewAdaptive.hotKeyBound` forces either.
+    */
   val windowRunning: Op = Op(
     "q_window_running",
     """SELECT event_id, user_id,
@@ -29,12 +55,10 @@ object WindowOps {
       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
-    Tables.events(spark, dir).select(
-      col("event_id"), col("user_id"),
-      sum(col("value").cast("decimal(12,2)"))
-        .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double").as("running_value"),
-      row_number().over(byUserTime).as("seq"))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "user_id")(runningSimple)(runningBlocks)
   }
 
   /** Per-key top-n via rank: row_number + filter. */
@@ -136,9 +160,40 @@ object WindowOps {
       .select("user_id", "event_id", "value")
   }
 
+  private def slidingSimple(ev: org.apache.spark.sql.DataFrame) = {
+    // Dataset window instead of a temp view + SQL string (session-global
+    // view registration races under concurrent queries). RANGE frame over
+    // unix_micros(ts) ≡ INTERVAL 10 MINUTES PRECEDING at the engines'
+    // shared micros precision, ties (equal ts) wholly included.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
+      .rangeBetween(-600L * 1000000L, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(12,2)")).over(w)
+        .cast("double").as("sum_10m"))
+  }
+
+  private def slidingBlocks(ev: org.apache.spark.sql.DataFrame) =
+    // blockUs = widthUs (the legal minimum): per-partition sort depth is
+    // ~2 windows' rows — the knob that keeps a 900×-dense hot key's
+    // (key, block) sorts shallow (1h blocks measured ~2× uniform cpu at
+    // skew-1000x from sort depth alone; width-sized blocks erase it)
+    graft.api.GraftApi.trailingRangeBlocks(
+        ev.select(col("event_id"), col("user_id"),
+          col("ts"), col("value").cast("decimal(12,2)").as("v")),
+        "user_id", "ts", col("v"), widthUs = 600L * 1000000L,
+        blockUs = 600L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("range_sum").cast("double").as("sum_10m"))
+
   /** Sliding event-time window: RANGE frame over the timestamp — frame
     * membership is defined by ts VALUES (ties wholly included), so the
     * result is deterministic without a tiebreak; sums stay decimal.
+    *
+    * Registered default is skew-adaptive (see [[windowRunning]]): the
+    * simple RANGE window was the worst straggler of the six (×20.8 wall /
+    * task-skew 579 at skew-1000x); past the hot-key bound the
+    * [[slidingWindowBlocks]] plan runs instead.
     */
   val slidingWindow: Op = Op(
     "q_window_sliding",
@@ -149,16 +204,10 @@ object WindowOps {
       |    AS DOUBLE) AS sum_10m
       |FROM events""".stripMargin,
   ) { (spark, dir) =>
-    // Dataset window instead of a temp view + SQL string (session-global
-    // view registration races under concurrent queries). RANGE frame over
-    // unix_micros(ts) ≡ INTERVAL 10 MINUTES PRECEDING at the engines'
-    // shared micros precision, ties (equal ts) wholly included.
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_micros(col("ts").cast("timestamp")))
-      .rangeBetween(-600L * 1000000L, Window.currentRow)
-    Tables.events(spark, dir).select(col("event_id"), col("user_id"),
-      sum(col("value").cast("decimal(12,2)")).over(w)
-        .cast("double").as("sum_10m"))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "user_id")(slidingSimple)(slidingBlocks)
   }
 
   /** PIVOT to wide schema: per-user event-type value sums as columns —
@@ -225,9 +274,37 @@ object WindowOps {
         expr("percentile(l_quantity, 0.95)").as("p95_qty"))
   }
 
+  private def ntileSimple(ev: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    ev.select(
+      col("event_id"), col("user_id"),
+      ntile(4).over(w).as("quartile"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  private def ntileBlocks(ev: org.apache.spark.sql.DataFrame) = {
+    val ranked = graft.api.GraftApi.valueRankBlocks(
+      ev.select(col("event_id"), col("user_id"), col("value")),
+      "user_id", "value", "event_id")
+    val r = col("key_rank")
+    val bigBuckets = (expr("key_n div 4") + 1) * pmod(col("key_n"), lit(4L))
+    val quartile = when(r <= bigBuckets,
+        expr("(key_rank - 1) div (key_n div 4 + 1) + 1"))
+      .otherwise(pmod(col("key_n"), lit(4L)) +
+        expr("(key_rank - (key_n div 4 + 1) * (key_n % 4) - 1) div (key_n div 4) + 1"))
+    ranked.select(col("event_id"), col("user_id"),
+      quartile.cast("int").as("quartile"),
+      (r.cast("double") / col("key_n").cast("double")).as("cdist"))
+  }
+
   /** Distribution-position window functions: ntile buckets + cumulative
     * distribution, deterministic because the ordering (value, event_id)
     * is total.
+    *
+    * Registered default is skew-adaptive (see [[windowRunning]]): the
+    * per-key value sort measured ×18.9 wall / task-skew 870 at
+    * skew-1000x; past the hot-key bound the [[windowNtileBlocks]]
+    * value-range-bin plan runs instead.
     */
   val windowNtile: Op = Op(
     "q_window_ntile",
@@ -237,11 +314,10 @@ object WindowOps {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)""".stripMargin,
   ) { (spark, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir).select(
-      col("event_id"), col("user_id"),
-      ntile(4).over(w).as("quartile"),
-      cume_dist().over(w).as("cdist"))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value")),
+      "user_id")(ntileSimple)(ntileBlocks)
   }
 
   /** Pearson correlation decomposed into EXACT integer sums — the
@@ -300,15 +376,7 @@ object WindowOps {
   val windowRunningBlocks: Op = Op(
     "q_window_running_blocks",
     windowRunning.oracle.get,
-  ) { (spark, dir) =>
-    graft.api.GraftApi.runningSumBlocks(
-        Tables.events(spark, dir).select(col("user_id"), col("ts"),
-          col("event_id"), col("value").cast("decimal(12,2)").as("v")),
-        "user_id", "ts", "event_id", col("v"))
-      .select(col("event_id"), col("user_id"),
-        col("running").cast("double").as("running_value"),
-        col("seq").cast("int").as("seq"))
-  }
+  ) { (spark, dir) => runningBlocks(Tables.events(spark, dir)) }
 
   /** [[slidingWindow]]'s hot-key-safe twin via
     * [[graft.api.GraftApi.trailingRangeBlocks]]: with block ≥ window
@@ -321,19 +389,7 @@ object WindowOps {
   val slidingWindowBlocks: Op = Op(
     "q_window_sliding_blocks",
     slidingWindow.oracle.get,
-  ) { (spark, dir) =>
-    // blockUs = widthUs (the legal minimum): per-partition sort depth is
-    // ~2 windows' rows — the knob that keeps a 900×-dense hot key's
-    // (key, block) sorts shallow (1h blocks measured ~2× uniform cpu at
-    // skew-1000x from sort depth alone; width-sized blocks erase it)
-    graft.api.GraftApi.trailingRangeBlocks(
-        Tables.events(spark, dir).select(col("event_id"), col("user_id"),
-          col("ts"), col("value").cast("decimal(12,2)").as("v")),
-        "user_id", "ts", col("v"), widthUs = 600L * 1000000L,
-        blockUs = 600L * 1000000L)
-      .select(col("event_id"), col("user_id"),
-        col("range_sum").cast("double").as("sum_10m"))
-  }
+  ) { (spark, dir) => slidingBlocks(Tables.events(spark, dir)) }
 
   /** [[windowNtile]]'s hot-key-safe twin via
     * [[graft.api.GraftApi.valueRankBlocks]]: NTILE and CUME_DIST are pure
@@ -348,21 +404,7 @@ object WindowOps {
   val windowNtileBlocks: Op = Op(
     "q_window_ntile_blocks",
     windowNtile.oracle.get,
-  ) { (spark, dir) =>
-    val ranked = graft.api.GraftApi.valueRankBlocks(
-      Tables.events(spark, dir).select(col("event_id"), col("user_id"),
-        col("value")),
-      "user_id", "value", "event_id")
-    val r = col("key_rank")
-    val bigBuckets = (expr("key_n div 4") + 1) * pmod(col("key_n"), lit(4L))
-    val quartile = when(r <= bigBuckets,
-        expr("(key_rank - 1) div (key_n div 4 + 1) + 1"))
-      .otherwise(pmod(col("key_n"), lit(4L)) +
-        expr("(key_rank - (key_n div 4 + 1) * (key_n % 4) - 1) div (key_n div 4) + 1"))
-    ranked.select(col("event_id"), col("user_id"),
-      quartile.cast("int").as("quartile"),
-      (r.cast("double") / col("key_n").cast("double")).as("cdist"))
-  }
+  ) { (spark, dir) => ntileBlocks(Tables.events(spark, dir)) }
 
   val ops: Seq[Op] =
     Seq(windowRunning, windowRank, tumblingWindow, sessionize,

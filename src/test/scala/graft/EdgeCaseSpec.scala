@@ -734,6 +734,32 @@ class EdgeCaseSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("the six skew-adaptive registry keys produce identical results on both branches") {
+    // r9 verdict item 2: skewAdaptive existed but nothing routed through
+    // it. The six simple window keys now dispatch; this pins, PER KEY,
+    // that the forced-blocks branch (bound 0) equals the forced-simple
+    // branch (bound huge) — i.e. a user hitting the hot-key bound gets
+    // the scale-safe plan with bit-identical output.
+    val keys = Seq("q_window_running", "q_window_sliding", "q_window_ntile",
+      "q_asof_join", "q_lead_lag", "q_burst_detect")
+    def rows(name: String): Set[String] = {
+      val df = SparkEntry.queries(name)(spark, sfTiny)
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    }
+    keys.foreach { k =>
+      spark.conf.set("graft.skewAdaptive.hotKeyBound", Long.MaxValue.toString)
+      val simple = try rows(k)
+        finally spark.conf.unset("graft.skewAdaptive.hotKeyBound")
+      spark.conf.set("graft.skewAdaptive.hotKeyBound", "0")
+      val blocks = try rows(k)
+        finally spark.conf.unset("graft.skewAdaptive.hotKeyBound")
+      assert(simple == blocks,
+        s"$k: ${(simple -- blocks).take(3)} vs ${(blocks -- simple).take(3)}")
+      assert(simple.nonEmpty, s"$k produced no rows")
+      CacheRegistry.drain()
+    }
+  }
+
   test("groupConcatExport guard trips past the bound; sharded face reassembles exactly") {
     import spark.implicits._
     val orders = Tables.orders(spark, sfTiny)

@@ -129,6 +129,17 @@ object GraftSession {
       // shingle-df aggregations tip into sort mode, which is their
       // pre-threshold behavior and linear-measured at 300x.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // Cached plans report their partitioning: since 3.5 Spark runs AQE
+      // inside cached plans by default, which makes InMemoryTableScan
+      // report UnknownPartitioning — every co-partitioned consumer of a
+      // persisted keyed frame (dedup_substring's gram postings; the
+      // sketch tables feeding keyed joins) then pays a REDUNDANT
+      // re-exchange of data that is already hash-placed. This library
+      // sizes partitions itself (partitionsFor), so AQE-in-cache buys
+      // nothing here and the preserved HashPartitioning removes whole
+      // shuffles.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Naive (un-annotated) parquet timestamps read as TIMESTAMP in the
       // UTC session, not TIMESTAMP_NTZ: epoch arithmetic (unix_micros /

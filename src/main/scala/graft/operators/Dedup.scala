@@ -557,12 +557,12 @@ object Dedup {
     *
     * Scale shape — three KEYED shuffles of strictly shrinking data, no
     * posting lists, no joins back to the corpus:
-    *   1. (gram, doc_id) partial-count: map-side combine collapses
-    *      within-doc repeats before the exchange;
-    *   2. gram-keyed window sums local counts into the global occurrence
-    *      count (uniformly distributed key — a hot boilerplate gram
-    *      concentrates into ONE long-sum group, never a list);
-    *   3. doc_id-keyed rollup of span/duplicate counts.
+    *   1. gram-keyed hash aggregate counts global occurrences per gram
+    *      (uniformly distributed key — a hot boilerplate gram
+    *      concentrates into ONE long counter, never a list or a wide
+    *      map), joined back to the position stream over the SAME
+    *      partitioning;
+    *   2. doc_id-keyed rollup of span/duplicate counts.
     * Every aggregate is a long count — bit-exact across engines and
     * parallelism, so the score (one final double division) oracles
     * exactly.
@@ -583,37 +583,65 @@ object Dedup {
       |    / SUM(n_local) AS dup_frac
       |FROM y GROUP BY doc_id""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val pos = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val pos = docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
-    // ONE gram exchange, not two: hash-partitioning on g alone satisfies
-    // BOTH the (g, doc_id) aggregation's clustering AND the window's
-    // partitionBy(g), so the explicit repartition(g) replaces the plan
-    // Catalyst would pick (exchange on (g, doc_id) for the agg, then a
-    // SECOND full string exchange on g for the window). The traded-away
-    // map-side partial agg is worthless here — (g, doc_id) pairs are
-    // near-unique (a gram rarely repeats within one doc), so the partial
-    // collapsed ~nothing while the extra exchange shipped every posting
-    // again. Measured at uniform-1000x: 4621 → 2452 cpu-s, 167 → 93 s
-    // wall (the registry's priciest op, cut ~47%); the reduce-side sort
-    // now spills what the dropped exchange used to absorb (~6 GB at
-    // 1000x) — a fair trade at half the cpu. The deeper map-side
-    // singleton-kill the long tail invites is NOT implementable exactly:
-    // a "seen twice" structure over ~1e9 distinct grams exceeds any
-    // broadcast/literal budget, and a count-min stand-in over-keeps at
-    // precisely the scales where it would matter.
-    val local = pos.repartition(col("g"))
-      .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
-    val scored = local.withColumn("n_total",
-      sum(col("n_local")).over(Window.partitionBy(col("g"))))
-    val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
+    // ONE gram exchange: hash-partitioning on g satisfies BOTH the
+    // per-gram totals aggregation and the totals join-back, so one
+    // explicit repartition(g) serves both and is read twice (one
+    // physical shuffle via exchange reuse). No per-(g, doc_id)
+    // intermediate and no gram-partitioned WINDOW: the r9 window form
+    // (sum OVER partition by g) force-sorted every posting row within
+    // each partition (~6 GB reduce-side sort spill at 1000x, at any
+    // heap the sweep runs with), and an (g, doc_id) pre-count keeps a
+    // hash map as wide as the partition's posting rows — under Zipf
+    // skew a hot boilerplate gram means millions of distinct doc_ids in
+    // ONE task's map, the same spill by another name. groupBy(g).count
+    // is the shape that collapses: a hot gram is ONE long counter, and
+    // n_spans/n_dup are plain position counts per doc, so nothing wider
+    // than (distinct grams per partition) is ever held. The join-back
+    // probes the counted grams over the same partitioning — both
+    // children carry HashPartitioning(g), so the join adds NO exchange
+    // and NO sort (the hint pins shuffled-hash against the planner's
+    // sort-merge preference; build side = one row per distinct gram).
+    //
+    // The exchange is DATA-SIZED, not session-sized: posting rows are
+    // ~avg-words× the document count (an explode), so inheriting
+    // spark.sql.shuffle.partitions lets per-partition agg/build state
+    // grow with corpus size until it tips into sort-fallback spill. One
+    // column-pruned length scan estimates posting rows (bytes/5 ≈ words
+    // ≥ grams — deliberate over-count for headroom) without paying the
+    // split. The deeper map-side singleton-kill the long tail invites
+    // is NOT implementable exactly: a "seen twice" structure over ~1e9
+    // distinct grams exceeds any broadcast/literal budget, and a
+    // count-min stand-in over-keeps at precisely the scales where it
+    // would matter.
+    val postEst = Option(docs.agg(
+        sum((length(col("text")) / lit(5)).cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val parts = graft.api.GraftApi.partitionsFor(spark, postEst)
+    // The exchanged postings are PERSISTED, not re-derived per consumer:
+    // exchange reuse cannot carry this plan — the totals consumer prunes
+    // doc_id from its scan (ReadSchema struct<text> vs
+    // struct<doc_id,text>), the two gram exchanges stop being canonically
+    // equal, and AQE's stage cache builds the explode+shuffle map side
+    // TWICE (measured as two ~2000 cpu-s stages; keeping doc_id
+    // referenced via count(coalesce(doc_id, 0)) folds back to count(1)
+    // under the non-nullable scan schema, so the pruning can't be
+    // blocked declaratively). The cached block is post-shuffle columnar —
+    // highly repetitive gram strings dictionary-compress — and preserves
+    // HashPartitioning(g), so both consumers read it co-partitioned.
+    val keyed = graft.CacheRegistry.track(pos.repartition(parts, col("g")))
+    val totals = keyed.groupBy("g").agg(count(lit(1)).as("n_total"))
+    val scored = keyed.join(totals.hint("SHUFFLE_HASH"), Seq("g"))
+    val dup = when(col("n_total") >= 2, lit(1L)).otherwise(lit(0L))
     scored.groupBy("doc_id").agg(
-      sum(col("n_local")).cast("long").as("n_spans"),
-      sum(dupLocal).cast("long").as("n_dup"),
-      (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
+      count(lit(1)).cast("long").as("n_spans"),
+      sum(dup).cast("long").as("n_dup"),
+      (sum(dup).cast("double") / count(lit(1))).as("dup_frac"))
   }
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta

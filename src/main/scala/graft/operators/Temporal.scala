@@ -397,6 +397,10 @@ object Temporal {
     * (user, time)-keyed window pass — a single keyed shuffle, each
     * partition sorted once, O(1) state per row; no self-join, no
     * per-row frame re-scan.
+    *
+    * Registered default is skew-adaptive (see [[asofJoin]]): past the
+    * hot-key bound the [[windowEwmaBlocks]] plan runs (the simple form
+    * measured 236 s / one 527x straggler task at skew-1000x).
     */
   val windowEwma: Op = Op(
     "q_window_ewma",
@@ -432,18 +436,25 @@ object Temporal {
       |  (SELECT 1000000 AS w0, 750000 AS w1, 562500 AS w2, 421875 AS w3,
       |          316406 AS w4, 237305 AS w5, 177979 AS w6, 133484 AS w7)""".stripMargin,
   ) { (spark, dir) =>
-    // round(10^6 · 0.75^d), d = 0..7 — fixed literals, same in the oracle
-    val weights = Seq(1000000L, 750000L, 562500L, 421875L,
-      316406L, 237305L, 177979L, 133484L)
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "user_id")(ewmaSimple)(ewmaBlocksForm)
+  }
+
+  // round(10^6 · 0.75^d), d = 0..7 — fixed literals, same in the oracle
+  private val ewmaWeights = Seq(1000000L, 750000L, 562500L, 421875L,
+    316406L, 237305L, 177979L, 133484L)
+
+  private def ewmaSimple(ev: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val x = floor(col("value") * 1000).cast("long")
-    val lags = weights.indices.map(d => if (d == 0) x else lag(x, d).over(w))
-    val num = lags.zip(weights).map { case (l, wt) =>
+    val lags = ewmaWeights.indices.map(d => if (d == 0) x else lag(x, d).over(w))
+    val num = lags.zip(ewmaWeights).map { case (l, wt) =>
       when(l.isNull, 0L).otherwise(l * wt) }.reduce(_ + _)
-    val den = lags.zip(weights).map { case (l, wt) =>
+    val den = lags.zip(ewmaWeights).map { case (l, wt) =>
       when(l.isNull, 0L).otherwise(wt) }.reduce(_ + _)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), x.as("x_milli"),
+    ev.select(col("event_id"), col("user_id"), x.as("x_milli"),
         num.as("num"), den.as("den"))
       // SQL `div` is exact integer division — Column `/` would round-trip
       // through a double whose nearest-representable rounding can cross
@@ -452,6 +463,23 @@ object Temporal {
       // den = 0 — under ANSI a bare div would throw mid-scan; the defined
       // answer is a null EWMA (no observations to smooth), same NULLIF in
       // the oracle.
+      .select(col("event_id"), col("user_id"), col("x_milli"),
+        expr("num div nullif(den, 0)").as("ewma_milli"))
+  }
+
+  private def ewmaBlocksForm(ev: org.apache.spark.sql.DataFrame) = {
+    val x = floor(col("value") * 1000).cast("long")
+    val lagged = graft.api.GraftApi.rowLagsBlocks(
+      ev.select(col("user_id"), col("ts"), col("event_id"), x.as("xm")),
+      "user_id", "ts", "event_id", col("xm"), depth = 7)
+    val lags = col("value") +: (1 to 7).map(d => col(s"lag_$d"))
+    val num = lags.zip(ewmaWeights).map { case (l, wt) =>
+      when(l.isNull, 0L).otherwise(l * wt) }.reduce(_ + _)
+    val den = lags.zip(ewmaWeights).map { case (l, wt) =>
+      when(l.isNull, 0L).otherwise(wt) }.reduce(_ + _)
+    lagged
+      .select(col("event_id"), col("user_id"), col("value").as("x_milli"),
+        num.as("num"), den.as("den"))
       .select(col("event_id"), col("user_id"), col("x_milli"),
         expr("num div nullif(den, 0)").as("ewma_milli"))
   }
@@ -515,25 +543,7 @@ object Temporal {
   val windowEwmaBlocks: Op = Op(
     "q_window_ewma_blocks",
     windowEwma.oracle.get,
-  ) { (spark, dir) =>
-    val weights = Seq(1000000L, 750000L, 562500L, 421875L,
-      316406L, 237305L, 177979L, 133484L)
-    val x = floor(col("value") * 1000).cast("long")
-    val lagged = graft.api.GraftApi.rowLagsBlocks(
-      Tables.events(spark, dir).select(col("user_id"), col("ts"),
-        col("event_id"), x.as("xm")),
-      "user_id", "ts", "event_id", col("xm"), depth = 7)
-    val lags = col("value") +: (1 to 7).map(d => col(s"lag_$d"))
-    val num = lags.zip(weights).map { case (l, wt) =>
-      when(l.isNull, 0L).otherwise(l * wt) }.reduce(_ + _)
-    val den = lags.zip(weights).map { case (l, wt) =>
-      when(l.isNull, 0L).otherwise(wt) }.reduce(_ + _)
-    lagged
-      .select(col("event_id"), col("user_id"), col("value").as("x_milli"),
-        num.as("num"), den.as("den"))
-      .select(col("event_id"), col("user_id"), col("x_milli"),
-        expr("num div nullif(den, 0)").as("ewma_milli"))
-  }
+  ) { (spark, dir) => ewmaBlocksForm(Tables.events(spark, dir)) }
 
   /** [[anomalyZscore]]'s hot-key-safe twin: the trailing-8 window sums
     * (s1, s2, n) are algebra over the exact lag-1..7 values the

@@ -94,9 +94,29 @@ object WindowOps {
         col("n"), col("sum_value"))
   }
 
+  private def sessionizeSimple(ev: org.apache.spark.sql.DataFrame) =
+    graft.api.GraftApi.sessionize(ev,
+        key = "user_id", time = "ts", tiebreak = "event_id", gapMs = 30L * 60 * 1000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+
+  private def sessionizeBlocksForm(ev: org.apache.spark.sql.DataFrame) =
+    graft.api.GraftApi.sessionizeBlocks(ev,
+        key = "user_id", time = "ts", tiebreak = "event_id",
+        gapMs = 30L * 60 * 1000, blockMs = 6L * 3600 * 1000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+
   /** Gap-based sessionization in batch: lag → new-session flag → running
     * sum as session id → per-session aggregate. (Streaming variant uses
     * session_window/flatMapGroupsWithState — see graft.streaming.)
+    *
+    * Registered default is skew-adaptive (see [[windowRunning]]): the
+    * single-window form measured 162.7 s at skew-1000x against the block
+    * form's ~17 s; past the hot-key bound [[sessionizeBlocksOp]]'s
+    * (user, 6h-block) plan runs instead.
     */
   val sessionize: Op = Op(
     "q_sessionize",
@@ -116,11 +136,9 @@ object WindowOps {
       |  COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM sessions GROUP BY user_id, session_id""".stripMargin,
   ) { (spark, dir) =>
-    graft.api.GraftApi.sessionize(Tables.events(spark, dir),
-        key = "user_id", time = "ts", tiebreak = "event_id", gapMs = 30L * 60 * 1000)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id")),
+      "user_id")(sessionizeSimple)(sessionizeBlocksForm)
   }
 
   /** Same semantics (and the same oracle) as [[sessionize]], executed by
@@ -135,12 +153,8 @@ object WindowOps {
     "q_sessionize_blocks",
     sessionize.oracle.get,
   ) { (spark, dir) =>
-    graft.api.GraftApi.sessionizeBlocks(Tables.events(spark, dir),
-        key = "user_id", time = "ts", tiebreak = "event_id",
-        gapMs = 30L * 60 * 1000, blockMs = 6L * 3600 * 1000)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+    sessionizeBlocksForm(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id")))
   }
 
   /** Same semantics as q_window_rank but executed by the custom

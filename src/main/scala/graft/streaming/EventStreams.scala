@@ -620,4 +620,106 @@ object EventStreams {
           out.iterator
       }
   }
+
+  case class SlideState(win: List[(Long, Option[Long])])
+  case class SlideOut(user_id: Long, event_id: Long, sum_10m: Option[Double])
+
+  /** Streaming face of q_window_sliding (operators/WindowOps.scala): the
+    * trailing 10-minute RANGE sum per user as per-key GroupState — the
+    * window's (micros, cents) entries ride in state and are evicted as
+    * event time advances, so state is O(events-in-window) by semantics
+    * (the same bound the trailingRangeBlocks batch twin pays per task).
+    * Values scale to exact cents with the decimal(12,2) cast's HALF_UP
+    * rounding ([[runningStream]]'s convention); a null value occupies
+    * its window slot but contributes nothing, and an all-null window
+    * sums to null (the window-SUM convention). RANGE-frame ties follow
+    * [[burstStream]]: same-microsecond events are one group and each
+    * member reports the whole group's sum, so stream ≡ batch under the
+    * arrival-order contract's tie clause. Together with the
+    * q_window_sliding_blocks batch twin this completes the family
+    * triad: simple window, hot-key-safe batch, online serving.
+    */
+  def slidingStream(events: Dataset[ValEvent],
+      windowUs: Long = 600L * 1000000L): Dataset[SlideOut] = {
+    import events.sparkSession.implicits._
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SlideState, SlideOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ValEvent], state: GroupState[SlideState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var win = state.getOption.map(_.win).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SlideOut]
+          val byUs = sorted.groupBy(e => usOf(e.ts)).toSeq.sortBy(_._1)
+          byUs.foreach { case (us, group) =>
+            val entries = group.map { e =>
+              (us, e.value.map(v => java.math.BigDecimal.valueOf(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()))
+            }
+            win = (win ++ entries).filter(_._1 >= us - windowUs)
+            val defined = win.iterator.flatMap(_._2).toList
+            val sum = if (defined.isEmpty) None
+              else Some(java.math.BigDecimal
+                .valueOf(defined.sum, 2).doubleValue())
+            group.foreach(e => out += SlideOut(user, e.event_id, sum))
+          }
+          state.update(SlideState(win))
+          out.iterator
+      }
+  }
+
+  case class TypedEvent(ts: Timestamp, user_id: Long, event_id: Long,
+      event_type: String)
+  case class AsofState(tMs: Long, tNs: Int, clickId: Long)
+  case class AsofOut(event_id: Long, user_id: Long, click_id: Option[Long])
+
+  /** Streaming face of q_asof_join (operators/Temporal.scala): every
+    * arriving purchase is answered with the same user's most recent
+    * click at-or-before it. State is O(1) per key — just the winning
+    * (time, payload) so far — which is the whole point of the as-of
+    * shape online: the batch op's union-and-carry becomes "keep the
+    * max". Tie semantics replicate the batch ORDER BY (_t, _side, _p):
+    * a click at the purchase's exact timestamp IS eligible (side 0
+    * sorts before side 1), and among equal-time clicks the larger
+    * payload wins — so intra-batch processing orders clicks before
+    * purchases at the same instant, and a micro-batch boundary must
+    * not split a per-key same-timestamp click/purchase pair (the
+    * arrival-order contract's tie clause). Together with the
+    * q_asof_join_blocks batch twin this completes the family triad.
+    */
+  def asofStream(events: Dataset[TypedEvent]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[AsofState]) =>
+          // (_t, _side, _p): clicks (side 0) precede purchases at equal
+          // time; equal-time clicks apply in ascending payload order so
+          // the larger id ends up winning, exactly the batch last()
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos,
+            if (e.event_type == "click") 0 else 1, e.event_id))
+          var best = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          sorted.foreach { e =>
+            if (e.event_type == "click") {
+              val ord = Ordering[(Long, Int, Long)]
+              val better = best.forall(b => ord.gt(
+                (e.ts.getTime, e.ts.getNanos, e.event_id),
+                (b.tMs, b.tNs, b.clickId)))
+              if (better) best = Some(AsofState(e.ts.getTime, e.ts.getNanos,
+                e.event_id))
+            } else {
+              out += AsofOut(e.event_id, user, best.map(_.clickId))
+            }
+          }
+          best.foreach(state.update)
+          out.iterator
+      }
+  }
 }

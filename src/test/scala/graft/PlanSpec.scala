@@ -275,14 +275,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition window:\n$p")
   }
 
-  test("substring dedup: keyed shuffles only, partial agg before the gram exchange, no joins") {
+  test("substring dedup: co-partitioned hash shapes only — no sort, no window, no SMJ") {
     val p = plan(graft.operators.Dedup.substring)
-    // the (gram, doc_id) count must partial-aggregate map-side so
-    // within-doc repeats collapse BEFORE the exchange
-    assert(p.contains("partial_count") || p.contains("partial"), p)
-    assert(p.contains("Window"), p)
+    // r10 shape: per-gram totals via groupBy(g).count (a hot gram is ONE
+    // counter) joined back to the position stream over the SAME g
+    // partitioning — shuffled-hash, never sort-merge (which would
+    // re-sort every posting row: the spill the rewrite removes), and no
+    // gram-partitioned Window (the r9 full-partition sort)
+    assert(p.contains("ShuffledHashJoin"), s"totals join-back must be SHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ re-sorts the postings:\n$p")
+    assert(!p.contains("Window"), s"gram window sorts every posting:\n$p")
+    assert(!p.contains("Sort "), s"no stage may sort posting rows:\n$p")
     assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
-    assert(!p.contains("Join"), s"substring dedup must not join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

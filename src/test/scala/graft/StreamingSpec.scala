@@ -851,6 +851,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStream equals batch q_window_sliding on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{ValEvent, SlideOut}
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
+        col("value"))
+      .as[(Timestamp, Long, Long, Option[Double])].collect()
+      .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
+      .map { case (t, u, e, v) => ValEvent(t, u, e, v) }
+    // RANGE ties: don't split a per-key same-microsecond group across
+    // the micro-batch boundary (the burstStream clause)
+    def us(t: Timestamp) = Math.floorDiv(t.getTime, 1000L) * 1000000L +
+      t.getNanos / 1000L
+    var cut = evRows.length / 2
+    while (cut < evRows.length && cut > 0 &&
+      evRows(cut - 1).user_id == evRows(cut).user_id &&
+      us(evRows(cut - 1).ts) == us(evRows(cut).ts)) cut += 1
+    val input = MemoryStream[ValEvent]
+    val q = EventStreams.slidingStream(input.toDS())
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = evRows.splitAt(cut)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("slide_out").as[SlideOut].collect()
+        .map(r => r.event_id -> r.sum_10m).toMap
+      val want = graft.operators.WindowOps.slidingWindow.fn(spark, sfTiny)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> optD(r, "sum_10m")).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("asofStream equals batch q_asof_join on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams.{TypedEvent, AsofOut}
+    val evRows = Tables.events(spark, sfTiny)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_id"),
+        col("event_type"))
+      .as[(Timestamp, Long, Long, String)].collect()
+      .sortBy(r => (r._1.getTime, r._1.getNanos, r._3))
+      .map { case (t, u, e, ty) => TypedEvent(t, u, e, ty) }
+    // as-of ties: a click at a purchase's exact timestamp is eligible,
+    // so the boundary must not split a per-key same-timestamp run
+    var cut = evRows.length / 2
+    while (cut < evRows.length && cut > 0 &&
+      evRows(cut - 1).user_id == evRows(cut).user_id &&
+      evRows(cut - 1).ts.getTime == evRows(cut).ts.getTime &&
+      evRows(cut - 1).ts.getNanos == evRows(cut).ts.getNanos) cut += 1
+    val input = MemoryStream[TypedEvent]
+    val q = EventStreams.asofStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = evRows.splitAt(cut)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("asof_out").as[AsofOut].collect()
+        .map(r => r.event_id -> r.click_id).toMap
+      val want = graft.operators.Temporal.asofJoin.fn(spark, sfTiny)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> optL(r, "click_id")).toMap
+      assert(want.nonEmpty && want.values.exists(_.isDefined),
+        "batch must resolve some as-of clicks for the spec to bite")
+      assert(want.values.exists(_.isEmpty),
+        "batch must leave some purchases clickless for the spec to bite")
+      assert(got == want,
+        s"stream-only=${(got.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("ewmaStream equals both batch faces on NEGATIVE values (division rounding)") {
     // ADVICE r8: Math.floorDiv (floor) vs Spark `div` (truncate toward
     // zero) differ by exactly 1 whenever num is negative and not a
@@ -965,6 +1045,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("event_id") ->
         ((r.getAs[Long]("n_5m"), r.getAs[Long]("burst")))).toMap
     assert(gotBurst == wantBurst, s"burst: got=$gotBurst want=$wantBurst")
+
+    val gotSlide = run("null_slide_out",
+        (d: org.apache.spark.sql.Dataset[ValEvent]) => EventStreams.slidingStream(d))
+      .map(r => r.event_id -> r.sum_10m).toMap
+    val wantSlide = graft.operators.WindowOps.slidingWindow.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> optD(r, "sum_10m")).toMap
+    assert(wantSlide.values.exists(_.isEmpty),
+      "corpus must produce an all-null window sum for the spec to bite")
+    assert(gotSlide == wantSlide, s"sliding: got=$gotSlide want=$wantSlide")
   }
 
   test("streaming KNN classify equals batch knnClassify") {

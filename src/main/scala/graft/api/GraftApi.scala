@@ -736,14 +736,64 @@ object GraftApi {
     }
   }
 
+  /** One-row hottest-key stats sliver: (hottest, rows, keys) for `key`
+    * over `df` — the table property [[skewAdaptive]] dispatches on,
+    * factored out so a pipeline computes it ONCE (and persists it next
+    * to the data, the ANN stats-table discipline) instead of paying a
+    * keyed-count scan per dispatched query. Null keys form their own
+    * group, matching the dispatcher's hot-key semantics.
+    */
+  def hotKeyStats(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("hottest"),
+        coalesce(sum(col("c")), lit(0L)).as("rows"),
+        count(lit(1)).as("keys"))
+
+  /** Session memo for [[skewAdaptive]]'s probe: (source files, key) →
+    * hottest count. The hottest-key count is a property of the TABLE,
+    * not the query, so six registry ops dispatching on the same events
+    * table share one probe per session instead of six full scans.
+    * Fingerprinting by `df.inputFiles` assumes the standard immutable-
+    * parquet contract; a filtered projection of a table memoizes the
+    * TABLE-level count — an upper bound, so the dispatch can only err
+    * toward the always-safe blocks branch.
+    */
+  private val keyStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  /** Inline probes actually paid (spec hook: the memo path must not
+    * rescan). */
+  private[graft] val keyStatsProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def keyStatsMemoClear(): Unit = keyStatsMemo.clear()
+
+  private def hottestOf(df: DataFrame, key: String): Long = {
+    keyStatsProbes.incrementAndGet()
+    val r = hotKeyStats(df, key).head()
+    r.getLong(0)
+  }
+
   /** Skew-adaptive formulation dispatch — the [[adaptiveBroadcast]]
-    * pattern applied to the simple/blocks window pairs: ONE cheap
-    * keyed-count probe (the indexBy stats shape — a count aggregate, no
-    * data collect) reads the hottest key's row count; at or below
-    * `hotKeyBound` the plain single-window formulation runs (fewer
-    * shuffles — the right plan on organic key distributions), above it
-    * the hot-key-safe blocks formulation (bounded tasks — the right plan
-    * when one bot-grade key holds a history no single task should sort).
+    * pattern applied to the simple/blocks window pairs: the hottest
+    * key's row count picks the plan; at or below `hotKeyBound` the plain
+    * single-window formulation runs (fewer shuffles — the right plan on
+    * organic key distributions), above it the hot-key-safe blocks
+    * formulation (bounded tasks — the right plan when one bot-grade key
+    * holds a history no single task should sort).
+    *
+    * The count comes from a per-(source files, key) session memo — the
+    * probe scan is paid ONCE per table, not per query, and nothing is
+    * persisted for scan-rooted inputs (at 100 TB the input does not fit
+    * in cache; the chosen branch re-reads the scan, which is what a
+    * second query over the table would do anyway). A caller holding a
+    * PRECOMPUTED stats sliver (from [[hotKeyStats]], possibly read back
+    * from a persisted stats table) should pass it through
+    * [[skewAdaptiveWithStats]] — the dispatcher then reads one field and
+    * never scans. Only a DERIVED input (no source files to fingerprint —
+    * an in-memory or shuffled intermediate) falls back to the inline
+    * probe over a [[graft.CacheRegistry]]-persisted copy: there the
+    * probe's pass would otherwise be an arbitrary plan recompute, and
+    * the persist is the documented cost (library users composing
+    * pipelines should prefer the stats-sliver face).
+    *
     * Both branches are result-identical by the twins' own specs; the
     * session conf `graft.skewAdaptive.hotKeyBound` overrides the bound
     * (the ops knob, and the test hook that forces each branch).
@@ -754,13 +804,39 @@ object GraftApi {
   def skewAdaptive(df: DataFrame, key: String, hotKeyBound: Long = 2000000L)(
       simple: DataFrame => DataFrame)(
       blocks: DataFrame => DataFrame): DataFrame = {
+    val files = df.inputFiles
+    val (hottest, input) =
+      if (files.nonEmpty) {
+        val fp = files.sorted.mkString("\n") + " " + key
+        (keyStatsMemo.computeIfAbsent(fp, _ => hottestOf(df, key)), df)
+      } else {
+        val cached = graft.CacheRegistry.track(df)
+        (hottestOf(cached, key), cached)
+      }
+    dispatch(df, hottest, hotKeyBound)(simple)(blocks)(input)
+  }
+
+  /** [[skewAdaptive]] fed by a precomputed [[hotKeyStats]] sliver — the
+    * dispatcher reads ONE row from `stats` and never scans `df`. This is
+    * the 100 TB face: compute the sliver once per table (or maintain it
+    * alongside ingestion), persist it, and every dispatched query reads
+    * ≤1 row.
+    */
+  def skewAdaptiveWithStats(df: DataFrame, key: String, stats: DataFrame,
+      hotKeyBound: Long = 2000000L)(
+      simple: DataFrame => DataFrame)(
+      blocks: DataFrame => DataFrame): DataFrame = {
+    val r = stats.select(col("hottest")).head()
+    val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+    dispatch(df, hottest, hotKeyBound)(simple)(blocks)(df)
+  }
+
+  private def dispatch(df: DataFrame, hottest: Long, hotKeyBound: Long)(
+      simple: DataFrame => DataFrame)(
+      blocks: DataFrame => DataFrame)(input: DataFrame): DataFrame = {
     val limit = df.sparkSession.conf.getOption("graft.skewAdaptive.hotKeyBound")
       .map(_.toLong).getOrElse(hotKeyBound)
-    val cached = graft.CacheRegistry.track(df)
-    val maxg = cached.groupBy(col(key)).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head()
-    val hottest = if (maxg.isNullAt(0)) 0L else maxg.getLong(0)
-    if (hottest <= limit) simple(cached) else blocks(cached)
+    if (hottest <= limit) simple(input) else blocks(input)
   }
 
   /** Generic bounded range join: pairs (left, right) with equal `key`
@@ -899,9 +975,29 @@ object GraftApi {
     * stream shards instead of materializing group blobs.
     */
   def groupConcatExportSharded(df: DataFrame, key: String, elem: String,
-      rowsPerShard: Long, out: String = "elems"): DataFrame = {
+      rowsPerShard: Long, out: String = "elems",
+      maxGroupBytes: Long = 268435456L): DataFrame = {
     require(rowsPerShard >= 1,
       s"groupConcatExportSharded: rowsPerShard=$rowsPerShard must be >= 1")
+    // A shard string is still ONE aggregation-buffer value — bounding by
+    // element COUNT alone lets wide elements (or an oversized
+    // rowsPerShard) rebuild the exact OOM the unsharded face guards.
+    // Bound bytes too: rowsPerShard × (widest element + separator) is a
+    // worst-case per-shard string size, from one column-pruned max scan.
+    val limit = df.sparkSession.conf
+      .getOption("graft.groupExport.maxGroupBytes")
+      .map(_.toLong).getOrElse(maxGroupBytes)
+    if (limit < Long.MaxValue) {
+      val w = df.agg(max(length(col(elem).cast("string")))).head()
+      val maxLen = if (w.isNullAt(0)) 0L else w.getAs[Number](0).longValue()
+      val worst = rowsPerShard * (maxLen + 1)
+      require(worst <= limit,
+        s"groupConcatExportSharded: rowsPerShard=$rowsPerShard × widest " +
+          s"element ($maxLen chars) ≈ $worst bytes per shard exceeds " +
+          s"maxGroupBytes=$limit — size rowsPerShard by element width " +
+          "(≈ maxGroupBytes / widest element), or raise " +
+          "graft.groupExport.maxGroupBytes if one task really holds it")
+    }
     val ranked = valueRankBlocks(df.select(col(key), col(elem)),
       key, elem, tiebreak = elem)
     ranked

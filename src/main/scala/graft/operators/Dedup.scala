@@ -555,14 +555,36 @@ object Dedup {
     * on one machine; at 100 TB the same repeats surface as 8-gram
     * position keys with global occurrence count ≥ 2.
     *
-    * Scale shape — three KEYED shuffles of strictly shrinking data, no
-    * posting lists, no joins back to the corpus:
-    *   1. gram-keyed hash aggregate counts global occurrences per gram
-    *      (uniformly distributed key — a hot boilerplate gram
-    *      concentrates into ONE long counter, never a list or a wide
-    *      map), joined back to the position stream over the SAME
-    *      partitioning;
-    *   2. doc_id-keyed rollup of span/duplicate counts.
+    * Three plan shapes were built and warm-solo A/B'd at uniform-1000x
+    * AND skew-1000x under ONE heap (24g, the r11 adjudication VERDICT
+    * r10 asked for; committed numbers in substring_ab_r11.jsonl, all
+    * three hash-identical):
+    *   - r9 "window" (THE REGISTERED WINNER): repartition(g) →
+    *     (g, doc_id) pre-count → sum OVER (partition by g) → doc
+    *     rollup. One full posting exchange, nothing persisted. Warm:
+    *     uniform 75.0 s / 2137 cpu-s, skew 75.8 s / 2043 cpu-s, zero
+    *     spill — best or tied-best on every axis. The ~6 GB sort spill
+    *     r10 attributed to this form was HEAP CONTEXT (an 8g sweep
+    *     slot), not the plan: at the adjudication heap it never spills,
+    *     and the (g, doc_id) pre-count collapses even the skew corpus's
+    *     hot-template grams map-side (posting stream ≈ distinct pairs).
+    *   - r10 "join+cache": persist the exchanged postings
+    *     (CacheRegistry), totals = groupBy(g).count over the cache,
+    *     join back over the same partitioning. Warm: uniform 81.6 s /
+    *     2367 cpu-s, skew 74.1 s / 2187 cpu-s — ≈tied on skew wall,
+    *     loses on cpu both ways, and the cache is ~8× corpus bytes: at
+    *     100 TB that cache IS the spill by another name. Its committed
+    *     r10 skew entry (126 s / 3501 cpu-s at 8g) also REGRESSED vs
+    *     r9's 85 s / 2266. Retired.
+    *   - r11 "join-fresh": no cache, no window — totals from a map-side
+    *     partial aggregate over a FRESH explode, second explode as the
+    *     join probe. Warm: uniform 127.8 s / 3735 cpu-s, skew 120.9 s /
+    *     3272 — the duplicated explode+scan is ~1.5× the whole window
+    *     form. Retired.
+    * [[substringScoredForms]] keeps all three builders; DedupSpec pins
+    * them result-equivalent, and graft.SubstringAB is the adjudication
+    * harness that produced the committed numbers.
+    *
     * Every aggregate is a long count — bit-exact across engines and
     * parallelism, so the score (one final double division) oracles
     * exactly.
@@ -583,65 +605,176 @@ object Dedup {
       |    / SUM(n_local) AS dup_frac
       |FROM y GROUP BY doc_id""".stripMargin,
   ) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-    val pos = docs
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
-    // ONE gram exchange: hash-partitioning on g satisfies BOTH the
-    // per-gram totals aggregation and the totals join-back, so one
-    // explicit repartition(g) serves both and is read twice (one
-    // physical shuffle via exchange reuse). No per-(g, doc_id)
-    // intermediate and no gram-partitioned WINDOW: the r9 window form
-    // (sum OVER partition by g) force-sorted every posting row within
-    // each partition (~6 GB reduce-side sort spill at 1000x, at any
-    // heap the sweep runs with), and an (g, doc_id) pre-count keeps a
-    // hash map as wide as the partition's posting rows — under Zipf
-    // skew a hot boilerplate gram means millions of distinct doc_ids in
-    // ONE task's map, the same spill by another name. groupBy(g).count
-    // is the shape that collapses: a hot gram is ONE long counter, and
-    // n_spans/n_dup are plain position counts per doc, so nothing wider
-    // than (distinct grams per partition) is ever held. The join-back
-    // probes the counted grams over the same partitioning — both
-    // children carry HashPartitioning(g), so the join adds NO exchange
-    // and NO sort (the hint pins shuffled-hash against the planner's
-    // sort-merge preference; build side = one row per distinct gram).
-    //
-    // The exchange is DATA-SIZED, not session-sized: posting rows are
-    // ~avg-words× the document count (an explode), so inheriting
-    // spark.sql.shuffle.partitions lets per-partition agg/build state
-    // grow with corpus size until it tips into sort-fallback spill. One
-    // column-pruned length scan estimates posting rows (bytes/5 ≈ words
-    // ≥ grams — deliberate over-count for headroom) without paying the
-    // split. The deeper map-side singleton-kill the long tail invites
-    // is NOT implementable exactly: a "seen twice" structure over ~1e9
-    // distinct grams exceeds any broadcast/literal budget, and a
-    // count-min stand-in over-keeps at precisely the scales where it
-    // would matter.
+    substringWindow(spark, Tables.documents(spark, dir))
+  }
+
+  /** The 8-word-gram posting stream (doc_id, g) — one row per span
+    * position, shared by the substring-dedup forms and the strip op. */
+  private[graft] def substringGrams(docs: DataFrame): DataFrame = docs
+    .withColumn("w", split(col("text"), " "))
+    .filter(size(col("w")) >= 8)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
+
+  /** Data-sized partition count for the posting exchange: posting rows
+    * are ~avg-words× the document count (an explode), so inheriting
+    * spark.sql.shuffle.partitions lets per-partition agg/build state
+    * grow with corpus size until it tips into sort-fallback spill. One
+    * column-pruned length scan estimates posting rows (bytes/5 ≈ words
+    * ≥ grams — deliberate over-count for headroom) without paying the
+    * split.
+    */
+  private[graft] def substringParts(spark: SparkSession, docs: DataFrame): Int = {
     val postEst = Option(docs.agg(
         sum((length(col("text")) / lit(5)).cast("long"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val parts = graft.api.GraftApi.partitionsFor(spark, postEst)
-    // The exchanged postings are PERSISTED, not re-derived per consumer:
-    // exchange reuse cannot carry this plan — the totals consumer prunes
-    // doc_id from its scan (ReadSchema struct<text> vs
-    // struct<doc_id,text>), the two gram exchanges stop being canonically
-    // equal, and AQE's stage cache builds the explode+shuffle map side
-    // TWICE (measured as two ~2000 cpu-s stages; keeping doc_id
-    // referenced via count(coalesce(doc_id, 0)) folds back to count(1)
-    // under the non-nullable scan schema, so the pruning can't be
-    // blocked declaratively). The cached block is post-shuffle columnar —
-    // highly repetitive gram strings dictionary-compress — and preserves
-    // HashPartitioning(g), so both consumers read it co-partitioned.
-    val keyed = graft.CacheRegistry.track(pos.repartition(parts, col("g")))
-    val totals = keyed.groupBy("g").agg(count(lit(1)).as("n_total"))
-    val scored = keyed.join(totals.hint("SHUFFLE_HASH"), Seq("g"))
+    graft.api.GraftApi.partitionsFor(spark, postEst)
+  }
+
+  private def substringScore(scored: DataFrame): DataFrame = {
     val dup = when(col("n_total") >= 2, lit(1L)).otherwise(lit(0L))
     scored.groupBy("doc_id").agg(
       count(lit(1)).cast("long").as("n_spans"),
       sum(dup).cast("long").as("n_dup"),
       (sum(dup).cast("double") / count(lit(1))).as("dup_frac"))
+  }
+
+  /** r11 A/B candidate (RETIRED — the duplicated explode measured ~1.5×
+    * the window form's whole cost; see [[substring]]'s scaladoc).
+    * Per-gram totals come from a straight groupBy over a FRESH explode
+    * (map-side partial aggregate: the wire carries (g, partial_count),
+    * never raw postings), and the probe stream is a second fresh explode
+    * paying the one data-sized posting exchange into a shuffled-hash
+    * join (build side = one counted row per distinct gram in the
+    * partition). Nothing is persisted and nothing sorts.
+    */
+  private[graft] def substringJoinFresh(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val parts = substringParts(spark, docs)
+    val totals = substringGrams(docs).groupBy("g")
+      .agg(count(lit(1)).as("n_total"))
+    val scored = substringGrams(docs).repartition(parts, col("g"))
+      .join(totals.hint("SHUFFLE_HASH"), Seq("g"))
+    substringScore(scored)
+  }
+
+  /** The registered form (r9 shape, re-adjudicated winner of the r11
+    * warm-solo A/B — see [[substring]]'s scaladoc): (g, doc_id)
+    * pre-count with map-side combine, then sum OVER (partition by g).
+    * The window sorts (g, doc_id) PAIRS within each partition — the
+    * pre-count already collapsed within-doc repeats, so the sorted
+    * stream is distinct pairs, not raw postings, and at executor-scale
+    * heaps it never spilled in either 1000x corpus. */
+  private[graft] def substringWindow(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = substringParts(spark, docs)
+    val local = substringGrams(docs).repartition(parts, col("g"))
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
+    val scored = local.withColumn("n_total",
+      sum(col("n_local")).over(Window.partitionBy(col("g"))))
+    val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
+    scored.groupBy("doc_id").agg(
+      sum(col("n_local")).cast("long").as("n_spans"),
+      sum(dupLocal).cast("long").as("n_dup"),
+      (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
+  }
+
+  /** r10 form, kept for the A/B harness: persist the exchanged postings
+    * (CacheRegistry — the caller must drain), totals + join-back over
+    * the cached block. The cache is ~8× corpus bytes. */
+  private[graft] def substringJoinCache(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val parts = substringParts(spark, docs)
+    val keyed = graft.CacheRegistry.track(
+      substringGrams(docs).repartition(parts, col("g")))
+    val totals = keyed.groupBy("g").agg(count(lit(1)).as("n_total"))
+    substringScore(keyed.join(totals.hint("SHUFFLE_HASH"), Seq("g")))
+  }
+
+  /** name → builder, for the A/B harness and the equivalence spec. */
+  private[graft] val substringScoredForms
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
+    "join_fresh" -> (substringJoinFresh _),
+    "window" -> (substringWindow _),
+    "join_cache" -> (substringJoinCache _))
+
+  /** Substring-dedup span REMOVAL — [[substring]] actually applied
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": exact-substring dedup EXCISES the repeated spans,
+    * it does not just score them). A word position is removed when ANY
+    * corpus-duplicated 8-gram covers it (grams starting at positions
+    * [i-7, i]); output = the document with covered words excised, plus
+    * audit counts. Null text ≡ empty document (the house convention),
+    * and every document rides through — a strip pass is a corpus
+    * TRANSFORMATION, not a report.
+    *
+    * Scale shape: strip needs POSITIONS joined against dup flags, which
+    * changes the right plan vs the scored op's adjudicated window form —
+    * a window here would sort the FULL (doc, i, g) posting stream (no
+    * (g, doc_id) pre-count can collapse it, every position row is
+    * unique), exactly the sort the scored A/B showed is only safe when
+    * pre-collapsed. So strip pays [[substringJoinFresh]]'s machinery
+    * instead, where it IS the cheap shape: per-gram totals from a
+    * map-side partial aggregate filtered to DUPLICATED grams only (the
+    * join build side shrinks to the dup set, typically ≪ distinct
+    * grams), one data-sized posting exchange into the shuffled-hash
+    * join, then covered positions roll up per doc_id. The per-doc
+    * removed-position set is bounded by the document's own word count —
+    * the same order of per-task state as holding the document row
+    * itself — and the reconstruction is one codegen'd higher-order
+    * filter over the word array (no UDF, no per-row join).
+    */
+  val substringStrip: Op = Op(
+    "dedup_substring_strip",
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+      |        FROM d, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      |        WHERE len(w) >= 8),
+      |dupg AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, j
+      |        FROM (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dupg)) s,
+      |             UNNEST(generate_series(s.i, s.i + 7)) AS u(j)),
+      |rml AS (SELECT doc_id, list(j) AS rm FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(d.w) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(len(rml.rm), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(list_filter(
+      |    list_transform(generate_series(1, len(d.w)),
+      |      i -> CASE WHEN rml.rm IS NULL OR NOT list_contains(rml.rm, i) THEN d.w[i] END),
+      |    x -> x IS NOT NULL), ' '), '') AS text_stripped
+      |FROM d LEFT JOIN rml USING (doc_id)""".stripMargin,
+  ) { (spark, dir) =>
+    substringStripApply(spark, Tables.documents(spark, dir))
+  }
+
+  /** [[substringStrip]]'s library face over any (doc_id, text) frame. */
+  def substringStripApply(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("w"))
+    val pos = d.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    // duplicated grams only: the HAVING shrinks the join build side to
+    // the dup set (typically ≪ distinct grams), and the totals pass is
+    // the same map-side-partial aggregate the scored op uses
+    val dupg = substringGrams(docs).groupBy("g")
+      .agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 2).select("g")
+    val parts = substringParts(spark, docs)
+    val covered = pos.repartition(parts, col("g"))
+      .join(dupg.hint("SHUFFLE_HASH"), Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(7))).as("j"))
+      .groupBy("doc_id").agg(collect_set(col("j")).as("rm"))
+    d.join(covered, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("rm")).cast("long").as("n_removed"),
+        array_join(expr(
+          "filter(w, (x, p) -> NOT array_contains(rm, p + 1))"), " ")
+          .as("text_stripped"))
   }
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta
@@ -864,5 +997,5 @@ object Dedup {
 
   val ops: Seq[Op] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
-      incremental, substring, bloomNew, bloomNewBucketed)
+      incremental, substring, substringStrip, bloomNew, bloomNewBucketed)
 }

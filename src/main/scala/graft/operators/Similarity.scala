@@ -624,17 +624,27 @@ object Similarity {
   private[graft] val presplitMeta: org.apache.spark.sql.types.Metadata =
     new org.apache.spark.sql.types.MetadataBuilder()
       .putBoolean("graft.presplit", true).build()
+  private val presplitWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def isPresplit(df: DataFrame): Boolean = {
     val flagged = df.schema.fields.exists(f =>
       f.name == "slice" && f.metadata.contains("graft.presplit"))
     // Migration notice: indexes persisted before the metadata flag carry
     // a plain `slice` column and now fall back (correctly) to the
     // runtime hot-cell split path — a silent serving-perf regression for
-    // those tables unless re-saved. Say so once per schema shape.
-    if (!flagged && df.columns.contains("slice"))
-      System.err.println("[graft] note: `slice` column present but not " +
-        "stamped with the graft.presplit metadata flag — treating it as a " +
-        "payload column and using the runtime hot-cell split. If this is " +
+    // those tables unless re-saved. Only an INTEGER-typed `slice` looks
+    // like a pre-flag slice index (a user's payload column named `slice`
+    // with any other type is none of our business), and each schema
+    // shape warns ONCE per session — this check sits on hot serving
+    // paths, per-call stderr would be spam.
+    val sliceTyped = df.schema.fields.exists(f => f.name == "slice" &&
+      f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (!flagged && sliceTyped &&
+        presplitWarned.add(df.schema.map(f => f.name + ":" + f.dataType.sql)
+          .mkString(",")))
+      System.err.println("[graft] note: integer `slice` column present but " +
+        "not stamped with the graft.presplit metadata flag — treating it as " +
+        "a payload column and using the runtime hot-cell split. If this is " +
         "an index persisted before the flag existed, rebuild or re-save " +
         "it (preSplitByOccupancy stamps the flag) to restore zero-cost " +
         "pre-split serving.")

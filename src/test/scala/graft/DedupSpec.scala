@@ -117,6 +117,49 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((9L, 2L, 2.0 / 9)), got(2L))
   }
 
+  test("the three substring plan forms (A/B candidates) are result-identical") {
+    // r11 adjudication support: the registered op is the warm-solo A/B
+    // winner; this pins that the candidates never diverged on RESULTS, so
+    // the A/B measured plans, not semantics.
+    val docs = Tables.documents(spark, sfTiny)
+    val all = Dedup.substringScoredForms.map { case (name, fn) =>
+      name -> fn(spark, docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e12)))
+        .sortBy(_._1).toSeq
+    }
+    all.sliding(2).foreach { case Seq((na, a), (nb, b)) =>
+      assert(a == b, s"$na vs $nb diverged")
+    }
+    assert(all.head._2.nonEmpty)
+    CacheRegistry.drain()
+  }
+
+  test("substring strip excises every corpus-duplicated 8-word span") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 b9 b10"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7"),
+    ).map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir(); writeTable(dir, "documents", docs)
+    val got = Dedup.substringStrip.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_stripped")))).toMap
+    // every doc rides through (strip is a corpus transformation)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), got.keySet)
+    // A/B share their first 8-word span: positions 1-8 excised
+    assert(got(0L) == ((10L, 8L, "a9 a10")), got(0L))
+    assert(got(1L) == ((10L, 8L, "b9 b10")), got(1L))
+    // C's repeated phrase covers the whole doc (spans at 1 and 9)
+    assert(got(2L) == ((16L, 16L, "")), got(2L))
+    // D is too short for any span — untouched
+    assert(got(3L) == ((7L, 0L, "d1 d2 d3 d4 d5 d6 d7")), got(3L))
+  }
+
   test("bloom-prefiltered new-doc detection ≡ plain anti-join on a random corpus") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

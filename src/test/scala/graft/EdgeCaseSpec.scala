@@ -742,9 +742,12 @@ class EdgeCaseSpec extends SparkSpec {
     // the scale-safe plan with bit-identical output.
     val keys = Seq("q_window_running", "q_window_sliding", "q_window_ntile",
       "q_asof_join", "q_lead_lag", "q_burst_detect")
-    def rows(name: String): Set[String] = {
+    // MULTISET comparison (row string → count): a Set would let the two
+    // branches emit different duplicate-row multiplicities and still pass
+    def rows(name: String): Map[String, Int] = {
       val df = SparkEntry.queries(name)(spark, sfTiny)
-      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .groupBy(identity).view.mapValues(_.length).toMap
     }
     keys.foreach { k =>
       spark.conf.set("graft.skewAdaptive.hotKeyBound", Long.MaxValue.toString)
@@ -754,10 +757,53 @@ class EdgeCaseSpec extends SparkSpec {
       val blocks = try rows(k)
         finally spark.conf.unset("graft.skewAdaptive.hotKeyBound")
       assert(simple == blocks,
-        s"$k: ${(simple -- blocks).take(3)} vs ${(blocks -- simple).take(3)}")
+        s"$k: ${(simple.keySet -- blocks.keySet).take(3)} vs " +
+          s"${(blocks.keySet -- simple.keySet).take(3)}")
       assert(simple.nonEmpty, s"$k produced no rows")
       CacheRegistry.drain()
     }
+  }
+
+  test("skewAdaptive memoizes the probe per (table, key) and the stats-sliver path matches") {
+    import graft.api.GraftApi
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    def simple(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("form", lit("simple"))
+    def blocks(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("form", lit("blocks"))
+    // 1. memo: two dispatches over the same parquet-rooted frame pay ONE
+    //    inline probe scan (the hottest-key count is a table property)
+    GraftApi.keyStatsMemoClear()
+    val before = GraftApi.keyStatsProbes.get()
+    val first = GraftApi.skewAdaptive(ev, "user_id")(simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == before + 1)
+    GraftApi.skewAdaptive(ev, "user_id")(simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == before + 1,
+      "second dispatch over the same table must read the memo, not rescan")
+    // a DIFFERENT key over the same files is a different table property
+    GraftApi.skewAdaptive(ev, "event_id")(simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == before + 2)
+    // 2. stats-sliver path: a precomputed hotKeyStats row dispatches
+    //    identically to the probe path, with zero probe scans
+    val stats = GraftApi.hotKeyStats(ev, "user_id")
+    val mid = GraftApi.keyStatsProbes.get()
+    val viaStats = GraftApi.skewAdaptiveWithStats(ev, "user_id", stats)(
+      simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == mid)
+    assert(first.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq ==
+      viaStats.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+    // 3. the sliver itself: hottest/rows/keys agree with a direct count,
+    //    and a LOWERED bound flips the stats path to blocks too
+    val r = stats.head()
+    val direct = ev.groupBy("user_id").count()
+      .agg(max("count"), sum("count"), count(lit(1))).head()
+    assert(r.getLong(0) == direct.getLong(0) && r.getLong(1) == direct.getLong(1)
+      && r.getLong(2) == direct.getLong(2))
+    val flipped = GraftApi.skewAdaptiveWithStats(ev, "user_id", stats,
+      hotKeyBound = 0L)(simple)(blocks)
+    assert(flipped.select("form").head().getString(0) == "blocks")
+    CacheRegistry.drain()
   }
 
   test("groupConcatExport guard trips past the bound; sharded face reassembles exactly") {

@@ -275,18 +275,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition window:\n$p")
   }
 
-  test("substring dedup: co-partitioned hash shapes only — no sort, no window, no SMJ") {
+  test("substring dedup: one posting exchange, pre-counted window, no join") {
     val p = plan(graft.operators.Dedup.substring)
-    // r10 shape: per-gram totals via groupBy(g).count (a hot gram is ONE
-    // counter) joined back to the position stream over the SAME g
-    // partitioning — shuffled-hash, never sort-merge (which would
-    // re-sort every posting row: the spill the rewrite removes), and no
-    // gram-partitioned Window (the r9 full-partition sort)
-    assert(p.contains("ShuffledHashJoin"), s"totals join-back must be SHJ:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"SMJ re-sorts the postings:\n$p")
-    assert(!p.contains("Window"), s"gram window sorts every posting:\n$p")
-    assert(!p.contains("Sort "), s"no stage may sort posting rows:\n$p")
+    // r11-adjudicated shape (the r9 window form, warm-solo A/B winner at
+    // uniform+skew 1000x under one heap — substring_ab_r11.jsonl): one
+    // explicit repartition(g) feeds BOTH the (g, doc_id) pre-count and
+    // the gram-partitioned window (no second posting exchange), the
+    // window's sort input is the PRE-COUNTED pair stream (never raw
+    // postings), and no join operator appears at all — the totals ride
+    // the window, not a join-back.
+    assert(p.contains("Window"), s"gram-partitioned window missing:\n$p")
+    assert(!p.contains("Join"), s"the window form joins nothing:\n$p")
     assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one g-keyed posting exchange: the explicit repartition
+    // serves agg + window (doc rollup adds its own doc_id exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges (g, doc_id), got $exchanges:\n$p")
+  }
+
+  test("substring strip: dup-gram SHJ join-back, no window, no posting sort") {
+    val p = plan(graft.operators.Dedup.substringStrip)
+    // strip's positions make the window form the WRONG plan (it would
+    // sort unique (doc, i, g) rows) — the dup-gram shuffled-hash
+    // join-back is pinned instead, with the build side pre-filtered to
+    // duplicated grams by the partial-aggregated HAVING
+    assert(p.contains("ShuffledHashJoin"), s"dup-gram join-back must be SHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ re-sorts the postings:\n$p")
+    assert(!p.contains("Window"), s"no window may sort the posting stream:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

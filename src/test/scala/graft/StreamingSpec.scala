@@ -1159,4 +1159,50 @@ class StreamingSpec extends SparkSpec {
         got.filterNot(d => d.keep == 1L && d.cell_capped == 1L).take(3).toSeq)
     } finally q.stop()
   }
+
+  test("streaming grouped export: upserted bin pieces reshard ≡ batch groupConcatExportSharded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.GroupExportStream
+    import org.apache.spark.sql.functions.{col, max => smax}
+    // orders-shaped data: the q_groupby_nested_sharded key/elem columns
+    val rows = Tables.orders(spark, sfTiny)
+      .select(col("o_orderstatus").as("key"), col("o_orderkey").as("value"))
+      .as[(String, Long)].collect()
+    // any MONOTONE binning works; floorDiv is the simplest instance
+    def bin(v: Long): Int = Math.floorDiv(v, 500L).toInt
+    val input = MemoryStream[GroupExportStream.GroupElem]
+    val q = GroupExportStream.groupExportPieces(input.toDS())
+      .writeStream.format("memory").queryName("export_pieces")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two micro-batches: the second UPDATES some (key, bin) pieces —
+      // the upsert path is the contract under test
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.map { case (k, v) =>
+        GroupExportStream.GroupElem(k, bin(v), v) }.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b.map { case (k, v) =>
+        GroupExportStream.GroupElem(k, bin(v), v) }.toIndexedSeq)
+      q.processAllAvailable()
+      // latest piece per (key, bin) — what an upsert sink would hold
+      val pieces = spark.table("export_pieces")
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key"), col("bin"))
+            .orderBy(col("n").desc))) // pieces only grow: max n = latest
+        .filter(col("_rn") === 1).drop("_rn")
+      val streamed = GroupExportStream.reshardPieces(pieces, rowsPerShard = 100L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.api.GraftApi.groupConcatExportSharded(
+          Tables.orders(spark, sfTiny)
+            .select(col("o_orderstatus").as("key"), col("o_orderkey").as("value")),
+          "key", "value", rowsPerShard = 100L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch,
+        s"only-streamed=${(streamed -- batch).take(2)} only-batch=${(batch -- streamed).take(2)}")
+      assert(streamed.nonEmpty)
+      CacheRegistry.drain()
+    } finally q.stop()
+  }
 }

@@ -763,12 +763,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_total"))
       .filter(col("n_total") >= 2).select("g")
     val parts = substringParts(spark, docs)
+    // ship dup-span STARTS through the doc_id shuffle, not exploded
+    // covered positions: each start covers 8 words, so expanding before
+    // the aggregate puts 8× the rows on the wire and 8× the entries
+    // through every partial set (measured 10.9k cpu-s at uniform-1000x,
+    // the all-dup worst case, vs ~8× less as starts). The mask expands
+    // from starts INSIDE the row afterwards — pure codegen, no shuffle.
     val covered = pos.repartition(parts, col("g"))
       .join(dupg.hint("SHUFFLE_HASH"), Seq("g"))
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(7))).as("j"))
-      .groupBy("doc_id").agg(collect_set(col("j")).as("rm"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
     d.join(covered, Seq("doc_id"), "left")
-      .withColumn("rm", coalesce(col("rm"), expr("cast(array() as array<int>)")))
+      .withColumn("rm", coalesce(expr(
+        "array_distinct(flatten(transform(starts, s -> sequence(s, s + 7))))"),
+        expr("cast(array() as array<int>)")))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         size(col("rm")).cast("long").as("n_removed"),

@@ -495,6 +495,11 @@ object Temporal {
     * milli-scaled values; no sqrt, no float mean, no per-engine libm.
     * Shape: one (user, time)-keyed window pass, three running sums per
     * row, a single keyed shuffle — never a self-join against the frame.
+    *
+    * Registered default is skew-adaptive (see [[asofJoin]]): past the
+    * hot-key bound the [[anomalyZscoreBlocks]] plan runs (the simple
+    * form measured 211 s wall / one 206 s straggler task at skew-1000x
+    * under the r11 single-era sweep).
     */
   val anomalyZscore: Op = Op(
     "q_anomaly_zscore",
@@ -513,11 +518,17 @@ object Temporal {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))""".stripMargin,
   ) { (spark, dir) =>
+    graft.api.GraftApi.skewAdaptive(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "user_id")(zscoreSimple)(zscoreBlocksForm)
+  }
+
+  private def zscoreSimple(ev: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-7, Window.currentRow)
     val x = floor(col("value") * 1000).cast("long")
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), x.as("x_milli"),
+    ev.select(col("event_id"), col("user_id"), x.as("x_milli"),
         sum(x).over(w).as("s1"), sum(x * x).over(w).as("s2"),
         count(lit(1)).over(w).as("n_window"))
       .select(col("event_id"), col("user_id"), col("x_milli"), col("n_window"),
@@ -556,6 +567,11 @@ object Temporal {
     "q_anomaly_zscore_blocks",
     anomalyZscore.oracle.get,
   ) { (spark, dir) =>
+    zscoreBlocksForm(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")))
+  }
+
+  private def zscoreBlocksForm(ev: org.apache.spark.sql.DataFrame) = {
     // the lag value rides as a one-field STRUCT so row PRESENCE and value
     // nullness stay distinguishable: the oracle's n_window is COUNT(*)
     // over the ROWS frame (rows with NULL x_milli count), and a bare
@@ -563,8 +579,7 @@ object Temporal {
     // wrapper is never null for a present row, so n counts rows exactly
     val x = floor(col("value") * 1000).cast("long")
     val lagged = graft.api.GraftApi.rowLagsBlocks(
-      Tables.events(spark, dir).select(col("user_id"), col("ts"),
-        col("event_id"), x.as("xm")),
+      ev.select(col("user_id"), col("ts"), col("event_id"), x.as("xm")),
       "user_id", "ts", "event_id", struct(col("xm").as("x")), depth = 7)
     val lags = (1 to 7).map(d => col(s"lag_$d"))
     val xs = (1 to 7).map(d => col(s"lag_$d.x"))

@@ -734,14 +734,15 @@ class EdgeCaseSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
-  test("the six skew-adaptive registry keys produce identical results on both branches") {
+  test("the skew-adaptive registry keys produce identical results on both branches") {
     // r9 verdict item 2: skewAdaptive existed but nothing routed through
-    // it. The six simple window keys now dispatch; this pins, PER KEY,
-    // that the forced-blocks branch (bound 0) equals the forced-simple
-    // branch (bound huge) — i.e. a user hitting the hot-key bound gets
-    // the scale-safe plan with bit-identical output.
+    // it. Every simple key with a blocks twin now dispatches; this pins,
+    // PER KEY, that the forced-blocks branch (bound 0) equals the
+    // forced-simple branch (bound huge) — i.e. a user hitting the
+    // hot-key bound gets the scale-safe plan with bit-identical output.
     val keys = Seq("q_window_running", "q_window_sliding", "q_window_ntile",
-      "q_asof_join", "q_lead_lag", "q_burst_detect")
+      "q_asof_join", "q_lead_lag", "q_burst_detect",
+      "q_sessionize", "q_window_ewma", "q_anomaly_zscore")
     // MULTISET comparison (row string → count): a Set would let the two
     // branches emit different duplicate-row multiplicities and still pass
     def rows(name: String): Map[String, Int] = {

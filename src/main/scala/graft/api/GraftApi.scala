@@ -807,7 +807,7 @@ object GraftApi {
     val files = df.inputFiles
     val (hottest, input) =
       if (files.nonEmpty) {
-        val fp = files.sorted.mkString("\n") + " " + key
+        val fp = files.sorted.mkString("\n") + "\u0000" + key
         (keyStatsMemo.computeIfAbsent(fp, _ => hottestOf(df, key)), df)
       } else {
         val cached = graft.CacheRegistry.track(df)

@@ -33,14 +33,28 @@ def main():
     all_keys = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
     result, n_pass, n_fail, n_skip = {}, 0, 0, 0
+    # The ONLY ops allowed to lack an oracle: the two spec-bounded
+    # sketches. Any OTHER key missing from oracle_sql.json is a dropped/
+    # misspelled oracle entry — an op silently going unverified — and
+    # must FAIL the gate, not auto-skip with a false explanation.
+    expected_skips = {"q_approx_distinct", "q_approx_percentile"}
     for name in all_keys:
         if name not in oracles:
-            result[name] = {
-                "skipped": True,
-                "reason": "no_oracle: spec-bounded sketch estimator (no "
-                          "cross-engine oracle by design; bounds pinned in "
-                          "SamplingSpec)"}
-            n_skip += 1
+            if name in expected_skips:
+                result[name] = {
+                    "skipped": True,
+                    "reason": "no_oracle: spec-bounded sketch estimator (no "
+                              "cross-engine oracle by design; bounds pinned in "
+                              "SamplingSpec)"}
+                n_skip += 1
+            else:
+                result[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": 0, "oracle_rows": 0,
+                    "err": "missing_oracle: op dumped by Verify but absent "
+                           "from oracle_sql.json — unverified, not a "
+                           "declared sketch"}
+                n_fail += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         entry = {"rows_match": False, "schema_match": False,

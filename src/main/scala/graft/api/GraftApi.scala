@@ -751,15 +751,47 @@ object GraftApi {
 
   /** Session memo for [[skewAdaptive]]'s probe: (source files, key) →
     * hottest count. The hottest-key count is a property of the TABLE,
-    * not the query, so six registry ops dispatching on the same events
-    * table share one probe per session instead of six full scans.
+    * not the query, so the registry ops dispatching on the same events
+    * table share one probe per session instead of one full scan each.
     * Fingerprinting by `df.inputFiles` assumes the standard immutable-
-    * parquet contract; a filtered projection of a table memoizes the
-    * TABLE-level count — an upper bound, so the dispatch can only err
-    * toward the always-safe blocks branch.
+    * parquet contract — and is only sound for a PURE PROJECTION of the
+    * scan ([[isCountPreserving]]): a filtered frame's hottest count is
+    * an UNDER-count of the table's, and memoizing it under the table's
+    * file fingerprint would poison every later dispatch on the full
+    * table toward the straggler-prone simple branch. Filtered/derived
+    * file-backed frames probe inline, unmemoized (the probe is one
+    * re-scan — what any second query over the frame pays anyway).
+    * The memo key is a fixed-size MD5 digest of the sorted file list,
+    * not the concatenated paths: at 10^5-10^6 part files the paths
+    * string is tens of MB, and the map retains its keys for the
+    * session.
     */
   private val keyStatsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** True when every node between `df` and its leaf scans preserves row
+    * counts per key value — projections/aliases only. Conservative: any
+    * node outside the whitelist (Filter, Join, Aggregate, Sample,
+    * Limit, ...) disqualifies the frame from the table-level memo.
+    */
+  private def isCountPreserving(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+          _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        plan.children.forall(isCountPreserving)
+      case _ if plan.children.isEmpty => true // leaf relation
+      case _ => false
+    }
+
+  private def fileFingerprint(files: Array[String], key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.sorted.foreach { f =>
+      md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0: Byte)
+    }
+    md.digest().map("%02x".format(_)).mkString + " " + key
+  }
   /** Inline probes actually paid (spec hook: the memo path must not
     * rescan). */
   private[graft] val keyStatsProbes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -806,9 +838,14 @@ object GraftApi {
       blocks: DataFrame => DataFrame): DataFrame = {
     val files = df.inputFiles
     val (hottest, input) =
-      if (files.nonEmpty) {
-        val fp = files.sorted.mkString("\n") + "\u0000" + key
+      if (files.nonEmpty && isCountPreserving(df.queryExecution.logical)) {
+        val fp = fileFingerprint(files, key)
         (keyStatsMemo.computeIfAbsent(fp, _ => hottestOf(df, key)), df)
+      } else if (files.nonEmpty) {
+        // filtered-but-file-backed: the count is frame-specific (memoizing
+        // it would poison the table-level entry) and the chosen branch
+        // re-reads its scan cheaply — probe inline, no memo, no persist
+        (hottestOf(df, key), df)
       } else {
         val cached = graft.CacheRegistry.track(df)
         (hottestOf(cached, key), cached)
@@ -820,14 +857,20 @@ object GraftApi {
     * dispatcher reads ONE row from `stats` and never scans `df`. This is
     * the 100 TB face: compute the sliver once per table (or maintain it
     * alongside ingestion), persist it, and every dispatched query reads
-    * ≤1 row.
+    * ≤1 row. An EMPTY stats frame (a persisted stats table that was
+    * never populated, or filtered to a missing entry) means the hottest
+    * count is unknown — the dispatch degrades to the always-safe blocks
+    * branch rather than crashing or guessing simple.
     */
   def skewAdaptiveWithStats(df: DataFrame, key: String, stats: DataFrame,
       hotKeyBound: Long = 2000000L)(
       simple: DataFrame => DataFrame)(
       blocks: DataFrame => DataFrame): DataFrame = {
-    val r = stats.select(col("hottest")).head()
-    val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val hottest = stats.select(col("hottest")).collect().headOption match {
+      case Some(r) if !r.isNullAt(0) => r.getLong(0)
+      case Some(_) => 0L
+      case None => Long.MaxValue // unknown → the branch that is safe at any skew
+    }
     dispatch(df, hottest, hotKeyBound)(simple)(blocks)(df)
   }
 
@@ -990,10 +1033,12 @@ object GraftApi {
     if (limit < Long.MaxValue) {
       val w = df.agg(max(length(col(elem).cast("string")))).head()
       val maxLen = if (w.isNullAt(0)) 0L else w.getAs[Number](0).longValue()
-      val worst = rowsPerShard * (maxLen + 1)
-      require(worst <= limit,
+      // division, not multiplication: rowsPerShard × (maxLen+1) overflows
+      // Long for a huge rowsPerShard and a wrapped-negative worst would
+      // sail PAST the guard it exists to arm
+      require(maxLen + 1 <= limit / rowsPerShard,
         s"groupConcatExportSharded: rowsPerShard=$rowsPerShard × widest " +
-          s"element ($maxLen chars) ≈ $worst bytes per shard exceeds " +
+          s"element ($maxLen chars) bytes per shard exceeds " +
           s"maxGroupBytes=$limit — size rowsPerShard by element width " +
           "(≈ maxGroupBytes / widest element), or raise " +
           "graft.groupExport.maxGroupBytes if one task really holds it")

@@ -804,6 +804,34 @@ class EdgeCaseSpec extends SparkSpec {
     val flipped = GraftApi.skewAdaptiveWithStats(ev, "user_id", stats,
       hotKeyBound = 0L)(simple)(blocks)
     assert(flipped.select("form").head().getString(0) == "blocks")
+    // 4. a FILTERED frame must NOT poison the table-level memo: its
+    //    hottest count is frame-specific (an under-count of the table's),
+    //    so it probes inline unmemoized, and a later full-table dispatch
+    //    still reads the clean memo entry
+    GraftApi.keyStatsMemoClear()
+    val b2 = GraftApi.keyStatsProbes.get()
+    GraftApi.skewAdaptive(ev.filter(col("value") > 1e18), "user_id")(
+      simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == b2 + 1)
+    // the filtered probe saw 0 rows; with the memo poisoned this would
+    // dispatch simple under ANY bound — instead the table re-probes
+    spark.conf.set("graft.skewAdaptive.hotKeyBound", "0")
+    val afterFiltered = try GraftApi.skewAdaptive(ev, "user_id")(
+        simple)(blocks).select("form").head().getString(0)
+      finally spark.conf.unset("graft.skewAdaptive.hotKeyBound")
+    assert(afterFiltered == "blocks",
+      "full-table dispatch after a filtered dispatch must not read the " +
+        "filtered frame's under-count")
+    assert(GraftApi.keyStatsProbes.get() == b2 + 2)
+    // and the filtered frame probes EVERY time (no memo entry to hit)
+    GraftApi.skewAdaptive(ev.filter(col("value") > 1e18), "user_id")(
+      simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == b2 + 3)
+    // 5. an EMPTY stats sliver (unpopulated stats table) degrades to the
+    //    always-safe blocks branch instead of crashing
+    val viaEmpty = GraftApi.skewAdaptiveWithStats(ev, "user_id",
+      stats.filter(lit(false)))(simple)(blocks)
+    assert(viaEmpty.select("form").head().getString(0) == "blocks")
     CacheRegistry.drain()
   }
 
@@ -854,6 +882,15 @@ class EdgeCaseSpec extends SparkSpec {
         "k", "v", rowsPerShard = 3L)
       .collect().map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(dupShards.toSeq == Seq((0L, "5,5,5"), (1L, "5,5,5"), (2L, "5")))
+    // 5. the bytes bound must survive a huge rowsPerShard: the naive
+    // rowsPerShard × (maxLen+1) product wraps negative past Long and
+    // would sail PAST the guard it arms
+    val hugeErr = intercept[IllegalArgumentException] {
+      graft.api.GraftApi.groupConcatExportSharded(orders,
+        "o_orderstatus", "o_orderkey", rowsPerShard = Long.MaxValue / 2,
+        out = "orderkeys").collect()
+    }
+    assert(hugeErr.getMessage.contains("maxGroupBytes"), hugeErr.getMessage)
     CacheRegistry.drain()
   }
 

@@ -1164,7 +1164,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.GroupExportStream
-    import org.apache.spark.sql.functions.{col, max => smax}
+    import org.apache.spark.sql.functions.col
     // orders-shaped data: the q_groupby_nested_sharded key/elem columns
     val rows = Tables.orders(spark, sfTiny)
       .select(col("o_orderstatus").as("key"), col("o_orderkey").as("value"))

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   * with co-tenant load, cpu does not.
   *
   * Usage: runMain graft.SubstringAB <corpusDir> <form> [label]
-  * where form ∈ graft.operators.Dedup.substringScoredForms. Appends one
-  * JSON line per pass to substring_ab_r11.jsonl in the CWD.
+  * where form ∈ graft.operators.Dedup.substringScoredForms ∪
+  * substringStripForms. Appends one JSON line per pass to
+  * substring_ab_r11.jsonl in the CWD.
   */
 object SubstringAB {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val form = args(1)
     val label = if (args.length > 2) args(2) else dir.split('/').last
-    val fn = graft.operators.Dedup.substringScoredForms.toMap.apply(form)
+    val fn = (graft.operators.Dedup.substringScoredForms ++
+      graft.operators.Dedup.substringStripForms).toMap.apply(form)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // mirror ScaleSmoke's data-sized session shuffle partitions so the

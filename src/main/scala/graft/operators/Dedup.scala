@@ -748,30 +748,30 @@ object Dedup {
     substringStripApply(spark, Tables.documents(spark, dir))
   }
 
-  /** [[substringStrip]]'s library face over any (doc_id, text) frame. */
-  def substringStripApply(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** [[substringStrip]]'s library face over any (doc_id, text) frame —
+    * delegates to the adjudicated form (see [[substringStripForms]]). */
+  def substringStripApply(spark: SparkSession, docs: DataFrame): DataFrame =
+    substringStripJoin(spark, docs)
+
+  /** Words frame + position stream shared by the strip forms. */
+  private def stripPositions(docs: DataFrame): (DataFrame, DataFrame) = {
     val d = docs.select(col("doc_id"),
       split(coalesce(col("text"), lit("")), " ").as("w"))
     val pos = d.filter(size(col("w")) >= 8)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-    // duplicated grams only: the HAVING shrinks the join build side to
-    // the dup set (typically ≪ distinct grams), and the totals pass is
-    // the same map-side-partial aggregate the scored op uses
-    val dupg = substringGrams(docs).groupBy("g")
-      .agg(count(lit(1)).as("n_total"))
-      .filter(col("n_total") >= 2).select("g")
-    val parts = substringParts(spark, docs)
-    // ship dup-span STARTS through the doc_id shuffle, not exploded
-    // covered positions: each start covers 8 words, so expanding before
-    // the aggregate puts 8× the rows on the wire and 8× the entries
-    // through every partial set (measured 10.9k cpu-s at uniform-1000x,
-    // the all-dup worst case, vs ~8× less as starts). The mask expands
-    // from starts INSIDE the row afterwards — pure codegen, no shuffle.
-    val covered = pos.repartition(parts, col("g"))
-      .join(dupg.hint("SHUFFLE_HASH"), Seq("g"))
-      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    (d, pos)
+  }
+
+  /** Excise the words covered by any dup-gram start and emit the audit
+    * columns — shared tail of both strip forms. `covered` carries
+    * (doc_id, starts: array<int>); the mask expands from starts INSIDE
+    * the row (pure codegen, no shuffle): shipping 8×-exploded covered
+    * positions instead measured 10.9k cpu-s at uniform-1000x vs ~half
+    * as starts.
+    */
+  private def stripRebuild(d: DataFrame, covered: DataFrame): DataFrame =
     d.join(covered, Seq("doc_id"), "left")
       .withColumn("rm", coalesce(expr(
         "array_distinct(flatten(transform(starts, s -> sequence(s, s + 7))))"),
@@ -782,7 +782,57 @@ object Dedup {
         array_join(expr(
           "filter(w, (x, p) -> NOT array_contains(rm, p + 1))"), " ")
           .as("text_stripped"))
+
+  /** Join-form strip (the r11 original): per-gram totals from a SECOND
+    * fresh explode (map-side partial aggregate), filtered to the dup set
+    * (the HAVING shrinks the join build side — typically ≪ distinct
+    * grams on an organic corpus), then the position stream pays the one
+    * data-sized exchange into a shuffled-hash join.
+    */
+  private[graft] def substringStripJoin(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val (d, pos) = stripPositions(docs)
+    val dupg = substringGrams(docs).groupBy("g")
+      .agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 2).select("g")
+    val parts = substringParts(spark, docs)
+    val covered = pos.repartition(parts, col("g"))
+      .join(dupg.hint("SHUFFLE_HASH"), Seq("g"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    stripRebuild(d, covered)
   }
+
+  /** Window-form strip (r11 A/B winner candidate — the scored op's
+    * adjudicated one-exchange shape carried over): ONE position explode,
+    * one repartition(g) satisfying both the (g, doc_id) aggregation's
+    * clustering and the window's partitionBy(g). The pre-count that
+    * makes the window sort safe ([[substringWindow]]'s lesson: sort
+    * (g, doc_id) PAIRS, never raw postings) here collects each doc's
+    * positions of the gram into a list — per-group state bounded by
+    * within-doc repeats of ONE gram, the sorted stream still distinct
+    * pairs with a small array payload. Saves the join form's second
+    * explode + totals aggregate.
+    */
+  private[graft] def substringStripWindow(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (d, pos) = stripPositions(docs)
+    val parts = substringParts(spark, docs)
+    val perDoc = pos.repartition(parts, col("g"))
+      .groupBy("g", "doc_id").agg(collect_list(col("i")).as("is"))
+    val covered = perDoc.withColumn("n_total",
+        sum(size(col("is")).cast("long")).over(Window.partitionBy(col("g"))))
+      .filter(col("n_total") >= 2)
+      .select(col("doc_id"), explode(col("is")).as("i"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    stripRebuild(d, covered)
+  }
+
+  /** name → builder, for the A/B harness and the equivalence spec. */
+  private[graft] val substringStripForms
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
+    "strip_join" -> (substringStripJoin _),
+    "strip_window" -> (substringStripWindow _))
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta
     * documents are content-new vs already present in the corpus? The

@@ -135,6 +135,20 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("the substring STRIP plan forms (A/B candidates) are result-identical") {
+    val docs = Tables.documents(spark, sfTiny)
+    val all = Dedup.substringStripForms.map { case (name, fn) =>
+      name -> fn(spark, docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    }
+    all.sliding(2).foreach { case Seq((na, a), (nb, b)) =>
+      assert(a == b, s"$na vs $nb diverged")
+    }
+    assert(all.head._2.nonEmpty)
+    CacheRegistry.drain()
+  }
+
   test("substring strip excises every corpus-duplicated 8-word span") {
     import spark.implicits._
     val docs = Seq(

@@ -802,16 +802,19 @@ object Dedup {
     stripRebuild(d, covered)
   }
 
-  /** Window-form strip (r11 A/B winner candidate — the scored op's
-    * adjudicated one-exchange shape carried over): ONE position explode,
-    * one repartition(g) satisfying both the (g, doc_id) aggregation's
-    * clustering and the window's partitionBy(g). The pre-count that
-    * makes the window sort safe ([[substringWindow]]'s lesson: sort
-    * (g, doc_id) PAIRS, never raw postings) here collects each doc's
-    * positions of the gram into a list — per-group state bounded by
-    * within-doc repeats of ONE gram, the sorted stream still distinct
-    * pairs with a small array payload. Saves the join form's second
-    * explode + totals aggregate.
+  /** Window-form strip (RETIRED by the r11 warm-solo A/B — kept for
+    * the harness): ONE position explode, one repartition(g) satisfying
+    * both the (g, doc_id) aggregation's clustering and the window's
+    * partitionBy(g), positions collected per (g, doc) so the window
+    * sorts distinct pairs. Measured DECISIVELY WORSE than the join
+    * form (warm 24 g: uniform-1000x 6933 vs 5347 cpu-s, skew 6498 vs
+    * 3882 — substring_ab_r11.jsonl): unlike the scored op, where the
+    * pre-count COLLAPSES a hot gram's replicas into one count, the
+    * positions ARE the payload — the (g, doc) stream carries every
+    * position through the sort as array baggage plus an explode-back,
+    * strictly more work than the SHJ probe the join form pays. The
+    * scored op's window lesson does not transfer when the per-pair
+    * payload grows with duplication.
     */
   private[graft] def substringStripWindow(spark: SparkSession,
       docs: DataFrame): DataFrame = {

@@ -518,6 +518,31 @@ object GraftApi {
     * is a genuine total-order constraint (equal values are one rank
     * neighborhood), documented rather than hidden.
     */
+  /** Monotone numeric image of a sort column for range binning —
+    * numerics/temporals cast; strings/binary map through their 8-byte
+    * big-endian prefix (Spark compares both byte-wise, so the prefix
+    * number is order-aligned; truncation only coarsens bins, never
+    * reorders). Non-orderable types fail fast: their double-cast is
+    * NULL, which would silently collapse every row into one bin.
+    */
+  private[graft] def valueOrderImage(
+      dt: org.apache.spark.sql.types.DataType, value: String): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        expr(s"cast(conv(hex(rpad(encode(`$value`, 'UTF-8'), 8, x'00')), " +
+          "16, 10) as double)")
+      case BinaryType =>
+        expr(s"cast(conv(hex(rpad(`$value`, 8, x'00')), 16, 10) as double)")
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+          BooleanType => col(value).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"valueRankBlocks: value column `$value` of type ${other.sql} has " +
+          "no order-preserving numeric image to range-bin by — rank by a " +
+          "numeric/string/temporal sort column instead")
+    }
+  }
+
   def valueRankBlocks(df: DataFrame, key: String, value: String,
       tiebreak: String, bins: Int = 1024): DataFrame = {
     require(bins >= 1 && bins <= 65536,
@@ -535,8 +560,17 @@ object GraftApi {
            org.apache.spark.sql.types.FloatType => true
       case _ => false
     }
-    val vClean = if (isFloating) when(!isnan(col(value)), col(value))
-      else col(value)
+    // The bin function must be a MONOTONE map of the value's sort order
+    // (any non-decreasing assignment keeps the cumulative-offset rank
+    // exact; a non-monotone or collapsed one silently puts a key's whole
+    // sort back into one task). Numerics/temporals cast to double;
+    // strings/binary — which cast to NULL and would collapse every row
+    // into bin 0 — instead bin by their 8-byte big-endian prefix (Spark
+    // compares strings byte-wise, so the prefix number is order-aligned;
+    // truncation only coarsens bins, never reorders). Anything else is
+    // not rank-orderable here — fail fast.
+    val vOrd = valueOrderImage(df.schema(value).dataType, value)
+    val vClean = if (isFloating) when(!isnan(col(value)), vOrd) else vOrd
     val mm = df.agg(min(vClean).cast("double").as("lo"),
       max(vClean).cast("double").as("hi")).head()
     def withNullNan(base: Column): Column =
@@ -550,7 +584,7 @@ object GraftApi {
       else {
         val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
         val clamped = least(lit((bins - 1).toDouble), greatest(lit(0.0),
-          floor((col(value).cast("double") - lit(lo)) / lit(hi - lo) * bins)))
+          floor((vOrd - lit(lo)) / lit(hi - lo) * bins)))
         val safe = if (isFloating)
           when(isnan(clamped), lit(0.0)).otherwise(clamped) else clamped
         withNullNan(safe.cast("int"))
@@ -723,16 +757,29 @@ object GraftApi {
         leftId, rightId, windowMs, k, blockMs)
     else {
       import org.apache.spark.sql.expressions.Window
-      val pairs = rangeJoin(left, right, leftKey, rightKey, leftTime,
-          rightTime, 0L, windowMs, maxPairs = Long.MaxValue)
-        .select(col(leftId), col(rightId),
-          (unix_millis(col(rightTime).cast("timestamp")) -
-            unix_millis(col(leftTime).cast("timestamp"))).as("delay_ms"))
+      // pre-rename both sides to disjoint internal names: rangeJoin
+      // requires fully disjoint columns, and the rank branch above
+      // renames internally — the two branches must accept the SAME
+      // inputs, or a pipeline that tested fine at scale (rank branch)
+      // would crash on a small shard (this branch)
+      val l = left.select(col(leftKey).as("_alk"), col(leftTime).as("_alt"),
+        col(leftId).as("_ali"))
+      val r = right.select(col(rightKey).as("_ark"),
+        col(rightTime).as("_art"), col(rightId).as("_ari"))
+      val pairs = rangeJoin(l, r, "_alk", "_ark", "_alt", "_art",
+          0L, windowMs, maxPairs = Long.MaxValue)
+        .select(col("_ali"), col("_ari"),
+          (unix_millis(col("_art").cast("timestamp")) -
+            unix_millis(col("_alt").cast("timestamp"))).as("delay_ms"))
+      // rank on the internal names, rename back LAST: leftId == rightId
+      // is legal (both sides may call their id column `id`) and an early
+      // rename would make the window's partition column ambiguous
       pairs.withColumn("_rn", row_number().over(
-          Window.partitionBy(col(leftId))
-            .orderBy(col("delay_ms"), col(rightId))))
+          Window.partitionBy(col("_ali"))
+            .orderBy(col("delay_ms"), col("_ari"))))
         .filter(col("_rn") <= k)
-        .drop("_rn")
+        .select(col("_ali").as(leftId), col("_ari").as(rightId),
+          col("delay_ms"))
     }
   }
 
@@ -792,6 +839,39 @@ object GraftApi {
     }
     md.digest().map("%02x".format(_)).mkString + " " + key
   }
+
+  /** Resolve `key` through the analyzed plan's alias/projection chain to
+    * the SCAN attribute it renames, or None when the column is computed
+    * (a computed key's counts are frame-specific, not a table property).
+    * The memo must fingerprint by the ROOT name: two projections of the
+    * same files exposing different source columns under one output name
+    * (`user_id as k` vs `session_id as k`) would otherwise share — and
+    * poison — one entry.
+    */
+  private def rootAttrName(df: DataFrame, key: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    def walk(plan: LogicalPlan, id: ExprId, name: String): Option[String] =
+      plan match {
+        case p: Project =>
+          p.projectList.find(_.exprId == id) match {
+            case Some(a: Alias) => a.child match {
+              case ar: AttributeReference => walk(p.child, ar.exprId, ar.name)
+              case _ => None // computed column
+            }
+            case Some(ar: AttributeReference) => walk(p.child, ar.exprId, ar.name)
+            case Some(_) => None
+            case None => walk(p.child, id, name) // passed through untouched
+          }
+        case s: SubqueryAlias => walk(s.child, id, name)
+        case leaf if leaf.children.isEmpty => Some(name)
+        case _ => None
+      }
+    val analyzed = df.queryExecution.analyzed
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    analyzed.output.find(a => resolver(a.name, key))
+      .flatMap(a => walk(analyzed, a.exprId, a.name))
+  }
   /** Inline probes actually paid (spec hook: the memo path must not
     * rescan). */
   private[graft] val keyStatsProbes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -837,19 +917,35 @@ object GraftApi {
       simple: DataFrame => DataFrame)(
       blocks: DataFrame => DataFrame): DataFrame = {
     val files = df.inputFiles
-    val (hottest, input) =
-      if (files.nonEmpty && isCountPreserving(df.queryExecution.logical)) {
-        val fp = fileFingerprint(files, key)
-        (keyStatsMemo.computeIfAbsent(fp, _ => hottestOf(df, key)), df)
-      } else if (files.nonEmpty) {
-        // filtered-but-file-backed: the count is frame-specific (memoizing
-        // it would poison the table-level entry) and the chosen branch
-        // re-reads its scan cheaply — probe inline, no memo, no persist
+    val root =
+      if (files.nonEmpty && isCountPreserving(df.queryExecution.logical))
+        rootAttrName(df, key)
+      else None
+    val (hottest, input) = root match {
+      case Some(rootName) =>
+        val fp = fileFingerprint(files, rootName)
+        // probe OUTSIDE the map's lock: computeIfAbsent would hold the
+        // hash-bin lock for a full scan's duration, stalling concurrent
+        // dispatches on other tables. Worst case of the racy check-then-
+        // put is one duplicate probe, never a wrong entry.
+        val hot =
+          if (keyStatsMemo.containsKey(fp)) keyStatsMemo.get(fp)
+          else {
+            val h = hottestOf(df, key)
+            keyStatsMemo.putIfAbsent(fp, h)
+            h
+          }
+        (hot, df)
+      case None if files.nonEmpty =>
+        // filtered/computed-key but file-backed: the count is frame-
+        // specific (memoizing it would poison the table-level entry) and
+        // the chosen branch re-reads its scan cheaply — probe inline,
+        // no memo, no persist
         (hottestOf(df, key), df)
-      } else {
+      case None =>
         val cached = graft.CacheRegistry.track(df)
         (hottestOf(cached, key), cached)
-      }
+    }
     dispatch(df, hottest, hotKeyBound)(simple)(blocks)(input)
   }
 
@@ -866,7 +962,15 @@ object GraftApi {
       hotKeyBound: Long = 2000000L)(
       simple: DataFrame => DataFrame)(
       blocks: DataFrame => DataFrame): DataFrame = {
-    val hottest = stats.select(col("hottest")).collect().headOption match {
+    // limit(2): never collect a whole mis-filtered stats catalog to take
+    // one row, and a >1-row sliver is a caller bug worth naming — an
+    // arbitrary-row dispatch would be nondeterministic
+    val rows = stats.select(col("hottest")).limit(2).collect()
+    require(rows.length <= 1,
+      "skewAdaptiveWithStats: stats frame has more than one row — pass " +
+        "ONE hotKeyStats sliver (filter your stats catalog to this table " +
+        "and key)")
+    val hottest = rows.headOption match {
       case Some(r) if !r.isNullAt(0) => r.getLong(0)
       case Some(_) => 0L
       case None => Long.MaxValue // unknown → the branch that is safe at any skew
@@ -1396,8 +1500,11 @@ object GraftApi {
     val votes = topKPerKey(scored, "q_id", "cosine", "cand_id", k)
       .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n"))
     votes
+      // tie-break label order: NULLS LAST to match the DuckDB oracle's
+      // default — Spark ASC is NULLS FIRST, and a null-label vote group
+      // tying a real label would otherwise pick differently per engine
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("n").desc, col("label"))))
+        .orderBy(col("n").desc, col("label").asc_nulls_last)))
       .filter(col("rn") === 1)
       .select(col("q_id"), col("label").as("pred_label"), col("n").as("votes"))
   }
@@ -1517,7 +1624,10 @@ object GraftApi {
         case None => ev.filter(col("t") === st)
             .groupBy("k").agg(min(col("ts")).as("tprev"))
         case Some(p) => ev
-            .join(p.withColumnRenamed("k", "pk"), col("k") === col("pk"))
+            // <=> (the sessionize/valueRankBlocks convention): a NULL key
+            // is its own funnel subject — === would silently zero every
+            // did_* flag for the null cohort while keeping its row
+            .join(p.withColumnRenamed("k", "pk"), col("k") <=> col("pk"))
             .filter(col("t") === st && col("ts") > col("tprev"))
             .groupBy("k").agg(min(col("ts")).as("tprev"))
       }
@@ -1526,10 +1636,10 @@ object GraftApi {
       cached
     }
     stages.zip(reached).foldLeft(keys) { case (acc, (st, rf)) =>
-      acc.join(rf.select(col("k").as(s"k_$st")),
-        col("k") === col(s"k_$st"), "left")
+      acc.join(rf.select(col("k").as(s"k_$st"), lit(1L).as(s"hit_$st")),
+        col("k") <=> col(s"k_$st"), "left")
     }.select(col("k").as(keyCol) +: stages.map(st =>
-      when(col(s"k_$st").isNotNull, 1L).otherwise(0L).as(s"did_$st")): _*)
+      when(col(s"hit_$st").isNotNull, 1L).otherwise(0L).as(s"did_$st")): _*)
   }
 
   /** The persistable IVF index (centroids + cent_id-keyed inverted

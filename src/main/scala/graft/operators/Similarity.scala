@@ -123,8 +123,14 @@ object Similarity {
     // list is sketch-cardinality-sized (≤ 2^8 here) — broadcast.
     val small = v.groupBy("sk").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, 64)).select("sk")
-    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("nrm").as("b_nrm"), col("sk").as("b_sk"))
+    // prune the b-side through the kept-bucket broadcast BEFORE the
+    // shuffle too (the ivfSemDedup discipline): without it every member
+    // of a dropped >64 hot bucket still hash-partitions to one reducer
+    // only to find an empty a-side — the concentration the cap exists
+    // to avoid on a mass-duplicated corpus
+    val b = v.join(broadcast(small), "sk")
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("sk").as("b_sk"))
     val dot = vec_dot(col("embedding"), col("b_emb"))
     v.join(broadcast(small), "sk")
       .join(b, col("sk") === col("b_sk") && col("vec_id") < col("b_id"))

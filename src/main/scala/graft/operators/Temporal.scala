@@ -338,21 +338,21 @@ object Temporal {
   val funnel: Op = Op(
     "q_funnel_conversion",
     """WITH u AS (SELECT DISTINCT user_id FROM events),
-      |v AS (SELECT user_id, MIN(ts) AS tv FROM events
+      |v AS (SELECT user_id, MIN(ts) AS tv, 1 AS hit FROM events
       |      WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
-      |      JOIN v ON v.user_id = e.user_id
+      |c AS (SELECT e.user_id, MIN(e.ts) AS tc, 1 AS hit FROM events e
+      |      JOIN v ON v.user_id IS NOT DISTINCT FROM e.user_id
       |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
-      |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
-      |      JOIN c ON c.user_id = e.user_id
+      |p AS (SELECT e.user_id, MIN(e.ts) AS tp, 1 AS hit FROM events e
+      |      JOIN c ON c.user_id IS NOT DISTINCT FROM e.user_id
       |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
       |SELECT u.user_id,
-      |  CAST(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_view,
-      |  CAST(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_click,
-      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_purchase
-      |FROM u LEFT JOIN v ON v.user_id = u.user_id
-      |       LEFT JOIN c ON c.user_id = u.user_id
-      |       LEFT JOIN p ON p.user_id = u.user_id""".stripMargin,
+      |  CAST(CASE WHEN v.hit IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_view,
+      |  CAST(CASE WHEN c.hit IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_click,
+      |  CAST(CASE WHEN p.hit IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS did_purchase
+      |FROM u LEFT JOIN v ON v.user_id IS NOT DISTINCT FROM u.user_id
+      |       LEFT JOIN c ON c.user_id IS NOT DISTINCT FROM u.user_id
+      |       LEFT JOIN p ON p.user_id IS NOT DISTINCT FROM u.user_id""".stripMargin,
   ) { (spark, dir) =>
     graft.api.GraftApi.funnel(Tables.events(spark, dir),
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))

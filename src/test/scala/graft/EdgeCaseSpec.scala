@@ -832,6 +832,24 @@ class EdgeCaseSpec extends SparkSpec {
     val viaEmpty = GraftApi.skewAdaptiveWithStats(ev, "user_id",
       stats.filter(lit(false)))(simple)(blocks)
     assert(viaEmpty.select("form").head().getString(0) == "blocks")
+    // 6. the memo keys by the ROOT scan attribute, not the output name:
+    //    two renames of DIFFERENT source columns to one name must not
+    //    share an entry, and a rename of the SAME column must hit the
+    //    bare-name entry
+    GraftApi.keyStatsMemoClear()
+    val b6 = GraftApi.keyStatsProbes.get()
+    val evRaw = Tables.events(spark, sfTiny)
+    GraftApi.skewAdaptive(evRaw.select(col("user_id").as("kk"),
+      col("ts"), col("value")), "kk")(simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == b6 + 1)
+    GraftApi.skewAdaptive(evRaw.select(col("event_id").as("kk"),
+      col("ts"), col("value")), "kk")(simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == b6 + 2,
+      "event_id-as-kk must not reuse user_id-as-kk's memo entry")
+    GraftApi.skewAdaptive(evRaw.select(col("user_id"), col("ts"),
+      col("value")), "user_id")(simple)(blocks).collect()
+    assert(GraftApi.keyStatsProbes.get() == b6 + 2,
+      "bare user_id must hit the entry the user_id-as-kk rename probed")
     CacheRegistry.drain()
   }
 
@@ -990,5 +1008,81 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(0L) == ((1L, 0L)), got)
     assert(got(100L) == ((0L, 0L)), got) // duplicate of the canonical
     assert(got(101L) == ((1L, 0L)), got) // orthogonal: survives
+  }
+
+  test("sharded export bins STRING elements across bins, order-preserved") {
+    import spark.implicits._
+    // string ids used to cast-to-double → NULL bounds → every row in bin
+    // 0 → the hot key's whole rank sort in ONE task; the 8-byte-prefix
+    // image must both spread bins and keep the rank order exact
+    val ids = (0 until 500).map(i => ("K", f"doc_${i}%04d"))
+    val df = ids.toDF("k", "id")
+    val shards = graft.api.GraftApi.groupConcatExportSharded(df, "k", "id",
+        rowsPerShard = 50L).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    val reassembled = shards.map(_._2).mkString(",")
+    assert(reassembled == ids.map(_._2).sorted.mkString(","))
+    assert(shards.forall { case (i, s) =>
+      val n = s.count(_ == ',') + 1
+      if (i < 9) n == 50 else n <= 50
+    }, shards.map(_._1).mkString(","))
+    // the order image itself: non-null and strictly order-aligned over
+    // byte-wise string order (the old cast-to-double image was NULL for
+    // every string — bounds null → all rows bin 0)
+    val img = Seq("a", "ab", "b", "doc_0001", "doc_0999", "zz")
+      .toDF("id")
+      .select(graft.api.GraftApi.valueOrderImage(
+        org.apache.spark.sql.types.StringType, "id").as("x"))
+      .collect().map(r => { assert(!r.isNullAt(0)); r.getDouble(0) })
+    assert(img.toSeq == img.sorted.toSeq && img.distinct.length == img.length,
+      img.mkString(","))
+    // unsupported value type fails fast instead of collapsing silently
+    val arr = Seq(("K", Seq(1, 2))).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.GraftApi.valueRankBlocks(arr, "k", "v", "k")
+    }
+    assert(e.getMessage.contains("order-preserving"), e.getMessage)
+    CacheRegistry.drain()
+  }
+
+  test("funnel counts the null-key cohort's stages (null-safe joins)") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val ev = Seq(
+      (1L, Some(7L), t(0), "view"), (2L, Some(7L), t(1), "click"),
+      (3L, None, t(0), "view"), (4L, None, t(1), "click"),
+      (5L, Some(8L), t(0), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.api.GraftApi.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    CacheRegistry.drain()
+    assert(got(7L) == ((1L, 1L)), got)
+    assert(got(8L) == ((1L, 0L)), got)
+    assert(got(-1L) == ((1L, 1L)),
+      s"null-key cohort's events must reach its flags: $got")
+  }
+
+  test("rangeJoinEarliestKAuto accepts same-named columns on BOTH branches") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    // both sides expose the SAME column names — the rank branch renames
+    // internally, and the pair branch must too (it used to crash on
+    // rangeJoin's disjoint-names require only when the estimate was small)
+    val lefts = Seq((7L, 100L, t(0)), (7L, 101L, t(5))).toDF("k", "id", "ts")
+    val rights = Seq((7L, 200L, t(1)), (7L, 201L, t(6))).toDF("k", "id", "ts")
+    def run(bound: String) = {
+      spark.conf.set("graft.rangeJoinEarliestK.pairBound", bound)
+      try graft.api.GraftApi.rangeJoinEarliestKAuto(lefts, rights,
+          "k", "k", "ts", "ts", "id", "id", windowMs = 60000L, k = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("graft.rangeJoinEarliestK.pairBound")
+    }
+    val viaPair = run(Long.MaxValue.toString) // est <= bound → pair branch
+    val viaRank = run("0")                    // est > bound → rank branch
+    assert(viaPair == Set((100L, 200L), (101L, 201L)), viaPair)
+    assert(viaPair == viaRank)
+    CacheRegistry.drain()
   }
 }

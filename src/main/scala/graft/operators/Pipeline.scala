@@ -80,8 +80,8 @@ object Pipeline {
       |  FROM (SELECT doc_id, text,
       |          CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
       |            i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bi
-      |        FROM (SELECT doc_id, text,
-      |                list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |                list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
       |              FROM documents)))
       |SELECT doc_id, verdict,
       |  CAST(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS kept,
@@ -102,6 +102,10 @@ object Pipeline {
       "regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)"))
       .cast("double") / greatest(tokens, lit(1L))
     Tables.documents(spark, dir)
+      // null text ≡ empty document (the house convention): without the
+      // coalesce every gate comparison is NULL and falls through to the
+      // 'ok' verdict — a quality gate passing null docs into the kept set
+      .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
       .withColumn("bi", expr(
         "case when size(w) >= 2 then transform(sequence(1, size(w)-1)," +
@@ -296,7 +300,7 @@ object Pipeline {
     "pipeline_pack_sequences",
     """WITH toks AS (
       |  SELECT doc_id, doc_id % 8 AS shard,
-      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tokens
+      |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS BIGINT) AS tokens
       |  FROM documents),
       |cum AS (
       |  SELECT doc_id, shard, tokens,
@@ -310,9 +314,13 @@ object Pipeline {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val budget = 512L
+    // null text ≡ empty document: a zero-token doc takes a real (pack_id,
+    // pack_offset) slot — a NULL tokens would poison its own running sum
+    // and leave the row unpackable downstream
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
-      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("tokens"))
+      size(expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"))
+        .cast("long").as("tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
@@ -479,7 +487,11 @@ object Pipeline {
     """WITH r AS (
       |  SELECT doc_id, lang, doc_id % 8 AS shard,
       |    ROW_NUMBER() OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id) - 1 AS lr
-      |  FROM documents)
+      |  FROM documents
+      |  -- mixSchedule's contract: only domains IN the weight map ride the
+      |  -- mixture — a bare ELSE would schedule langs (or NULL) the Spark
+      |  -- side excludes, silently diverging on the first 6-language corpus
+      |  WHERE lang IN ('en', 'zh', 'es', 'de', 'fr'))
       |SELECT doc_id, lang, lr * 8 + shard AS enum_rank,
       |  CAST(2 * (lr * 8 + shard) + 1 AS DOUBLE) /
       |    (2 * (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END)) AS vtime

@@ -371,17 +371,22 @@ object Temporal {
       |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
       |SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
       |  CAST(date_diff('day', f.cohort, a.d) // 7 AS BIGINT) AS week_offset,
-      |  COUNT(DISTINCT a.user_id) AS n_active
-      |FROM a JOIN f ON f.user_id = a.user_id
+      |  COUNT(DISTINCT a.user_id)
+      |    + MAX(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END) AS n_active
+      |FROM a JOIN f ON f.user_id IS NOT DISTINCT FROM a.user_id
       |GROUP BY 1, 2""".stripMargin,
   ) { (spark, dir) =>
     val ev = graft.CacheRegistry.track(Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
     val f = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
-    ev.join(f.withColumnRenamed("user_id", "fu"), col("user_id") === col("fu"))
+    // <=> + null-subject count term (the funnel convention): the NULL
+    // user is its own cohort subject — === would drop it from the matrix
+    // entirely, and COUNT(DISTINCT) alone would count it as zero
+    ev.join(f.withColumnRenamed("user_id", "fu"), col("user_id") <=> col("fu"))
       .groupBy(col("cohort").cast("string").as("cohort_day"),
         expr("cast(datediff(d, cohort) div 7 as bigint)").as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg((countDistinct(col("user_id")) +
+        max(when(col("user_id").isNull, 1L).otherwise(0L))).as("n_active"))
   }
 
   /** Exponentially-weighted moving average of each user's event values —

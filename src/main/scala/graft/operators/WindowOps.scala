@@ -25,7 +25,7 @@ object WindowOps {
       sum(col("value").cast("decimal(12,2)"))
         .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("double").as("running_value"),
-      row_number().over(byUserTime).as("seq"))
+      row_number().over(byUserTime).cast("long").as("seq"))
 
   private def runningBlocks(ev: org.apache.spark.sql.DataFrame) =
     graft.api.GraftApi.runningSumBlocks(
@@ -34,7 +34,11 @@ object WindowOps {
         "user_id", "ts", "event_id", col("v"))
       .select(col("event_id"), col("user_id"),
         col("running").cast("double").as("running_value"),
-        col("seq").cast("int").as("seq"))
+        // seq stays LONG (both branches): the blocks form exists for keys
+        // past ~2.1B rows, where an int seq wraps (or throws under ANSI)
+        // on exactly the histories this branch is advertised to survive;
+        // DuckDB ROW_NUMBER is BIGINT, so long is also the oracle's type
+        col("seq").as("seq"))
 
   /** Running per-user aggregate: rows-unbounded-preceding frame.
     *

@@ -46,7 +46,20 @@ object GroupExportStream {
         (kb: (String, Int), rows: Iterator[GroupElem],
          state: GroupState[PieceState]) =>
           val prev = state.getOption.map(_.values).getOrElse(Array.empty[Long])
-          val merged = (prev ++ rows.map(_.value)).sorted
+          // prev is the previous call's .sorted output — sort only the
+          // NEW rows and linear-merge: a near-maxPerBin hot bin on a
+          // trickle of arrivals would otherwise pay a full O(n log n)
+          // re-sort of ~1M longs EVERY micro-batch
+          val fresh = rows.map(_.value).toArray.sorted
+          val merged = new Array[Long](prev.length + fresh.length)
+          var i = 0; var j = 0; var k = 0
+          while (i < prev.length && j < fresh.length) {
+            if (prev(i) <= fresh(j)) { merged(k) = prev(i); i += 1 }
+            else { merged(k) = fresh(j); j += 1 }
+            k += 1
+          }
+          while (i < prev.length) { merged(k) = prev(i); i += 1; k += 1 }
+          while (j < fresh.length) { merged(k) = fresh(j); j += 1; k += 1 }
           require(merged.length <= maxPerBin,
             s"groupExportPieces: (${kb._1}, bin ${kb._2}) holds " +
               s"${merged.length} elements past maxPerBin=$maxPerBin — a " +
@@ -66,6 +79,19 @@ object GroupExportStream {
       out: String = "elems"): DataFrame = {
     require(rowsPerShard >= 1,
       s"reshardPieces: rowsPerShard=$rowsPerShard must be >= 1")
+    // the batch face's bytes bound, same conf: a shard string is still ONE
+    // aggregation-buffer value here. Elements are rendered longs — ≤ 20
+    // chars + separator — so the worst case needs no scan (division, not
+    // multiplication: a huge rowsPerShard must not overflow past the guard)
+    val limit = pieces.sparkSession.conf
+      .getOption("graft.groupExport.maxGroupBytes")
+      .map(_.toLong).getOrElse(268435456L)
+    if (limit < Long.MaxValue)
+      require(21L <= limit / rowsPerShard,
+        s"reshardPieces: rowsPerShard=$rowsPerShard × worst-case rendered " +
+          s"element (21 bytes) exceeds maxGroupBytes=$limit per shard — " +
+          "size rowsPerShard down, or raise graft.groupExport.maxGroupBytes " +
+          "if one task really holds it")
     import org.apache.spark.sql.expressions.Window
     // per-key prefix sum over bin counts = each piece's global rank offset
     val wKey = Window.partitionBy(col("key")).orderBy(col("bin"))

@@ -422,6 +422,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(red(1).isNullAt(red(1).fieldIndex("txt_redacted")))
   }
 
+  test("null text ≡ empty document in quality_filter and pack_sequences; null user keeps its cohort") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("the quick brown fox jumps over a dog")),
+      (2L, Option.empty[String]), (3L, Option("")))
+      .map { case (id, t) => (id, t, "en", s"s$id",
+        t.map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir(); writeTable(dir, "documents", docs)
+    // null and empty text must take the SAME verdict path (too_short),
+    // never fall through every null comparison into 'ok'
+    val qf = graft.operators.Pipeline.qualityFilter.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(qf(2L) == qf(3L) && qf(2L) == (("too_short", 0L)), qf)
+    // null text packs as a zero-token doc with a REAL pack slot
+    val pk = graft.operators.Pipeline.packSequences.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.isNullAt(3)))).toMap
+    assert(pk(2L) == ((0L, false)), s"null-text doc must keep a pack_id: $pk")
+    // retention: the null user is its own cohort subject
+    def t(s: Long) = new java.sql.Timestamp(86400000L + s * 1000L)
+    val ev = Seq((1L, Option(7L), t(0)), (2L, Option.empty[Long], t(0)),
+      (3L, Option.empty[Long], t(86400L * 8)))
+      .map { case (id, u, ts) => (id, u, ts, "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val evDir = tmpDir(); writeTable(evDir, "events", ev)
+    val ret = graft.operators.Temporal.retentionCohort.fn(spark, evDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    CacheRegistry.drain()
+    // day-0 has BOTH user 7 and the null user active; week 1 only null
+    assert(ret.values.sum == 3L && ret.exists(_._2 == 2L),
+      s"null user must count in its cohort rows: $ret")
+  }
+
   test("ivf hot-cell split at the boundary: result-identical, hot branch repartitioned") {
     // 2 cells over the tiny corpus make every inverted list exceed the
     // tot/partitions floor once hotCellBound is forced to 1 — the split
@@ -909,6 +942,13 @@ class EdgeCaseSpec extends SparkSpec {
         out = "orderkeys").collect()
     }
     assert(hugeErr.getMessage.contains("maxGroupBytes"), hugeErr.getMessage)
+    // the streaming compaction carries the same bytes bound (same conf)
+    val pieces = Seq(("A", 0, 2L, "1,2")).toDF("key", "bin", "n", "elems")
+    val streamErr = intercept[IllegalArgumentException] {
+      graft.streaming.GroupExportStream.reshardPieces(
+        pieces, rowsPerShard = Long.MaxValue / 2)
+    }
+    assert(streamErr.getMessage.contains("maxGroupBytes"), streamErr.getMessage)
     CacheRegistry.drain()
   }
 

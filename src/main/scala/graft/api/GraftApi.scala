@@ -108,6 +108,24 @@ object GraftApi {
       ds.where(tagCol === tag)
   }
 
+  /** The repo-wide deterministic sampling coin: the first `hexDigits` hex
+    * digits of md5(id) as a LONG column — 4 digits ⇒ u16 (shard/split
+    * buckets), 8 digits ⇒ u32 (keep/drop coins compared against
+    * floor(p·2^32) thresholds, which are uniform to within 2^-32; a
+    * mod-10^k bucket is NOT uniform — see q_mix_balance). Content-stable,
+    * so membership is reproducible across engines, runs, and cluster
+    * sizes, unlike rand(). Single-sourced because every sampling, split,
+    * and shard op must flip the SAME coin for memberships to stay coupled:
+    * an edit to one inlined copy would silently decouple train/val/test
+    * splits from the samples drawn over them.
+    */
+  def md5Coin(idCol: String, hexDigits: Int): Column = {
+    require(hexDigits >= 1 && hexDigits <= 15,
+      s"md5Coin: hexDigits must be in [1,15] to fit a long, got $hexDigits")
+    expr(s"conv(substring(md5(cast($idCol as string)), 1, $hexDigits), 16, 10)")
+      .cast("long")
+  }
+
   /** Size-adaptive small-side hint — the Graph.componentLabels guard
     * applied to joins. Dup-rate-proportional slivers (drop lists, cluster
     * labels, election winners) are tiny on a clean corpus but reach

@@ -120,6 +120,44 @@ object Dedup {
         interSz.cast("long").as("n_common"), jac.as("jaccard"))
   }
 
+  /** MinHash sketch → LSH bucket → candidate CTE chain in DuckDB SQL
+    * (relations `sh`/`sk`/`buckets`/`small`/`cand`), single-sourced for
+    * every oracle built on the near-dup pair set — dedup_minhash_lsh
+    * itself, Graph.clustersCteBody (dedup_clusters), and through it
+    * pipeline_curate. Tuning a parameter (sketch size [1:8], bucket cap
+    * 64, Jaccard 0.2 in [[minhashVerifiedSql]]) retunes every dependent
+    * oracle in lockstep with [[minhashPairs]]; a copy drifting on its own
+    * made gate failures point at the wrong change.
+    */
+  private[operators] val minhashCandCte: String =
+    s"""sh AS ($shinglesSql),
+      |sk AS (SELECT doc_id, shingles,
+      |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
+      |       FROM sh),
+      |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
+      |small AS (SELECT h FROM buckets GROUP BY h HAVING COUNT(*) <= 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.h IN (SELECT h FROM small))""".stripMargin
+
+  /** Exact-Jaccard over the full shingle arrays (single line so it embeds
+    * safely inside stripMargin templates).
+    */
+  private[operators] val minhashJaccardSql: String =
+    "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+      "(len(sa.shingles) + len(sb.shingles) - " +
+      "len(list_intersect(sa.shingles, sb.shingles)))"
+
+  /** Verified near-dup pairs (exact Jaccard ≥ 0.2 over `cand`) with a
+    * caller-chosen projection — the shared tail of every pair-set oracle.
+    */
+  private[operators] def minhashVerifiedSql(select: String): String =
+    s"""SELECT $select
+      |FROM cand JOIN sk sa ON sa.doc_id = doc_a
+      |          JOIN sk sb ON sb.doc_id = doc_b
+      |WHERE $minhashJaccardSql >= 0.2""".stripMargin
+
   /** MinHash (bottom-k sketch) + LSH bucket join. One digest per shingle;
     * the sketch is the 8 lexicographically smallest md5s — the bottom-k
     * estimator of the minwise family (one-permutation MinHash). Candidates
@@ -133,25 +171,8 @@ object Dedup {
     */
   val minhashLsh: Op = Op(
     "dedup_minhash_lsh",
-    s"""WITH sh AS ($shinglesSql),
-      |sk AS (SELECT doc_id, shingles,
-      |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
-      |       FROM sh),
-      |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
-      |small AS (SELECT h FROM buckets GROUP BY h HAVING COUNT(*) <= 64),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  WHERE a.h IN (SELECT h FROM small))
-      |SELECT doc_a, doc_b,
-      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-      |    (len(sa.shingles) + len(sb.shingles)
-      |     - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-      |FROM cand JOIN sk sa ON sa.doc_id = doc_a
-      |          JOIN sk sb ON sb.doc_id = doc_b
-      |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-      |    (len(sa.shingles) + len(sb.shingles)
-      |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2""".stripMargin,
+    s"""WITH $minhashCandCte
+      |${minhashVerifiedSql(s"doc_a, doc_b,\n  $minhashJaccardSql AS jaccard")}""".stripMargin,
   ) { (spark, dir) => minhashPairs(Tables.documents(spark, dir), 0.2) }
 
   /** The MinHash+LSH pipeline as a generic library function over any

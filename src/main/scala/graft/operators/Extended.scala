@@ -246,12 +246,16 @@ object Extended {
   }
 
   /** Numeric conversions (NumConvOps.scala): cast lattice int↔long↔double
-    * ↔decimal↔string, plus date formatting.
+    * ↔decimal↔string, plus date formatting. The double→int leg goes
+    * through an explicit floor() on BOTH sides: a bare CAST rounds in
+    * DuckDB (2.5 → 3) but truncates in Spark (2.5 → 2) — a divergence
+    * invisible while the generator emits whole quantities, and a silent
+    * disagreement for any library user with fractional ones.
     */
   val numericConv: Op = Op(
     "q_numeric_conv",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_quantity AS INTEGER) AS qty_int,
+      |  CAST(floor(l_quantity) AS INTEGER) AS qty_int,
       |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
       |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
@@ -260,7 +264,7 @@ object Extended {
     Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") < 100)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("int").as("qty_int"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
         col("l_linenumber").cast("double").as("ln_dbl"),
         col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price_dec"),
         col("l_shipdate").cast("date").cast("string").as("ship_str"))
@@ -435,11 +439,12 @@ object Extended {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
   ) { (spark, dir) =>
-    // exact long-cents accumulator (see Relational.cents): stays in
+    // exact long-cents accumulator — Relational.cents itself, so the
+    // round-then-cast money discipline is single-sourced; stays in
     // codegen where a >18-digit decimal sum would box per row
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+      .agg((sum(Relational.cents(col("l_quantity"))).cast("double") / 100.0)
         .as("sum_qty"),
         count(lit(1)).as("n"))
   }
@@ -458,7 +463,7 @@ object Extended {
   ) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+      .agg((sum(Relational.cents(col("l_quantity"))).cast("double") / 100.0)
         .as("sum_qty"),
         count(lit(1)).as("n"))
   }
@@ -482,7 +487,7 @@ object Extended {
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
-      .agg((sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+      .agg((sum(Relational.cents(col("l_quantity"))).cast("double") / 100.0)
         .as("sum_qty"),
         count(lit(1)).as("n"))
   }

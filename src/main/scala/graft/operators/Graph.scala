@@ -52,28 +52,46 @@ object Graph {
   private def localUnionFind(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x // path compression
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    val verts = scala.collection.mutable.SortedSet.empty[Long]
     // primitive tuple encoder, not Row: 4M boxed Rows would cost the
     // driver ~1 GB of heap; Long pairs keep the guard's "small side"
     // promise at ~tens of MB
-    pairs.select(col("a").cast("long"), col("b").cast("long"))
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .as[(Long, Long)].collect()
-      .foreach { case (a, b) =>
-        verts += a; verts += b
-        val (ra, rb) = (find(a), find(b))
-        // min id becomes the root, so roots ARE the canonical cluster ids
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
-      }
-    val labels = verts.toSeq.map(v => (v, find(v)))
+    // Vertex ids → dense indices via one primitive sort+dedupe. All the
+    // working state is primitive arrays (a boxed SortedSet/LongMap here
+    // would cost ~64 B per entry — hundreds of MB at the edge guard,
+    // breaking the very budget the collect guard promises). Ascending id
+    // order means index order ≡ id order, so min-INDEX roots are exactly
+    // the min-ID canonical clusters.
+    val verts = new Array[Long](edges.length * 2)
+    var i = 0
+    while (i < edges.length) {
+      verts(2 * i) = edges(i)._1; verts(2 * i + 1) = edges(i)._2; i += 1
+    }
+    java.util.Arrays.sort(verts)
+    var n = 0
+    i = 0
+    while (i < verts.length) {
+      if (n == 0 || verts(i) != verts(n - 1)) { verts(n) = verts(i); n += 1 }
+      i += 1
+    }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, 0, n, v)
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      // min id becomes the root, so roots ARE the canonical cluster ids
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val labels: IndexedSeq[(Long, Long)] =
+      (0 until n).map(v => (verts(v), verts(find(v))))
     spark.createDataset(labels).toDF("id", "cluster")
   }
 
@@ -81,10 +99,12 @@ object Graph {
     // Symmetric closure PLUS a self-loop per vertex: one propagation step
     // is then a single join+groupBy — min over in-neighbors' labels
     // (self included) — instead of a neighbor join followed by a
-    // least(own, neighbors) left join. Convergence check rides the same
-    // materialization: labels only ever decrease, so the label SUM is
-    // stationary exactly at the fixpoint (no second join to diff against
-    // the previous iteration).
+    // least(own, neighbors) left join. The self-loop row also carries each
+    // vertex's PREVIOUS label through the same join, so convergence is a
+    // changed-label count over the step's own materialization — typed for
+    // ANY id type. (An id-sum check would fail analysis on the string-id
+    // graphs this path is the designated fallback for, or — cast to null,
+    // coalesced to 0 — report false convergence silently.)
     val sym = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     val edges = sym
@@ -93,25 +113,36 @@ object Graph {
     var cached = edges.filter(col("a") === col("b"))
       .select(col("a").as("id"), col("a").as("cluster")).persist()
     var labels = cached
-    var prevSum = Long.MaxValue
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val stepped = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id"))
-        .agg(min(col("cluster")).as("cluster"))
+        .agg(min(col("cluster")).as("cluster"),
+          // exactly one self-loop row per vertex ⇒ this min IS the
+          // previous label, riding the same shuffle for free
+          min(when(edges("b") === edges("a"), col("cluster"))).as("prev"))
         .persist()
-      val s = stepped.agg(coalesce(sum(col("cluster")), lit(0L)))
-        .head().getLong(0) // materializes the persist
-
-      converged = s == prevSum
-      prevSum = s
+      val changed = stepped.filter(!(col("cluster") <=> col("prev")))
+        .count() // materializes the persist
+      converged = changed == 0L
       cached.unpersist()
       cached = stepped
-      labels = stepped
+      labels = stepped.select(col("id"), col("cluster"))
       it += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // Min-label propagation moves one hop per iteration; a component
+      // whose diameter exceeds maxIter exits this loop with labels that
+      // are NOT the component minimum. Returning them would silently
+      // mis-cluster (wrong canonical ids → wrong keep/drop decisions
+      // downstream), so fail loudly like every other guard in the repo.
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"componentLabels: propagation did not converge within maxIter=$maxIter " +
+          "iterations (component diameter exceeds the budget); raise maxIter")
+    }
     // the final labels stay persisted for the caller's consumption; the
     // registry releases them once the caller has materialized its result
     graft.CacheRegistry.register(cached)
@@ -139,23 +170,9 @@ object Graph {
     * reuse the exact same fixpoint definition.
     */
   private[operators] val clustersCteBody: String =
-    s"""sh AS (${Dedup.shinglesSql}),
-      |sk AS (SELECT doc_id, shingles,
-      |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
-      |       FROM sh),
-      |buckets AS (SELECT doc_id, unnest(sketch) AS h FROM sk),
-      |small AS (SELECT h FROM buckets GROUP BY h HAVING COUNT(*) <= 64),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM buckets a JOIN buckets b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  WHERE a.h IN (SELECT h FROM small)),
+    s"""${Dedup.minhashCandCte},
       |pairs AS (
-      |  SELECT doc_a AS a, doc_b AS b
-      |  FROM cand JOIN sk sa ON sa.doc_id = doc_a
-      |            JOIN sk sb ON sb.doc_id = doc_b
-      |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-      |      (len(sa.shingles) + len(sb.shingles)
-      |       - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2),
+      |${Dedup.minhashVerifiedSql("doc_a AS a, doc_b AS b")}),
       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
       |reach(n, r) AS (
       |  SELECT doc_id, doc_id FROM documents

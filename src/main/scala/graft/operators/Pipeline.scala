@@ -354,8 +354,7 @@ object Pipeline {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY 1""".stripMargin,
   ) { (spark, dir) =>
-    val shard = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
-      .cast("int") % 16
+    val shard = (graft.api.GraftApi.md5Coin("doc_id", 4) % 16).cast("int")
     Tables.documents(spark, dir)
       .withColumn("shard", shard)
       .withColumn("tokens",
@@ -456,8 +455,7 @@ object Pipeline {
     require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
       splits.forall(_._2 > 0),
       s"split weights must be positive integer percents summing to 100: $splits")
-    val h = expr(s"conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10)")
-      .cast("int") % 100
+    val h = graft.api.GraftApi.md5Coin(idCol, 4) % 100
     val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail  // cumulative
     val label = splits.map(_._1).zip(bounds).init
       .foldRight(lit(splits.last._1): Column) { case ((name, hi), rest) =>

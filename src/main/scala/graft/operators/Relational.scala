@@ -54,7 +54,7 @@ object Relational {
     * ~1e11 per row) would overflow that at ~1e8 rows per group — real at
     * 100 TB — so product sums go through `bigSum` below instead.
     */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private[operators] def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** 64-bit-safe exact sum of a non-negative scaled-long product: each row
     * splits x = (x >> 20)·2²⁰ + (x & 0xFFFFF) — two codegen'd bit ops — so
@@ -65,7 +65,7 @@ object Relational {
     * the hot loop never touches boxed decimals and the result is still
     * bit-identical to an arbitrary-precision sum.
     */
-  private def bigSum(x: Column): Column =
+  private[operators] def bigSum(x: Column): Column =
     sum(shiftright(x, 20)).cast("decimal(38,0)") * lit(1048576L) +
       sum(x.bitwiseAND(lit(1048575L))).cast("decimal(38,0)")
 
@@ -263,18 +263,20 @@ object Relational {
 
   /** map/select with computed columns (traversableOps.scala:11,164).
     * Pure per-row double arithmetic — IEEE-deterministic on both engines.
+    * The double→int cast is pinned with floor() (see q_numeric_conv:
+    * bare CAST rounds in DuckDB, truncates in Spark).
     */
   val selectMap: Op = Op(
     "q_select_map",
     """SELECT l_orderkey, l_linenumber,
       |  l_extendedprice * (1 - l_discount) AS disc_price,
-      |  CAST(l_quantity AS INTEGER) AS qty_int
+      |  CAST(floor(l_quantity) AS INTEGER) AS qty_int
       |FROM lineitem""".stripMargin,
   ) { (spark, dir) =>
     Tables.lineitem(spark, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
-      col("l_quantity").cast("int").as("qty_int"))
+      floor(col("l_quantity")).cast("int").as("qty_int"))
   }
 
   /** filter/withFilter (traversableOps.scala:14,22) → parquet pushdown. */

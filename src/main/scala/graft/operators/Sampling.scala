@@ -22,8 +22,7 @@ object Sampling {
       |WHERE (lang = 'en' AND bucket < 80)
       |   OR (lang <> 'en' AND bucket < 30)""".stripMargin,
   ) { (spark, dir) =>
-    val bucket = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
-      .cast("int") % 100
+    val bucket = graft.api.GraftApi.md5Coin("doc_id", 4) % 100
     Tables.documents(spark, dir)
       .withColumn("bucket", bucket)
       .filter((col("lang") === "en" && col("bucket") < 80) ||
@@ -54,8 +53,7 @@ object Sampling {
       |WHERE coin < CAST(floor(p_keep * 4294967296.0) AS BIGINT)""".stripMargin,
   ) { (spark, dir) =>
     val tokens = size(expr("filter(split(text, ' '), x -> x != '')"))
-    val coin = expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
-      .cast("long")
+    val coin = graft.api.GraftApi.md5Coin("doc_id", 8)
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens.as("tokens"),
         (tokens.cast("double") / (tokens + lit(50.0))).as("p_keep"),
@@ -87,8 +85,7 @@ object Sampling {
       |        FROM documents))
       |WHERE rn <= 7""".stripMargin,
   ) { (spark, dir) =>
-    val coin = expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
-      .cast("long")
+    val coin = graft.api.GraftApi.md5Coin("doc_id", 8)
     val scored = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), coin.as("coin"))
       .withColumn("neg_coin", -col("coin"))
@@ -150,33 +147,39 @@ object Sampling {
   /** Adaptive mixture balancing: downsample every language to the size of
     * the SMALLEST one — the rates come from the data (per-group counts →
     * a tiny broadcast), not from config, which is how a real training-mix
-    * rebalance runs. Keep decisions are deterministic integer arithmetic
-    * on an md5 bucket (reproducible on any engine/cluster); the threshold
-    * per group is integer-division exact, so both engines keep the
-    * identical document set. Two aggregates + one broadcast join — no
-    * second scan of the corpus per group.
+    * rebalance runs. Keep decisions use the weightedSample coin contract:
+    * an 8-hex md5 u32 against a per-group threshold floor(p·2^32), whose
+    * one float step (an IEEE divide and multiply) both engines perform
+    * identically — so the kept document set is identical across
+    * engines/clusters AND the keep probability is uniform to within
+    * 2^-32. (A 4-hex bucket mod 10⁴ is NOT: 65536 % 10000 = 5536, which
+    * over-keeps every downsampled group by up to ~7% — systematically
+    * violating the to-the-smallest contract in a way a shared-bias
+    * cross-engine gate can never see.) Two aggregates + one broadcast
+    * join — no second scan of the corpus per group.
     */
   val mixBalance: Op = Op(
     "q_mix_balance",
     """WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
       |m AS (SELECT MIN(cnt) AS min_cnt FROM counts),
-      |rates AS (SELECT lang, cnt, (m.min_cnt * 10000) // cnt AS keep_bp
+      |rates AS (SELECT lang, cnt,
+      |            CAST(floor((CAST(m.min_cnt AS DOUBLE) / cnt) * 4294967296.0)
+      |                 AS BIGINT) AS keep_thresh
       |          FROM counts, m)
       |SELECT d.doc_id, d.lang
       |FROM documents d JOIN rates r ON r.lang = d.lang
-      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
-      |      % 10000 < r.keep_bp""".stripMargin,
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      < r.keep_thresh""".stripMargin,
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
       .select(col("lang").as("r_lang"),
-        expr("(min_cnt * 10000) div cnt").as("keep_bp"))
-    val bucket = expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
-      .cast("int") % 10000
+        floor((col("min_cnt").cast("double") / col("cnt")) * lit(4294967296.0))
+          .cast("long").as("keep_thresh"))
     docs.join(broadcast(rates), col("lang") === col("r_lang"))
-      .filter(bucket < col("keep_bp"))
+      .filter(graft.api.GraftApi.md5Coin("doc_id", 8) < col("keep_thresh"))
       .select("doc_id", "lang")
   }
 

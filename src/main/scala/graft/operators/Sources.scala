@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Unique per-invocation scratch directory under java.io.tmpdir,
+    * registered for deletion at JVM exit so repeated bench/verify passes
+    * don't accumulate corpora in /tmp. Uniqueness (not determinism) is
+    * the contract: concurrent invocations must never overwrite a path a
+    * still-executing plan is reading from.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    scratchDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+  }
+  private def scratchDir(prefix: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + java.util.UUID.randomUUID.toString.take(8))
+    scratchDirs.add(f.getAbsolutePath)
+    f.getAbsolutePath
+  }
+
   /** JSON column extraction: events.props is a JSON string; pull typed
     * fields out with a codegen'd path expression (no UDF). At scale this
     * is the schema-on-read pattern for raw event feeds.
@@ -90,12 +114,13 @@ object Sources {
       |  MIN(c_name) AS first_name
       |FROM customer GROUP BY c_mktsegment""".stripMargin,
   ) { (spark, dir) =>
-    // deterministic per-sfDir scratch path, reused (and overwritten)
-    // across invocations instead of accumulating fresh temp dirs on every
-    // plan-lint/warmup/bench/verify pass; on a real cluster this would be
-    // a shared-filesystem staging path, not a driver-local one
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_csv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // unique per-invocation scratch path: a shared deterministic path
+    // with mode("overwrite") races any concurrent invocation over the
+    // same corpus (this session runs queries concurrently, and a parallel
+    // Bench/Verify process shares the tmpdir) — the overwrite deletes
+    // part files an in-flight read has already listed. On a real cluster
+    // this would be a job-scoped shared-filesystem staging path.
+    val tmp = scratchDir("graft_csv_" + Integer.toHexString(dir.hashCode))
     Tables.customer(spark, dir)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     spark.read.option("header", "true")
@@ -125,8 +150,7 @@ object Sources {
       |  MIN(s_name) AS first_name
       |FROM supplier WHERE s_nationkey IN (3, 7) GROUP BY s_nationkey""".stripMargin,
   ) { (spark, dir) =>
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_orc_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val tmp = scratchDir("graft_orc_" + Integer.toHexString(dir.hashCode))
     Tables.supplier(spark, dir)
       .write.mode("overwrite").partitionBy("s_nationkey").orc(tmp)
     spark.read.orc(tmp)

@@ -253,8 +253,11 @@ object TextAnalysis {
     * the score is bit-identical across engines and partitionings (a
     * float SUM would be partial-aggregation-order dependent, and ln()
     * differs between libm implementations — both banned here). The 10^6
-    * scale bounds the corpus to ~9e12 tokens before the long overflows;
-    * widen the scale down (10^3) past that.
+    * scale bounds a single TERM to corpora of ~9e12 tokens (a singleton
+    * token contributes total·10⁶); widen the scale down (10^3) past
+    * that. The per-document SUM of terms takes the bigSum split — see
+    * the aggregate below — so many rare tokens in one document cannot
+    * overflow what the per-term bound permits.
     *
     * Scale shape: one vocab-keyed count, one token-keyed join back
     * (co-partitioned on the token), one doc-keyed rollup — all keyed
@@ -294,7 +297,14 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
-        ((sum(expr("(total * 1000000L) div cnt")).cast("double") /
+        // bigSum split accumulation: a singleton token contributes
+        // total·10⁶ — near the long ceiling on its own at a ~9e12-token
+        // corpus — so a plain long SUM overflows with as few as a
+        // handful of rare tokens per document long before the per-term
+        // bound does. The split partials recombine exactly in decimal
+        // once per doc; DuckDB's hugeint SUM needs no such help, and
+        // both sides round the exact integer to double identically.
+        ((Relational.bigSum(expr("(total * 1000000L) div cnt")).cast("double") /
           count(lit(1))) / 1000000.0).as("rarity"))
   }
 

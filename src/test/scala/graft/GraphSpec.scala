@@ -41,4 +41,37 @@ class GraphSpec extends SparkSpec {
     assert(Graph.componentLabels(none, localEdgeLimit = 0L).count() == 0)
     CacheRegistry.drain()
   }
+
+  test("distributed propagation handles string ids (the non-long fallback)") {
+    import spark.implicits._
+    // string ids route to the distributed path regardless of edge count;
+    // the old sum-of-ids convergence check either failed analysis here or
+    // cast to null → coalesce(0) → false convergence with wrong labels
+    val pairs = Seq(
+      ("doc_b", "doc_c"), ("doc_a", "doc_b"),   // chain a-b-c
+      ("doc_x", "doc_y"),
+    ).toDF("a", "b")
+    val labels = Graph.componentLabels(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(labels == Set(
+      ("doc_a", "doc_a"), ("doc_b", "doc_a"), ("doc_c", "doc_a"),
+      ("doc_x", "doc_x"), ("doc_y", "doc_x")))
+    CacheRegistry.drain()
+  }
+
+  test("propagation past maxIter fails loudly instead of mis-clustering") {
+    import spark.implicits._
+    // chain of diameter 6: min-label propagation moves one hop per
+    // iteration, so maxIter=2 cannot converge — the op must throw, not
+    // silently return labels that are not the component minimum
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graph.componentLabels(chain, maxIter = 2, localEdgeLimit = 0L).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // a sufficient budget converges to the right labels on the same graph
+    val ok = Graph.componentLabels(chain, maxIter = 10, localEdgeLimit = 0L)
+    assert(labelSet(ok) == (1L to 7L).map(i => (i, 1L)).toSet)
+    CacheRegistry.drain()
+  }
 }

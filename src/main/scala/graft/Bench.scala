@@ -99,6 +99,10 @@ object Bench {
     // that was mostly US), so the START snapshot is the one that says
     // whether the RUN began contaminated
     val loadStart = machineLoad()._1
+    // host-speed canary (see ScaleSmoke.cpuCanary): fixed single-thread
+    // work measured pre-session, so cross-era wall ratios can separate
+    // "the code got slower" from "the shared host got slower"
+    val canaryS = ScaleSmoke.cpuCanary()
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -179,7 +183,7 @@ object Bench {
     val total = f3(good.map(_.best).sum)
     val totalWorst = f3(good.map(_.worst).sum)
     val (l1, l5, memKb) = machineLoad()
-    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS"""
+    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS,"cpu_canary_s":${f3(canaryS)}"""
     // the pinned baseline is the HEADLINE total — a custom query set's
     // sum is not comparable, so the ratio only rides the headline run
     val vsBaseline = baselineTotal()

@@ -55,6 +55,33 @@ object ScaleSmoke {
     "q_window_ntile_blocks", "q3_shipping_priority",
     "q5_local_supplier", "q18_large_orders")
 
+  /** Host-speed canary: thread-CPU seconds for a FIXED single-threaded
+    * workload (2M MD5s of counter strings), measured before the Spark
+    * session exists. This box is a shared VM whose effective per-core
+    * speed swings ~1.3-2× across hours (host co-tenancy — invisible to
+    * guest load_avg and /proc steal, but it inflates executor cpu_s for
+    * identical plans). Every artifact carries the canary so cross-ERA
+    * ratios normalize by arithmetic (cpu_s / canary) instead of the
+    * r11 archaeology that first quantified the swing: a fresh idle
+    * sweep re-measured a code-identical registry at median 1.32×
+    * (IQR 1.3-1.9×) the cpu_s of a sweep eight hours earlier. WITHIN
+    * one artifact the canary cancels — growth and skew-vs-uniform
+    * reads are unaffected.
+    */
+  private[graft] def cpuCanary(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val t0 = bean.getCurrentThreadCpuTime
+    var i = 0
+    var acc = 0L // folded into the result so the loop cannot be DCE'd
+    while (i < 2000000) {
+      acc += md.digest(String.valueOf(i ^ (acc & 1)).getBytes)(0)
+      i += 1
+    }
+    val s = (bean.getCurrentThreadCpuTime - t0) / 1e9
+    if (acc == Long.MinValue) -s else s
+  }
+
   def main(args: Array[String]): Unit = {
     // `skew` as the first arg switches to ZIPF-SHAPED amplification:
     // same row volume as the uniform sweep, but 90% of document replicas
@@ -76,6 +103,7 @@ object ScaleSmoke {
     val tag = s"$mode$n"
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_$tag"
+    val canaryS = cpuCanary() // before the session: an idle-JVM measure
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // Size shuffle partitions to the data, not the core count — the rule
@@ -294,7 +322,8 @@ object ScaleSmoke {
       if (java.nio.file.Files.exists(path))
         entryRe.findAllMatchIn(java.nio.file.Files.readString(path))
           .map(m => m.group(1) -> m.group(2)).toSeq
-          .filterNot(k => k._1 == "amplification" || k._1 == "heap_gb")
+          .filterNot(k => k._1 == "amplification" || k._1 == "heap_gb" ||
+            k._1 == "cpu_canary_s")
       else Seq.empty
     val freshAll = results.map { r =>
       entryRe.findFirstMatchIn(r) match {
@@ -318,7 +347,7 @@ object ScaleSmoke {
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     java.nio.file.Files.writeString(path,
       merged.mkString(
-        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n""",
+        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n  "cpu_canary_s": ${f3(canaryS)},\n""",
         ",\n", "\n}"))
 
     // Growth audit against the largest smaller-amplification artifact:

@@ -82,9 +82,13 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
       |FROM verified WHERE jaccard >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val sh = graft.CacheRegistry.track( // referenced 3× (see minhashLsh)
-      withShingles(Tables.documents(spark, dir)).select("doc_id", "shingles"))
-    val grams = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val docs = Tables.documents(spark, dir)
+    // no corpus-wide shingle cache (see minhashPairs: borderline LRU
+    // eviction of wide array blocks made sweeps bimodal) — the posting
+    // stream explodes off one fresh scan, and the verify probes read a
+    // candidate-pruned sliver rebuilt below
+    val grams = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
     // Candidate pairs in ONE shuffle: group the posting list per shingle,
     // drop ultra-common shingles (df cap — quadratic candidate mass,
     // zero discrimination), and expand each remaining list's pairs
@@ -108,13 +112,19 @@ object Dedup {
     val jac = interSz.cast("double") /
       (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
     // adaptive cand side: capped buckets make the pair set tiny on most
-    // corpora, and a broadcast hint keeps the wide shingle table from
+    // corpora, and a broadcast hint keeps the wide shingle sliver from
     // being shuffled+sorted twice just to probe it (the 1000× smoke
     // measured that map stage as 2× over linear before AQE could see the
     // cand size); past the row threshold the joins run un-hinted
-    graft.api.GraftApi.adaptiveBroadcast(cand)
-      .join(sh.alias("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sh.alias("sb"), col("sb.doc_id") === col("doc_b"))
+    val candHinted = graft.api.GraftApi.adaptiveBroadcast(cand)
+    val candIds = candHinted.select(col("doc_a").as("doc_id"))
+      .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
+    val sliver = graft.CacheRegistry.track(
+      withShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+        .select("doc_id", "shingles"))
+    candHinted
+      .join(sliver.alias("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sliver.alias("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= 0.2)
       .select(col("doc_a"), col("doc_b"),
         interSz.cast("long").as("n_common"), jac.as("jaccard"))
@@ -182,16 +192,21 @@ object Dedup {
     * `jaccardMin`.
     */
   def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
-    // persist: the sketch table is referenced 4× in this plan (bucket
-    // self-join + two verify probes); without it Spark recomputes the
-    // scan+shingle+md5 pipeline per reference. At scale this is the
-    // materialized signature table every dedup pipeline keeps (the
-    // reference's addIndex precomputation, Optimization.scala:31).
+    // persist ONLY the sketch sliver (doc_id, 8 md5s — ~300 B/doc), not
+    // the shingle arrays: the signature table every dedup pipeline keeps
+    // (the reference's addIndex precomputation, Optimization.scala:31)
+    // is the SKETCH, and a corpus-sized shingle cache is the exact
+    // anti-pattern the substring adjudication retired. Measured, not
+    // theoretical: with shingles cached, the 24g uniform-1000x sweep
+    // read this op BIMODALLY — 740 vs 1954 cpu-s across code-identical
+    // runs with zero reported spill and a 22-41 s straggler task — the
+    // signature of borderline LRU eviction serializing/deserializing
+    // wide array blocks mid-query. The sketch sliver always fits.
     val sk = graft.CacheRegistry.track(
       withShingles(docs)
         .withColumn("sketch",
           expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
-        .select("doc_id", "shingles", "sketch"))
+        .select("doc_id", "sketch"))
     // Candidates via one-shuffle posting lists (see ngramJaccard): group
     // doc ids per sketch hash, expand pairs in-group. Bucket sizes here
     // are near-dup cluster sizes (max 4 at sf0.1); a corpus with
@@ -216,11 +231,21 @@ object Dedup {
     val interSz = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
     val jac = interSz.cast("double") /
       (size(col("sa.shingles")) + size(col("sb.shingles")) - interSz)
-    // same adaptive cand guard as ngramJaccard: don't shuffle+sort the
-    // cached sketch table twice to probe a capped (usually tiny) pair set
-    graft.api.GraftApi.adaptiveBroadcast(cand)
-      .join(sk.alias("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sk.alias("sb"), col("sb.doc_id") === col("doc_b"))
+    // same adaptive cand guard as ngramJaccard: don't shuffle+sort a
+    // wide table twice to probe a capped (usually tiny) pair set
+    val candHinted = graft.api.GraftApi.adaptiveBroadcast(cand)
+    // exact-Jaccard verify needs the SHINGLES of exactly the docs the
+    // candidate pairs name — recompute them over the semi-join-pruned
+    // corpus sliver (pair-bounded, so the rebuild is O(candidate docs))
+    // instead of caching corpus-wide arrays to serve a sliver of lookups
+    val candIds = candHinted.select(col("doc_a").as("doc_id"))
+      .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
+    val sliver = graft.CacheRegistry.track(
+      withShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+        .select("doc_id", "shingles"))
+    candHinted
+      .join(sliver.alias("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sliver.alias("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= jaccardMin)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }

@@ -52,7 +52,10 @@ object SubstringAB {
       val df = fn(spark, Tables.documents(spark, dir))
       val hash = df
         .select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(_h)")).head()
+        // bit_xor over zero rows is NULL — coalesce so a 0-row form
+        // records (0, 0) instead of crashing the harness on getLong
+        .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(_h)"), lit(0L)))
+        .head()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
       val line = f"""{"form": "$form", "corpus": "$label", "pass": "$pass", """ +

@@ -1108,8 +1108,10 @@ object GraftApi {
       .getOption("graft.groupExport.maxGroupBytes")
       .map(_.toLong).getOrElse(maxGroupBytes)
     if (limit < Long.MaxValue) {
+      // octet_length, not length: the limit is a BYTE budget and
+      // multi-byte UTF-8 elements would otherwise pass up to ~4x over it
       val est = df.groupBy(col(key))
-        .agg((sum(length(col(elem).cast("string"))) + count(lit(1)) - 1)
+        .agg((sum(octet_length(col(elem).cast("string"))) + count(lit(1)) - 1)
           .as("_b"))
         .agg(max(col("_b"))).head()
       val maxB = if (est.isNullAt(0)) 0L else est.getLong(0)
@@ -1147,22 +1149,37 @@ object GraftApi {
     // A shard string is still ONE aggregation-buffer value — bounding by
     // element COUNT alone lets wide elements (or an oversized
     // rowsPerShard) rebuild the exact OOM the unsharded face guards.
-    // Bound bytes too: rowsPerShard × (widest element + separator) is a
-    // worst-case per-shard string size, from one column-pruned max scan.
+    // Bound by what a shard can ACTUALLY hold, not the raw
+    // rowsPerShard × widest product: a shard never exceeds its key's row
+    // count or its key's total bytes, so one-shard-per-group usage with
+    // a generous rowsPerShard stays valid. octet_length, not length —
+    // the limit is a byte budget.
     val limit = df.sparkSession.conf
       .getOption("graft.groupExport.maxGroupBytes")
       .map(_.toLong).getOrElse(maxGroupBytes)
     if (limit < Long.MaxValue) {
-      val w = df.agg(max(length(col(elem).cast("string")))).head()
-      val maxLen = if (w.isNullAt(0)) 0L else w.getAs[Number](0).longValue()
-      // division, not multiplication: rowsPerShard × (maxLen+1) overflows
-      // Long for a huge rowsPerShard and a wrapped-negative worst would
-      // sail PAST the guard it exists to arm
-      require(maxLen + 1 <= limit / rowsPerShard,
-        s"groupConcatExportSharded: rowsPerShard=$rowsPerShard × widest " +
-          s"element ($maxLen chars) bytes per shard exceeds " +
-          s"maxGroupBytes=$limit — size rowsPerShard by element width " +
-          "(≈ maxGroupBytes / widest element), or raise " +
+      val st = df.groupBy(col(key))
+        .agg(count(lit(1)).as("_n"),
+          max(octet_length(col(elem).cast("string"))).as("_w"),
+          (sum(octet_length(col(elem).cast("string"))) + count(lit(1)) - 1)
+            .as("_tot"))
+        .agg(max(col("_n")), max(col("_w")), max(col("_tot"))).head()
+      val maxN = if (st.isNullAt(0)) 0L else st.getLong(0)
+      val maxW = if (st.isNullAt(1)) 0L else st.getAs[Number](1).longValue()
+      val maxTot = if (st.isNullAt(2)) 0L else st.getLong(2)
+      val effRows = math.min(rowsPerShard, maxN)
+      // division-shaped overflow guard: effRows × (maxW+1) must not wrap
+      val byWidth =
+        if (effRows == 0L) 0L
+        else if (maxW + 1 > Long.MaxValue / effRows) Long.MaxValue
+        else effRows * (maxW + 1)
+      val worst = math.min(byWidth, maxTot)
+      require(worst <= limit,
+        s"groupConcatExportSharded: largest achievable shard ~$worst bytes " +
+          s"(min(rowsPerShard=$rowsPerShard, largest group $maxN rows) × " +
+          s"widest element $maxW B, capped by largest group total " +
+          s"$maxTot B) exceeds maxGroupBytes=$limit — size rowsPerShard " +
+          "by element width (≈ maxGroupBytes / widest element), or raise " +
           "graft.groupExport.maxGroupBytes if one task really holds it")
     }
     val ranked = valueRankBlocks(df.select(col(key), col(elem)),

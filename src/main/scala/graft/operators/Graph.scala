@@ -39,7 +39,16 @@ object Graph {
     */
   def componentLabels(pairs0: DataFrame, maxIter: Int = 20,
       localEdgeLimit: Long = 4000000L): DataFrame = {
-    val pairs = graft.CacheRegistry.track(pairs0)
+    // An edge with a null endpoint carries no connectivity information,
+    // and downstream both paths are null-hostile (the local path's
+    // primitive Long encoder NPEs; the distributed path's === self-loop
+    // filter and join keys drop null ids, starving the convergence
+    // check into a spurious non-convergence failure). Drop such rows
+    // here, once: a null-id vertex — if the caller lists one in
+    // `vertices` — still gets its identity label via the isolated-vertex
+    // path in [[connectedComponents]].
+    val pairs = graft.CacheRegistry.track(
+      pairs0.filter(col("a").isNotNull && col("b").isNotNull))
     val isLongIds = pairs.schema.fields.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (isLongIds && pairs.count() <= localEdgeLimit) localUnionFind(pairs)

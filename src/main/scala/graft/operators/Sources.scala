@@ -27,11 +27,34 @@ object Sources {
       rm(new java.io.File(d))
     }
   }
+  // Retain at most 2 dirs per prefix: the one being created plus its
+  // predecessor (whose lazily-read plan may still be executing in an
+  // overlapping invocation). Older ones are full table copies a
+  // long-lived bench/verify session would otherwise accumulate in /tmp
+  // until JVM exit — delete them eagerly.
+  private val scratchByPrefix =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.ArrayDeque[String]]()
   private def scratchDir(prefix: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_" + java.util.UUID.randomUUID.toString.take(8))
-    scratchDirs.add(f.getAbsolutePath)
-    f.getAbsolutePath
+    val path = f.getAbsolutePath
+    val dq = scratchByPrefix.computeIfAbsent(prefix,
+      _ => new java.util.ArrayDeque[String]())
+    val evicted = dq.synchronized {
+      dq.addLast(path)
+      if (dq.size > 2) Option(dq.pollFirst()) else None
+    }
+    evicted.foreach { old =>
+      scratchDirs.remove(old)
+      def rm(g: java.io.File): Unit = {
+        val kids = g.listFiles(); if (kids != null) kids.foreach(rm)
+        g.delete(): Unit
+      }
+      rm(new java.io.File(old))
+    }
+    scratchDirs.add(path)
+    path
   }
 
   /** JSON column extraction: events.props is a JSON string; pull typed

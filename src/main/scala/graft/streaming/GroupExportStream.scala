@@ -79,6 +79,12 @@ object GroupExportStream {
       out: String = "elems"): DataFrame = {
     require(rowsPerShard >= 1,
       s"reshardPieces: rowsPerShard=$rowsPerShard must be >= 1")
+    // slice() below takes Int start/length; a rowsPerShard past Int range
+    // only survives the bytes guard when that guard is disabled
+    // (maxGroupBytes = Long.MaxValue) and would silently wrap the cast
+    require(rowsPerShard <= Int.MaxValue,
+      s"reshardPieces: rowsPerShard=$rowsPerShard exceeds Int.MaxValue — " +
+        "slice lengths are Int; size rowsPerShard down")
     // the batch face's bytes bound, same conf: a shard string is still ONE
     // aggregation-buffer value here. Elements are rendered longs — ≤ 20
     // chars + separator — so the worst case needs no scan (division, not

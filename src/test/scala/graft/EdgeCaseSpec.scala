@@ -933,22 +933,47 @@ class EdgeCaseSpec extends SparkSpec {
         "k", "v", rowsPerShard = 3L)
       .collect().map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(dupShards.toSeq == Seq((0L, "5,5,5"), (1L, "5,5,5"), (2L, "5")))
-    // 5. the bytes bound must survive a huge rowsPerShard: the naive
-    // rowsPerShard × (maxLen+1) product wraps negative past Long and
-    // would sail PAST the guard it arms
-    val hugeErr = intercept[IllegalArgumentException] {
-      graft.api.GraftApi.groupConcatExportSharded(orders,
+    // 5. achievable-shard bound: a huge rowsPerShard over SMALL groups is
+    // one-shard-per-group usage — a shard can never exceed its key's
+    // total bytes, so this must pass (the old rowsPerShard × widest
+    // worst-case product spuriously rejected it)
+    val oneShard = graft.api.GraftApi.groupConcatExportSharded(orders,
         "o_orderstatus", "o_orderkey", rowsPerShard = Long.MaxValue / 2,
-        out = "orderkeys").collect()
-    }
+        out = "orderkeys")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(oneShard == raw)
+    // ...while a genuinely over-budget shard still throws
+    spark.conf.set("graft.groupExport.maxGroupBytes", "64")
+    val hugeErr =
+      try intercept[IllegalArgumentException] {
+        graft.api.GraftApi.groupConcatExportSharded(orders,
+          "o_orderstatus", "o_orderkey", rowsPerShard = 100L,
+          out = "orderkeys").collect()
+      } finally spark.conf.unset("graft.groupExport.maxGroupBytes")
     assert(hugeErr.getMessage.contains("maxGroupBytes"), hugeErr.getMessage)
-    // the streaming compaction carries the same bytes bound (same conf)
+    // the byte budget counts BYTES: 2-byte UTF-8 elements must trip a
+    // limit a character count would clear
+    val wide = Seq(("A", "ééééé"), ("A", "ééééé")).toDF("k", "v") // 10 B each
+    spark.conf.set("graft.groupExport.maxGroupBytes", "15")
+    try {
+      val utfErr = intercept[IllegalArgumentException] {
+        graft.api.GraftApi.groupConcatExportSharded(wide, "k", "v",
+          rowsPerShard = 2L).collect()
+      }
+      assert(utfErr.getMessage.contains("maxGroupBytes"), utfErr.getMessage)
+      val utfErr2 = intercept[IllegalArgumentException] {
+        graft.api.GraftApi.groupConcatExport(wide, "k", "v").collect()
+      }
+      assert(utfErr2.getMessage.contains("maxGroupBytes"), utfErr2.getMessage)
+    } finally spark.conf.unset("graft.groupExport.maxGroupBytes")
+    // the streaming compaction slices with Int lengths: rowsPerShard past
+    // Int range is rejected outright (even with the bytes guard off)
     val pieces = Seq(("A", 0, 2L, "1,2")).toDF("key", "bin", "n", "elems")
     val streamErr = intercept[IllegalArgumentException] {
       graft.streaming.GroupExportStream.reshardPieces(
         pieces, rowsPerShard = Long.MaxValue / 2)
     }
-    assert(streamErr.getMessage.contains("maxGroupBytes"), streamErr.getMessage)
+    assert(streamErr.getMessage.contains("Int.MaxValue"), streamErr.getMessage)
     CacheRegistry.drain()
   }
 

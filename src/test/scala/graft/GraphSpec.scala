@@ -34,6 +34,23 @@ class GraphSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("null-endpoint edges are dropped, not a non-convergence crash") {
+    import spark.implicits._
+    // a NULL vertex id used to get no self-loop on the distributed path
+    // (=== filter drops it), so `prev` stayed null forever and the
+    // convergence guard threw; now the edge is ignored at entry
+    val pairs = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]),
+    ).toDF("a", "b")
+    val expected = Set((1L, 1L), (2L, 1L))
+    assert(labelSet(Graph.componentLabels(pairs)) == expected)
+    assert(labelSet(Graph.componentLabels(pairs, localEdgeLimit = 0L))
+      == expected)
+    CacheRegistry.drain()
+  }
+
   test("empty pair graph yields empty labels on both paths") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -21,6 +21,16 @@ object CacheRegistry {
     df.persist()
   }
 
+  /** [[track]] at an explicit storage level — DISK_ONLY callers
+    * materialize a shared stage once without taking storage-memory
+    * away from execution (the shuffle-file discipline, spelled out). */
+  def track(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    synchronized {
+      live += df
+      df.persist(level)
+    }
+
   /** Remember an already-persisted DataFrame for the next drain(). */
   def register(df: DataFrame): DataFrame = synchronized {
     live += df

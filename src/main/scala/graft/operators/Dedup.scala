@@ -877,11 +877,72 @@ object Dedup {
     stripRebuild(d, covered)
   }
 
+  /** r12 A/B candidate "strip_copart": ONE position explode, ONE
+    * posting exchange — the other two forms' duplicated work removed
+    * at once. The position stream (doc_id, i, g) is repartitioned by g
+    * once and materialized DISK_ONLY (CacheRegistry — the caller
+    * drains); both consumers read that one materialization:
+    *   - dup-g set: groupBy(g).count over the partitioned blocks
+    *     (clustering already satisfied — no agg exchange), HAVING ≥ 2;
+    *   - probe: the SAME partitioned blocks into a shuffled-hash join
+    *     against that dup-g set — both sides hash(g, parts), so the
+    *     join adds NO exchange and positions never enter a sort.
+    * Why an explicit persist and not ReuseExchange: the two consumers
+    * need different columns, so the column pruner specializes each
+    * branch's exchange (one (g)-only, one (doc_id, i, g)) and the
+    * outer-join's isnotnull pushdown splits them further — the
+    * "identical exchange read twice" plan is not expressible
+    * declaratively here (measured r12: the naive form re-ran the
+    * explode per branch). DISK_ONLY is deliberate — unlike the retired
+    * r10 join_cache (default-level cache of the same stream), it holds
+    * the bytes a shuffle file would hold without taking unified memory
+    * away from the aggregations reading it; at executor scale it is
+    * the one-exchange dataflow spelled out as storage.
+    */
+  private[graft] def substringStripCopart(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val (d, pos) = stripPositions(docs)
+    val parts = substringParts(spark, docs)
+    val keyed = graft.CacheRegistry.track(
+      pos.repartition(parts, col("g")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val dupg = keyed.groupBy("g").agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 2).select("g")
+    val covered = keyed.join(dupg.hint("SHUFFLE_HASH"), Seq("g"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    stripRebuild(d, covered)
+  }
+
+  /** r12 A/B candidate "strip_rawwindow": ONE explode, ONE exchange,
+    * NO join and no materialization — the per-gram total rides a count
+    * window directly over the raw position stream (partitionBy(g),
+    * whole-partition frame). The price is the window's sort of
+    * (g, doc_id, i) rows within each partition; the bet is that
+    * strip_window's measured loss came from its OBJECT baggage
+    * (collect_list arrays riding the sort + ObjectHashAggregate + a
+    * re-explode), not from sorting per se — here rows stay flat
+    * UnsafeRows, the frame needs no running state, and a hot gram's
+    * group spills to the window buffer instead of one task's heap.
+    */
+  private[graft] def substringStripRawWindow(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (d, pos) = stripPositions(docs)
+    val parts = substringParts(spark, docs)
+    val covered = pos.repartition(parts, col("g"))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("n_total") >= 2)
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    stripRebuild(d, covered)
+  }
+
   /** name → builder, for the A/B harness and the equivalence spec. */
   private[graft] val substringStripForms
       : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
     "strip_join" -> (substringStripJoin _),
-    "strip_window" -> (substringStripWindow _))
+    "strip_window" -> (substringStripWindow _),
+    "strip_copart" -> (substringStripCopart _),
+    "strip_rawwindow" -> (substringStripRawWindow _))
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta
     * documents are content-new vs already present in the corpus? The

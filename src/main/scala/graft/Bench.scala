@@ -73,6 +73,19 @@ object Bench {
         .findFirstMatchIn(txt).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 
+  /** The canary pinned with the baseline anchor (`"canary_s"` in the
+    * BENCH-BASELINE block) — lets vs_baseline be host-era-normalized:
+    * this box's per-core speed swings ~1.3-2× with co-tenancy, and an
+    * un-normalized ratio conflates that with code changes.
+    */
+  private def baselineCanary(): Option[Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.md")))
+      """BENCH-BASELINE \{[^}]*"canary_s":([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   /** Idle gate (VERDICT r7 item 7: two rounds of committed headline
     * numbers were load-contaminated): wait — bounded, so a driver run
     * can never hang — for load_avg_1m to drop below the threshold
@@ -94,6 +107,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val gateWaitedS = awaitIdle()
+    // honesty flag (r11 verdict ask #4): a run that proceeded because
+    // the idle wait EXPIRED — not because the box went idle — must say
+    // so in the artifact itself, not leave the reader to infer it from
+    // waited_s == max
+    val gateTimedOut = gateWaitedS >= 300 && machineLoad()._1 > 3.0
     // post-gate/pre-run load: the _machine fields at the END of a run are
     // inflated by our own 32 threads (the r8 bench_full recorded 9.17 —
     // that was mostly US), so the START snapshot is the one that says
@@ -183,12 +201,21 @@ object Bench {
     val total = f3(good.map(_.best).sum)
     val totalWorst = f3(good.map(_.worst).sum)
     val (l1, l5, memKb) = machineLoad()
-    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS,"cpu_canary_s":${f3(canaryS)}"""
+    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS,"gate_timed_out":$gateTimedOut,"cpu_canary_s":${f3(canaryS)}"""
     // the pinned baseline is the HEADLINE total — a custom query set's
     // sum is not comparable, so the ratio only rides the headline run
     val vsBaseline = baselineTotal()
       .filter(_ => names == headline)
-      .map(b => s""","vs_baseline":${f3(good.map(_.best).sum / b)}""")
+      .map { b =>
+        val raw = s""","vs_baseline":${f3(good.map(_.best).sum / b)}"""
+        // era-normalized ratio: divide out the host-speed delta between
+        // this run's canary and the anchor era's pinned canary
+        val adj = baselineCanary().filter(_ > 0).filter(_ => canaryS > 0)
+          .map(cb => s""","vs_baseline_canary_adj":${f3(
+            good.map(_.best).sum / b * (cb / canaryS))}""")
+          .getOrElse("")
+        raw + adj
+      }
       .getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_worst":$qsWorst,"total_worst":$totalWorst,"failed":$failed,$loadJson$vsBaseline,"sf":"$sfDir"}""")
     if (benchAll) {

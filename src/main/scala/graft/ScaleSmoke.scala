@@ -82,6 +82,77 @@ object ScaleSmoke {
     if (acc == Long.MinValue) -s else s
   }
 
+  /** Amplify the sf0.1 tables N× into /tmp/graft_scale_{tag} (idempotent
+    * via the _AMPLIFIED_v2 marker) and return the corpus dir. Extracted
+    * from main so harnesses that only need the corpus (SubstringAB,
+    * GenCorpus) can build it without running — and without re-recording
+    * entries into — a sweep artifact, which must stay single-era.
+    */
+  def ensureCorpus(spark: SparkSession, src: String, n: Int,
+      skew: Boolean): String = {
+    val tag = (if (skew) "skew" else "") + n
+    val out = s"/tmp/graft_scale_$tag"
+    // skew-mode per-replica rewrites (replica 0 always stays the base
+    // corpus so every base key still exists for joins)
+    val hotTemplate = "breaking update the markets moved again today and " +
+      "analysts repeated the same template paragraph verbatim once more"
+    val step = 1000000000L
+    def skewTweak(table: String, df: DataFrame, i: Int): DataFrame =
+      if (!skew || i == 0) df
+      else table match {
+        case "documents" =>
+          val d = if (i % 10 != 0) df.withColumn("lang", lit("en")) else df
+          if (i % 10 == 1) d.withColumn("text", lit(hotTemplate)) else d
+        case "events" if i % 10 != 0 => df.withColumn("user_id", lit(7L))
+        case "orders" if i % 10 != 0 => df.withColumn("o_custkey", lit(1L))
+        case "embeddings" if i % 10 != 0 =>
+          // 90% of vector replicas collapse onto base vector 0's embedding
+          // — the template-heavy-corpus shape where one IVF cell ends up
+          // holding most of the corpus AND most of the probe mass (base
+          // id 0 is also a search query), i.e. the hot-inverted-list
+          // scenario the ivfIndexProbeSearch hot-cell split exists for.
+          // (r6's IVF "skew" numbers predate this: embeddings used to
+          // amplify identically in both modes, so those deltas could only
+          // be machine noise — r7 re-measured them flat and added this.)
+          val hot = broadcast(df.filter(col("vec_id") === i.toLong * step)
+            .select(col("embedding").as("_hot_emb")))
+          df.crossJoin(hot).withColumn("embedding", col("_hot_emb"))
+            .drop("_hot_emb")
+        case _ => df
+      }
+
+    def amplify(name: String, idCols: Seq[String]): Unit = {
+      val base = Tables.load(spark, src, name)
+      // ids get a per-replica offset so keys stay unique where they were
+      // unique; content repeats N× (worst case for posting lists)
+      val copies = (0 until n).map { i =>
+        skewTweak(name, idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * step))), i)
+      }
+      copies.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    // v2: skew mode now also skews embeddings (hot vector) — regenerate
+    // corpora amplified before that change
+    val done = new java.io.File(s"$out/_AMPLIFIED_v2_$n")
+    if (!done.exists()) {
+      amplify("documents", Seq("doc_id"))
+      amplify("embeddings", Seq("vec_id"))
+      amplify("events", Seq("event_id"))     // user_id repeats: hot keys
+      amplify("lineitem", Seq("l_orderkey"))
+      amplify("orders", Seq("o_orderkey", "o_custkey"))
+      amplify("customer", Seq("c_custkey"))
+      // dims stay 1×: at scale dimensions don't grow with the fact tables
+      Seq("supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, src, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+      done.createNewFile()
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     // `skew` as the first arg switches to ZIPF-SHAPED amplification:
     // same row volume as the uniform sweep, but 90% of document replicas
@@ -171,64 +242,7 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
     println(s"[scale ${tag}x] shuffle partitions = $parts")
 
-    // skew-mode per-replica rewrites (replica 0 always stays the base
-    // corpus so every base key still exists for joins)
-    val hotTemplate = "breaking update the markets moved again today and " +
-      "analysts repeated the same template paragraph verbatim once more"
-    val step = 1000000000L
-    def skewTweak(table: String, df: DataFrame, i: Int): DataFrame =
-      if (!skew || i == 0) df
-      else table match {
-        case "documents" =>
-          val d = if (i % 10 != 0) df.withColumn("lang", lit("en")) else df
-          if (i % 10 == 1) d.withColumn("text", lit(hotTemplate)) else d
-        case "events" if i % 10 != 0 => df.withColumn("user_id", lit(7L))
-        case "orders" if i % 10 != 0 => df.withColumn("o_custkey", lit(1L))
-        case "embeddings" if i % 10 != 0 =>
-          // 90% of vector replicas collapse onto base vector 0's embedding
-          // — the template-heavy-corpus shape where one IVF cell ends up
-          // holding most of the corpus AND most of the probe mass (base
-          // id 0 is also a search query), i.e. the hot-inverted-list
-          // scenario the ivfIndexProbeSearch hot-cell split exists for.
-          // (r6's IVF "skew" numbers predate this: embeddings used to
-          // amplify identically in both modes, so those deltas could only
-          // be machine noise — r7 re-measured them flat and added this.)
-          val hot = broadcast(df.filter(col("vec_id") === i.toLong * step)
-            .select(col("embedding").as("_hot_emb")))
-          df.crossJoin(hot).withColumn("embedding", col("_hot_emb"))
-            .drop("_hot_emb")
-        case _ => df
-      }
-
-    def amplify(name: String, idCols: Seq[String]): Unit = {
-      val base = Tables.load(spark, src, name)
-      // ids get a per-replica offset so keys stay unique where they were
-      // unique; content repeats N× (worst case for posting lists)
-      val copies = (0 until n).map { i =>
-        skewTweak(name, idCols.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(i * step))), i)
-      }
-      copies.reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
-
-    // v2: skew mode now also skews embeddings (hot vector) — regenerate
-    // corpora amplified before that change
-    val done = new java.io.File(s"$out/_AMPLIFIED_v2_$n")
-    if (!done.exists()) {
-      amplify("documents", Seq("doc_id"))
-      amplify("embeddings", Seq("vec_id"))
-      amplify("events", Seq("event_id"))     // user_id repeats: hot keys
-      amplify("lineitem", Seq("l_orderkey"))
-      amplify("orders", Seq("o_orderkey", "o_custkey"))
-      amplify("customer", Seq("c_custkey"))
-      // dims stay 1×: at scale dimensions don't grow with the fact tables
-      Seq("supplier", "part", "nation", "region").foreach { t =>
-        Tables.load(spark, src, t).write.mode("overwrite")
-          .parquet(s"$out/$t.parquet")
-      }
-      done.createNewFile()
-    }
+    ensureCorpus(spark, src, n, skew)
 
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -274,7 +288,20 @@ object ScaleSmoke {
                 println(f"[scale $tag%sx]   stage $sid%-5d max ${mx}%7d ms " +
                   f"sum ${sm}%8d ms  $nt%5d tasks  ${stageName.getOrDefault(sid, "?")}%s")
             }
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb}""")
+            // the straggler's OWNER rides the artifact, not just stdout:
+            // "which stage holds the max task" used to need sweep-log
+            // archaeology every time a task_max_ms number raised an
+            // eyebrow (r11 verdict ask #3)
+            val (topStage, topStageMaxS) =
+              stageAgg.asScala.toSeq.sortBy(-_._2._1).headOption match {
+                case Some((sid, (mx, _, _))) =>
+                  val nm = stageName.getOrDefault(sid, "?")
+                    .replace("\\", "\\\\").replace("\"", "\\\"")
+                    .replace("{", "(").replace("}", ")")
+                  (nm, mx / 1000.0)
+                case None => ("", 0.0)
+              }
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "cpu_canary_s": ${f3(canaryS)}}""")
           } catch {
             // a fail-fast output/size contract TRIPPING is the operator
             // working as designed (the r8 verdict's explicit "Done"
@@ -345,10 +372,22 @@ object ScaleSmoke {
     // 24g/32 cores is still under real per-core executor provisioning),
     // and a ratio read across different heaps must say so
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // Header era fields describe the FULL-SWEEP run that created the
+    // artifact; a targeted re-record of a few entries must not restamp
+    // them (the old entries would inherit the new era). Fresh entries
+    // carry their own per-entry cpu_canary_s instead, so a cross-era
+    // read normalizes entry by entry.
+    val header =
+      if (prior.nonEmpty) {
+        val txt = java.nio.file.Files.readString(path)
+        def keep(k: String, fallback: String) =
+          ("\"" + k + "\": ?([0-9.]+)").r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse(fallback)
+        s"""{\n  "amplification": ${keep("amplification", n.toString)},\n  "heap_gb": ${keep("heap_gb", f3(heapGb))},\n  "cpu_canary_s": ${keep("cpu_canary_s", f3(canaryS))},\n"""
+      } else
+        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n  "cpu_canary_s": ${f3(canaryS)},\n"""
     java.nio.file.Files.writeString(path,
-      merged.mkString(
-        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n  "cpu_canary_s": ${f3(canaryS)},\n""",
-        ",\n", "\n}"))
+      merged.mkString(header, ",\n", "\n}"))
 
     // Growth audit against the largest smaller-amplification artifact:
     // time should scale ~linearly with N, so a ratio far past the

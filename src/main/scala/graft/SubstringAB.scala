@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.SubstringAB <corpusDir> <form> [label]
   * where form ∈ graft.operators.Dedup.substringScoredForms ∪
   * substringStripForms. Appends one JSON line per pass to
-  * substring_ab_r11.jsonl in the CWD.
+  * the artifact file (arg 4, default substring_ab_r12.jsonl) in the CWD.
   */
 object SubstringAB {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val form = args(1)
     val label = if (args.length > 2) args(2) else dir.split('/').last
+    val outFile = if (args.length > 3) args(3) else "substring_ab_r12.jsonl"
     val fn = (graft.operators.Dedup.substringScoredForms ++
       graft.operators.Dedup.substringStripForms).toMap.apply(form)
+    // host-speed canary BEFORE the session: cross-era reads of this
+    // artifact normalize cpu_s by it (see BASELINE.md's machine block)
+    val canaryS = ScaleSmoke.cpuCanary()
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // mirror ScaleSmoke's data-sized session shuffle partitions so the
@@ -62,7 +66,7 @@ object SubstringAB {
         f""""sec": ${sec}%.3f, "cpu_s": ${cpuNs.get() / 1e9}%.3f, """ +
         f""""spill_disk_mb": ${spillDisk.get() / 1048576}%d, """ +
         f""""rows": ${hash.getLong(0)}%d, "hash": ${hash.getLong(1)}%d, """ +
-        f""""heap_gb": ${heapGb}%.1f}"""
+        f""""heap_gb": ${heapGb}%.1f, "cpu_canary_s": ${canaryS}%.3f}"""
       println(s"[substring-ab] $line")
       out.append(line).append('\n')
       CacheRegistry.drain(blocking = true)
@@ -71,7 +75,7 @@ object SubstringAB {
       Thread.sleep(300)
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("substring_ab_r11.jsonl"), out.toString,
+      java.nio.file.Paths.get(outFile), out.toString,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     spark.stop()

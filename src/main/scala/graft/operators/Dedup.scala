@@ -61,13 +61,30 @@ object Dedup {
     * itself is then computed EXACTLY on the full shingle arrays, so the
     * cap influences only candidate generation cost, never reported scores.
     * Integer counts + one double division — bit-deterministic.
+    *
+    * Candidate grams are additionally CONTENT-STABLE SAMPLED 1-in-4
+    * (first md5 nibble ∈ {0,4,8,c} — the same deterministic predicate
+    * in both engines, so the oracle matches exactly): the r11 1000×
+    * sweep showed the bounded-set aggregation's map-side state
+    * (per-task distinct shingles × 64-id buffers) tipping into
+    * sort-fallback spill (2.9 GB) on duplication-heavy corpora, and a
+    * corpus-keyed sample shrinks BOTH the posting stream and that
+    * state 4× while keeping the candidate criterion symmetric: a gram
+    * is sampled for every document or for none, so a pair sharing any
+    * sampled rare shingle is still found. Recall bound vs the
+    * unsampled pair set: a pair sharing s rare shingles is missed with
+    * probability (3/4)^s — 5.6% at s = 10, 0.3% at s = 20, < 0.01%
+    * for typical J ≥ 0.2 near-dups of 100-shingle documents (s ≳ 33).
+    * Reported scores are never affected — only candidate recall.
     */
   val ngramJaccard: Op = Op(
     "dedup_ngram_jaccard",
     s"""WITH sh AS ($shinglesSql),
       |grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-      |rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64),
-      |kept AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM rare)),
+      |sampled AS (SELECT doc_id, g FROM grams
+      |            WHERE substring(md5(g), 1, 1) IN ('0','4','8','c')),
+      |rare AS (SELECT g FROM sampled GROUP BY g HAVING COUNT(*) <= 64),
+      |kept AS (SELECT doc_id, g FROM sampled WHERE g IN (SELECT g FROM rare)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -89,6 +106,11 @@ object Dedup {
     // candidate-pruned sliver rebuilt below
     val grams = withShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
+      // 1-in-4 content-stable sample (see the op scaladoc): same md5
+      // predicate as the oracle, applied right at the explode so the
+      // sampled-out grams never reach the exchange or the agg buffers
+      .filter(org.apache.spark.sql.functions
+        .substring(md5(col("g")), 1, 1).isin("0", "4", "8", "c"))
     // Candidate pairs in ONE shuffle: group the posting list per shingle,
     // drop ultra-common shingles (df cap — quadratic candidate mass,
     // zero discrimination), and expand each remaining list's pairs
@@ -755,21 +777,33 @@ object Dedup {
     * and every document rides through — a strip pass is a corpus
     * TRANSFORMATION, not a report.
     *
-    * Scale shape: strip needs POSITIONS joined against dup flags, which
-    * changes the right plan vs the scored op's adjudicated window form —
-    * a window here would sort the FULL (doc, i, g) posting stream (no
-    * (g, doc_id) pre-count can collapse it, every position row is
-    * unique), exactly the sort the scored A/B showed is only safe when
-    * pre-collapsed. So strip pays [[substringJoinFresh]]'s machinery
-    * instead, where it IS the cheap shape: per-gram totals from a
-    * map-side partial aggregate filtered to DUPLICATED grams only (the
-    * join build side shrinks to the dup set, typically ≪ distinct
-    * grams), one data-sized posting exchange into the shuffled-hash
-    * join, then covered positions roll up per doc_id. The per-doc
-    * removed-position set is bounded by the document's own word count —
-    * the same order of per-task state as holding the document row
-    * itself — and the reconstruction is one codegen'd higher-order
-    * filter over the word array (no UDF, no per-row join).
+    * Scale shape (r12 adjudication, substring_ab_r12.jsonl — four
+    * forms warm-solo A/B'd at uniform+skew 1000x under one 24 g heap,
+    * all hash-identical, zero spill): the registered plan is
+    * [[substringStripCopart]] — ONE position explode, ONE posting
+    * exchange materialized DISK_ONLY, both the dup-gram count and the
+    * co-partitioned shuffled-hash probe reading that single
+    * materialization, positions never sorted. Warm cpu-s:
+    *   - strip_copart (REGISTERED): uniform 3615, skew 2483/2447
+    *     (repeat run) — beats every other form on both corpora.
+    *   - strip_join (the r11 winner, now retired): uniform 4691, skew
+    *     5628 (same-file era re-baseline; its committed r11 numbers
+    *     were 5347/3882). Its second full gram explode for the dup set
+    *     is exactly what copart deletes; its skew number also proved
+    *     era-volatile.
+    *   - strip_rawwindow (r12 candidate, retired): count window over
+    *     raw positions, no join — uniform 3994, skew 3321 (a first
+    *     skew read of 2586 landed in a 0.530-canary era; the 0.378-era
+    *     repeat settled it). The flat-row sort is far cheaper than
+    *     strip_window's object baggage but still loses to not sorting
+    *     at all.
+    *   - strip_window (retired r11): 6933/6498 — collect_list arrays
+    *     riding the window sort.
+    * The per-doc removed-position set is bounded by the document's own
+    * word count — the same order of per-task state as holding the
+    * document row itself — and the reconstruction is one codegen'd
+    * higher-order filter over the word array (no UDF, no per-row
+    * join).
     */
   val substringStrip: Op = Op(
     "dedup_substring_strip",
@@ -795,9 +829,10 @@ object Dedup {
   }
 
   /** [[substringStrip]]'s library face over any (doc_id, text) frame —
-    * delegates to the adjudicated form (see [[substringStripForms]]). */
+    * delegates to the adjudicated form (see [[substringStripForms]]:
+    * strip_copart, the r12 warm-solo A/B winner). */
   def substringStripApply(spark: SparkSession, docs: DataFrame): DataFrame =
-    substringStripJoin(spark, docs)
+    substringStripCopart(spark, docs)
 
   /** Words frame + position stream shared by the strip forms. */
   private def stripPositions(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -829,11 +864,13 @@ object Dedup {
           "filter(w, (x, p) -> NOT array_contains(rm, p + 1))"), " ")
           .as("text_stripped"))
 
-  /** Join-form strip (the r11 original): per-gram totals from a SECOND
-    * fresh explode (map-side partial aggregate), filtered to the dup set
-    * (the HAVING shrinks the join build side — typically ≪ distinct
-    * grams on an organic corpus), then the position stream pays the one
-    * data-sized exchange into a shuffled-hash join.
+  /** Join-form strip (the r11 winner, RETIRED by the r12 A/B — kept
+    * for the harness): per-gram totals from a SECOND fresh explode
+    * (map-side partial aggregate), filtered to the dup set (the HAVING
+    * shrinks the join build side — typically ≪ distinct grams on an
+    * organic corpus), then the position stream pays the one data-sized
+    * exchange into a shuffled-hash join. The second explode is the
+    * cost [[substringStripCopart]] deletes.
     */
   private[graft] def substringStripJoin(spark: SparkSession,
       docs: DataFrame): DataFrame = {
@@ -877,9 +914,11 @@ object Dedup {
     stripRebuild(d, covered)
   }
 
-  /** r12 A/B candidate "strip_copart": ONE position explode, ONE
-    * posting exchange — the other two forms' duplicated work removed
-    * at once. The position stream (doc_id, i, g) is repartitioned by g
+  /** "strip_copart" — THE REGISTERED STRIP FORM (r12 warm-solo A/B
+    * winner: uniform 3615 / skew 2483 warm cpu-s vs the r11 join
+    * form's 4691 / 5628 — see [[substringStrip]]): ONE position
+    * explode, ONE posting exchange — the other forms' duplicated work
+    * removed at once. The position stream (doc_id, i, g) is repartitioned by g
     * once and materialized DISK_ONLY (CacheRegistry — the caller
     * drains); both consumers read that one materialization:
     *   - dup-g set: groupBy(g).count over the partitioned blocks
@@ -913,7 +952,8 @@ object Dedup {
     stripRebuild(d, covered)
   }
 
-  /** r12 A/B candidate "strip_rawwindow": ONE explode, ONE exchange,
+  /** r12 A/B candidate "strip_rawwindow" (RETIRED — loses to copart
+    * on both corpora; kept for the harness): ONE explode, ONE exchange,
     * NO join and no materialization — the per-gram total rides a count
     * window directly over the raw position stream (partitionBy(g),
     * whole-partition frame). The price is the window's sort of
@@ -943,6 +983,89 @@ object Dedup {
     "strip_window" -> (substringStripWindow _),
     "strip_copart" -> (substringStripCopart _),
     "strip_rawwindow" -> (substringStripRawWindow _))
+
+  /** Per-gram occurrence-count table over a corpus: (g, n) — the
+    * persisted state [[substringIncrementalScore]] joins deltas
+    * against. One gram explode with map-side combine; at warehouse
+    * scale this is a maintained table bucketed by g (upserted per
+    * arriving shard by adding the shard's own counts), not a recompute.
+    */
+  private[graft] def substringCountTable(docs: DataFrame): DataFrame =
+    substringGrams(docs).groupBy("g").agg(count(lit(1)).as("n"))
+
+  /** Incremental face of [[substring]] (the dedup_incremental
+    * discipline applied to the substring family — r11 verdict ask #6):
+    * score ONLY the arriving delta's documents, shuffling ONLY the
+    * delta's grams, against a corpus represented by its persisted
+    * per-gram count table. A delta gram's global total =
+    * corpus count (0 when absent) + the delta's own per-gram total
+    * (delta-vs-delta duplication — two arriving docs sharing a new
+    * gram, or one doc repeating it, must count even though the corpus
+    * has never seen the gram). That sum is exactly the full
+    * recompute's per-gram count over corpus ∪ delta, so the scores
+    * equal [[substring]] over the union restricted to delta docs —
+    * DedupSpec proves the equivalence, the DuckDB oracle recomputes it
+    * from scratch.
+    *
+    * Plan: delta grams explode once, repartition(g) (parts sized by
+    * the caller — corpus-scale when the count table is comparable to
+    * the corpus), (g, doc_id) pre-count with map-side combine, the
+    * scored op's window trick for the delta-side totals (the window
+    * sorts the DELTA's distinct pairs only), then one left
+    * shuffled-hash join against the count table and the per-doc
+    * rollup. Nothing about the corpus is exploded or re-scanned beyond
+    * its count table.
+    */
+  private[graft] def substringIncrementalScore(corpusCounts: DataFrame,
+      delta: DataFrame, parts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = substringGrams(delta).repartition(parts, col("g"))
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
+    val withDelta = local.withColumn("delta_total",
+      sum(col("n_local")).over(Window.partitionBy(col("g"))))
+    val scored = withDelta
+      .join(corpusCounts.withColumnRenamed("n", "corpus_n")
+        .hint("SHUFFLE_HASH"), Seq("g"), "left")
+      .withColumn("n_total",
+        coalesce(col("corpus_n"), lit(0L)) + col("delta_total"))
+    val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
+    scored.groupBy("doc_id").agg(
+      sum(col("n_local")).cast("long").as("n_spans"),
+      sum(dupLocal).cast("long").as("n_dup"),
+      (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
+  }
+
+  /** Registered form: doc_id % 10 = 0 plays the arriving shard against
+    * the rest as corpus (the dedup_incremental split convention).
+    * Oracle = the full substring-score recompute over ALL documents
+    * restricted to delta docs — the equivalence the incremental
+    * formulation must (and does) preserve.
+    */
+  val substringIncremental: Op = Op(
+    "dedup_substring_incremental",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      |        FROM w, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      |        WHERE len(w) >= 8),
+      |x AS (SELECT g, doc_id, COUNT(*) AS n_local FROM pos GROUP BY g, doc_id),
+      |y AS (SELECT g, doc_id, n_local,
+      |        SUM(n_local) OVER (PARTITION BY g) AS n_total FROM x)
+      |SELECT doc_id,
+      |  CAST(SUM(n_local) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN n_total >= 2 THEN n_local ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN n_total >= 2 THEN n_local ELSE 0 END) AS DOUBLE)
+      |    / SUM(n_local) AS dup_frac
+      |FROM y WHERE doc_id % 10 = 0 GROUP BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    // partition sizing reads the FULL table: the count-table join's
+    // build side is corpus-scale, so delta-sized partitions would
+    // concentrate corpus grams into too few hash maps
+    val parts = substringParts(spark, docs)
+    substringIncrementalScore(
+      substringCountTable(docs.filter(col("doc_id") % 10 =!= 0)),
+      docs.filter(col("doc_id") % 10 === 0), parts)
+  }
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta
     * documents are content-new vs already present in the corpus? The
@@ -1164,5 +1287,6 @@ object Dedup {
 
   val ops: Seq[Op] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
-      incremental, substring, substringStrip, bloomNew, bloomNewBucketed)
+      incremental, substring, substringStrip, substringIncremental,
+      bloomNew, bloomNewBucketed)
 }

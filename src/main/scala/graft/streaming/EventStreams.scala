@@ -319,6 +319,81 @@ object EventStreams {
       }
   }
 
+  case class GramArrival(g: String, doc_id: Long, n_local: Long)
+  case class GramCount(n: Long)
+  case class SpanFlag(doc_id: Long, n_local: Long, dup: Boolean)
+
+  /** Per-document 8-word-gram arrivals (g, doc_id, n_local) from a
+    * streaming (doc_id, text) frame — n_local counted INSIDE the row's
+    * own gram array (a codegen'd HOF pass, no pre-fMGWS stateful
+    * aggregation), so each (doc, gram) reaches the state machine as
+    * exactly one arrival carrying its within-doc multiplicity.
+    */
+  def substringGramArrivals(docs: DataFrame): Dataset[GramArrival] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("w", split(coalesce(col("text"), lit("")), " "))
+      .filter(size(col("w")) >= 8)
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(grams)," +
+          " x -> struct(x as g, size(filter(grams, y -> y = x)) as n_local))"))
+        .as("a"))
+      .select(col("a.g").as("g"), col("doc_id"),
+        col("a.n_local").cast("long").as("n_local"))
+      .as[GramArrival]
+  }
+
+  /** Streaming face of the substring-dedup family (completing the
+    * batch [dedup_substring] + delta [dedup_substring_incremental] +
+    * streaming triad, r11 verdict ask #8): per-GRAM count state via
+    * flatMapGroupsWithState — the posting-bucket discipline of
+    * [[nearDupCandidates]] with a Long count where the bucket held ids.
+    * Each arriving (g, doc, n_local) is flagged ONLINE: duplicated iff
+    * the gram was already seen (state count ≥ 1) or repeats within the
+    * document itself (n_local ≥ 2) — i.e. state_n + n_local ≥ 2,
+    * EXACTLY Dedup.substringIncrementalScore's n_total rule with
+    * "corpus" = everything that arrived before. So a document's
+    * rolled-up flags equal the incremental face scored against its own
+    * prior stream — admission-time semantics (the semDedup serve-face
+    * convention): an early document is NOT retro-flagged when a later
+    * copy arrives; the batch op answers that retrospective question.
+    * StreamingSpec proves the per-doc fold equivalence. In-batch order
+    * is pinned by doc_id (replay-stable, the nearDupCandidates
+    * discipline); a pre-existing corpus seeds as a lower-id zeroth
+    * micro-batch. State per gram is ONE long — a hot gram costs 8
+    * bytes, not a posting list.
+    */
+  def substringScoreStream(grams: Dataset[GramArrival]): Dataset[SpanFlag] = {
+    import grams.sparkSession.implicits._
+    grams.groupByKey(_.g)
+      .flatMapGroupsWithState[GramCount, SpanFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[GramArrival], state: GroupState[GramCount]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { a =>
+            val dup = n + a.n_local >= 2L
+            n += a.n_local
+            SpanFlag(a.doc_id, a.n_local, dup)
+          }
+          state.update(GramCount(n))
+          out.iterator
+      }
+  }
+
+  /** Batch rollup of [[substringScoreStream]]'s sink — the
+    * (doc_id, n_spans, n_dup, dup_frac) shape of the batch/incremental
+    * substring ops, computed over the collected span flags.
+    */
+  def rollupSpanFlags(flags: DataFrame): DataFrame = {
+    val dupLocal = when(col("dup"), col("n_local")).otherwise(lit(0L))
+    flags.groupBy("doc_id").agg(
+      sum(col("n_local")).cast("long").as("n_spans"),
+      sum(dupLocal).cast("long").as("n_dup"),
+      (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
+  }
+
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
   case class FunnelState(tv: Long, tc: Long, tp: Long) // Long.MaxValue = unreached
   case class FunnelFlags(user_id: Long, did_view: Long, did_click: Long,

@@ -149,6 +149,50 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("incremental substring score ≡ full recompute restricted to the delta") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus doc 0 shares its leading 8-gram with delta doc 1
+    // (corpus+delta dup); delta docs 1 and 3 share the q-gram the corpus
+    // has never seen (delta-vs-delta dup); doc 3 also repeats it
+    // WITHIN itself (n_local = 2); every doc carries unique spans too
+    val corpus = mk(Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    val delta = mk(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 q1 q2 q3 q4 q5 q6 q7 q8"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8")))
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e12)))
+      .sortBy(_._1).toSeq
+    val full = scores(Dedup.substringWindow(spark, corpus.unionByName(delta))
+      .filter(col("doc_id") % 2 === 1))
+    val incr = scores(Dedup.substringIncrementalScore(
+      Dedup.substringCountTable(corpus), delta, parts = 8))
+    assert(incr == full, s"incremental $incr != full-restricted $full")
+    // the deliberate cases really occur: doc 1 has dup spans from BOTH
+    // sides (corpus w-gram + delta q-gram) yet not all spans dup; doc
+    // 3's within-doc repeat makes every one of its spans duplicated
+    val d1 = incr.find(_._1 == 1L).get
+    assert(d1._3 >= 2 && d1._3 < d1._2, d1)
+    // doc 3: ONLY the two positions of the repeated q-gram are dup —
+    // its 7 bridging grams (q2..q1 etc.) occur once each in the corpus
+    val d3 = incr.find(_._1 == 3L).get
+    assert(d3._3 == 2L && d3._3 < d3._2, d3)
+    // and the registered split on the real table agrees with the full
+    // recompute restricted to its delta sliver
+    val docs = Tables.documents(spark, sfTiny)
+    val fullReal = scores(Dedup.substringWindow(spark, docs)
+      .filter(col("doc_id") % 10 === 0))
+    val incrReal = scores(Dedup.substringIncremental.fn(spark, sfTiny))
+    assert(incrReal == fullReal)
+    assert(incrReal.nonEmpty)
+    CacheRegistry.drain()
+  }
+
   test("substring strip excises every corpus-duplicated 8-word span") {
     import spark.implicits._
     val docs = Seq(

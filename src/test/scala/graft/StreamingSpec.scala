@@ -660,6 +660,62 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("index is empty"), e.getMessage)
   }
 
+  test("streaming substring score ≡ per-doc incremental fold (admission semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the incremental-spec corpus: doc 1 shares its leading gram with
+    // doc 0, docs 1 and 3 share the q-gram, doc 3 repeats it within
+    // itself; admission order = doc_id order across two micro-batches
+    val docRows = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10"),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 q1 q2 q3 q4 q5 q6 q7 q8"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8"))
+    def docsDf(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val input = MemoryStream[(Long, String)]
+    val flags = EventStreams.substringScoreStream(
+      EventStreams.substringGramArrivals(
+        input.toDF().toDF("doc_id", "text")))
+    val query = flags.writeStream.format("memory")
+      .queryName("substring_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docRows.take(2))
+      query.processAllAvailable()
+      input.addData(docRows.drop(2))
+      query.processAllAvailable()
+      val streamed = EventStreams.rollupSpanFlags(
+          spark.table("substring_stream"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e12))).sortBy(_._1).toSeq
+      // fold: every document scored by the INCREMENTAL batch face with
+      // corpus = all documents that arrived before it — the exact
+      // admission-time contract the stream promises
+      val expected = docRows.map(_._1).sorted.map { id =>
+        val corpus = docsDf(docRows.filter(_._1 < id))
+        val delta = docsDf(docRows.filter(_._1 == id))
+        graft.operators.Dedup.substringIncrementalScore(
+            graft.operators.Dedup.substringCountTable(corpus), delta, 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            math.rint(r.getDouble(3) * 1e12))).head
+      }
+      assert(streamed == expected, s"streamed $streamed != fold $expected")
+      // the deliberate shapes: doc 0 admitted clean (nothing prior),
+      // doc 1 dup only on the w-gram it shares with doc 0, doc 3 dup only
+      // on the q-gram positions (seen at doc 1 + its own internal repeat)
+      assert(streamed.find(_._1 == 0L).get._3 == 0L)
+      val d1 = streamed.find(_._1 == 1L).get
+      assert(d1._3 == 1L && d1._3 < d1._2, d1)
+      // doc 3: only the repeated q-gram's two positions are dup (its
+      // bridging grams occur once each anywhere)
+      val d3 = streamed.find(_._1 == 3L).get
+      assert(d3._3 == 2L && d3._3 < d3._2, d3)
+    } finally query.stop()
+  }
+
   test("streaming near-dup candidates equal the batch posting-list self-join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax}

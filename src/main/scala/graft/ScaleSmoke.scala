@@ -82,6 +82,38 @@ object ScaleSmoke {
     if (acc == Long.MinValue) -s else s
   }
 
+  /** Multicore host-speed canary: the same fixed MD5 workload run on
+    * `threads` threads at once, reporting the MEAN thread-CPU seconds
+    * per thread. The single-thread canary stayed flat (~0.38) across
+    * r12 measurement eras whose 32-thread stage costs swung ~4× on
+    * heterogeneous scan stages — co-tenant pressure on shared memory
+    * bandwidth / SMT shows up as stall cycles charged to thread CPU
+    * only under CONCURRENCY. Reading both canaries separates "host
+    * slow" (both inflate) from "host contended" (only this one
+    * inflates) from "code regressed" (neither).
+    */
+  private[graft] def cpuCanaryMt(
+      threads: Int = Runtime.getRuntime.availableProcessors.min(32)): Double = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val t0 = bean.getCurrentThreadCpuTime
+        var i = 0
+        var acc = 0L
+        while (i < 500000) {
+          acc += md.digest(String.valueOf(i ^ (acc & 1)).getBytes)(0)
+          i += 1
+        }
+        total.addAndGet(bean.getCurrentThreadCpuTime - t0 + (acc & 1L))
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    total.get / 1e9 / threads
+  }
+
   /** Amplify the sf0.1 tables N× into /tmp/graft_scale_{tag} (idempotent
     * via the _AMPLIFIED_v2 marker) and return the corpus dir. Extracted
     * from main so harnesses that only need the corpus (SubstringAB,
@@ -175,6 +207,7 @@ object ScaleSmoke {
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_$tag"
     val canaryS = cpuCanary() // before the session: an idle-JVM measure
+    val canaryMtS = cpuCanaryMt()
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // Size shuffle partitions to the data, not the core count — the rule
@@ -222,9 +255,23 @@ object ScaleSmoke {
         }
       }
       override def onStageSubmitted(
-          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-        stageName.put(ss.stageInfo.stageId,
-          ss.stageInfo.name.takeWhile(_ != '\n').take(60))
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        // Stage names from the scheduler callSite are useless for
+        // AQE-materialized stages (every one reads "withThreadLocal
+        // Captured at CompletableFuture.java" — the AQE thread pool).
+        // The RDD OPERATION SCOPES carried by the stage's RDDs name the
+        // physical operators actually running (Scan parquet, Exchange,
+        // WholeStageCodegen(n), ObjectHashAggregate, ...) — join the
+        // distinct scope names in RDD order so the straggler's owner
+        // reads as the operator chain, falling back to the callSite
+        // only when no scope exists (pure actions).
+        val scopes = ss.stageInfo.rddInfos.sortBy(_.id)
+          .flatMap(_.scope).map(_.name).distinct
+        val nm =
+          if (scopes.nonEmpty) scopes.mkString(" > ")
+          else ss.stageInfo.name.takeWhile(_ != '\n')
+        stageName.put(ss.stageInfo.stageId, nm.take(80))
+      }
     })
     def drainBus(): Unit =
       org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
@@ -251,6 +298,12 @@ object ScaleSmoke {
         case Some(fn) =>
           drainBus(); taskMs.clear(); stageAgg.clear(); stageName.clear()
           cpuNs.set(0L); spillMem.set(0L); spillDisk.set(0L)
+          // fresh PER-OP multicore canary: the contended-host era can
+          // shift WITHIN one sweep (measured r12: heterogeneous scan
+          // stages 4x apart between two same-day sweeps at identical
+          // single-thread canary), so each entry carries the era it
+          // actually ran in
+          val entryCanaryMt = cpuCanaryMt()
           val t0 = System.nanoTime()
           try {
             // Materialize through a hash-of-every-column aggregate, NOT
@@ -301,7 +354,7 @@ object ScaleSmoke {
                   (nm, mx / 1000.0)
                 case None => ("", 0.0)
               }
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "cpu_canary_s": ${f3(canaryS)}}""")
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}}""")
           } catch {
             // a fail-fast output/size contract TRIPPING is the operator
             // working as designed (the r8 verdict's explicit "Done"
@@ -350,7 +403,7 @@ object ScaleSmoke {
         entryRe.findAllMatchIn(java.nio.file.Files.readString(path))
           .map(m => m.group(1) -> m.group(2)).toSeq
           .filterNot(k => k._1 == "amplification" || k._1 == "heap_gb" ||
-            k._1 == "cpu_canary_s")
+            k._1 == "cpu_canary_s" || k._1 == "cpu_canary_mt_s")
       else Seq.empty
     val freshAll = results.map { r =>
       entryRe.findFirstMatchIn(r) match {
@@ -383,9 +436,9 @@ object ScaleSmoke {
         def keep(k: String, fallback: String) =
           ("\"" + k + "\": ?([0-9.]+)").r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse(fallback)
-        s"""{\n  "amplification": ${keep("amplification", n.toString)},\n  "heap_gb": ${keep("heap_gb", f3(heapGb))},\n  "cpu_canary_s": ${keep("cpu_canary_s", f3(canaryS))},\n"""
+        s"""{\n  "amplification": ${keep("amplification", n.toString)},\n  "heap_gb": ${keep("heap_gb", f3(heapGb))},\n  "cpu_canary_s": ${keep("cpu_canary_s", f3(canaryS))},\n  "cpu_canary_mt_s": ${keep("cpu_canary_mt_s", f3(canaryMtS))},\n"""
       } else
-        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n  "cpu_canary_s": ${f3(canaryS)},\n"""
+        s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n  "cpu_canary_s": ${f3(canaryS)},\n  "cpu_canary_mt_s": ${f3(canaryMtS)},\n"""
     java.nio.file.Files.writeString(path,
       merged.mkString(header, ",\n", "\n}"))
 

@@ -22,20 +22,37 @@ object Dedup {
     * (candidate pair mass ~1.3M at sf0.1) while 5-word shingles are ~100×
     * more selective (13.5k) with near-dup pairs still sharing most runs.
     */
+  // The gram BUILDER is consumer-dependent (r12, measured both ways
+  // same-JVM, hash-identical outputs): the concat_ws(element_at × 5)
+  // form below wins ~3× for ARRAY consumers (decontam's
+  // array_intersect, sketchTable's md5 transform, the verify slivers:
+  // decontam 107 vs 360 cpu-s at 100x), while the substring family's
+  // array_join(slice(...)) form wins ~2× for EXPLODE consumers
+  // (posting streams: 559 vs ~280 cpu-s at 100x) — so [[withShingles]]
+  // keeps concat_ws and [[ngramCandidateGrams]] builds its exploded
+  // candidate stream with slice/join. Strings are identical either
+  // way; only evaluation cost differs with the consuming context.
   private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      // array_join(slice(...)) — the substring family's gram builder —
-      // measured 3.4× cheaper than the original
-      // concat_ws(element_at × 5) form for the IDENTICAL output strings
-      // (r12 bisection at 100x: 336 vs 1148 cpu-s for the full
-      // build+distinct+sort+explode; the concat_ws·element_at chain is
-      // interpreted HOF-per-element work, and array_sort over its
-      // output cost another 2×). Every shingle consumer (minhash,
-      // ngram, decontam, incremental) shares the savings.
       .withColumn("shingles", array_sort(array_distinct(expr(
         "transform(sequence(1, size(words)-4)," +
-          " i -> array_join(slice(words, i, 5), ' '))"))))
+          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1)," +
+          " element_at(words,i+2), element_at(words,i+3), element_at(words,i+4)))"))))
+
+  /** The per-doc DISTINCT gram posting stream (doc_id, g) for candidate
+    * generation — slice/join built (see the builder note above) and
+    * UNSORTED: candidates only need the distinct gram strings, and the
+    * array_sort the shared shingle arrays carry measured as half the
+    * old explode path's cost for nothing the candidate join uses.
+    */
+  private[graft] def ngramCandidateGrams(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 5)
+      .withColumn("cgrams", array_distinct(expr(
+        "transform(sequence(1, size(words)-4)," +
+          " i -> array_join(slice(words, i, 5), ' '))")))
+      .select(col("doc_id"), explode(col("cgrams")).as("g"))
 
   /** Same shingle construction in DuckDB SQL (1-based lists). */
   private[operators] val shinglesSql =
@@ -111,8 +128,7 @@ object Dedup {
     // eviction of wide array blocks made sweeps bimodal) — the posting
     // stream explodes off one fresh scan, and the verify probes read a
     // candidate-pruned sliver rebuilt below
-    val grams = withShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val grams = ngramCandidateGrams(docs)
       // 1-in-4 content-stable sample (see the op scaladoc): same md5
       // predicate as the oracle, applied right at the explode so the
       // sampled-out grams never reach the exchange or the agg buffers

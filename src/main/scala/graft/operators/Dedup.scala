@@ -35,8 +35,11 @@ object Dedup {
   private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
+      // greatest-clamp: same speculative-evaluation totality as
+      // ngramCandidateGrams — element_at(words, 0) on the descending
+      // sequence a short doc produces is an ERROR, not a null
       .withColumn("shingles", array_sort(array_distinct(expr(
-        "transform(sequence(1, size(words)-4)," +
+        "transform(sequence(1, greatest(size(words)-4, 1))," +
           " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1)," +
           " element_at(words,i+2), element_at(words,i+3), element_at(words,i+4)))"))))
 
@@ -49,8 +52,15 @@ object Dedup {
   private[graft] def ngramCandidateGrams(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
+      // greatest(...,1): sequence() DESCENDS for a bound below its
+      // start, so a <5-word doc would drive slice through start 0 —
+      // an ERROR, not a null — whenever the optimizer evaluates this
+      // expression speculatively (subexpression elimination pulled it
+      // into the sampling predicate ahead of the size conjunct;
+      // EdgeCaseSpec caught exactly that). The clamp makes the
+      // expression total; the size filter still removes those rows.
       .withColumn("cgrams", array_distinct(expr(
-        "transform(sequence(1, size(words)-4)," +
+        "transform(sequence(1, greatest(size(words)-4, 1))," +
           " i -> array_join(slice(words, i, 5), ' '))")))
       .select(col("doc_id"), explode(col("cgrams")).as("g"))
 
@@ -704,8 +714,11 @@ object Dedup {
   private[graft] def substringGrams(docs: DataFrame): DataFrame = docs
     .withColumn("w", split(col("text"), " "))
     .filter(size(col("w")) >= 8)
+    // greatest-clamp: total under speculative evaluation (see
+    // ngramCandidateGrams) — sequence() descends through 0 for short
+    // docs and slice(start 0) throws; the size filter still governs
     .select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
+      "transform(sequence(1, greatest(size(w)-7, 1)), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
 
   /** Data-sized partition count for the posting exchange: posting rows
     * are ~avg-words× the document count (an explode), so inheriting
@@ -863,7 +876,7 @@ object Dedup {
       split(coalesce(col("text"), lit("")), " ").as("w"))
     val pos = d.filter(size(col("w")) >= 8)
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))")))
+        "transform(sequence(1, greatest(size(w)-7, 1)), i -> array_join(slice(w, i, 8), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
     (d, pos)
   }

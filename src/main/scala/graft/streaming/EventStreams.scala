@@ -335,7 +335,7 @@ object EventStreams {
       .withColumn("w", split(coalesce(col("text"), lit("")), " "))
       .filter(size(col("w")) >= 8)
       .withColumn("grams", expr(
-        "transform(sequence(1, size(w)-7), i -> array_join(slice(w, i, 8), ' '))"))
+        "transform(sequence(1, greatest(size(w)-7, 1)), i -> array_join(slice(w, i, 8), ' '))"))
       .select(col("doc_id"), explode(expr(
         "transform(array_distinct(grams)," +
           " x -> struct(x as g, size(filter(grams, y -> y = x)) as n_local))"))

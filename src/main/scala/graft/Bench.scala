@@ -93,25 +93,30 @@ object Bench {
     * records it with the final load fields, so a run that proceeded
     * loaded after the timeout is still self-identifying.
     */
-  private def awaitIdle(threshold: Double = 3.0, maxWaitS: Int = 300): Int = {
+  private def awaitIdle(threshold: Double = 3.0,
+      maxWaitS: Int = 300): (Int, Boolean) = {
     var waited = 0
-    while (machineLoad()._1 > threshold && waited < maxWaitS) {
-      System.err.println(s"[bench] load_avg_1m ${machineLoad()._1} > " +
+    var load = machineLoad()._1
+    while (load > threshold && waited < maxWaitS) {
+      System.err.println(s"[bench] load_avg_1m $load > " +
         s"$threshold — waiting for idle (${waited}s)")
       Thread.sleep(15000); waited += 15
+      load = machineLoad()._1
     }
-    waited
+    // timed-out decided AT LOOP EXIT from the loop's own last sample —
+    // a separate re-sample at the call site could dip below threshold
+    // for one reading and record an honest-looking false
+    (waited, load > threshold)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val gateWaitedS = awaitIdle()
     // honesty flag (r11 verdict ask #4): a run that proceeded because
     // the idle wait EXPIRED — not because the box went idle — must say
     // so in the artifact itself, not leave the reader to infer it from
     // waited_s == max
-    val gateTimedOut = gateWaitedS >= 300 && machineLoad()._1 > 3.0
+    val (gateWaitedS, gateTimedOut) = awaitIdle()
     // post-gate/pre-run load: the _machine fields at the END of a run are
     // inflated by our own 32 threads (the r8 bench_full recorded 9.17 —
     // that was mostly US), so the START snapshot is the one that says
@@ -121,6 +126,9 @@ object Bench {
     // work measured pre-session, so cross-era wall ratios can separate
     // "the code got slower" from "the shared host got slower"
     val canaryS = ScaleSmoke.cpuCanary()
+    // multicore canary too (see BASELINE.md): the single-thread canary
+    // misses contended-host eras whose concurrent costs swing ~4×
+    val canaryMtS = ScaleSmoke.cpuCanaryMt()
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -201,7 +209,7 @@ object Bench {
     val total = f3(good.map(_.best).sum)
     val totalWorst = f3(good.map(_.worst).sum)
     val (l1, l5, memKb) = machineLoad()
-    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS,"gate_timed_out":$gateTimedOut,"cpu_canary_s":${f3(canaryS)}"""
+    val loadJson = s""""load_avg_1m":${f3(l1)},"load_avg_5m":${f3(l5)},"load_avg_1m_start":${f3(loadStart)},"mem_available_kb":$memKb,"idle_gate_waited_s":$gateWaitedS,"gate_timed_out":$gateTimedOut,"cpu_canary_s":${f3(canaryS)},"cpu_canary_mt_s":${f3(canaryMtS)}"""
     // the pinned baseline is the HEADLINE total — a custom query set's
     // sum is not comparable, so the ratio only rides the headline run
     val vsBaseline = baselineTotal()

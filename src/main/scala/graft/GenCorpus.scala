@@ -10,6 +10,15 @@ object GenCorpus {
     val n = rest.headOption.map(_.toInt).getOrElse(10)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
+    // mirror ScaleSmoke's scan-split sizing so the corpus this tool
+    // stamps has the SAME parquet file layout a sweep-built one gets —
+    // a different input-split count changes output file sizes, and the
+    // marker would freeze that layout difference into every later
+    // sweep's scan parallelism (an invisible era break)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
+    val baseRows = Tables.load(spark, "/root/testdata/sf0.1", "lineitem").count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.api.GraftApi.partitionsFor(spark, baseRows * n).toString)
     val out = ScaleSmoke.ensureCorpus(spark, "/root/testdata/sf0.1", n, skew)
     println(s"[gencorpus] ready: $out")
     spark.stop()

@@ -354,7 +354,7 @@ object ScaleSmoke {
                   (nm, mx / 1000.0)
                 case None => ("", 0.0)
               }
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}}""")
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
           } catch {
             // a fail-fast output/size contract TRIPPING is the operator
             // working as designed (the r8 verdict's explicit "Done"
@@ -371,7 +371,7 @@ object ScaleSmoke {
               // across the sweep shouldn't special-case this row — the
               // guard_tripped flag carries the meaning, placeholders keep
               // the shape
-              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0}""")
+              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "cpu_canary_mt_s": 0.0, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")

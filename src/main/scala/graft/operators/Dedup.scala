@@ -35,13 +35,17 @@ object Dedup {
   private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      // greatest-clamp: same speculative-evaluation totality as
-      // ngramCandidateGrams — element_at(words, 0) on the descending
-      // sequence a short doc produces is an ERROR, not a null
+      // greatest-clamp + try_element_at: total under speculative
+      // evaluation (see ngramCandidateGrams) — a short doc's descending
+      // sequence would hit element_at(words, 0), and even clamped,
+      // element_at(words, size+k) past the array end THROWS under the
+      // ANSI mode Spark 4 defaults to; try_element_at yields null and
+      // concat_ws skips nulls, so the garbage row the size filter
+      // removes anyway can never abort the job
       .withColumn("shingles", array_sort(array_distinct(expr(
         "transform(sequence(1, greatest(size(words)-4, 1))," +
-          " i -> concat_ws(' ', element_at(words,i), element_at(words,i+1)," +
-          " element_at(words,i+2), element_at(words,i+3), element_at(words,i+4)))"))))
+          " i -> concat_ws(' ', try_element_at(words,i), try_element_at(words,i+1)," +
+          " try_element_at(words,i+2), try_element_at(words,i+3), try_element_at(words,i+4)))"))))
 
   /** The per-doc DISTINCT gram posting stream (doc_id, g) for candidate
     * generation — slice/join built (see the builder note above) and
@@ -59,9 +63,7 @@ object Dedup {
       // into the sampling predicate ahead of the size conjunct;
       // EdgeCaseSpec caught exactly that). The clamp makes the
       // expression total; the size filter still removes those rows.
-      .withColumn("cgrams", array_distinct(expr(
-        "transform(sequence(1, greatest(size(words)-4, 1))," +
-          " i -> array_join(slice(words, i, 5), ' '))")))
+      .withColumn("cgrams", array_distinct(expr(gramExpr("words", 5))))
       .select(col("doc_id"), explode(col("cgrams")).as("g"))
 
   /** Same shingle construction in DuckDB SQL (1-based lists). */
@@ -709,6 +711,19 @@ object Dedup {
     substringWindow(spark, Tables.documents(spark, dir))
   }
 
+  /** The k-word-gram transform over a words-array column, as ONE shared
+    * SQL string: array_join(slice) built (the explode-consumer winner of
+    * the r12 builder A/B) and greatest-clamped so the expression stays
+    * total under speculative evaluation (sequence() DESCENDS for short
+    * docs and slice(start 0) throws). Single-sourced because the batch,
+    * delta, and streaming substring faces plus the ngram candidate
+    * stream must agree bit-for-bit — a clamp or width fix applied to
+    * one inlined copy silently breaks the spec-pinned equivalences.
+    */
+  private[graft] def gramExpr(wordsCol: String, k: Int): String =
+    s"transform(sequence(1, greatest(size($wordsCol)-${k - 1}, 1))," +
+      s" i -> array_join(slice($wordsCol, i, $k), ' '))"
+
   /** The 8-word-gram posting stream (doc_id, g) — one row per span
     * position, shared by the substring-dedup forms and the strip op. */
   private[graft] def substringGrams(docs: DataFrame): DataFrame = docs
@@ -717,8 +732,7 @@ object Dedup {
     // greatest-clamp: total under speculative evaluation (see
     // ngramCandidateGrams) — sequence() descends through 0 for short
     // docs and slice(start 0) throws; the size filter still governs
-    .select(col("doc_id"), explode(expr(
-      "transform(sequence(1, greatest(size(w)-7, 1)), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
+    .select(col("doc_id"), explode(expr(gramExpr("w", 8))).as("g"))
 
   /** Data-sized partition count for the posting exchange: posting rows
     * are ~avg-words× the document count (an explode), so inheriting
@@ -875,8 +889,7 @@ object Dedup {
     val d = docs.select(col("doc_id"),
       split(coalesce(col("text"), lit("")), " ").as("w"))
     val pos = d.filter(size(col("w")) >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, greatest(size(w)-7, 1)), i -> array_join(slice(w, i, 8), ' '))")))
+      .select(col("doc_id"), posexplode(expr(gramExpr("w", 8))))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
     (d, pos)
   }
@@ -1064,12 +1077,22 @@ object Dedup {
         .hint("SHUFFLE_HASH"), Seq("g"), "left")
       .withColumn("n_total",
         coalesce(col("corpus_n"), lit(0L)) + col("delta_total"))
-    val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
-    scored.groupBy("doc_id").agg(
+    substringRollup(scored,
+      when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L)))
+  }
+
+  /** The per-doc (n_spans, n_dup, dup_frac) rollup over any frame
+    * carrying (doc_id, n_local) and a dup-mass column — ONE copy of
+    * the scoring contract the incremental and streaming faces share
+    * (their spec-pinned equivalence would silently break if two
+    * inlined aggregates drifted).
+    */
+  private[graft] def substringRollup(df: DataFrame,
+      dupLocal: Column): DataFrame =
+    df.groupBy("doc_id").agg(
       sum(col("n_local")).cast("long").as("n_spans"),
       sum(dupLocal).cast("long").as("n_dup"),
       (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
-  }
 
   /** Registered form: doc_id % 10 = 0 plays the arriving shard against
     * the rest as corpus (the dedup_incremental split convention).

@@ -27,11 +27,13 @@ object Sources {
       rm(new java.io.File(d))
     }
   }
-  // Retain at most 2 dirs per prefix: the one being created plus its
-  // predecessor (whose lazily-read plan may still be executing in an
-  // overlapping invocation). Older ones are full table copies a
-  // long-lived bench/verify session would otherwise accumulate in /tmp
-  // until JVM exit — delete them eagerly.
+  // Retain the last 8 dirs per prefix: deep enough that an eviction
+  // can only hit an invocation at least 7 generations stale (a
+  // lazily-read plan from that long ago still executing would imply 8+
+  // concurrent same-prefix invocations — far past this harness's
+  // concurrency), while still bounding the full table copies a
+  // long-lived bench/verify session would otherwise accumulate in
+  // /tmp until JVM exit.
   private val scratchByPrefix =
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.ArrayDeque[String]]()
@@ -43,7 +45,7 @@ object Sources {
       _ => new java.util.ArrayDeque[String]())
     val evicted = dq.synchronized {
       dq.addLast(path)
-      if (dq.size > 2) Option(dq.pollFirst()) else None
+      if (dq.size > 8) Option(dq.pollFirst()) else None
     }
     evicted.foreach { old =>
       scratchDirs.remove(old)

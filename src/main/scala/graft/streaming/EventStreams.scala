@@ -325,17 +325,23 @@ object EventStreams {
 
   /** Per-document 8-word-gram arrivals (g, doc_id, n_local) from a
     * streaming (doc_id, text) frame — n_local counted INSIDE the row's
-    * own gram array (a codegen'd HOF pass, no pre-fMGWS stateful
-    * aggregation), so each (doc, gram) reaches the state machine as
-    * exactly one arrival carrying its within-doc multiplicity.
+    * own gram array (an in-row HOF pass, no pre-fMGWS stateful
+    * aggregation: Structured Streaming disallows an aggregation ahead
+    * of flatMapGroupsWithState), so each (doc, gram) reaches the state
+    * machine as exactly one arrival carrying its within-doc
+    * multiplicity. COST BOUND: the count is O(distinct × total) gram
+    * comparisons per document — fine for the ≤ few-thousand-word
+    * documents a text-ingest stream carries, quadratic-ish for a
+    * pathological 100k-word blob; chunk such documents upstream
+    * (pipeline_chunk) before streaming them, the same pre-split the
+    * batch ops assume.
     */
   def substringGramArrivals(docs: DataFrame): Dataset[GramArrival] = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("w", split(coalesce(col("text"), lit("")), " "))
       .filter(size(col("w")) >= 8)
-      .withColumn("grams", expr(
-        "transform(sequence(1, greatest(size(w)-7, 1)), i -> array_join(slice(w, i, 8), ' '))"))
+      .withColumn("grams", expr(graft.operators.Dedup.gramExpr("w", 8)))
       .select(col("doc_id"), explode(expr(
         "transform(array_distinct(grams)," +
           " x -> struct(x as g, size(filter(grams, y -> y = x)) as n_local))"))
@@ -386,13 +392,9 @@ object EventStreams {
     * (doc_id, n_spans, n_dup, dup_frac) shape of the batch/incremental
     * substring ops, computed over the collected span flags.
     */
-  def rollupSpanFlags(flags: DataFrame): DataFrame = {
-    val dupLocal = when(col("dup"), col("n_local")).otherwise(lit(0L))
-    flags.groupBy("doc_id").agg(
-      sum(col("n_local")).cast("long").as("n_spans"),
-      sum(dupLocal).cast("long").as("n_dup"),
-      (sum(dupLocal).cast("double") / sum(col("n_local"))).as("dup_frac"))
-  }
+  def rollupSpanFlags(flags: DataFrame): DataFrame =
+    graft.operators.Dedup.substringRollup(flags,
+      when(col("dup"), col("n_local")).otherwise(lit(0L)))
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
   case class FunnelState(tv: Long, tc: Long, tp: Long) // Long.MaxValue = unreached

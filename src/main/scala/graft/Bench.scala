@@ -82,7 +82,11 @@ object Bench {
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE.md")))
-      """BENCH-BASELINE \{[^}]*"canary_s":([0-9.]+)""".r
+      // `.*` (not `[^}]*`): canary_s must match anywhere on the
+      // BENCH-BASELINE line — the old form stopped at the first closing
+      // brace, so a key reorder putting the nested queries object first
+      // silently dropped vs_baseline_canary_adj (ADVICE r12)
+      """BENCH-BASELINE .*"canary_s":([0-9.]+)""".r
         .findFirstMatchIn(txt).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 
@@ -173,7 +177,7 @@ object Bench {
     // best≪worst spread marks machine noise, so a single noisy pass can
     // never masquerade as a code regression in round-over-round reads.
     case class R(name: String, best: Double, worst: Double, ok: Boolean,
-        peak: Long, shuffle: Long)
+        peak: Long, shuffle: Long, entryCanaryMt: Double)
     // metrics arrive on the async listener bus: drain it before resetting
     // the counters (so a previous pass's late onTaskEnd events are not
     // attributed to this one) and again before reading them. Counters are
@@ -182,6 +186,11 @@ object Bench {
     def drained(): Unit = org.apache.spark.sql.graftshim.Shim
       .drainListenerBus(spark.sparkContext)
     val results = names.map { name =>
+      // fresh PER-ENTRY multicore canary (VERDICT r12 #6): the
+      // contended-host era can shift WITHIN one full-registry run (the
+      // smokes carry this per entry already; bench_full's run-level
+      // _machine block alone made the r12 61→79 s diff unreadable)
+      val entryCanaryMt = ScaleSmoke.cpuCanaryMt()
       val runs = (1 to 2).map { _ =>
         drained(); peak.set(0L); shuffleBytes.set(0L)
         val t0 = System.nanoTime()
@@ -195,7 +204,8 @@ object Bench {
         (sec, ok, peak.get(), shuffleBytes.get())
       }
       R(name, runs.map(_._1).min, runs.map(_._1).max,
-        runs.forall(_._2), runs.map(_._3).max, runs.map(_._4).min)
+        runs.forall(_._2), runs.map(_._3).max, runs.map(_._4).min,
+        entryCanaryMt)
     }
     // failed queries are listed in `failed` and EXCLUDED from both the
     // queries map and the total, so the three fields stay consistent
@@ -228,7 +238,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_worst":$qsWorst,"total_worst":$totalWorst,"failed":$failed,$loadJson$vsBaseline,"sf":"$sfDir"}""")
     if (benchAll) {
       val rows = results.map { r =>
-        s"""  "${r.name}": {"sec": ${f3(r.best)}, "sec_worst": ${f3(r.worst)}, "ok": ${r.ok}, "peak_exec_mem_bytes": ${r.peak}, "shuffle_write_bytes": ${r.shuffle}}"""
+        s"""  "${r.name}": {"sec": ${f3(r.best)}, "sec_worst": ${f3(r.worst)}, "ok": ${r.ok}, "peak_exec_mem_bytes": ${r.peak}, "shuffle_write_bytes": ${r.shuffle}, "cpu_canary_mt_s": ${f3(r.entryCanaryMt)}}"""
       } :+ s"""  "_machine": {$loadJson}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "bench_full.json")),

@@ -370,8 +370,11 @@ object ScaleSmoke {
               // uniform per-op schema: consumers reading sec/rows/task_*
               // across the sweep shouldn't special-case this row — the
               // guard_tripped flag carries the meaning, placeholders keep
-              // the shape
-              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "cpu_canary_mt_s": 0.0, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
+              // the shape. Canaries are the REAL measured ones (ADVICE
+              // r12: a cross-era reader normalizing cpu_s by the entry
+              // canary must never divide by a placeholder zero or miss
+              // the key on guard rows)
+              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")
@@ -436,7 +439,14 @@ object ScaleSmoke {
         def keep(k: String, fallback: String) =
           ("\"" + k + "\": ?([0-9.]+)").r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse(fallback)
-        s"""{\n  "amplification": ${keep("amplification", n.toString)},\n  "heap_gb": ${keep("heap_gb", f3(heapGb))},\n  "cpu_canary_s": ${keep("cpu_canary_s", f3(canaryS))},\n  "cpu_canary_mt_s": ${keep("cpu_canary_mt_s", f3(canaryMtS))},\n"""
+        // cpu_canary_mt_s: OMIT rather than backfill when the prior
+        // artifact predates the field (ADVICE r12: the header describes
+        // the original full-sweep era — stamping the re-record run's mt
+        // canary into it would misdate the old entries' era)
+        val mtKept = ("\"cpu_canary_mt_s\": ?([0-9.]+)").r
+          .findFirstMatchIn(txt).map(_.group(1))
+          .map(v => s"""  "cpu_canary_mt_s": $v,\n""").getOrElse("")
+        s"""{\n  "amplification": ${keep("amplification", n.toString)},\n  "heap_gb": ${keep("heap_gb", f3(heapGb))},\n  "cpu_canary_s": ${keep("cpu_canary_s", f3(canaryS))},\n$mtKept"""
       } else
         s"""{\n  "amplification": $n,\n  "heap_gb": ${f3(heapGb)},\n  "cpu_canary_s": ${f3(canaryS)},\n  "cpu_canary_mt_s": ${f3(canaryMtS)},\n"""
     java.nio.file.Files.writeString(path,

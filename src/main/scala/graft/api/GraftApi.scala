@@ -1605,18 +1605,21 @@ object GraftApi {
     */
   /** Bucket sizing for [[newDocs]]'s per-bucket bloom tier: both knobs
     * derive from n so buckets·items covers n while staying inside the
-    * per-bucket one-literal contract (≤2e8) AND the ~2e9 whole-job
-    * driver budget. Fails fast past ~2e9 distinct texts — one driver
-    * job cannot legally hold the filters there; run the per-bucket form
-    * as separate jobs over a partitionBy(bkt) layout instead.
+    * per-bucket one-literal contract (≤2e8 items ≈ 240 MB — one filter
+    * must fit one task/row comfortably). No whole-job residency budget
+    * applies since r13: the filters live in a distributed (bkt, bf)
+    * frame joined by bucket (never the driver, never every task — see
+    * bloomNewDocsBucketed's residency mechanics), so the ceiling is
+    * the bucket-count range itself: 65536 × 2e8 ≈ 1.3e13 distinct
+    * texts. Past THAT, partition the corpus into epochs and run
+    * per-epoch jobs.
     */
   def bloomBucketSizing(n: Long): (Int, Long) = {
-    require(n <= 2000000000L,
-      s"newDocs: corpus has $n distinct texts — past the ~2e9 single-job " +
-        "driver budget for bucketed bloom filters; run " +
-        "bloomNewDocsBucketed as separate jobs over a partitionBy(bkt) " +
-        "layout instead")
-    val buckets = ((n + 199999999L) / 200000000L).toInt // ⌈n/2e8⌉ ≤ 10
+    require(n <= 65536L * 200000000L,
+      s"newDocs: corpus has $n distinct texts — past the 65536-bucket × " +
+        "2e8-items ceiling of the bucketed bloom tier; partition into " +
+        "epochs and run per-epoch jobs")
+    val buckets = ((n + 199999999L) / 200000000L).toInt // ⌈n/2e8⌉ ≤ 65536
     val perBucket = (n + buckets - 1) / buckets         // ⌈n/buckets⌉ ≤ 2e8
     (buckets, perBucket)
   }

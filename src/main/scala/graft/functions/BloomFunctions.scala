@@ -44,15 +44,37 @@ object bloom {
     * bucketed membership sketch (one branch per bucket would scan the
     * probe side `buckets` times). A bucket with no filter (empty corpus
     * bucket) answers false: nothing was inserted, so absence is proven.
-    * The filter map rides the plan like any sketch literal (the same
-    * shipping shape as Catalyst's InjectRuntimeFilter bloom), is
-    * deserialized lazily ONCE per executor JVM, and each row pays one
-    * map lookup + one bloom probe.
+    *
+    * RESIDENCY (honest, r13): the whole filter map rides the plan like
+    * any sketch literal — the driver, the task binary, and EVERY task
+    * that deserializes it hold ALL buckets' filters. This is the
+    * small-map tool (total filter bytes must fit in a plan closure
+    * comfortably, say ≤ a few hundred MB). For the bucketed scale form
+    * where each task must carry only ITS bucket's bytes, use
+    * [[might_contain_keyed]] under a bucket-keyed shuffle join (the
+    * shape `Dedup.bloomNewDocsBucketed` registers).
     */
   def might_contain_bucketed(filters: Map[Long, Array[Byte]], bkt: Column,
       key: Column): Column =
     Shim.column(BucketedBloomMightContain(filters,
       Shim.expression(bkt), Shim.expression(key)))
+
+  /** Join-shipped per-bucket probe: `might_contain_keyed(bkt, bf, key)`
+    * answers "may `key` be in the filter whose serialized bytes ride
+    * the row's `bf` column?" — the scale form of the bucketed
+    * membership sketch. The filters live in a `(bkt, bf)` DataFrame
+    * and reach the probe rows through a bucket-keyed shuffle join, so
+    * each task receives exactly its buckets' filter bytes, and the
+    * expression deserializes each bucket ONCE PER TASK (a per-task
+    * cache keyed by `bkt` — never per row, which would also pay a
+    * per-row copy of the bytes out of the UnsafeRow). A null `bf`
+    * (bucket absent from the corpus ⇒ outer-join miss) answers false:
+    * nothing was inserted, so absence is proven. Null `bkt` or `key`
+    * answers null.
+    */
+  def might_contain_keyed(bkt: Column, bf: Column, key: Column): Column =
+    Shim.column(BloomMightContainKeyed(
+      Shim.expression(bkt), Shim.expression(bf), Shim.expression(key)))
 }
 
 /** `might_contain_bucketed`'s expression: (bkt long, key long) → boolean
@@ -95,4 +117,105 @@ case class BucketedBloomMightContain(filters: Map[Long, Array[Byte]],
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BucketedBloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContainKeyed {
+  /** Filters deserialized across all tasks in this JVM — a spec hook:
+    * under the bucket-keyed shuffle join, each non-empty bucket is
+    * deserialized in exactly the one task that holds its partition, so
+    * a local-mode run pins `deserialized.sum == non-empty buckets`
+    * (vs. buckets × tasks if every task carried the whole family).
+    */
+  val deserialized = new java.util.concurrent.atomic.LongAdder
+}
+
+/** `might_contain_keyed`'s expression: (bkt long, bf binary, key long)
+  * → boolean. The `bf` child is evaluated LAZILY — only on a per-task
+  * cache miss for the row's `bkt` — because reading a binary column
+  * out of an UnsafeRow copies the bytes, and the filter bytes are the
+  * big thing this operator exists to not move per row. Null semantics:
+  * null `bkt` or `key` → null (mirroring BloomFilterMightContain);
+  * null/absent `bf` for a non-null `bkt` → false (outer-join miss ⇒
+  * empty corpus bucket ⇒ proven absent).
+  */
+case class BloomMightContainKeyed(bktE: Expression, bfE: Expression,
+    keyE: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = bktE
+  override def second: Expression = bfE
+  override def third: Expression = keyE
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "might_contain_keyed"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.LongType
+    (bktE.dataType, bfE.dataType, keyE.dataType) match {
+      case (LongType, BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"might_contain_keyed expects (long, binary, long), got $other")
+    }
+  }
+
+  // per-task-instance cache (the expression is deserialized with each
+  // task's binary, so this map holds exactly the buckets THAT task's
+  // partition contains; null value = admitted empty bucket)
+  @transient private lazy val cache =
+    new java.util.HashMap[Long, org.apache.spark.util.sketch.BloomFilter]
+
+  def hasBucket(bkt: Long): Boolean = cache.containsKey(bkt)
+
+  def admit(bkt: Long, bytes: Array[Byte]): Unit = {
+    val bf = if (bytes == null) null
+    else {
+      BloomMightContainKeyed.deserialized.increment()
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    cache.put(bkt, bf)
+  }
+
+  def probe(bkt: Long, key: Long): Boolean = {
+    val bf = cache.get(bkt)
+    bf != null && bf.mightContainLong(key)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = bktE.eval(input)
+    if (b == null) return null
+    val k = keyE.eval(input)
+    if (k == null) return null
+    val bkt = b.asInstanceOf[Long]
+    if (!hasBucket(bkt))
+      admit(bkt, bfE.eval(input).asInstanceOf[Array[Byte]])
+    probe(bkt, k.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("keyedBloom", this)
+    val bktG = bktE.genCode(ctx)
+    val keyG = keyE.genCode(ctx)
+    val bfG = bfE.genCode(ctx)
+    ev.copy(code = code"""
+      ${bktG.code}
+      ${keyG.code}
+      boolean ${ev.isNull} = true;
+      boolean ${ev.value} = false;
+      if (!${bktG.isNull} && !${keyG.isNull}) {
+        ${ev.isNull} = false;
+        if (!$ref.hasBucket(${bktG.value})) {
+          ${bfG.code}
+          $ref.admit(${bktG.value}, ${bfG.isNull} ? null : ${bfG.value});
+        }
+        ${ev.value} = $ref.probe(${bktG.value}, ${keyG.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BloomMightContainKeyed =
+    copy(bktE = newFirst, bfE = newSecond, keyE = newThird)
 }

@@ -135,17 +135,56 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
       |FROM verified WHERE jaccard >= 0.2""".stripMargin,
   ) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
+    ngramJaccardPlan(Some(ngramCoin))(Tables.documents(spark, dir))
+  }
+
+  /** The 1-in-4 content-stable gram sampling coin (see the ngramJaccard
+    * scaladoc). Semantics = first md5 hex nibble mod 4 == 0 — exactly
+    * `substring(md5(g),1,1) IN ('0','4','8','c')`, which is what the
+    * DuckDB oracle computes. The Spark side reads the nibble off the
+    * raw digest ([[graft.functions.Md5Nibble0]]) instead of
+    * materializing the hex string + substring + isin chain: the r13
+    * warm-solo A/B (ngram_ab_r13.jsonl) adjudicated the raw-digest
+    * coin against the hex form and the unsampled plan.
+    */
+  private[graft] val ngramCoin: Column => Column =
+    g => graft.functions.HashCoins.md5_nibble0(g) % 4 === 0
+
+  /** Hex-string form of the same coin — kept for the A/B harness. */
+  private[graft] val ngramCoinHex: Column => Column =
+    g => org.apache.spark.sql.functions
+      .substring(md5(g), 1, 1).isin("0", "4", "8", "c")
+
+  /** Coin-sampling A/B forms for [[graft.NgramAB]] — identical plans,
+    * differing only in the sampling predicate (or its absence).
+    * md5_expr and md5_hex are hash-identical by construction; unsampled
+    * changes candidate recall and is a cost reference only.
+    */
+  private[graft] val ngramForms
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
+    "ngram_md5_hex" -> ((_: SparkSession, d: DataFrame) =>
+      ngramJaccardPlan(Some(ngramCoinHex))(d)),
+    "ngram_md5_expr" -> ((_: SparkSession, d: DataFrame) =>
+      ngramJaccardPlan(Some(ngramCoin))(d)),
+    "ngram_unsampled" -> ((_: SparkSession, d: DataFrame) =>
+      ngramJaccardPlan(None)(d)),
+  )
+
+  /** The dedup_ngram_jaccard plan with a pluggable gram-sampling coin —
+    * shared by the registered op (md5 raw-digest coin) and the A/B
+    * harness forms above.
+    */
+  private[graft] def ngramJaccardPlan(coin: Option[Column => Column])(
+      docs: DataFrame): DataFrame = {
     // no corpus-wide shingle cache (see minhashPairs: borderline LRU
     // eviction of wide array blocks made sweeps bimodal) — the posting
     // stream explodes off one fresh scan, and the verify probes read a
     // candidate-pruned sliver rebuilt below
-    val grams = ngramCandidateGrams(docs)
-      // 1-in-4 content-stable sample (see the op scaladoc): same md5
-      // predicate as the oracle, applied right at the explode so the
-      // sampled-out grams never reach the exchange or the agg buffers
-      .filter(org.apache.spark.sql.functions
-        .substring(md5(col("g")), 1, 1).isin("0", "4", "8", "c"))
+    val allGrams = ngramCandidateGrams(docs)
+    // 1-in-4 content-stable sample (see the op scaladoc): same
+    // predicate semantics as the oracle, applied right at the explode
+    // so the sampled-out grams never reach the exchange or agg buffers
+    val grams = coin.fold(allGrams)(c => allGrams.filter(c(col("g"))))
     // Candidate pairs in ONE shuffle: group the posting list per shingle,
     // drop ultra-common shingles (df cap — quadratic candidate mass,
     // zero discrimination), and expand each remaining list's pairs
@@ -1189,76 +1228,104 @@ object Dedup {
     * contract. The corpus is split into `buckets` ranges of the SAME
     * content hash the filter probes (text equality ⇒ same xxhash64 ⇒
     * same bucket), one bloom filter per bucket, built in ONE keyed
-    * aggregation pass (map-side partial ORs). Each delta row probes only
-    * its own bucket's filter, and each maybe-dup verifies against only
-    * its own corpus bucket — per-task memory is bounded by ONE bucket's
-    * filter (the one-literal contract applies per bucket), so corpus
+    * aggregation pass. Each delta row probes only its own bucket's
+    * filter, and each maybe-dup verifies against only its own corpus
+    * bucket — per-task memory is bounded by that task's BUCKETS'
+    * filters (the one-literal contract applies per bucket), so corpus
     * cardinality scales to buckets × 2e8.
     *
-    * Why a literal filter MAP and not "join the (bucket, filter) frame":
-    * a filter is ~1.2 bytes/item — joining it onto delta rows would copy
-    * up to 240 MB of binary PER ROW through the join (UnsafeRow binary
-    * access copies). Instead every delta row probes its own bucket's
-    * filter through [[graft.functions.bloom.might_contain_bucketed]] in
-    * ONE codegen'd scan (the r7 8-branch-per-bucket union paid
-    * `2·buckets` delta scans + `buckets` corpus branch scans of 5-20 ms
-    * tasks — pure plan overhead). The driver AND each executor hold all
-    * `buckets` filters while the plan exists (the totalItems contract
-    * below — the map ships like any sketch literal); past THAT bound,
-    * run buckets as separate jobs against a corpus persisted
-    * `partitionBy(bkt)` — each job then reads one bucket's files only
-    * (partition pruning; spec-pinned) and probes one literal filter.
+    * Residency mechanics (r13 — this is what makes the per-task claim
+    * TRUE, where the r8-r12 literal-map form shipped every bucket's
+    * filter in the plan closure to the driver and every task):
+    *
+    *  - the filters stay a distributed `(bkt, bf)` frame; the corpus
+    *    rows are first projected to `(bkt, key)` slivers and hash-
+    *    repartitioned by `bkt`, so each build task's aggregation
+    *    buffers hold only ITS buckets' bit arrays (an un-partitioned
+    *    groupBy would make every map task's partial buffers hold ALL
+    *    buckets — the same total-residency problem on the build side);
+    *  - delta meets its bucket's filter through a bucket-keyed
+    *    SHUFFLE-HASH join (hinted: a broadcast of the filter frame
+    *    would re-ship every filter to every executor, re-creating the
+    *    literal map's footprint), so a task carries exactly the filter
+    *    bytes of the buckets hash-routed to it;
+    *  - [[graft.functions.bloom.might_contain_keyed]] evaluates the
+    *    `bf` column LAZILY, once per bucket per task — a per-row read
+    *    would also copy the filter bytes out of the UnsafeRow per row;
+    *  - the probed delta is materialized once (DISK_ONLY, the shared-
+    *    stage discipline) and read by both branches, so the join and
+    *    the corpus filter build run once, exactly like the retired
+    *    collect() form's single build job.
+    *
+    * The probe-branch shapes are unchanged from [[bloomNewDocs]]:
+    * !probe rows are PROVEN new (a bucket absent from the corpus frame
+    * proves absence too — the outer join leaves `bf` null and the
+    * probe answers false); probe-positive rows pay the exact anti-join
+    * keyed on text alone (same hash ⇒ same bucket), with the DISTINCT
+    * build side collapsing hot template values map-side.
     *
     * If `corpus`/`delta` already carry a `bkt` column (a partitioned
     * layout), it is trusted and must equal pmod(xxhash64(text), buckets).
     */
   def bloomNewDocsBucketed(corpus: DataFrame, delta: DataFrame,
       expectedItemsPerBucket: Long, buckets: Int): DataFrame = {
-    import graft.functions.bloom._
-    require(buckets >= 1 && buckets <= 1024,
-      s"bloomNewDocsBucketed: buckets=$buckets out of range [1, 1024]")
-    require(expectedItemsPerBucket <= 200000000L,
-      s"bloomNewDocsBucketed: expectedItemsPerBucket=$expectedItemsPerBucket " +
-        "exceeds the per-bucket one-literal contract (~2e8); add buckets")
-    require(buckets.toLong * expectedItemsPerBucket <= 2000000000L,
-      "bloomNewDocsBucketed: every bucket's filter is plan-resident " +
-        s"(${buckets}x$expectedItemsPerBucket items ~ " +
-        s"${buckets.toLong * expectedItemsPerBucket * 12 / 10 >> 20} MB); " +
-        "past this, run buckets as separate jobs over a partitionBy(bkt) layout")
-    val key = xxhash64(col("text"))
-    val bktOf = pmod(key, lit(buckets.toLong))
-    // a trusted layout's bkt reads back as INT from partitionBy
-    // directories — widen to long so the strict LongType probe contract
-    // (BucketedBloomMightContain.inputTypes) holds for both origins
-    def withBkt(df: DataFrame) =
-      if (df.columns.contains("bkt")) df.withColumn("bkt", col("bkt").cast("long"))
-      else df.withColumn("bkt", bktOf)
-    val corpusB = withBkt(corpus)
-    val deltaB = withBkt(delta)
-    // one corpus pass → every bucket's filter (tiny result: `buckets` rows)
-    val filters = corpusB.groupBy("bkt")
-      .agg(bloom_filter_agg(key, expectedItemsPerBucket).as("bf"))
-      .collect() // Number: a partitionBy(bkt) layout reads back as int
-      .map(r => r.getAs[Number]("bkt").longValue -> r.getAs[Array[Byte]]("bf"))
-      .filter(_._2 != null).toMap
-    // single pass: each row probes its own bucket's filter; !probe rows
-    // are PROVEN new (an absent bucket proves absence too — nothing was
-    // ever inserted) and skip the join; probe-positive rows pay the
-    // exact anti-join. Text equality ⇒ same hash ⇒ same bucket, so the
-    // verify join keys on text alone; the DISTINCT build side collapses
-    // hot template values map-side (see bloomNewDocs).
-    val probe = might_contain_bucketed(filters, col("bkt"), key)
-    // NULL-probe rows (null text ⇒ null key; or a TRUSTED caller layout
-    // carrying a null bkt) must not fall through both branches and vanish:
-    // route them into the exact verify join, where a null text never
-    // matches the corpus and is correctly kept new — identical to the
-    // plain anti-join's NOT EXISTS semantics
-    val provenNew = deltaB.filter(!probe)
-    val verifiedNew = deltaB.filter(coalesce(probe, lit(true))).join(
+    val corpusB = withTextBkt(corpus, buckets)
+    val probed = graft.CacheRegistry.track(
+      bloomBucketedProbedPlan(corpusB, withTextBkt(delta, buckets),
+        expectedItemsPerBucket, buckets),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val provenNew = probed.filter(!col("_maybe"))
+    val verifiedNew = probed.filter(coalesce(col("_maybe"), lit(true))).join(
       corpusB.select(col("text").as("c_text")).distinct(),
       col("text") === col("c_text"), "left_anti")
     provenNew.unionByName(verifiedNew)
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  /** `pmod(xxhash64(text), buckets)` as `bkt` — unless the frame already
+    * carries a trusted layout's `bkt`, which reads back as INT from
+    * partitionBy directories and is widened to long so the strict
+    * LongType probe contract (might_contain_keyed's inputTypes) holds
+    * for both origins.
+    */
+  private[graft] def withTextBkt(df: DataFrame, buckets: Int): DataFrame =
+    if (df.columns.contains("bkt")) df.withColumn("bkt", col("bkt").cast("long"))
+    else df.withColumn("bkt",
+      pmod(xxhash64(col("text")), lit(buckets.toLong)))
+
+  /** The un-persisted probe stage of [[bloomNewDocsBucketed]] (split out
+    * so specs can pin its plan shape — the registered op persists it,
+    * and explain output hides a cached stage behind InMemoryRelation):
+    * delta rows joined to their bucket's filter and stamped with the
+    * `_maybe` probe verdict. Inputs must already carry `bkt`.
+    */
+  private[graft] def bloomBucketedProbedPlan(corpusB: DataFrame,
+      deltaB: DataFrame, expectedItemsPerBucket: Long,
+      buckets: Int): DataFrame = {
+    import graft.functions.bloom._
+    require(buckets >= 1 && buckets <= 65536,
+      s"bloomNewDocsBucketed: buckets=$buckets out of range [1, 65536]")
+    require(expectedItemsPerBucket <= 200000000L,
+      s"bloomNewDocsBucketed: expectedItemsPerBucket=$expectedItemsPerBucket " +
+        "exceeds the per-bucket one-literal contract (~2e8); add buckets")
+    val key = xxhash64(col("text"))
+    // one corpus pass → (bkt, bf), repartitioned FIRST so no task's
+    // partial-agg buffers hold more than its own buckets' bit arrays
+    val filters = corpusB.select(col("bkt"), key.as("k"))
+      .repartition(col("bkt"))
+      .groupBy("bkt")
+      .agg(bloom_filter_agg(col("k"), expectedItemsPerBucket).as("bf"))
+    // bucket-keyed shuffle join + lazy per-task deser probe; the outer
+    // join keeps empty-bucket delta rows (bf null ⇒ probe false ⇒
+    // proven new). NULL-probe rows (null text ⇒ null key; or a TRUSTED
+    // caller layout carrying a null bkt ⇒ join miss with a null probe
+    // input) must not fall through both branches and vanish: route
+    // them into the exact verify join, where a null text never matches
+    // the corpus and is correctly kept new — identical to the plain
+    // anti-join's NOT EXISTS semantics
+    deltaB.join(filters.hint("shuffle_hash"), Seq("bkt"), "left_outer")
+      .withColumn("_maybe", might_contain_keyed(col("bkt"), col("bf"), key))
+      .drop("bf")
   }
 
   /** Registered form: doc_id % 10 = 0 is the arriving shard (same split

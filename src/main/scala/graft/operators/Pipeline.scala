@@ -298,10 +298,11 @@ object Pipeline {
     */
   val packSequences: Op = Op(
     "pipeline_pack_sequences",
-    """WITH toks AS (
-      |  SELECT doc_id, doc_id % 8 AS shard,
-      |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS BIGINT) AS tokens
-      |  FROM documents),
+    s"""WITH RECURSIVE
+      |${TextAnalysis.bpeTokCtes},
+      |toks AS (
+      |  SELECT doc_id, doc_id % 8 AS shard, bpe_tokens AS tokens
+      |  FROM bpe_tok),
       |cum AS (
       |  SELECT doc_id, shard, tokens,
       |    SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -314,13 +315,17 @@ object Pipeline {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val budget = 512L
-    // null text ≡ empty document: a zero-token doc takes a real (pack_id,
-    // pack_offset) slot — a NULL tokens would poison its own running sum
-    // and leave the row unpackable downstream
+    // TRUE token budgets (r13, VERDICT r12 #8): the packed `tokens` are
+    // the merges-table BPE counts (TextAnalysis.bpeTokensCol — the same
+    // frozen tokenizer text_bpe_tokencount registers), not the
+    // whitespace heuristic — a pack budget in heuristic units under-
+    // fills real sequence windows. Null text ≡ empty document: a
+    // zero-token doc takes a real (pack_id, pack_offset) slot — a NULL
+    // tokens would poison its own running sum and leave the row
+    // unpackable downstream (bpeTokensCol counts coalesce'd text).
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
-      size(expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"))
-        .cast("long").as("tokens"))
+      TextAnalysis.bpeTokensCol.as("tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks

@@ -49,6 +49,12 @@ object Sources {
     }
     evicted.foreach { old =>
       scratchDirs.remove(old)
+      // log the eviction (ADVICE r12): a long-held lazily-evaluated plan
+      // still referencing this dir fails AT EXECUTION with a missing-path
+      // error — this line is what makes that failure diagnosable
+      System.err.println(s"[graft] scratch-dir evicted (8-generation " +
+        s"retention): $old — any still-unexecuted plan reading it will " +
+        "fail with a missing path")
       def rm(g: java.io.File): Unit = {
         val kids = g.listFiles(); if (kids != null) kids.foreach(rm)
         g.delete(): Unit

@@ -31,6 +31,94 @@ object TextAnalysis {
         .cast("long").as("bpeish_tokens"))
   }
 
+  /** The frozen BPE merges table (rank order): the tokenizer artifact
+    * both engines apply identically — see [[graft.functions.BpeUtil]]
+    * for the pinned apply semantics (per-word char split, rules in
+    * rank order, greedy left-to-right non-overlapping passes). A real
+    * deployment swaps in its trained merges file; the mechanism —
+    * ranked pair table, sequential-rank application, count by fold —
+    * is exactly the merges-table BPE apply, which is what makes the
+    * count tokenizer-faithful where the retired regexp was "BPE-ish"
+    * (VERDICT r12 #8). The table ships inside the plan like any
+    * literal (~300 B here; a production 50k-merge table is ~1 MB —
+    * still plan-shippable broadcast material, never a join).
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
+    "r" -> "e", "e" -> "r", "a" -> "t", "e" -> "n", "o" -> "r",
+    "e" -> "s", "s" -> "t", "a" -> "r", "o" -> "u", "a" -> "l",
+    "i" -> "t", "i" -> "s", "e" -> "d", "in" -> "g", "l" -> "e",
+    "c" -> "o", "t" -> "o", "d" -> "e", "h" -> "e", "m" -> "e",
+    "s" -> "e", "n" -> "o", "u" -> "s", "o" -> "f", "an" -> "d",
+    "er" -> "s", "the" -> "n")
+
+  /** Spark-side BPE token count over the whitespace words of `text` —
+    * the codegen'd kernel bound to [[bpeMerges]]; null text counts 0
+    * (empty doc), empty words are filtered exactly like the oracle's
+    * list_filter.
+    */
+  private[graft] def bpeTokensCol: org.apache.spark.sql.Column =
+    graft.functions.BpeTokenCountFn.bpe_token_count(
+      expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+      bpeMerges)
+
+  /** DuckDB mirror of the BPE apply as CTEs: `bpe_tok(doc_id,
+    * bpe_tokens)`. The per-rank recursion carries each doc's list of
+    * per-word token lists; each step is [[bpeMerges]] rule r applied as
+    * the same greedy fold the Spark kernel runs (list_reduce's
+    * first-element-init ≡ the kernel starting from the word's first
+    * token). Callers must open with `WITH RECURSIVE`.
+    */
+  private[graft] def bpeTokCtes: String = {
+    val values = bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
+    s"""bpe_merges(rank, a, b) AS (VALUES $values),
+      |bpe_base AS (
+      |  SELECT doc_id, 0 AS r,
+      |    list_transform(
+      |      list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''),
+      |      w -> string_split(w, '')) AS st
+      |  FROM documents),
+      |bpe_step AS (
+      |  SELECT doc_id, r, st FROM bpe_base
+      |  UNION ALL
+      |  SELECT s.doc_id, s.r + 1,
+      |    list_transform(s.st, toks ->
+      |      list_reduce(
+      |        list_transform(toks, t -> [t]),
+      |        (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+      |                    THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+      |                    ELSE list_concat(acc, x) END)) AS st
+      |  FROM bpe_step s JOIN bpe_merges m ON m.rank = s.r + 1),
+      |bpe_tok AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(st, t -> len(t))), 0) AS BIGINT)
+      |      AS bpe_tokens
+      |  FROM bpe_step WHERE r = ${bpeMerges.size})""".stripMargin
+  }
+
+  /** Merges-table BPE token counting — the tokenizer-faithful upgrade
+    * of [[tokenCount]]'s regexp heuristic (kept: it is a legitimate
+    * cheap pre-filter; this op is the budget-grade count
+    * [[graft.operators.Pipeline.packSequences]] packs with).
+    */
+  val bpeTokenCount: Op = Op(
+    "text_bpe_tokencount",
+    s"""WITH RECURSIVE
+      |$bpeTokCtes
+      |SELECT d.doc_id,
+      |  CAST(len(list_filter(string_split(coalesce(d.text, ''), ' '),
+      |    w -> w <> '')) AS BIGINT) AS ws_tokens,
+      |  t.bpe_tokens
+      |FROM documents d JOIN bpe_tok t USING (doc_id)""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"))
+        .cast("long").as("ws_tokens"),
+      bpeTokensCol.as("bpe_tokens"))
+  }
+
   /** Quality scoring: length/punctuation/uppercase/stopword ratios.
     * Ratios are double divisions of integer counts — bit-deterministic.
     */
@@ -372,6 +460,6 @@ object TextAnalysis {
   }
 
   val ops: Seq[Op] =
-    Seq(tokenCount, quality, langId, fingerprint, normalize, repetition,
-      piiRedact, idfRarity, gopherQuality)
+    Seq(tokenCount, bpeTokenCount, quality, langId, fingerprint, normalize,
+      repetition, piiRedact, idfRarity, gopherQuality)
 }

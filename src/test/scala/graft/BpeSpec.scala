@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{BpeTokenCountFn, BpeUtil}
+import org.apache.spark.sql.functions._
+
+/** Merges-table BPE: the codegen'd kernel's semantics pinned against
+  * hand-computed merges and against the pure array-HOF fold (the exact
+  * shape the DuckDB oracle recomputes as a recursive CTE).
+  */
+class BpeSpec extends SparkSpec {
+
+  private val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d")
+
+  test("kernel applies ranked merges greedily, non-overlapping") {
+    val m = merges.toArray
+    assert(BpeUtil.tokensOf("the", m).toSeq == Seq("the"))
+    assert(BpeUtil.tokensOf("then", m).toSeq == Seq("the", "n"))
+    assert(BpeUtil.tokensOf("hand", m).toSeq == Seq("h", "and"))
+    assert(BpeUtil.tokensOf("thth", m).toSeq == Seq("th", "th"))
+    // rank order matters: (t,h) fires before (th,e) can see its output
+    assert(BpeUtil.tokensOf("x", m).toSeq == Seq("x"))
+    assert(BpeUtil.tokensOf("", m).toSeq == Seq.empty)
+    // greedy left-to-right non-overlap: "aaa" under (a,a) would be
+    // [aa, a] — our table has no such rule, check the an/and chain
+    assert(BpeUtil.tokensOf("anand", m).toSeq == Seq("an", "and"))
+  }
+
+  test("expression ≡ the declarative HOF fold on the documents table") {
+    // the HOF fold is the oracle's semantics verbatim (per-rule greedy
+    // pass, list_reduce-style first-element init) — written in Spark
+    // SQL so the equivalence check runs engine-side at full width
+    val mergesArr = "array(" + TextAnalysis_bpeMerges.map { case (a, b) =>
+      s"struct('$a' as a, '$b' as b)" }.mkString(",") + ")"
+    val onePass = "aggregate(slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+      "array(element_at(toks, 1)), (acc, t) -> " +
+      "case when try_element_at(acc, -1) = m.a and t = m.b " +
+      "then concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b))) " +
+      "else concat(acc, array(t)) end)"
+    val hof = s"aggregate(filter(split(coalesce(text, ''), ' '), x -> x != ''), " +
+      s"cast(0 as bigint), (n, w) -> n + size(aggregate($mergesArr, " +
+      s"filter(split(w, ''), c -> c != ''), (toks, m) -> $onePass)))"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+        graft.operators.TextAnalysis.bpeTokensCol.as("kernel"),
+        expr(hof).as("fold"))
+      .filter(col("kernel") =!= col("fold")).count()
+    assert(diff == 0L)
+  }
+
+  private def TextAnalysis_bpeMerges: Seq[(String, String)] =
+    graft.operators.TextAnalysis.bpeMerges
+
+  test("registered op: totality on null/empty text, unicode chars count by code point") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, ""), (3L, "  "), (4L, "déjà"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      BpeTokenCountFn.bpe_token_count(
+        expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+        merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L), out)
+  }
+}

@@ -398,6 +398,38 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Set(2L), got2)
   }
 
+  test("bucketed bloom residency: each non-empty bucket deserialized once per holding task") {
+    import spark.implicits._
+    // the r13 contract the join form exists for: filter bytes reach
+    // exactly the task holding that bucket's join partition, and the
+    // keyed probe deserializes each bucket once PER TASK — never per
+    // row, never all-buckets-per-task (the retired literal-map form
+    // deserialized every bucket's filter in every task that probed).
+    // Counter accounting: ≤ non-empty buckets × 1 (each bucket's rows
+    // land in one shuffle partition ⇒ one task), plus nothing for the
+    // 1000 probe rows beyond their bucket's single admit.
+    val buckets = 8
+    val corpus = (0 until 400)
+      .map(i => (i.toLong, s"residency corpus document number $i"))
+      .toDF("doc_id", "text")
+    val delta = (0 until 1000).map(i =>
+      (5000L + i, s"residency corpus document number ${i % 500}"))
+      .toDF("doc_id", "text")
+    val ctr = graft.functions.BloomMightContainKeyed.deserialized
+    val before = ctr.sum()
+    val got = Dedup.bloomNewDocsBucketed(corpus, delta, 1000L, buckets)
+      .select("doc_id").as[Long].collect().toSet
+    CacheRegistry.drain()
+    val deserialized = ctr.sum() - before
+    // correctness ride-along: delta texts cycle i % 500 over a corpus
+    // of 0-399, so i % 500 ≥ 400 (ids 5400-5499, 5900-5999) are new
+    assert(got == ((5400L until 5500L) ++ (5900L until 6000L)).toSet,
+      s"got ${got.size} rows")
+    assert(deserialized >= 1 && deserialized <= buckets,
+      s"expected ≤ $buckets per-task deserializations, got $deserialized " +
+        "(all-buckets-per-task shipping would be buckets × tasks)")
+  }
+
   test("bucketed bloom over a partitionBy(bkt) layout: single-pass plan; per-bucket jobs prune") {
     import spark.implicits._
     val buckets = 8
@@ -416,14 +448,19 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/delta.parquet")
     val delta = spark.read.parquet(s"$dir/delta.parquet")
     val out = Dedup.bloomNewDocsBucketed(corpusP, delta, 100L, buckets)
-    val formatted = out.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
     // r8 plan shape: ONE proven∪verified union — never the r7
     // branch-per-bucket fan-out (2·buckets delta scans of 5-20 ms tasks)
     val opt = out.queryExecution.optimizedPlan.toString
     assert(opt.split("Union").length - 1 == 1, opt.take(4000))
-    // the single-scan probe rides a codegen'd filter
-    assert(formatted.contains("might_contain_bucketed"), formatted.take(4000))
+    // the single-scan probe rides the persisted probe stage (r13: the
+    // registered plan hides it behind InMemoryRelation; pin the probe
+    // stage's own plan, with the trusted layout's bkt)
+    val probedFmt = Dedup.bloomBucketedProbedPlan(
+        Dedup.withTextBkt(corpusP, buckets),
+        Dedup.withTextBkt(delta, buckets), 100L, buckets)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(probedFmt.contains("might_contain_keyed"), probedFmt.take(4000))
     val got = out.select("doc_id").as[Long].collect().toSet
     CacheRegistry.drain()
     assert(got == Set(9001L), got)

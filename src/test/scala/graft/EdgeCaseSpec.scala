@@ -301,27 +301,31 @@ class EdgeCaseSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       Dedup.bloomNewDocsBucketed(df, df, 300000000L, 4))
     assert(e1.getMessage.contains("per-bucket"), e1.getMessage)
+    // r13: the plan-residency total budget is GONE (filters are join-
+    // shipped, per-task residency = that task's buckets) — the remaining
+    // whole-op bound is the bucket-count range itself
     val e2 = intercept[IllegalArgumentException](
-      Dedup.bloomNewDocsBucketed(df, df, 100000000L, 1000))
-    assert(e2.getMessage.contains("plan-resident"), e2.getMessage)
+      Dedup.bloomNewDocsBucketed(df, df, 100000000L, 100000))
+    assert(e2.getMessage.contains("out of range"), e2.getMessage)
   }
 
   test("newDocs bucket sizing honors BOTH bloom contracts across the whole legal range") {
     import graft.api.GraftApi.bloomBucketSizing
     // every n the adaptive path can dispatch must produce knobs that
-    // bloomNewDocsBucketed's requires accept (the r5 advice found
-    // min(1024, …) buckets × 2e8 items violating the 2e9 driver budget)
-    for (n <- Seq(200000001L, 400000000L, 1000000000L, 1999999999L, 2000000000L)) {
+    // bloomNewDocsBucketed's requires accept. r13: the 2e9 driver-budget
+    // ceiling is gone (join-shipped filters — per-task residency only);
+    // the legal range now runs to 65536 buckets × 2e8 items
+    for (n <- Seq(200000001L, 400000000L, 2000000000L, 10000000000L,
+        65536L * 200000000L)) {
       val (buckets, perBucket) = bloomBucketSizing(n)
-      assert(buckets >= 1 && buckets <= 1024, s"n=$n buckets=$buckets")
+      assert(buckets >= 1 && buckets <= 65536, s"n=$n buckets=$buckets")
       assert(perBucket <= 200000000L, s"n=$n perBucket=$perBucket")
-      assert(buckets.toLong * perBucket <= 2000000000L,
-        s"n=$n product=${buckets.toLong * perBucket}")
       assert(buckets.toLong * perBucket >= n, // coverage: filters sized for n
         s"n=$n undersized: ${buckets.toLong * perBucket}")
     }
-    val e = intercept[IllegalArgumentException](bloomBucketSizing(2000000001L))
-    assert(e.getMessage.contains("partitionBy(bkt)"), e.getMessage)
+    val e = intercept[IllegalArgumentException](
+      bloomBucketSizing(65536L * 200000000L + 1))
+    assert(e.getMessage.contains("per-epoch"), e.getMessage)
   }
 
   test("incrementalPairs: overlapping corpus∩delta ids count once at the bucket cap") {

@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.HashCoins.md5_nibble0
+import org.apache.spark.sql.functions._
+
+/** md5_nibble0: raw-digest first-hex-nibble, pinned equivalent to the
+  * hex-string form the DuckDB oracle computes.
+  */
+class HashCoinsSpec extends SparkSpec {
+
+  test("nibble equals int value of substring(md5, 1, 1) on varied strings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val strs = (0 until 5000).map { i =>
+      val len = rng.nextInt(60)
+      new String(Array.fill(len)((rng.nextInt(94) + 33).toChar)) + s" g$i"
+    } :+ "" :+ "a" :+ "exact gram five words here" :+ "déjà vu ünïcode 文字"
+    val df = strs.toDF("g")
+    val mismatches = df.select(
+        md5_nibble0(col("g")).as("nib"),
+        conv(substring(md5(col("g")), 1, 1), 16, 10).cast("int").as("hexnib"))
+      .filter(col("nib") =!= col("hexnib"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("coin predicate matches the hex isin predicate and samples ~1/4") {
+    import spark.implicits._
+    val strs = (0 until 8000).map(i => s"gram token stream number $i variant ${i % 7}")
+    val df = strs.toDF("g")
+    val agree = df.select(
+        (md5_nibble0(col("g")) % 4 === 0).as("coin"),
+        substring(md5(col("g")), 1, 1).isin("0", "4", "8", "c").as("hex"))
+    assert(agree.filter(col("coin") =!= col("hex")).count() == 0L)
+    val rate = agree.filter(col("coin")).count().toDouble / strs.size
+    assert(rate > 0.2 && rate < 0.3, rate)
+  }
+
+  test("null input yields null, not a crash") {
+    import spark.implicits._
+    val df = Seq(Some("x"), None).toDF("g")
+    val out = df.select(md5_nibble0(col("g")).as("n")).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+
+  test("ngram md5_expr form is hash-identical to the hex form at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val forms = graft.operators.Dedup.ngramForms.toMap
+    def fingerprint(name: String): (Long, Long) = {
+      val df = forms(name)(spark, Tables.documents(spark, dir))
+      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(fingerprint("ngram_md5_expr") == fingerprint("ngram_md5_hex"))
+  }
+}

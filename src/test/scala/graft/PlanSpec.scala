@@ -313,17 +313,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"exact verify must be an anti-join:\n$p")
   }
 
-  test("bucketed bloom: single-pass per-bucket probe gates both branches, verifies anti") {
+  test("bucketed bloom: probe stage joins filters by bucket, never broadcast; op unions once") {
+    // r13 shape: the probe verdict is computed ONCE in a persisted
+    // stage (explain hides it behind InMemoryRelation, so pin the probe
+    // stage's own plan), then both branches filter on the `_maybe`
+    // column and the probe-positive branch pays the one anti join
     val p = plan(graft.operators.Dedup.bloomNewBucketed)
-    // r8 single-pass shape: ONE codegen'd might_contain_bucketed probe
-    // per branch (proven-new NOT-probe; probe-positive feeding the one
-    // anti join) — never the r7 branch-per-bucket fan-out
-    // (the expression echoes in Filter nodes and scan DataFilters —
-    // count presence, pin the branch structure via Union/LeftAnti)
-    assert("might_contain_bucketed".r.findAllIn(p).size >= 2, p)
     assert("LeftAnti".r.findAllIn(p).size == 1, p)
     assert("\\bUnion\\b".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct"), p)
+    // the probe stage: filters reach delta through a bucket-keyed
+    // SHUFFLE join — a broadcast would re-ship every bucket's filter
+    // bytes to every executor, the literal-map footprint this form
+    // exists to avoid
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val probed = graft.operators.Dedup.bloomBucketedProbedPlan(
+      graft.operators.Dedup.withTextBkt(
+        docs.filter(col("doc_id") % 10 =!= 0), 8),
+      graft.operators.Dedup.withTextBkt(
+        docs.filter(col("doc_id") % 10 === 0), 8),
+      20000L, 8)
+    val pp = probed.queryExecution.executedPlan.toString
+    assert(pp.contains("might_contain_keyed"), pp.take(4000))
+    assert(pp.contains("ShuffledHashJoin"), pp.take(4000))
+    assert(!pp.contains("BroadcastHashJoin"), pp.take(4000))
   }
 
   test("subquery sharing: naive self-join reuses the exchange; registered op joins nothing") {

@@ -1594,14 +1594,13 @@ object GraftApi {
     * the one-literal contract, per-bucket filters beyond it. All three
     * produce the identical exact answer; the count only moves cost.
     *
-    * The bucketed form sizes BOTH knobs from n so their product stays
-    * inside [[graft.operators.Dedup.bloomNewDocsBucketed]]'s ~2e9-item
-    * driver budget (the driver holds every bucket's filter while the
-    * plan exists): buckets = ⌈n/2e8⌉, items-per-bucket = ⌈n/buckets⌉.
-    * That covers corpora to ~2e9 DISTINCT texts; past it one driver job
-    * cannot legally hold the filters, so this fails fast and the caller
-    * runs the per-bucket form as separate jobs over a partitionBy(bkt)
-    * layout (the contract bloomNewDocsBucketed documents).
+    * The bucketed form sizes BOTH knobs from n: buckets = ⌈n/2e8⌉,
+    * items-per-bucket = ⌈n/buckets⌉ — each bucket inside the one-
+    * literal contract. No driver budget constrains the product since
+    * r13 (the filters are a distributed (bkt, bf) frame joined by
+    * bucket — see bloomNewDocsBucketed's residency mechanics), so the
+    * tier covers corpora to 65536 × 2e8 ≈ 1.3e13 distinct texts; past
+    * it this fails fast and the caller partitions into epochs.
     */
   /** Bucket sizing for [[newDocs]]'s per-bucket bloom tier: both knobs
     * derive from n so buckets·items covers n while staying inside the

@@ -30,38 +30,47 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the enclosing WholeStageCodegen span (same pattern as SimHashBits).
   */
 object BpeUtil {
+  /** Merges pre-interned as (a, b, a||b) so the hot loop never
+    * re-concatenates the merged token per occurrence.
+    */
+  def compile(merges: Seq[(String, String)]): Array[Array[String]] =
+    merges.map { case (a, b) => Array(a, b, a + b) }.toArray
+
   /** Apply the ranked merges to one word; returns the token list.
     * Exposed for specs (the registered expression only needs counts).
     */
-  def tokensOf(word: String, merges: Array[(String, String)]): Array[String] = {
+  def tokensOf(word: String, merges: Array[Array[String]]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var toks = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    // scratch buffer reused across rule passes: each pass compacts
+    // in place (write index ≤ read index always holds)
+    var n = 0
+    var buf = new Array[String](word.length)
     var i = 0
     while (i < word.length) {
       val cp = word.codePointAt(i)
-      toks += new String(Character.toChars(cp))
+      buf(n) = new String(Character.toChars(cp))
+      n += 1
       i += Character.charCount(cp)
     }
     var r = 0
     while (r < merges.length) {
-      val a = merges(r)._1
-      val b = merges(r)._2
-      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      val m = merges(r)
+      val a = m(0); val b = m(1); val ab = m(2)
+      var w = 0
       var j = 0
-      while (j < toks.length) {
-        val t = toks(j)
-        if (out.nonEmpty && out.last == a && t == b)
-          out(out.length - 1) = a + b
-        else out += t
+      while (j < n) {
+        val t = buf(j) // saved before writes: w-1, w ≤ j so in-place is safe
+        if (w > 0 && t == b && buf(w - 1) == a) buf(w - 1) = ab
+        else { buf(w) = t; w += 1 }
         j += 1
       }
-      toks = out
+      n = w
       r += 1
     }
-    toks.toArray
+    java.util.Arrays.copyOfRange(buf, 0, n)
   }
 
-  def countTokens(words: ArrayData, merges: Array[(String, String)]): Long = {
+  def countTokens(words: ArrayData, merges: Array[Array[String]]): Long = {
     var total = 0L
     val n = words.numElements()
     var i = 0
@@ -93,8 +102,8 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
         s"bpe_token_count expects array<string>, got ${other.simpleString}")
     }
 
-  @transient private lazy val mergesArr: Array[(String, String)] =
-    merges.toArray
+  @transient private lazy val mergesArr: Array[Array[String]] =
+    BpeUtil.compile(merges)
 
   def count(words: ArrayData): Long = BpeUtil.countTokens(words, mergesArr)
 

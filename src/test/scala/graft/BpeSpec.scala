@@ -12,7 +12,7 @@ class BpeSpec extends SparkSpec {
   private val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d")
 
   test("kernel applies ranked merges greedily, non-overlapping") {
-    val m = merges.toArray
+    val m = BpeUtil.compile(merges)
     assert(BpeUtil.tokensOf("the", m).toSeq == Seq("the"))
     assert(BpeUtil.tokensOf("then", m).toSeq == Seq("the", "n"))
     assert(BpeUtil.tokensOf("hand", m).toSeq == Seq("h", "and"))

@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-5-shingle set per document as a sorted distinct array —
-    * per-row expression, shared by the Jaccard/MinHash operators.
-    * Shingle length is a selectivity knob: on this corpus (small
-    * vocabulary) 3-word shingles are shared by nearly every document pair
-    * (candidate pair mass ~1.3M at sf0.1) while 5-word shingles are ~100×
-    * more selective (13.5k) with near-dup pairs still sharing most runs.
+  /** Word-5-shingle set per document as a distinct array (UNSORTED
+    * since r13) — per-row expression, shared by the Jaccard/MinHash
+    * operators. Shingle length is a selectivity knob: on this corpus
+    * (small vocabulary) 3-word shingles are shared by nearly every
+    * document pair (candidate pair mass ~1.3M at sf0.1) while 5-word
+    * shingles are ~100× more selective (13.5k) with near-dup pairs
+    * still sharing most runs.
     */
   // The gram BUILDER is consumer-dependent (r12, measured both ways
   // same-JVM, hash-identical outputs): the concat_ws(element_at × 5)
@@ -32,6 +33,16 @@ object Dedup {
   // keeps concat_ws and [[ngramCandidateGrams]] builds its exploded
   // candidate stream with slice/join. Strings are identical either
   // way; only evaluation cost differs with the consuming context.
+  //
+  // UNSORTED (r13): every consumer is order-independent —
+  // array_intersect/size (the Jaccard verifies, decontam overlap),
+  // explode→distinct (decontam's bench gram set), and the minhash
+  // sketch (bottom-k of md5s — selection, no order dependence). The
+  // array_sort the arrays used to carry was a full ~per-text-word
+  // string sort per document for nothing any consumer read; the r13
+  // minhash A/B (minhash_ab_r13.jsonl) adjudicated its removal
+  // hash-identically. withShinglesSorted preserves the r12 form for
+  // that A/B harness.
   private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
@@ -42,10 +53,14 @@ object Dedup {
       // ANSI mode Spark 4 defaults to; try_element_at yields null and
       // concat_ws skips nulls, so the garbage row the size filter
       // removes anyway can never abort the job
-      .withColumn("shingles", array_sort(array_distinct(expr(
+      .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, greatest(size(words)-4, 1))," +
           " i -> concat_ws(' ', try_element_at(words,i), try_element_at(words,i+1)," +
-          " try_element_at(words,i+2), try_element_at(words,i+3), try_element_at(words,i+4)))"))))
+          " try_element_at(words,i+2), try_element_at(words,i+3), try_element_at(words,i+4)))")))
+
+  /** The r12 sorted form — A/B reference only (see the builder note). */
+  private[graft] def withShinglesSorted(df: DataFrame): DataFrame =
+    withShingles(df).withColumn("shingles", array_sort(col("shingles")))
 
   /** The per-doc DISTINCT gram posting stream (doc_id, g) for candidate
     * generation — slice/join built (see the builder note above) and
@@ -287,7 +302,40 @@ object Dedup {
     * Emits (doc_a, doc_b, jaccard) for pairs with exact Jaccard ≥
     * `jaccardMin`.
     */
-  def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
+  def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
+    minhashPairsPlan(withShingles, sketchCol)(docs, jaccardMin)
+
+  /** The bottom-8 minhash sketch over the `shingles` column — bounded
+    * one-pass selection ([[graft.functions.Md5BottomK]]), ≡ the
+    * sort-all-then-slice form r12 registered (HashCoinsSpec pins the
+    * equality; minhash_ab_r13.jsonl adjudicated the swap). Same
+    * value-set convention as the DuckDB oracle's
+    * `list_sort(list_transform(...))[1:8]`.
+    */
+  private[graft] val sketchCol: Column =
+    graft.functions.HashCoins.md5_bottom_k(col("shingles"), 8)
+
+  /** Sketch/builder variants for [[graft.MinhashAB]] — identical plans
+    * differing only in the shingle builder (sorted vs not) and the
+    * sketch expression (sort-all-slice vs bounded bottom-k). All forms
+    * are hash-identical by construction.
+    */
+  private[graft] val minhashForms
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = {
+    val sliceSketch: Column =
+      expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)")
+    Seq(
+      "mh_r12" -> ((_: SparkSession, d: DataFrame) =>
+        minhashPairsPlan(withShinglesSorted, sliceSketch)(d, 0.2)),
+      "mh_nosort_slice" -> ((_: SparkSession, d: DataFrame) =>
+        minhashPairsPlan(withShingles, sliceSketch)(d, 0.2)),
+      "mh_bottomk" -> ((_: SparkSession, d: DataFrame) =>
+        minhashPairsPlan(withShingles, sketchCol)(d, 0.2)),
+    )
+  }
+
+  private[graft] def minhashPairsPlan(shingleBuilder: DataFrame => DataFrame,
+      sketch: Column)(docs: DataFrame, jaccardMin: Double): DataFrame = {
     // persist ONLY the sketch sliver (doc_id, 8 md5s — ~300 B/doc), not
     // the shingle arrays: the signature table every dedup pipeline keeps
     // (the reference's addIndex precomputation, Optimization.scala:31)
@@ -299,9 +347,8 @@ object Dedup {
     // signature of borderline LRU eviction serializing/deserializing
     // wide array blocks mid-query. The sketch sliver always fits.
     val sk = graft.CacheRegistry.track(
-      withShingles(docs)
-        .withColumn("sketch",
-          expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
+      shingleBuilder(docs)
+        .withColumn("sketch", sketch)
         .select("doc_id", "sketch"))
     // Candidates via one-shuffle posting lists (see ngramJaccard): group
     // doc ids per sketch hash, expand pairs in-group. Bucket sizes here
@@ -337,7 +384,7 @@ object Dedup {
     val candIds = candHinted.select(col("doc_a").as("doc_id"))
       .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
     val sliver = graft.CacheRegistry.track(
-      withShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      shingleBuilder(docs.join(candIds, Seq("doc_id"), "left_semi"))
         .select("doc_id", "shingles"))
     candHinted
       .join(sliver.alias("sa"), col("sa.doc_id") === col("doc_a"))
@@ -567,8 +614,7 @@ object Dedup {
     */
   def sketchTable(docs: DataFrame): DataFrame =
     withShingles(docs)
-      .withColumn("sketch",
-        expr("slice(array_sort(transform(shingles, s -> md5(s))), 1, 8)"))
+      .withColumn("sketch", sketchCol)
       .select("doc_id", "shingles", "sketch")
 
   /** Incremental dedup: near-dup pairs INVOLVING an arriving delta shard,

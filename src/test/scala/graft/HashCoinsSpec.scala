@@ -36,6 +36,44 @@ class HashCoinsSpec extends SparkSpec {
     assert(rate > 0.2 && rate < 0.3, rate)
   }
 
+  test("md5_bottom_k ≡ slice(array_sort(transform(md5)), 1, k) incl. short/empty arrays") {
+    import graft.functions.HashCoins.md5_bottom_k
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 3000).map { i =>
+      val n = rng.nextInt(40) // sizes 0..39 — below, at, and above k=8
+      (0 until n).map(j => s"shingle ${rng.nextInt(500)} of row $i pos $j")
+    }
+    val df = rows.toDF("xs")
+    val diff = df.select(
+        md5_bottom_k(col("xs"), 8).as("fast"),
+        expr("slice(array_sort(transform(xs, x -> md5(x))), 1, 8)").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff == 0L)
+    // duplicates kept like the slice form keeps them
+    val dup = Seq(Seq("a", "a", "b")).toDF("xs")
+      .select(md5_bottom_k(col("xs"), 2).as("f"),
+        expr("slice(array_sort(transform(xs, x -> md5(x))), 1, 2)").as("r"))
+      .filter(col("f") =!= col("r")).count()
+    assert(dup == 0L)
+  }
+
+  test("minhash sketch/builder forms are hash-identical at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val forms = graft.operators.Dedup.minhashForms.toMap
+    def fingerprint(name: String): (Long, Long) = {
+      val df = forms(name)(spark, Tables.documents(spark, dir))
+      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(_h)"), lit(0L))).head()
+      CacheRegistry.drain()
+      (r.getLong(0), r.getLong(1))
+    }
+    val fps = Seq("mh_r12", "mh_nosort_slice", "mh_bottomk").map(fingerprint)
+    assert(fps.distinct.size == 1, fps)
+    assert(fps.head._1 > 0, fps)
+  }
+
   test("null input yields null, not a crash") {
     import spark.implicits._
     val df = Seq(Some("x"), None).toDF("g")

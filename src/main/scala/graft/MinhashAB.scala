@@ -52,7 +52,8 @@ object MinhashAB {
       if (forms.size == 1) Seq("cold", "warm").map(p => (forms.head, p))
       else Seq("round1", "round2").flatMap(p => forms.map(f => (f, p)))
     passes.foreach { case (form, pass) =>
-      val fn = graft.operators.Dedup.minhashForms.toMap.apply(form)
+      val fn = (graft.operators.Dedup.minhashForms ++
+        graft.operators.Dedup.incrementalForms).toMap.apply(form)
       org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark.sparkContext)
       cpuNs.set(0L); spillDisk.set(0L)
       val t0 = System.nanoTime()

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
       .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1).toSet
     assert(incr == full, s"incremental $incr != full-restricted $full")
     assert(incr.exists(p => p._1 == 0L && p._2 == 1L), "must find delta-vs-corpus near dup")
+    CacheRegistry.drain()
+  }
+
+  test("incremental r12/sliver plan forms are result-identical at sf0.001") {
+    // the r13 verify-sliver A/B forms (minhash_ab_r13.jsonl adjudicated
+    // cost; this pins the equality durably on real near-dup structure)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val forms = Dedup.incrementalForms.toMap
+    def pairs(name: String) = {
+      val got = forms(name)(spark, docs)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+      CacheRegistry.drain()
+      got
+    }
+    val a = pairs("inc_r12")
+    val b = pairs("inc_sliver")
+    assert(a == b, s"missing=${a -- b} extra=${b -- a}")
+    assert(a.nonEmpty)
   }
 
   test("substring dedup counts duplicated 8-word spans, incl. within-doc repeats") {

@@ -83,6 +83,52 @@ object BpeUtil {
     }
     total
   }
+
+  /** Token → vocab id under the deterministic vocab layout the encode
+    * op pins (and the DuckDB oracle mirrors): printable ASCII base
+    * tokens (code points 32..126) map to `cp - 32` (ids 0..94), the
+    * rank-i merge PRODUCT maps to `95 + i`, anything else (a non-ASCII
+    * single code point — multi-code-point tokens are always merge
+    * products by construction) is OOV = -1.
+    */
+  def tokenId(t: String, productIdx: java.util.HashMap[String, Integer]): Int = {
+    val p = productIdx.get(t)
+    if (p != null) 95 + p.intValue
+    else if (t.nonEmpty && t.codePointCount(0, t.length) == 1) {
+      val cp = t.codePointAt(0)
+      if (cp >= 32 && cp <= 126) cp - 32 else -1
+    } else -1
+  }
+
+  /** Count + first-`headK` token ids in document order (words in order,
+    * tokens within each word in order), ids space-joined.
+    */
+  def encodeHead(words: ArrayData, merges: Array[Array[String]],
+      productIdx: java.util.HashMap[String, Integer], headK: Int): (Long, String) = {
+    var total = 0L
+    val sb = new java.lang.StringBuilder
+    var emitted = 0
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i).toString
+        if (w.nonEmpty) {
+          val toks = tokensOf(w, merges)
+          total += toks.length
+          var j = 0
+          while (j < toks.length && emitted < headK) {
+            if (emitted > 0) sb.append(' ')
+            sb.append(tokenId(toks(j), productIdx))
+            emitted += 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    (total, sb.toString)
+  }
 }
 
 /** bpe_token_count(array<string> words) → bigint. Null words array →
@@ -119,7 +165,64 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** bpe_encode_head(array<string> words) → struct<bpe_tokens: bigint,
+  * ids_head: string>: the total token count plus the first `headK`
+  * vocab ids in document order, space-joined — the id stream a
+  * training pipeline feeds a model, bounded per row so the output
+  * stays a scalar column (the driver-gate contract forbids arrays).
+  * Vocab layout pinned in [[BpeUtil.tokenId]]. Merge PRODUCTS must be
+  * distinct strings (two rules producing one string would make ids
+  * ambiguous — checked at construction).
+  */
+case class BpeEncodeHead(child: Expression, merges: Seq[(String, String)],
+    headK: Int) extends UnaryExpression {
+  require(headK >= 1 && headK <= 4096, s"bpe_encode_head: headK=$headK")
+  require(merges.map(m => m._1 + m._2).distinct.size == merges.size,
+    "bpe_encode_head: merge products must be distinct strings")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bpe_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ids_head", StringType, nullable = false)))
+  override def prettyName: String = "bpe_encode_head"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_head expects array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mergesArr: Array[Array[String]] =
+    BpeUtil.compile(merges)
+  @transient private lazy val productIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + b, i) }
+    m
+  }
+
+  def encode(words: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val (total, head) = BpeUtil.encodeHead(words, mergesArr, productIdx, headK)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, org.apache.spark.unsafe.types.UTF8String.fromString(head)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeHead =
+    copy(child = newChild)
+}
+
 object BpeTokenCountFn {
   def bpe_token_count(words: Column, merges: Seq[(String, String)]): Column =
     Shim.column(BpeTokenCount(Shim.expression(words), merges))
+
+  def bpe_encode_head(words: Column, merges: Seq[(String, String)],
+      headK: Int): Column =
+    Shim.column(BpeEncodeHead(Shim.expression(words), merges, headK))
 }

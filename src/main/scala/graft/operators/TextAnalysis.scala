@@ -119,6 +119,48 @@ object TextAnalysis {
       bpeTokensCol.as("bpe_tokens"))
   }
 
+  /** BPE ENCODING — the id stream a training pipeline actually feeds a
+    * model, completing the tokenizer story (count → encode). Vocab
+    * layout is deterministic and pinned in
+    * [[graft.functions.BpeUtil.tokenId]]: printable-ASCII base tokens
+    * (code points 32..126) are ids 0..94, the rank-i merge PRODUCT is
+    * id 95+i, any other single code point is OOV −1 (multi-code-point
+    * tokens are always merge products by construction). Emits the
+    * total count plus the FIRST 64 ids space-joined (`ids_head`) — a
+    * bounded scalar column (the driver-gate contract forbids arrays);
+    * a real export would write the full stream to the pack layout
+    * pipeline_pack_sequences defines. One codegen'd scan, zero shuffle.
+    */
+  val bpeEncode: Op = {
+    val products = bpeMerges.map { case (a, b) => s"'$a$b'" }
+      .mkString("[", ",", "]")
+    Op(
+      "text_bpe_encode",
+      s"""WITH RECURSIVE
+        |$bpeTokCtes,
+        |enc AS (
+        |  SELECT doc_id,
+        |    list_transform(flatten(st), t ->
+        |      CASE WHEN list_position($products, t) > 0
+        |           THEN 94 + list_position($products, t)
+        |           WHEN len(t) = 1 AND ascii(t) BETWEEN 32 AND 126
+        |           THEN ascii(t) - 32
+        |           ELSE -1 END) AS ids
+        |  FROM bpe_step WHERE r = ${bpeMerges.size})
+        |SELECT e.doc_id, t.bpe_tokens,
+        |  coalesce(array_to_string(e.ids[1:64], ' '), '') AS ids_head
+        |FROM enc e JOIN bpe_tok t USING (doc_id)""".stripMargin,
+    ) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.BpeTokenCountFn.bpe_encode_head(
+            expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+            bpeMerges, 64).as("enc"))
+        .select(col("doc_id"), col("enc.bpe_tokens").as("bpe_tokens"),
+          col("enc.ids_head").as("ids_head"))
+    }
+  }
+
   /** Quality scoring: length/punctuation/uppercase/stopword ratios.
     * Ratios are double divisions of integer counts — bit-deterministic.
     */
@@ -460,6 +502,6 @@ object TextAnalysis {
   }
 
   val ops: Seq[Op] =
-    Seq(tokenCount, bpeTokenCount, quality, langId, fingerprint, normalize,
-      repetition, piiRedact, idfRarity, gopherQuality)
+    Seq(tokenCount, bpeTokenCount, bpeEncode, quality, langId, fingerprint,
+      normalize, repetition, piiRedact, idfRarity, gopherQuality)
 }

@@ -50,6 +50,33 @@ class BpeSpec extends SparkSpec {
   private def TextAnalysis_bpeMerges: Seq[(String, String)] =
     graft.operators.TextAnalysis.bpeMerges
 
+  test("encode: vocab layout, OOV, head cap, and count ≡ bpe_token_count") {
+    import graft.functions.BpeTokenCountFn.{bpe_encode_head, bpe_token_count}
+    import spark.implicits._
+    val m = graft.operators.TextAnalysis.bpeMerges
+    val df = Seq(
+      (1L, "the"),        // merge product 'the' = rank 1 (0-based) → 95+1
+      (2L, "x y"),        // base ASCII: 'x'=120-32=88, 'y'=121-32=89
+      (3L, "éé"),         // non-ASCII single code points → OOV -1 each
+      (4L, null: String), // null text → 0 tokens, empty head
+      (5L, ("word " * 100).trim), // head capped at 64 ids
+    ).toDF("doc_id", "text")
+    val words = expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+    val out = df.select(col("doc_id"),
+        bpe_encode_head(words, m, 64).as("e"),
+        bpe_token_count(words, m).as("n"))
+      .select(col("doc_id"), col("e.bpe_tokens"), col("e.ids_head"), col("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(out(1L)._2 == "96", out(1L))
+    assert(out(2L)._2 == "88 89", out(2L))
+    assert(out(3L)._2 == "-1 -1", out(3L))
+    assert(out(4L) == ((0L, "", 0L)), out(4L))
+    assert(out(5L)._2.split(" ").length == 64, out(5L))
+    // count field always equals the counting expression, cap or not
+    assert(out.values.forall(v => v._1 == v._3), out)
+  }
+
   test("registered op: totality on null/empty text, unicode chars count by code point") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, ""), (3L, "  "), (4L, "déjà"))

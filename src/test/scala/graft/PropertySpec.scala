@@ -449,4 +449,42 @@ class PropertySpec extends SparkSpec {
       graft.streaming.DeltaViews.linearDelta(q)(x.toDF("k", "v"))))
     assert(whole == derived)
   }
+
+  test("BPE kernel matches a reference fold on RANDOM merges tables and words") {
+    // random merges (not just the registered table): parts drawn from a
+    // small alphabet so rules actually fire and CHAIN (products of
+    // earlier rules feed later rules), including rules that never fire
+    import graft.functions.BpeUtil
+    def reference(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var toks: List[String] =
+        word.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        toks.foreach { t =>
+          if (out.nonEmpty && out.last == a && t == b)
+            out(out.length - 1) = a + b
+          else out += t
+        }
+        toks = out.toList
+      }
+      toks
+    }
+    val alpha = Gen.oneOf("a", "b", "c")
+    val ruleGen = for {
+      l <- Gen.oneOf(Gen.listOfN(1, alpha), Gen.listOfN(2, alpha))
+        .map(_.mkString)
+      r <- alpha
+    } yield (l, r)
+    val tableGen = Gen.listOfN(12, ruleGen)
+    val wordGen = Gen.listOfN(14, alpha).map(_.mkString)
+    val cases = samples(Gen.zip(tableGen, Gen.listOfN(8, wordGen)), 25)
+    cases.foreach { case (table, words) =>
+      val compiled = BpeUtil.compile(table)
+      words.foreach { w =>
+        val got = BpeUtil.tokensOf(w, compiled).toSeq
+        val want = reference(w, table)
+        assert(got == want, s"table=$table word=$w got=$got want=$want")
+      }
+    }
+  }
 }

@@ -151,15 +151,23 @@ object TextAnalysis {
         |  coalesce(array_to_string(e.ids[1:64], ' '), '') AS ids_head
         |FROM enc e JOIN bpe_tok t USING (doc_id)""".stripMargin,
     ) { (spark, dir) =>
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          graft.functions.BpeTokenCountFn.bpe_encode_head(
-            expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
-            bpeMerges, 64).as("enc"))
-        .select(col("doc_id"), col("enc.bpe_tokens").as("bpe_tokens"),
-          col("enc.ids_head").as("ids_head"))
+      bpeEncodeProjection(Tables.documents(spark, dir))
     }
   }
+
+  /** The encode projection over any (doc_id, text) frame — stateless,
+    * so the STREAMING face ([[graft.streaming.EventStreams
+    * .bpeEncodeStream]]) is this same function applied to a streaming
+    * frame; single-sourced so the two can never drift.
+    */
+  private[graft] def bpeEncodeProjection(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.BpeTokenCountFn.bpe_encode_head(
+          expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+          bpeMerges, 64).as("enc"))
+      .select(col("doc_id"), col("enc.bpe_tokens").as("bpe_tokens"),
+        col("enc.ids_head").as("ids_head"))
 
   /** Quality scoring: length/punctuation/uppercase/stopword ratios.
     * Ratios are double divisions of integer counts — bit-deterministic.

@@ -473,6 +473,16 @@ object EventStreams {
         when(col("overlap_frac") >= tau, 1L).otherwise(0L))
   }
 
+  /** Streaming face of text_bpe_encode: arriving documents tokenize and
+    * encode on the ingest path — a stateless per-row projection (no
+    * watermark, no state store), the decontamStream shape. The
+    * projection is SINGLE-SOURCED with the batch op
+    * (TextAnalysis.bpeEncodeProjection), so stream ≡ batch by
+    * construction; StreamingSpec still proves it across micro-batches.
+    */
+  def bpeEncodeStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bpeEncodeProjection(docs)
+
   /** The verify stage on top of [[nearDupCandidates]]: each streamed
     * candidate pair joins the STATIC persisted shingle/sketch table
     * twice (stream-static joins are stateless — the static side is the

@@ -489,6 +489,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE encode equals the batch text_bpe_encode op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfTiny)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val enc = EventStreams.bpeEncodeStream(input.toDF().toDF("doc_id", "text"))
+    val q = enc.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bpe_tokens"),
+          r.getAs[String]("ids_head"))).toSet
+      val batch = graft.operators.TextAnalysis.bpeEncode.fn(spark, sfTiny)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bpe_tokens"),
+          r.getAs[String]("ids_head"))).toSet
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals the batch decontaminate op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1439,10 +1439,18 @@ object Dedup {
       s"bloomNewDocsBucketed: expectedItemsPerBucket=$expectedItemsPerBucket " +
         "exceeds the per-bucket one-literal contract (~2e8); add buckets")
     val key = xxhash64(col("text"))
-    // one corpus pass → (bkt, bf), repartitioned FIRST so no task's
-    // partial-agg buffers hold more than its own buckets' bit arrays
+    // one corpus pass → (bkt, bf). Partition count for the build AND
+    // the probe join is max(buckets, session shuffle partitions): with
+    // the session default alone, buckets >> partitions would leave each
+    // task holding ceil(buckets/partitions) filters (~240 MB each at
+    // the 2e8 contract) in its agg buffers and join build map — a
+    // silent OOM at exactly the scales the 65536 ceiling advertises.
+    // At parts >= buckets a task holds the filters hash-routed to it:
+    // O(1) expected, O(log b / log log b) worst-case collisions.
+    val parts = math.max(buckets,
+      corpusB.sparkSession.sessionState.conf.numShufflePartitions)
     val filters = corpusB.select(col("bkt"), key.as("k"))
-      .repartition(col("bkt"))
+      .repartition(parts, col("bkt"))
       .groupBy("bkt")
       .agg(bloom_filter_agg(col("k"), expectedItemsPerBucket).as("bf"))
     // bucket-keyed shuffle join + lazy per-task deser probe; the outer
@@ -1453,7 +1461,8 @@ object Dedup {
     // them into the exact verify join, where a null text never matches
     // the corpus and is correctly kept new — identical to the plain
     // anti-join's NOT EXISTS semantics
-    deltaB.join(filters.hint("shuffle_hash"), Seq("bkt"), "left_outer")
+    deltaB.repartition(parts, col("bkt"))
+      .join(filters.hint("shuffle_hash"), Seq("bkt"), "left_outer")
       .withColumn("_maybe", might_contain_keyed(col("bkt"), col("bf"), key))
       .drop("bf")
   }

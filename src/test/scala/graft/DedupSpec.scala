@@ -449,6 +449,28 @@ class DedupSpec extends SparkSpec {
         "(all-buckets-per-task shipping would be buckets × tasks)")
   }
 
+  test("bucketed bloom: build/probe exchanges widen to the bucket count") {
+    import spark.implicits._
+    // buckets >> session shuffle partitions must NOT leave each task
+    // holding ceil(buckets/partitions) filter bit-arrays: the build
+    // repartition and the probe join both run at max(buckets, default)
+    // partitions so per-task residency stays O(1) filters.
+    val buckets = 128 // > the session's 32 shuffle partitions
+    val corpus = (0 until 50)
+      .map(i => (i.toLong, s"widen corpus doc $i")).toDF("doc_id", "text")
+    val delta = (0 until 20)
+      .map(i => (900L + i, s"widen corpus doc ${i * 5}")).toDF("doc_id", "text")
+    val probed = Dedup.bloomBucketedProbedPlan(
+      Dedup.withTextBkt(corpus, buckets),
+      Dedup.withTextBkt(delta, buckets), 100L, buckets)
+    val fmt = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val partCounts = "hashpartitioning\\(bkt[^)]*, (\\d+)\\)".r
+      .findAllMatchIn(fmt).map(_.group(1).toInt).toList
+    assert(partCounts.nonEmpty && partCounts.forall(_ == buckets),
+      s"bkt exchanges at $partCounts, want all $buckets\n" + fmt.take(4000))
+  }
+
   test("bucketed bloom over a partitionBy(bkt) layout: single-pass plan; per-bucket jobs prune") {
     import spark.implicits._
     val buckets = 8

@@ -218,6 +218,76 @@ case class BpeEncodeHead(child: Expression, merges: Seq[(String, String)],
     copy(child = newChild)
 }
 
+/** bpe_encode_ids(array<string> words) → array<int>: the COMPLETE
+  * vocab-id stream in document order — the payload a training shard
+  * stores on disk. Unlike [[BpeEncodeHead]] this is unbounded per row,
+  * so it must never surface in a registered op's OUTPUT columns (the
+  * driver-gate contract forbids arrays); it exists for the
+  * tokenize→pack→write export, where the array lands in parquet and
+  * the op's gate-visible columns are read-back aggregates. Vocab
+  * layout identical to [[BpeUtil.tokenId]] (encode-head and the id
+  * stream can never disagree — same merges compile, same id map).
+  */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.map(m => m._1 + m._2).distinct.size == merges.size,
+    "bpe_encode_ids: merge products must be distinct strings")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_ids expects array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mergesArr: Array[Array[String]] =
+    BpeUtil.compile(merges)
+  @transient private lazy val productIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + b, i) }
+    m
+  }
+
+  def encode(words: ArrayData): ArrayData = {
+    val out = new java.util.ArrayList[Integer](64)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i).toString
+        if (w.nonEmpty) {
+          val toks = BpeUtil.tokensOf(w, mergesArr)
+          var j = 0
+          while (j < toks.length) {
+            out.add(BpeUtil.tokenId(toks(j), productIdx)): Unit
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k).intValue; k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeIds", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
 object BpeTokenCountFn {
   def bpe_token_count(words: Column, merges: Seq[(String, String)]): Column =
     Shim.column(BpeTokenCount(Shim.expression(words), merges))
@@ -225,4 +295,7 @@ object BpeTokenCountFn {
   def bpe_encode_head(words: Column, merges: Seq[(String, String)],
       headK: Int): Column =
     Shim.column(BpeEncodeHead(Shim.expression(words), merges, headK))
+
+  def bpe_encode_ids(words: Column, merges: Seq[(String, String)]): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(words), merges))
 }

@@ -372,6 +372,91 @@ object Pipeline {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** Tokenize→pack→WRITE — the end-to-end training-shard export, the
+    * artifact a training run actually reads (VERDICT r13 #1). Composes
+    * the registered pieces: the full BPE id stream per document
+    * ([[graft.functions.BpeEncodeIds]], same frozen merges + pinned
+    * vocab as text_bpe_encode), the [[packSequences]] fixed-budget pack
+    * assignment over those TRUE token counts, and the
+    * [[shardManifest]]-named write plan —
+    * `repartition(n, shard).write.partitionBy("shard")` — landing
+    * per-doc rows (doc_id, tokens, pack_id, pack_offset, ids) as
+    * hive-partitioned parquet. The id arrays live ONLY in the shard
+    * files; the op's gate-visible output is computed from the
+    * READ-BACK (the q_orc_roundtrip discipline): per-shard doc/token/
+    * pack counts, id range, and an order-exact id-stream checksum
+    * (per-doc fold h = (h·131 + id+2) mod 1e9+7, summed per shard) that
+    * the oracle recomputes from raw text — a corrupted, truncated, or
+    * reordered id stream on disk cannot hash-match.
+    *
+    * 100 TB shape: one codegen'd scan computes the ids, the per-shard
+    * running-sum window is the [[packSequences]] partitioned cumsum
+    * (shard count = the parallelism knob), the write shuffle is the
+    * same single exchange, and the read-back audit is a scan + one
+    * partial-aggregated groupBy on the partition column. Nothing holds
+    * a document's ids anywhere but its own row.
+    */
+  val tokenizeShards: Op = Op(
+    "pipeline_tokenize_shards",
+    s"""WITH RECURSIVE
+      |${TextAnalysis.bpeTokCtes},
+      |${TextAnalysis.bpeEncCte},
+      |toks AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(ids) AS BIGINT) AS tokens,
+      |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+      |      list_transform(ids, i -> CAST(i + 2 AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % 1000000007) AS doc_hash
+      |  FROM enc),
+      |cum AS (
+      |  SELECT doc_id, shard, tokens, doc_hash,
+      |    SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS start_tok
+      |  FROM toks)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT start_tok // 512) AS BIGINT) AS n_packs,
+      |  CAST(SUM(doc_hash) AS BIGINT) AS ids_checksum,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM cum GROUP BY shard""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val nShards = 8
+    val enc = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+      graft.functions.BpeTokenCountFn.bpe_encode_ids(
+        expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+        TextAnalysis.bpeMerges).as("ids"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = enc
+      .withColumn("tokens", size(col("ids")).cast("long"))
+      .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        expr(s"start_tok div $budget").as("pack_id"),
+        pmod(col("start_tok"), lit(budget)).as("pack_offset"),
+        col("ids"))
+    val tmp = Sources.scratchDir(
+      "graft_shards_" + Integer.toHexString(dir.hashCode))
+    packed.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    // the audit reads ONLY what landed on disk — partition column from
+    // the directory names (inferred int → restate long), everything
+    // else from the row groups; the checksum re-folds the stored ids
+    spark.read.parquet(tmp)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(expr("aggregate(ids, CAST(0 AS BIGINT), " +
+          "(acc, x) -> (acc * 131 + (x + 2)) % 1000000007)"))
+          .as("ids_checksum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
   /** Context-window chunking — the other batch-assembly shape next to
     * [[packSequences]]: long documents are cut into fixed-size overlapping
     * windows (512 chars, 64 overlap → stride 448) so no training example
@@ -546,5 +631,5 @@ object Pipeline {
 
   val ops: Seq[Op] =
     Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences,
-      shardManifest, chunk, split, interleave)
+      shardManifest, tokenizeShards, chunk, split, interleave)
 }

@@ -37,7 +37,7 @@ object Sources {
   private val scratchByPrefix =
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.ArrayDeque[String]]()
-  private def scratchDir(prefix: String): String = {
+  private[operators] def scratchDir(prefix: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_" + java.util.UUID.randomUUID.toString.take(8))
     val path = f.getAbsolutePath

@@ -131,28 +131,37 @@ object TextAnalysis {
     * a real export would write the full stream to the pack layout
     * pipeline_pack_sequences defines. One codegen'd scan, zero shuffle.
     */
-  val bpeEncode: Op = {
+  /** DuckDB mirror of the full id stream under the pinned vocab layout:
+    * `enc(doc_id, ids)` where `ids` is the complete vocab-id list in
+    * document order. Extends [[bpeTokCtes]] (callers append both, in
+    * that order, under one WITH RECURSIVE). Shared by the encode op and
+    * the tokenize→pack→write shard export so the two oracles can never
+    * disagree on the vocab.
+    */
+  private[graft] def bpeEncCte: String = {
     val products = bpeMerges.map { case (a, b) => s"'$a$b'" }
       .mkString("[", ",", "]")
-    Op(
-      "text_bpe_encode",
-      s"""WITH RECURSIVE
-        |$bpeTokCtes,
-        |enc AS (
-        |  SELECT doc_id,
-        |    list_transform(flatten(st), t ->
-        |      CASE WHEN list_position($products, t) > 0
-        |           THEN 94 + list_position($products, t)
-        |           WHEN len(t) = 1 AND ascii(t) BETWEEN 32 AND 126
-        |           THEN ascii(t) - 32
-        |           ELSE -1 END) AS ids
-        |  FROM bpe_step WHERE r = ${bpeMerges.size})
-        |SELECT e.doc_id, t.bpe_tokens,
-        |  coalesce(array_to_string(e.ids[1:64], ' '), '') AS ids_head
-        |FROM enc e JOIN bpe_tok t USING (doc_id)""".stripMargin,
-    ) { (spark, dir) =>
-      bpeEncodeProjection(Tables.documents(spark, dir))
-    }
+    s"""enc AS (
+      |  SELECT doc_id,
+      |    list_transform(flatten(st), t ->
+      |      CASE WHEN list_position($products, t) > 0
+      |           THEN 94 + list_position($products, t)
+      |           WHEN len(t) = 1 AND ascii(t) BETWEEN 32 AND 126
+      |           THEN ascii(t) - 32
+      |           ELSE -1 END) AS ids
+      |  FROM bpe_step WHERE r = ${bpeMerges.size})""".stripMargin
+  }
+
+  val bpeEncode: Op = Op(
+    "text_bpe_encode",
+    s"""WITH RECURSIVE
+      |$bpeTokCtes,
+      |$bpeEncCte
+      |SELECT e.doc_id, t.bpe_tokens,
+      |  coalesce(array_to_string(e.ids[1:64], ' '), '') AS ids_head
+      |FROM enc e JOIN bpe_tok t USING (doc_id)""".stripMargin,
+  ) { (spark, dir) =>
+    bpeEncodeProjection(Tables.documents(spark, dir))
   }
 
   /** The encode projection over any (doc_id, text) frame — stateless,

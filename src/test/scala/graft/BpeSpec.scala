@@ -77,6 +77,64 @@ class BpeSpec extends SparkSpec {
     assert(out.values.forall(v => v._1 == v._3), out)
   }
 
+  test("encode_ids: full stream prefix ≡ ids_head, length ≡ count, same vocab") {
+    import graft.functions.BpeTokenCountFn.{bpe_encode_head, bpe_encode_ids, bpe_token_count}
+    import spark.implicits._
+    val m = graft.operators.TextAnalysis.bpeMerges
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "éé mixed ascii"),
+      (3L, null: String),
+      (4L, ("word " * 100).trim), // longer than the 64-id head
+    ).toDF("doc_id", "text")
+    val words = expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+    val rows = df.select(col("doc_id"),
+        bpe_encode_ids(words, m).as("ids"),
+        bpe_encode_head(words, m, 64).as("e"),
+        bpe_token_count(words, m).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](1)
+      val head = r.getStruct(2).getString(1)
+      val n = r.getLong(3)
+      assert(ids.length.toLong == n, s"doc ${r.getLong(0)}: ${ids.length} vs $n")
+      val wantHead = ids.take(64).mkString(" ")
+      assert(head == wantHead, s"doc ${r.getLong(0)}: '$head' vs '$wantHead'")
+    }
+    assert(rows.find(_.getLong(0) == 3L).get.getSeq[Int](1).isEmpty)
+  }
+
+  test("tokenize-shard export: read-back audit ≡ in-memory recompute, packs align") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    // the op writes the hive-partitioned shards and aggregates the
+    // READ-BACK; recompute the same aggregates purely in memory (no
+    // write) — a mismatch means the disk layout lost or reordered ids
+    val got = graft.operators.Pipeline.tokenizeShards.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, dir)
+    val enc = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(8L)).as("shard"),
+      graft.functions.BpeTokenCountFn.bpe_encode_ids(
+        expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+        graft.operators.TextAnalysis.bpeMerges).as("ids"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = enc
+      .withColumn("tokens", size(col("ids")).cast("long"))
+      .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+        countDistinct(expr("start_tok div 512")).as("n_packs"),
+        sum(expr("aggregate(ids, CAST(0 AS BIGINT), " +
+          "(acc, x) -> (acc * 131 + (x + 2)) % 1000000007)")).as("cks"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got.keySet == (0L until 8L).toSet, got.keySet)
+  }
+
   test("registered op: totality on null/empty text, unicode chars count by code point") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, ""), (3L, "  "), (4L, "déjà"))

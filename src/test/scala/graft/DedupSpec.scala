@@ -559,6 +559,30 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
+  test("recall audit: full scaffold, hits ≤ k, refine ≥ pq per query") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Similarity.annRecallAudit.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    CacheRegistry.drain()
+    val kinds = rows.keySet.map(_._1)
+    val qs = rows.keySet.map(_._2)
+    assert(kinds == Set("ivf", "ivfpq", "ivfpq_refine"), kinds)
+    // scaffold: every (kind, query) cell present even at zero hits
+    assert(rows.size == kinds.size * qs.size, rows.size)
+    rows.foreach { case (key, (hits, k)) =>
+      assert(k == 5L && hits >= 0L && hits <= k, s"$key → $hits/$k")
+    }
+    // theorem of the re-rank: an exact-top-5 member inside the ADC
+    // shortlist survives exact re-ranking (at most 4 vectors anywhere
+    // beat it), and refine's 20-candidate shortlist contains pq's 5 —
+    // so refine recall can never fall below pq recall on any query
+    qs.foreach { q =>
+      assert(rows(("ivfpq_refine", q))._1 >= rows(("ivfpq", q))._1,
+        s"q=$q refine ${rows(("ivfpq_refine", q))._1} < pq ${rows(("ivfpq", q))._1}")
+    }
+  }
+
   test("brute-force ann ranks the perturbed copy first") {
     val top = Similarity.annBruteForceTopK.fn(spark, vecsDir)
       .filter(col("q_id") === 0L).orderBy(desc("cosine")).head()

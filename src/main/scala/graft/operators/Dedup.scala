@@ -1483,6 +1483,106 @@ object Dedup {
       docs.filter(col("doc_id") % 10 === 0), expectedItems = 100000L)
   }
 
+  /** Paragraph-level dedup core (the CCNet/RefinedWeb pass — Wenzek et
+    * al. 2020; VERDICT r13 #5) over any (doc_id, paras: array<string>)
+    * frame: hash-normalize each paragraph (md5 of lowercase), drop
+    * every paragraph whose hash occurs ≥ 2× CORPUS-WIDE (all copies go
+    * — the spec's definition, stricter than keep-first), reconstruct
+    * the text from the kept paragraphs in order, and emit audit counts.
+    * The document-structure-aware sibling of the substring family:
+    * whole duplicated boilerplate paragraphs SHORTER than an 8-gram
+    * span are invisible to [[substringStrip]] but exact hits here.
+    *
+    * Scale shape is [[substringStripCopart]]'s, one granularity up:
+    * the (doc_id, p, h) paragraph stream — words/12, not words, rows —
+    * is exchanged by h ONCE and materialized DISK_ONLY (caller
+    * drains); the dup-hash set aggregates over those blocks with no
+    * further exchange, the probe is a co-partitioned shuffled-hash
+    * join back over the SAME blocks, and only the dup-rate-
+    * proportional removed-(doc, p) sliver ever aggregates by doc_id —
+    * size-adaptively broadcast into the corpus scan, which itself
+    * never shuffles. Reconstruction is one codegen'd indexed filter
+    * over the paragraph array (no UDF, no per-row join).
+    */
+  private[graft] def paragraphDedupFrame(spark: SparkSession,
+      withParas: DataFrame, joiner: String): DataFrame = {
+    val d = withParas.withColumn("nb", size(col("paras")).cast("long"))
+    val est = Option(d.agg(sum(col("nb"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val parts = graft.api.GraftApi.partitionsFor(spark, est)
+    val stream = d.filter(col("nb") > 0)
+      .select(col("doc_id"),
+        posexplode(expr("transform(paras, t -> md5(lower(t)))")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("h"))
+    val keyed = graft.CacheRegistry.track(
+      stream.repartition(parts, col("h")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val duph = keyed.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val removed = keyed.join(duph.hint("SHUFFLE_HASH"), Seq("h"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("rm0"))
+    d.join(graft.api.GraftApi.adaptiveBroadcast(removed),
+        Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm0"),
+        expr("cast(array() as array<int>)")))
+      .select(col("doc_id"), col("nb").as("n_paras"),
+        size(col("rm")).cast("long").as("n_removed"),
+        array_join(expr("filter(paras, (x, i) -> NOT array_contains(rm, i))"),
+          joiner).as("text_depara"))
+  }
+
+  /** The real-corpus face: paragraphs are newline-delimited segments
+    * (CCNet's own boundary), rejoined by newline. The driver corpus
+    * carries no newlines (TESTDATA), so the REGISTERED op instead
+    * segments into fixed 12-word pseudo-paragraphs — see
+    * [[paragraphDedup]]; this face is what a crawl corpus calls.
+    */
+  def paragraphDedupByNewline(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    paragraphDedupFrame(spark,
+      docs.select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), "\n").as("paras")),
+      "\n")
+
+  /** Registered form: 12-word non-overlapping pseudo-paragraphs (the
+    * corpus-adapted segmentation — rejoining blocks by space is
+    * lossless over the word sequence), dropped when their normalized
+    * hash repeats corpus-wide. Null text ≡ empty document: zero
+    * paragraphs, empty reconstruction, the row rides through.
+    */
+  val paragraph: Op = Op(
+    "dedup_paragraph",
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |b AS (SELECT doc_id, w, CAST(ceil(len(w) / 12.0) AS BIGINT) AS nb FROM d),
+      |paras AS (
+      |  SELECT doc_id, t.p,
+      |    md5(lower(array_to_string(w[(t.p*12+1):(t.p*12+12)], ' '))) AS h
+      |  FROM b, UNNEST(generate_series(0, nb - 1)) AS t(p)),
+      |duph AS (SELECT h FROM paras GROUP BY h HAVING COUNT(*) >= 2),
+      |rml AS (SELECT doc_id, list(p) AS rm FROM paras
+      |        WHERE h IN (SELECT h FROM duph) GROUP BY doc_id)
+      |SELECT b.doc_id, b.nb AS n_paras,
+      |  CAST(COALESCE(len(rml.rm), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(flatten(list_filter(
+      |    list_transform(generate_series(0, b.nb - 1),
+      |      p -> CASE WHEN rml.rm IS NULL OR NOT list_contains(rml.rm, p)
+      |           THEN b.w[(p*12+1):(p*12+12)] END),
+      |    x -> x IS NOT NULL)), ' '), '') AS text_depara
+      |FROM b LEFT JOIN rml USING (doc_id)""".stripMargin,
+  ) { (spark, dir) =>
+    val withW = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("filter(split(coalesce(text, ''), ' '), x -> x != '')").as("w"))
+    val withParas = withW.select(col("doc_id"), expr(
+      "transform(if(size(w) > 0, " +
+        "sequence(0L, cast(ceil(size(w) / 12.0) as bigint) - 1), " +
+        "cast(array() as array<bigint>)), " +
+        "p -> array_join(slice(w, cast(p * 12 + 1 as int), 12), ' '))")
+      .as("paras"))
+    paragraphDedupFrame(spark, withParas, " ")
+  }
+
   /** Registered multi-block form: m=6, d=3 — C(6,3)=20 combination keys
     * of ~33 bits each, the billion-doc band layout (16-bit bands carry
     * ~15k docs per value at 1B docs: every bucket would overflow the cap
@@ -1553,5 +1653,5 @@ object Dedup {
   val ops: Seq[Op] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
       incremental, substring, substringStrip, substringIncremental,
-      bloomNew, bloomNewBucketed)
+      paragraph, bloomNew, bloomNewBucketed)
 }

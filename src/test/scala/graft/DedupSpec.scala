@@ -449,6 +449,31 @@ class DedupSpec extends SparkSpec {
         "(all-buckets-per-task shipping would be buckets × tasks)")
   }
 
+  test("paragraph dedup: duplicated short paragraph excised from ALL docs, order kept") {
+    import spark.implicits._
+    // the boilerplate is 3 words — shorter than any 8-gram span, so
+    // the substring family cannot see it; paragraph dedup must
+    val boiler = "subscribe for updates"
+    val docs = Seq(
+      (1L, s"alpha beta gamma\n$boiler\ndelta epsilon"),
+      (2L, s"$boiler\nzeta eta theta iota"),
+      (3L, "kappa lambda mu\nnu xi omicron"),
+      (4L, s"SUBSCRIBE FOR UPDATES\npi rho"), // normalization: case-folded dup
+      (5L, null: String),
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupByNewline(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    CacheRegistry.drain()
+    assert(got(1L) == ((3L, 1L, "alpha beta gamma\ndelta epsilon")), got(1L))
+    assert(got(2L) == ((2L, 1L, "zeta eta theta iota")), got(2L))
+    assert(got(3L) == ((2L, 0L, "kappa lambda mu\nnu xi omicron")), got(3L))
+    assert(got(4L) == ((2L, 1L, "pi rho")), got(4L))
+    // null text ≡ empty: split('') is one empty paragraph, corpus-unique
+    // here so it survives, and the rejoin is the empty string either way
+    assert(got(5L) == ((1L, 0L, "")), got(5L))
+  }
+
   test("bucketed bloom: build/probe exchanges widen to the bucket count") {
     import spark.implicits._
     // buckets >> session shuffle partitions must NOT leave each task

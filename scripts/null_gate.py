@@ -22,12 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import canon  # same normalization as the driver-mimic gate
 
 
-def main():
-    null_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
+def run_gate(corpus_dir, out_dir, rnd, artifact_prefix="CORRECTNESS_null",
+             corpus_desc=None, src=None):
+    """Shared degenerate-corpus gate core (r14: unicode_gate.py reuses it
+    so the two gates' compare protocol cannot drift — the MinhashAB/
+    NgramAB lesson applied here preemptively). Returns the fail count."""
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{null_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{corpus_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     # full registry = every query Verify dumped (oracled or not)
     all_keys = sorted(d for d in os.listdir(out_dir)
@@ -77,19 +80,26 @@ def main():
         n_fail += not ok
         print(("PASS" if ok else "FAIL"), name,
               "" if ok else entry)
-    src = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01"
+    desc = corpus_desc or (
+        f"scripts/make_null_corpus.py over {src} -> {corpus_dir} "
+        "(deterministic null injection: NULL event values, "
+        "NULL/empty document text, zero-norm embeddings)")
     out = {"_meta": {
-        "corpus": f"scripts/make_null_corpus.py over {src} -> {null_dir} "
-                  "(deterministic null injection: NULL event values, "
-                  "NULL/empty document text, zero-norm embeddings)",
+        "corpus": desc,
         "round": rnd, "n_pass": n_pass, "n_total": n_pass + n_fail,
         "n_skipped": n_skip}}
     out.update({k: result[k] for k in sorted(result)})
-    path = f"CORRECTNESS_null_r{rnd:02d}.json" if rnd < 10 else \
-        f"CORRECTNESS_null_r{rnd}.json"
+    path = f"{artifact_prefix}_r{rnd:02d}.json" if rnd < 10 else \
+        f"{artifact_prefix}_r{rnd}.json"
     json.dump(out, open(path, "w"), indent=1)
     print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skipped -> {path} ==")
-    sys.exit(1 if n_fail else 0)
+    return n_fail
+
+
+def main():
+    corpus_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    src = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01"
+    sys.exit(1 if run_gate(corpus_dir, out_dir, rnd, src=src) else 0)
 
 
 if __name__ == "__main__":

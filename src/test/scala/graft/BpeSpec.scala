@@ -77,6 +77,29 @@ class BpeSpec extends SparkSpec {
     assert(out.values.forall(v => v._1 == v._3), out)
   }
 
+  test("encode OOV on non-ASCII: code-point granularity, astral and combining pinned") {
+    import graft.functions.BpeTokenCountFn.bpe_encode_head
+    import spark.implicits._
+    val m = graft.operators.TextAnalysis.bpeMerges
+    val df = Seq(
+      (1L, "👍"),           // astral plane: ONE code point (a surrogate
+                            // pair in UTF-16) → ONE OOV token, never two
+      (2L, "e\u0301"),      // e + combining acute: TWO code points (one
+                            // grapheme) → 'e' = 101-32 = 69, mark OOV -1
+      (3L, "中文"),          // two CJK code points → two OOVs
+      (4L, "a👍b"),         // OOV splits ASCII neighbors; no merge rule
+                            // can fire across it ('a','👍','b' distinct)
+    ).toDF("doc_id", "text")
+    val words = expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+    val out = df.select(col("doc_id"), bpe_encode_head(words, m, 64).as("e"))
+      .select(col("doc_id"), col("e.bpe_tokens"), col("e.ids_head"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((1L, "-1")), out(1L))
+    assert(out(2L) == ((2L, "69 -1")), out(2L))
+    assert(out(3L) == ((2L, "-1 -1")), out(3L))
+    assert(out(4L) == ((3L, "65 -1 66")), out(4L))
+  }
+
   test("encode_ids: full stream prefix ≡ ids_head, length ≡ count, same vocab") {
     import graft.functions.BpeTokenCountFn.{bpe_encode_head, bpe_encode_ids, bpe_token_count}
     import spark.implicits._

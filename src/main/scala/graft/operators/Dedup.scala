@@ -694,6 +694,18 @@ object Dedup {
       .groupBy("h").agg(countDistinct(col("doc_id")).as("n"))
       .filter(col("n").between(2, 64)).select("h")
     val deltaKept = deltaBuckets.join(kept, "h")
+    incrementalVerifyTail(r12Form, corpusSk, dSk, corpusBuckets, deltaKept,
+      jaccardMin)
+  }
+
+  /** Shared candidate+verify tail of the incremental forms (cross and
+    * in-delta candidates, bounded buckets, candidate-pruned verify) —
+    * one copy so [[incrementalPairsFromIndex]] and
+    * [[incrementalPairsPlan]] cannot drift on the scoring contract.
+    */
+  private def incrementalVerifyTail(r12Form: Boolean, corpusSk: DataFrame,
+      dSk: DataFrame, corpusBuckets: DataFrame, deltaKept: DataFrame,
+      jaccardMin: Double): DataFrame = {
     // delta×corpus candidates: keyed equi-join on the sketch hash (a doc
     // in both frames must not pair with itself)
     val crossCand = deltaKept.alias("d")
@@ -743,6 +755,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  /** The INDEXED serve path (VERDICT r13 #7): near-dup pairs of a delta
+    * against a corpus whose sketch state is the persisted THREE-table
+    * layout of [[persistedCorpusSketch]] — wide sketches `sk`, exploded
+    * postings `post(doc_id, h)` BUCKETED BY h, and the per-hash distinct
+    * count `hcnt(h, cn)` bucketed by h. Serve-time corpus work is then
+    * exchange-free by layout (spec-pinned in DedupSpec):
+    *   - bucket cap: the delta's per-h distinct counts LEFT-join `hcnt`
+    *     (n = dn + cn, cap 2..64) — only the delta side shuffles to the
+    *     bucket layout; corpus-only hashes never produce delta pairs, so
+    *     delta-driven kept ≡ the union count of [[incrementalPairsPlan]];
+    *   - candidates: deltaKept joins `post` in its bucket partitioning —
+    *     the corpus postings NEVER re-shuffle, the r13 sf0.1 finding
+    *     (per-serve parquet decode + exchange of wide corpus state) gone;
+    *   - verify: unchanged candidate-pruned sliver over `sk`.
+    * CONTRACT: frames must be doc_id-DISJOINT (an arriving shard is new
+    * documents — the registered split is). Overlapping frames need the
+    * general [[incrementalPairs]], whose union count dedups ids.
+    */
+  def incrementalPairsFromIndex(corpusSk: DataFrame, corpusPost: DataFrame,
+      corpusHcnt: DataFrame, deltaSk: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    val dSk = graft.CacheRegistry.track(deltaSk)
+    val deltaBuckets = graft.CacheRegistry.track(
+      dSk.select(col("doc_id"), explode(col("sketch")).as("h")))
+    // MERGE (not shuffle-hash): the corpus tables are bucketed AND
+    // per-bucket sorted by h, so sort-merge streams them with zero
+    // exchange and zero sort while only the delta side aligns; an SHJ
+    // here would build a per-task hash map of 1/buckets of all corpus
+    // hashes — corpus-scaled executor state for a delta-sized probe
+    val kept = deltaBuckets
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("dn"))
+      .join(corpusHcnt.hint("MERGE"), Seq("h"), "left")
+      .filter((col("dn") + coalesce(col("cn"), lit(0L))).between(2, 64))
+      .select("h")
+    val deltaKept = deltaBuckets.join(kept, "h")
+    incrementalVerifyTail(r12Form = false, corpusSk, dSk,
+      corpusPost.hint("MERGE"), deltaKept, jaccardMin)
+  }
+
   /** Registered form: the doc_id % 10 = 0 sliver plays the arriving shard,
     * the rest the existing corpus. Oracle = the full MinHash pair query
     * restricted to pairs touching the delta — the equivalence the
@@ -780,40 +831,67 @@ object Dedup {
     // warmup pass) and timed runs pay only the DELTA-sized sketch scan
     // plus the bucket join — the shingle+md5 sketch work over the 90%
     // corpus side was the op's dominant CPU. sketchTable is
-    // deterministic, so the persisted table is bit-identical to an
-    // inline build and the full-recompute oracle is unchanged. At
-    // warehouse scale the table is additionally stored with exploded
-    // (doc_id, h) postings bucketed by h and a per-hash count column
-    // (see incrementalPairs' scale note); here the sketch COMPUTE is
-    // the measured term.
-    val corpusSk = persistedCorpusSketch(spark, dir)
+    // deterministic, so the persisted state is bit-identical to an
+    // inline build and the full-recompute oracle is unchanged. r14
+    // (VERDICT r13 #7): the state is the three-table layout — wide sk
+    // plus h-bucketed post/hcnt — and the serve path is
+    // incrementalPairsFromIndex, so corpus postings stream from their
+    // bucket files with ZERO exchange (spec-pinned in DedupSpec); the
+    // registered split is doc_id-disjoint, the FromIndex contract.
+    val (corpusSk, corpusPost, corpusHcnt) = persistedCorpusSketch(spark, dir)
     val deltaSk = sketchTable(docs.filter(col("doc_id") % 10 === 0))
-    incrementalPairs(corpusSk, deltaSk, 0.2)
+    incrementalPairsFromIndex(corpusSk, corpusPost, corpusHcnt, deltaSk, 0.2)
   }
 
   private val skTblLock = new Object
-  /** Get-or-build the persisted sketch table of `dir`'s corpus shard
+  /** Bucket count of the persisted posting layout — matches the local
+    * parallelism like Similarity.hotSlices; a cluster sizes it to its
+    * executor count at index-build time.
+    */
+  private[graft] val skBuckets = 32
+  /** Get-or-build the persisted sketch state of `dir`'s corpus shard
     * (doc_id % 10 ≠ 0 — the registered split). Same persistence
     * contract as Similarity.persistedIvfIndex: deterministic build,
     * session-catalog database, rebuilt per session in in-memory-catalog
     * sessions, kept across jobs in a warehouse deployment.
+    *
+    * r14 layout (VERDICT r13 #7 — serve joins must not re-shuffle
+    * corpus state): THREE tables, the probe-keyed ones bucketed AND
+    * per-bucket sorted (repartition(buckets, h) before the write so
+    * each bucket is ONE file and the sortBy order survives — Spark
+    * only trusts bucket order on single-file buckets):
+    *   - `sk(doc_id, shingles, sketch)` — the wide verify state;
+    *   - `post(doc_id, h)` — exploded postings, bucketBy(h)/sortBy(h);
+    *   - `hcnt(h, cn)` — per-hash distinct-doc counts, same layout.
     */
-  private def persistedCorpusSketch(spark: SparkSession, dir: String): DataFrame = {
+  private def persistedCorpusSketch(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|corpus90|v1".getBytes("UTF-8"))
+      .digest(s"$dir|corpus90|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val db = s"graft_sk_$keyHex"
     skTblLock.synchronized {
       if (!spark.catalog.databaseExists(db) ||
-          !spark.catalog.tableExists(s"$db.sk")) {
+          !spark.catalog.tableExists(s"$db.hcnt")) {
         val loc = java.nio.file.Files.createTempDirectory("graft_sk_tbl")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         sketchTable(Tables.documents(spark, dir)
             .filter(col("doc_id") % 10 =!= 0))
           .write.mode("overwrite").saveAsTable(s"$db.sk")
+        val post = spark.table(s"$db.sk")
+          .select(col("doc_id"), explode(col("sketch")).as("h"))
+          .repartition(skBuckets, col("h"))
+        post.write.mode("overwrite")
+          .bucketBy(skBuckets, "h").sortBy("h").saveAsTable(s"$db.post")
+        spark.table(s"$db.post")
+          .groupBy("h").agg(countDistinct(col("doc_id")).as("cn"))
+          .repartition(skBuckets, col("h"))
+          .write.mode("overwrite")
+          .bucketBy(skBuckets, "h").sortBy("h").saveAsTable(s"$db.hcnt")
       }
     }
-    spark.table(s"$db.sk")
+    (spark.table(s"$db.sk"), spark.table(s"$db.post"),
+      spark.table(s"$db.hcnt"))
   }
 
   /** Exact substring (duplicated-span) detection — the third classic

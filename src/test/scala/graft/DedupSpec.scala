@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 /** Recall/behavior specs for the LLM-pipeline operators on synthetic
@@ -447,6 +448,43 @@ class DedupSpec extends SparkSpec {
     assert(deserialized >= 1 && deserialized <= buckets,
       s"expected ≤ $buckets per-task deserializations, got $deserialized " +
         "(all-buckets-per-task shipping would be buckets × tasks)")
+  }
+
+  test("indexed incremental serve: corpus post/hcnt reach their joins with ZERO exchange") {
+    // first touch builds the persisted three-table layout
+    Dedup.incremental.fn(spark, sfTiny).collect()
+    CacheRegistry.drain()
+    val served = Dedup.incremental.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(served, "corpus sketch state (post/hcnt)", 2) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_sk_")) &&
+          (t.table == "post" || t.table == "hcnt"))
+      case _ => false
+    }
+    served.collect(): Unit
+    CacheRegistry.drain()
+  }
+
+  test("IVF lists and PQ codes reach their probe joins with ZERO exchange") {
+    // the persisted-index serve paths (not a hand-bucketed copy — the
+    // REAL tables persistedIvfIndex/persistedIvfPqIndex read): warm the
+    // get-or-build, then pin that the bucketed lists/codes scans never
+    // cross an exchange before their probe join
+    val ivf = graft.operators.Similarity.annIvfAutoprobe.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(ivf, "IVF inverted lists", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_ivf3_")) && t.table == "lists")
+      case _ => false
+    }
+    ivf.collect(): Unit
+    val pq = graft.operators.Similarity.ivfPqTopK.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(pq, "PQ codes", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_ivfpq3_")) && t.table == "codes")
+      case _ => false
+    }
+    pq.collect(): Unit
+    CacheRegistry.drain()
   }
 
   test("paragraph dedup: duplicated short paragraph excised from ALL docs, order kept") {

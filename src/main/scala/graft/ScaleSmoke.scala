@@ -436,15 +436,23 @@ object ScaleSmoke {
     val header =
       if (prior.nonEmpty) {
         val txt = java.nio.file.Files.readString(path)
+        // Header reads must see ONLY the header block (ADVICE r13): in a
+        // mixed-era artifact whose header predates a field but whose
+        // re-recorded ENTRIES carry it per-entry, a whole-file scan
+        // would promote the first entry's value into the header — the
+        // exact era-misdating the OMIT logic below exists to avoid. The
+        // header ends where the first per-op entry object starts.
+        val headerEnd = txt.indexOf(": {")
+        val headerTxt = if (headerEnd >= 0) txt.substring(0, headerEnd) else txt
         def keep(k: String, fallback: String) =
           ("\"" + k + "\": ?([0-9.]+)").r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse(fallback)
+            .findFirstMatchIn(headerTxt).map(_.group(1)).getOrElse(fallback)
         // cpu_canary_mt_s: OMIT rather than backfill when the prior
         // artifact predates the field (ADVICE r12: the header describes
         // the original full-sweep era — stamping the re-record run's mt
         // canary into it would misdate the old entries' era)
         val mtKept = ("\"cpu_canary_mt_s\": ?([0-9.]+)").r
-          .findFirstMatchIn(txt).map(_.group(1))
+          .findFirstMatchIn(headerTxt).map(_.group(1))
           .map(v => s"""  "cpu_canary_mt_s": $v,\n""").getOrElse("")
         s"""{\n  "amplification": ${keep("amplification", n.toString)},\n  "heap_gb": ${keep("heap_gb", f3(heapGb))},\n  "cpu_canary_s": ${keep("cpu_canary_s", f3(canaryS))},\n$mtKept"""
       } else

@@ -21,6 +21,10 @@ class PlanLintSpec extends SparkSpec {
     // the IVFADC shortlist machinery (centroid-ranking cross) feeding the
     // exact re-rank; the refine joins themselves are keyed broadcasts
     "ann_ivfpq_refine_topk",
+    // composes the three serving plans above (inheriting their allowed
+    // crosses) plus its own 3-kinds × ≤8-queries scaffold cross — both
+    // sides literal-tiny by construction
+    "ann_recall_audit",
     // same ≤8-query broadcast scoring pass as ann_bruteforce_topk, with
     // labels riding the scored side
     "ann_knn_classify",

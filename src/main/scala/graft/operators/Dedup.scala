@@ -873,7 +873,7 @@ object Dedup {
     skTblLock.synchronized {
       if (!spark.catalog.databaseExists(db) ||
           !spark.catalog.tableExists(s"$db.hcnt")) {
-        val loc = java.nio.file.Files.createTempDirectory("graft_sk_tbl")
+        val loc = graft.TempWarehouse.dir("graft_sk_tbl")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         sketchTable(Tables.documents(spark, dir)
             .filter(col("doc_id") % 10 =!= 0))

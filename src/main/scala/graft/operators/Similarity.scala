@@ -602,7 +602,7 @@ object Similarity {
     ivfIdxLock.synchronized {
       if (!spark.catalog.databaseExists(db) ||
           !spark.catalog.tableExists(s"$db.stats")) {
-        val loc = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+        val loc = graft.TempWarehouse.dir("graft_ivf_idx")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         val (cents, lists) = ivfIndex(
           train(Tables.embeddings(spark, dir)), "vec_id", "embedding",
@@ -703,7 +703,7 @@ object Similarity {
     ivfIdxLock.synchronized {
       if (!spark.catalog.databaseExists(db) ||
           !spark.catalog.tableExists(s"$db.stats")) {
-        val loc = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+        val loc = graft.TempWarehouse.dir("graft_ivfpq_idx")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         val emb = train(Tables.embeddings(spark, dir))
         val (_, c1p, assign1) = ivfBuild(emb, "vec_id", "embedding", cells, 1)

@@ -1313,15 +1313,22 @@ object Dedup {
     * its count table.
     */
   private[graft] def substringIncrementalScore(corpusCounts: DataFrame,
-      delta: DataFrame, parts: Int): DataFrame = {
+      delta: DataFrame, parts: Int,
+      corpusHint: String = "SHUFFLE_HASH"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val local = substringGrams(delta).repartition(parts, col("g"))
       .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
     val withDelta = local.withColumn("delta_total",
       sum(col("n_local")).over(Window.partitionBy(col("g"))))
+    // corpusHint: SHUFFLE_HASH for an inline count frame (both sides
+    // exchange once, corpus builds the per-partition map); MERGE when
+    // the counts come from the PERSISTED bucketBy(g)+sortBy(g) table —
+    // sort-merge then streams the corpus buckets with zero exchange
+    // and zero sort while only the delta side aligns (an SHJ would
+    // build corpus-scaled per-task maps for a delta-sized probe)
     val scored = withDelta
       .join(corpusCounts.withColumnRenamed("n", "corpus_n")
-        .hint("SHUFFLE_HASH"), Seq("g"), "left")
+        .hint(corpusHint), Seq("g"), "left")
       .withColumn("n_total",
         coalesce(col("corpus_n"), lit(0L)) + col("delta_total"))
     substringRollup(scored,
@@ -1368,9 +1375,44 @@ object Dedup {
     // build side is corpus-scale, so delta-sized partitions would
     // concentrate corpus grams into too few hash maps
     val parts = substringParts(spark, docs)
+    // r14: the corpus count table is the PERSISTED bucketed state its
+    // own scaladoc always declared (the dedup_incremental three-table
+    // precedent) — built once per corpus, MERGE-probed with zero
+    // corpus-side exchange (spec-pinned in DedupSpec); only the
+    // delta's grams explode and shuffle at serve time
     substringIncrementalScore(
-      substringCountTable(docs.filter(col("doc_id") % 10 =!= 0)),
-      docs.filter(col("doc_id") % 10 === 0), parts)
+      persistedGramCounts(spark, dir),
+      docs.filter(col("doc_id") % 10 === 0), parts, corpusHint = "MERGE")
+  }
+
+  private val gcTblLock = new Object
+  /** Get-or-build the persisted per-gram count table of `dir`'s corpus
+    * shard (doc_id % 10 ≠ 0 — the registered split): `gc(g, n)`
+    * bucketBy([[skBuckets]], g) + sortBy(g), one file per bucket
+    * (repartition before write) so serve-time MERGE joins stream it
+    * with zero exchange and zero sort. Same persistence contract as
+    * [[persistedCorpusSketch]]; a warehouse deployment upserts it per
+    * arriving shard by adding the shard's own counts.
+    */
+  private def persistedGramCounts(spark: SparkSession,
+      dir: String): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|corpus90|gc|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val db = s"graft_gc_$keyHex"
+    gcTblLock.synchronized {
+      if (!spark.catalog.databaseExists(db) ||
+          !spark.catalog.tableExists(s"$db.gc")) {
+        val loc = graft.TempWarehouse.dir("graft_gc_tbl")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        substringCountTable(Tables.documents(spark, dir)
+            .filter(col("doc_id") % 10 =!= 0))
+          .repartition(skBuckets, col("g"))
+          .write.mode("overwrite")
+          .bucketBy(skBuckets, "g").sortBy("g").saveAsTable(s"$db.gc")
+      }
+    }
+    spark.table(s"$db.gc")
   }
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta

@@ -465,6 +465,19 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("substring incremental serve: corpus gram counts reach their join with ZERO exchange") {
+    Dedup.substringIncremental.fn(spark, sfTiny).collect() // build gc
+    CacheRegistry.drain()
+    val served = Dedup.substringIncremental.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(served, "corpus gram-count table (gc)", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_gc_")) && t.table == "gc")
+      case _ => false
+    }
+    served.collect(): Unit
+    CacheRegistry.drain()
+  }
+
   test("IVF lists and PQ codes reach their probe joins with ZERO exchange") {
     // the persisted-index serve paths (not a hand-bucketed copy — the
     // REAL tables persistedIvfIndex/persistedIvfPqIndex read): warm the

@@ -694,25 +694,32 @@ object Dedup {
       .groupBy("h").agg(countDistinct(col("doc_id")).as("n"))
       .filter(col("n").between(2, 64)).select("h")
     val deltaKept = deltaBuckets.join(kept, "h")
-    incrementalVerifyTail(r12Form, corpusSk, dSk, corpusBuckets, deltaKept,
-      jaccardMin)
+    incrementalVerifyTail(r12Form, corpusSk, dSk, Seq(corpusBuckets),
+      deltaKept, jaccardMin)
   }
 
   /** Shared candidate+verify tail of the incremental forms (cross and
     * in-delta candidates, bounded buckets, candidate-pruned verify) —
-    * one copy so [[incrementalPairsFromIndex]] and
+    * one copy so [[incrementalPairsFromIndex]], the upsert serve, and
     * [[incrementalPairsPlan]] cannot drift on the scoring contract.
+    * `corpusBucketFrames` arrive as SEPARATE frames (persisted
+    * bucketed postings; a just-absorbed shard's fresh postings) so
+    * each keeps its own join plan — unioning them first would strip
+    * the persisted side's bucket partitioning and re-shuffle it.
     */
   private def incrementalVerifyTail(r12Form: Boolean, corpusSk: DataFrame,
-      dSk: DataFrame, corpusBuckets: DataFrame, deltaKept: DataFrame,
-      jaccardMin: Double): DataFrame = {
+      dSk: DataFrame, corpusBucketFrames: Seq[DataFrame],
+      deltaKept: DataFrame, jaccardMin: Double): DataFrame = {
     // delta×corpus candidates: keyed equi-join on the sketch hash (a doc
-    // in both frames must not pair with itself)
-    val crossCand = deltaKept.alias("d")
-      .join(corpusBuckets.alias("c"), col("d.h") === col("c.h") &&
-        col("d.doc_id") =!= col("c.doc_id"))
-      .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
-        greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
+    // in both frames must not pair with itself); one branch per corpus
+    // frame, inner equi-join distributes over the union
+    val crossCand = corpusBucketFrames.map { cb =>
+      deltaKept.alias("d")
+        .join(cb.alias("c"), col("d.h") === col("c.h") &&
+          col("d.doc_id") =!= col("c.doc_id"))
+        .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
+          greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
+    }.reduce(_ union _)
     // delta×delta candidates: in-group posting-list expansion, delta
     // only. The bounded collect stays as the buffer guard even though
     // the union cap already pruned the hashes.
@@ -791,7 +798,52 @@ object Dedup {
       .select("h")
     val deltaKept = deltaBuckets.join(kept, "h")
     incrementalVerifyTail(r12Form = false, corpusSk, dSk,
-      corpusPost.hint("MERGE"), deltaKept, jaccardMin)
+      Seq(corpusPost.hint("MERGE")), deltaKept, jaccardMin)
+  }
+
+  /** Upsert-then-serve over the persisted sketch state (the
+    * [[graft.operators.Similarity.ivfIndexUpsert]] lifecycle applied to
+    * the dedup state tables): an absorbed shard's sketches/postings
+    * merge with the persisted base IN-PLAN — no state rebuild — and a
+    * second arriving delta is scored against the MERGED state. The
+    * merge never unions the absorb rows into the persisted frames
+    * before joining (that would strip the base's bucket partitioning):
+    *   - bucket cap: n = delta distinct + base `hcnt.cn` (MERGE, zero
+    *     exchange) + absorb per-h distinct — exact on the contract's
+    *     pairwise-disjoint frames;
+    *   - candidates: one branch against the bucketed base `post`
+    *     (zero exchange) plus one against the absorb's delta-sized
+    *     postings — inner equi-join distributes over the union;
+    *   - verify: the candidate-pruned sliver over base `sk` ∪ absorb.
+    * Output ≡ [[incrementalPairsFromIndex]] over the rebuilt
+    * base ∪ absorb state (the registered op's oracle IS that full
+    * recompute — upserting moves maintenance cost, never answers). A
+    * warehouse deployment compacts the absorbed shard back into the
+    * bucket layout on its maintenance cadence; the serve path is what
+    * this measures, per the upsert-accounting precedent.
+    */
+  def incrementalPairsUpsertServe(corpusSk: DataFrame,
+      corpusPost: DataFrame, corpusHcnt: DataFrame, absorbSk0: DataFrame,
+      deltaSk: DataFrame, jaccardMin: Double): DataFrame = {
+    val absorbSk = graft.CacheRegistry.track(absorbSk0)
+    val aPost = graft.CacheRegistry.track(
+      absorbSk.select(col("doc_id"), explode(col("sketch")).as("h")))
+    val dSk = graft.CacheRegistry.track(deltaSk)
+    val deltaBuckets = graft.CacheRegistry.track(
+      dSk.select(col("doc_id"), explode(col("sketch")).as("h")))
+    val an = aPost.groupBy("h").agg(countDistinct(col("doc_id")).as("an"))
+    val kept = deltaBuckets
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("dn"))
+      .join(corpusHcnt.hint("MERGE"), Seq("h"), "left")
+      .join(an, Seq("h"), "left")
+      .filter((col("dn") + coalesce(col("cn"), lit(0L)) +
+        coalesce(col("an"), lit(0L))).between(2, 64))
+      .select("h")
+    val deltaKept = deltaBuckets.join(kept, "h")
+    incrementalVerifyTail(r12Form = false,
+      corpusSk.select("doc_id", "shingles")
+        .unionByName(absorbSk.select("doc_id", "shingles")),
+      dSk, Seq(corpusPost.hint("MERGE"), aPost), deltaKept, jaccardMin)
   }
 
   /** Registered form: the doc_id % 10 = 0 sliver plays the arriving shard,
@@ -799,8 +851,15 @@ object Dedup {
     * restricted to pairs touching the delta — the equivalence the
     * incremental formulation must (and does) preserve.
     */
-  val incremental: Op = Op(
-    "dedup_incremental",
+  /** The full-recompute oracle both incremental faces share: MinHash
+    * pairs over ALL documents restricted to pairs touching the
+    * doc_id % 10 = 0 delta. [[incremental]] serves it from the
+    * persisted 90% state; [[incrementalUpsert]] from an 80% base that
+    * absorbs the % 10 = 1 shard first — same answer by the
+    * upsert-≡-rebuild contract (moving maintenance cost never changes
+    * answers, the dedup_bloom_bucketed oracle-sharing precedent).
+    */
+  private val incrementalOracleSql: String =
     s"""WITH sh AS ($shinglesSql),
       |sk AS (SELECT doc_id, shingles,
       |         list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS sketch
@@ -820,7 +879,11 @@ object Dedup {
       |          JOIN sk sb ON sb.doc_id = doc_b
       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |    (len(sa.shingles) + len(sb.shingles)
-      |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2""".stripMargin,
+      |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2""".stripMargin
+
+  val incremental: Op = Op(
+    "dedup_incremental",
+    incrementalOracleSql,
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     // The corpus sketch table is PERSISTED get-or-build (r13 — the
@@ -841,6 +904,28 @@ object Dedup {
     val (corpusSk, corpusPost, corpusHcnt) = persistedCorpusSketch(spark, dir)
     val deltaSk = sketchTable(docs.filter(col("doc_id") % 10 === 0))
     incrementalPairsFromIndex(corpusSk, corpusPost, corpusHcnt, deltaSk, 0.2)
+  }
+
+  /** Registered upsert face ([[incrementalPairsUpsertServe]]): the
+    * persisted base state covers doc_id % 10 ∉ {0, 1} (80%), the
+    * % 10 = 1 shard is ABSORBED in-plan (no rebuild), and the % 10 = 0
+    * delta is scored against the merged state. Oracle = the identical
+    * full recompute [[incremental]] gates on — absorbing a shard must
+    * answer exactly like rebuilding the 90% state from scratch, and
+    * the hash gate proves it. Timed cost per the upsert-accounting
+    * precedent (ann_ivf_upsert): the one-time 80% base build lands in
+    * the warmup; runs pay two shard-sized sketch scans + the serve.
+    */
+  val incrementalUpsert: Op = Op(
+    "dedup_incremental_upsert",
+    incrementalOracleSql,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val (baseSk, basePost, baseHcnt) = persistedCorpusSketch(spark, dir,
+      tag = "corpus80", corpusOf = _.filter(col("doc_id") % 10 >= 2))
+    incrementalPairsUpsertServe(baseSk, basePost, baseHcnt,
+      sketchTable(docs.filter(col("doc_id") % 10 === 1)),
+      sketchTable(docs.filter(col("doc_id") % 10 === 0)), 0.2)
   }
 
   private val skTblLock = new Object
@@ -864,10 +949,12 @@ object Dedup {
     *   - `post(doc_id, h)` — exploded postings, bucketBy(h)/sortBy(h);
     *   - `hcnt(h, cn)` — per-hash distinct-doc counts, same layout.
     */
-  private def persistedCorpusSketch(spark: SparkSession, dir: String)
+  private def persistedCorpusSketch(spark: SparkSession, dir: String,
+      tag: String = "corpus90",
+      corpusOf: DataFrame => DataFrame = _.filter(col("doc_id") % 10 =!= 0))
       : (DataFrame, DataFrame, DataFrame) = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|corpus90|v2".getBytes("UTF-8"))
+      .digest(s"$dir|$tag|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val db = s"graft_sk_$keyHex"
     skTblLock.synchronized {
@@ -875,8 +962,7 @@ object Dedup {
           !spark.catalog.tableExists(s"$db.hcnt")) {
         val loc = graft.TempWarehouse.dir("graft_sk_tbl")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        sketchTable(Tables.documents(spark, dir)
-            .filter(col("doc_id") % 10 =!= 0))
+        sketchTable(corpusOf(Tables.documents(spark, dir)))
           .write.mode("overwrite").saveAsTable(s"$db.sk")
         val post = spark.table(s"$db.sk")
           .select(col("doc_id"), explode(col("sketch")).as("h"))
@@ -1772,6 +1858,6 @@ object Dedup {
 
   val ops: Seq[Op] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
-      incremental, substring, substringStrip, substringIncremental,
-      paragraph, bloomNew, bloomNewBucketed)
+      incremental, incrementalUpsert, substring, substringStrip,
+      substringIncremental, paragraph, bloomNew, bloomNewBucketed)
 }

@@ -465,6 +465,23 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("upsert serve: the persisted BASE post/hcnt stay zero-exchange beside the absorb branch") {
+    // the absorb shard's fresh postings join in their own branch; the
+    // persisted base tables must keep the bucketed zero-exchange plan —
+    // unioning absorb into base before the join would strip it
+    Dedup.incrementalUpsert.fn(spark, sfTiny).collect() // build 80% base
+    CacheRegistry.drain()
+    val served = Dedup.incrementalUpsert.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(served, "upsert-base sketch state (post/hcnt)", 2) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_sk_")) &&
+          (t.table == "post" || t.table == "hcnt"))
+      case _ => false
+    }
+    served.collect(): Unit
+    CacheRegistry.drain()
+  }
+
   test("substring incremental serve: corpus gram counts reach their join with ZERO exchange") {
     Dedup.substringIncremental.fn(spark, sfTiny).collect() // build gc
     CacheRegistry.drain()

@@ -483,6 +483,80 @@ object EventStreams {
   def bpeEncodeStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.bpeEncodeProjection(docs)
 
+  /** One exploded paragraph of an arriving document (pos/para None ⇔
+    * the zero-paragraph document — posexplode_outer keeps the row so
+    * every doc rides through, the batch convention).
+    */
+  case class ParaRow(doc_id: Long, pos: Option[Int], para: Option[String],
+      nb: Long, drop: Boolean)
+  case class ParaDedup(doc_id: Long, n_paras: Long, n_removed: Long,
+      text_depara: String)
+
+  /** Streaming face of dedup_paragraph — CCNet-style paragraph
+    * ADMISSION on the ingest path: each arriving document's paragraphs
+    * check against the corpus's persisted paragraph-hash count table
+    * and the document is re-emitted with its already-known-boilerplate
+    * paragraphs excised. Drop rule per paragraph = corpus count +
+    * within-doc multiplicity ≥ 2 — EXACTLY the batch op's corpus-wide
+    * rule over corpus ∪ {doc}, so stream output for a doc ≡
+    * [[graft.operators.Dedup.paragraphDedupFrame]] over corpus ∪ {doc}
+    * restricted to that doc (spec-proven). Arriving docs deliberately
+    * do NOT see each other (admission semantics — the corpus table is
+    * the authority; absorbing admitted paragraphs back into it is the
+    * warehouse upsert cadence, the dedup_incremental_upsert shape).
+    *
+    * Plan: within-doc multiplicity computed IN-ROW before the explode
+    * (a paragraph repeated inside one arriving doc is a dup regardless
+    * of the corpus), one stream-static left join on the hash (the
+    * static side is the warehouse table, bucketBy(h) for exchange-free
+    * probes — the nearDupVerified discipline; never a broadcast: the
+    * corpus hash set is corpus-sized), then per-doc reassembly in
+    * flatMapGroupsWithState — stateless across batches (a doc's
+    * exploded rows land in its own micro-batch), state type Unit-like
+    * and never stored.
+    *
+    * `corpusParaHashes` is [[paragraphHashCounts]]' (h, n) table; only
+    * h is consulted (n ≥ 1 already means an arriving copy makes ≥ 2).
+    */
+  def paragraphDedupStream(withParas: DataFrame,
+      corpusParaHashes: DataFrame, joiner: String): Dataset[ParaDedup] = {
+    val spark = withParas.sparkSession
+    import spark.implicits._
+    val ex = withParas
+      .select(col("doc_id"), size(col("paras")).cast("long").as("nb"),
+        posexplode_outer(expr(
+          "transform(paras, x -> struct(x as para, md5(lower(x)) as h, " +
+            "size(filter(paras, y -> lower(y) = lower(x))) as in_doc))")))
+      .select(col("doc_id"), col("nb"), col("pos"),
+        col("col.para").as("para"), col("col.h").as("h"),
+        col("col.in_doc").as("in_doc"))
+    ex.join(corpusParaHashes.select(col("h").as("c_h")),
+        col("h") === col("c_h"), "left")
+      .select(col("doc_id"), col("pos"), col("para"), col("nb"),
+        (col("c_h").isNotNull || col("in_doc") >= 2).as("drop"))
+      .as[ParaRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Int, ParaDedup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[ParaRow], _: GroupState[Int]) =>
+          val rs = rows.toVector
+          val paras = rs.filter(_.pos.isDefined).sortBy(_.pos.get)
+          Iterator.single(ParaDedup(id,
+            if (paras.isEmpty) 0L else rs.head.nb,
+            paras.count(_.drop),
+            paras.filter(!_.drop).flatMap(_.para).mkString(joiner)))
+      }
+  }
+
+  /** The corpus-side paragraph-hash count table the streaming admission
+    * (and a warehouse maintenance job) reads: (h, n) over a
+    * (doc_id, paras) frame — persist `bucketBy(h)` at scale.
+    */
+  def paragraphHashCounts(withParas: DataFrame): DataFrame =
+    withParas
+      .select(explode(expr("transform(paras, x -> md5(lower(x)))")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+
   /** The verify stage on top of [[nearDupCandidates]]: each streamed
     * candidate pair joins the STATIC persisted shingle/sketch table
     * twice (stream-static joins are stateless — the static side is the

@@ -514,6 +514,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming paragraph admission ≡ batch dedup_paragraph over corpus ∪ {doc}") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, split, coalesce, lit}
+    def withParas(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), "\n").as("paras"))
+    val boiler = "subscribe for updates"
+    val corpus = withParas(Seq(
+      (100L, s"alpha beta\n$boiler"),
+      (101L, "gamma delta\nepsilon"),
+    ).toDF("doc_id", "text"))
+    val counts = CacheRegistry.track(EventStreams.paragraphHashCounts(corpus))
+    val arriving = Seq(
+      (1L, s"$boiler\nfresh paragraph one"),      // corpus dup dropped
+      (2L, "repeated twice\nrepeated twice\nkept"), // in-doc dup dropped
+      (3L, "fresh paragraph one\nall new here"),  // doc 1 must NOT affect doc 3
+      (4L, null: String),                          // empty doc rides through
+    )
+    val input = MemoryStream[(Long, String)]
+    val out = EventStreams.paragraphDedupStream(
+      withParas(input.toDF().toDF("doc_id", "text")), counts, "\n")
+    val q = out.writeStream.format("memory").queryName("para_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arriving.take(2))
+      q.processAllAvailable()
+      input.addData(arriving.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("para_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_paras"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("text_depara"))).toMap
+      // the contract: each doc ≡ the BATCH pass over corpus ∪ {doc},
+      // restricted to the doc (admission — arriving docs don't see
+      // each other: doc 3 repeats doc 1's fresh paragraph and keeps it)
+      arriving.foreach { case (id, text) =>
+        val one = withParas(Seq((id, text)).toDF("doc_id", "text"))
+        val want = graft.operators.Dedup
+          .paragraphDedupFrame(spark, corpus.unionByName(one), "\n")
+          .filter(col("doc_id") === id).collect().map(r =>
+            (r.getAs[Long]("n_paras"), r.getAs[Long]("n_removed"),
+              r.getAs[String]("text_depara"))).head
+        assert(streamed(id) == want, s"doc $id: ${streamed(id)} vs $want")
+      }
+      CacheRegistry.drain()
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals the batch decontaminate op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -423,25 +423,9 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val budget = 512L
     val nShards = 8
-    val enc = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
-      graft.functions.BpeTokenCountFn.bpe_encode_ids(
-        expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
-        TextAnalysis.bpeMerges).as("ids"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = enc
-      .withColumn("tokens", size(col("ids")).cast("long"))
-      .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
-      .select(col("doc_id"), col("shard"), col("tokens"),
-        expr(s"start_tok div $budget").as("pack_id"),
-        pmod(col("start_tok"), lit(budget)).as("pack_offset"),
-        col("ids"))
     val tmp = Sources.scratchDir(
       "graft_shards_" + Integer.toHexString(dir.hashCode))
-    packed.repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    writeTokenShards(Tables.documents(spark, dir), tmp, budget, nShards)
     // the audit reads ONLY what landed on disk — partition column from
     // the directory names (inferred int → restate long), everything
     // else from the row groups; the checksum re-folds the stored ids
@@ -455,6 +439,36 @@ object Pipeline {
           .as("ids_checksum"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
+  }
+
+  /** The export writer behind [[tokenizeShards]], callable at any
+    * target path: full BPE id stream per doc, pack assignment over the
+    * true token counts, hive-partitioned parquet by shard. Split out so
+    * specs can pin the LAYOUT contract on a path they control — a
+    * shard-filtered read must prune to that shard's directory
+    * (PartitionFilters on `shard`), the property that makes per-shard
+    * training-reader jobs touch 1/n of the bytes at 100 TB.
+    */
+  private[graft] def writeTokenShards(docs: DataFrame, path: String,
+      budget: Long, nShards: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = docs.select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+      graft.functions.BpeTokenCountFn.bpe_encode_ids(
+        expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"),
+        TextAnalysis.bpeMerges).as("ids"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enc
+      .withColumn("tokens", size(col("ids")).cast("long"))
+      .withColumn("start_tok", sum(col("tokens")).over(w) - col("tokens"))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        expr(s"start_tok div $budget").as("pack_id"),
+        pmod(col("start_tok"), lit(budget)).as("pack_offset"),
+        col("ids"))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
   /** Context-window chunking — the other batch-assembly shape next to

@@ -158,6 +158,31 @@ class BpeSpec extends SparkSpec {
     assert(got.keySet == (0L until 8L).toSet, got.keySet)
   }
 
+  test("token-shard layout: a shard-filtered read prunes to its directory") {
+    val out = tmpDir()
+    graft.operators.Pipeline.writeTokenShards(
+      Tables.documents(spark, "/root/testdata/sf0.001"), out, 512L, 8)
+    // hive layout on disk: one directory per shard
+    val dirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs == (0 until 8).map(s => s"shard=$s").toSet, dirs)
+    // the property that makes a per-shard training reader touch 1/n of
+    // the bytes: the filter must reach the scan as a PartitionFilter
+    val one = spark.read.parquet(out).filter(col("shard") === 3)
+    val fmt = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(fmt).isDefined,
+      fmt.take(3000))
+    // and the pruned read is complete: exactly the doc_id % 8 == 3 docs
+    val got = one.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val want = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(pmod(col("doc_id"), lit(8L)) === 3)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("registered op: totality on null/empty text, unicode chars count by code point") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, ""), (3L, "  "), (4L, "déjà"))

@@ -253,7 +253,11 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)])
   }
 
   def encode(words: ArrayData): ArrayData = {
-    val out = new java.util.ArrayList[Integer](64)
+    // primitive doubling buffer — this kernel runs per document in the
+    // 100 TB shard export, so no per-token boxing (the countTokens /
+    // encodeHead discipline)
+    var buf = new Array[Int](64)
+    var m = 0
     val n = words.numElements()
     var i = 0
     while (i < n) {
@@ -261,19 +265,23 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)])
         val w = words.getUTF8String(i).toString
         if (w.nonEmpty) {
           val toks = BpeUtil.tokensOf(w, mergesArr)
+          if (m + toks.length > buf.length) {
+            var cap = buf.length * 2
+            while (cap < m + toks.length) cap *= 2
+            buf = java.util.Arrays.copyOf(buf, cap)
+          }
           var j = 0
           while (j < toks.length) {
-            out.add(BpeUtil.tokenId(toks(j), productIdx)): Unit
+            buf(m) = BpeUtil.tokenId(toks(j), productIdx)
+            m += 1
             j += 1
           }
         }
       }
       i += 1
     }
-    val arr = new Array[Int](out.size)
-    var k = 0
-    while (k < arr.length) { arr(k) = out.get(k).intValue; k += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 0, m))
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -1711,10 +1711,16 @@ object Dedup {
     * over the paragraph array (no UDF, no per-row join).
     */
   private[graft] def paragraphDedupFrame(spark: SparkSession,
-      withParas: DataFrame, joiner: String): DataFrame = {
+      withParas: DataFrame, joiner: String,
+      rowEstimate: Option[Long] = None): DataFrame = {
     val d = withParas.withColumn("nb", size(col("paras")).cast("long"))
-    val est = Option(d.agg(sum(col("nb"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // partition sizing: callers pass a CHEAP estimate (text length / ~
+    // chars-per-paragraph, the substringParts discipline) — the
+    // fallback sum(nb) is exact but evaluates the paras construction
+    // corpus-wide just to count it, so it is only the small-frame path
+    val est = rowEstimate.getOrElse(
+      Option(d.agg(sum(col("nb"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
     val parts = graft.api.GraftApi.partitionsFor(spark, est)
     val stream = d.filter(col("nb") > 0)
       .select(col("doc_id"),
@@ -1748,7 +1754,16 @@ object Dedup {
     paragraphDedupFrame(spark,
       docs.select(col("doc_id"),
         split(coalesce(col("text"), lit("")), "\n").as("paras")),
-      "\n")
+      "\n", rowEstimate = Some(paragraphEstimate(docs)))
+
+  /** Cheap paragraph-stream row estimate for partition sizing — one
+    * length() scan, never the paras construction (~60 chars ≈ one
+    * 12-word pseudo-paragraph; a crawl paragraph is the same order).
+    */
+  private def paragraphEstimate(docs: DataFrame): Long =
+    Option(docs.agg(
+        sum((length(coalesce(col("text"), lit(""))) / lit(60)).cast("long")))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** Registered form: 12-word non-overlapping pseudo-paragraphs (the
     * corpus-adapted segmentation — rejoining blocks by space is
@@ -1786,7 +1801,8 @@ object Dedup {
         "cast(array() as array<bigint>)), " +
         "p -> array_join(slice(w, cast(p * 12 + 1 as int), 12), ' '))")
       .as("paras"))
-    paragraphDedupFrame(spark, withParas, " ")
+    paragraphDedupFrame(spark, withParas, " ",
+      rowEstimate = Some(paragraphEstimate(Tables.documents(spark, dir))))
   }
 
   /** Registered multi-block form: m=6, d=3 — C(6,3)=20 combination keys

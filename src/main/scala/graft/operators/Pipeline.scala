@@ -420,7 +420,6 @@ object Pipeline {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM cum GROUP BY shard""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val budget = 512L
     val nShards = 8
     val tmp = Sources.scratchDir(

@@ -1662,9 +1662,12 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("cand_id"),
           (vec_dot(col("q_emb"), col("embedding")) /
             (col("q_nrm") * col("nrm"))).as("cosine"))
-      val exact = graft.api.GraftApi
+      // tracked: the hits join AND the scaffold's distinct q_id read
+      // both consume it — untracked, the corpus-wide exact scan (the
+      // audit's dominant cost) would run twice
+      val exact = graft.CacheRegistry.track(graft.api.GraftApi
         .topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
-        .select("q_id", "cand_id")
+        .select("q_id", "cand_id"))
       val apx =
         annIvfAutoprobe.fn(spark, dir)
           .select(lit("ivf").as("index_kind"), col("q_id"), col("cand_id"))

@@ -522,18 +522,27 @@ object EventStreams {
       corpusParaHashes: DataFrame, joiner: String): Dataset[ParaDedup] = {
     val spark = withParas.sparkSession
     import spark.implicits._
+    // within-doc multiplicity without the O(n_paras²) rescan a naive
+    // filter-per-paragraph pays: sort the hashes once, keep the values
+    // with a sorted-adjacent twin (the duplicated-hash set — sized by
+    // the doc's actual dup mass, typically tiny), and flag each
+    // paragraph by membership
     val ex = withParas
+      .withColumn("hs", expr("transform(paras, x -> md5(lower(x)))"))
+      .withColumn("sh", expr("array_sort(hs)"))
+      .withColumn("dups", expr(
+        "array_distinct(filter(sh, (x, i) -> i > 0 AND sh[i - 1] = x))"))
       .select(col("doc_id"), size(col("paras")).cast("long").as("nb"),
         posexplode_outer(expr(
-          "transform(paras, x -> struct(x as para, md5(lower(x)) as h, " +
-            "size(filter(paras, y -> lower(y) = lower(x))) as in_doc))")))
+          "transform(paras, (x, i) -> struct(x as para, hs[i] as h, " +
+            "array_contains(dups, hs[i]) as in_doc_dup))")))
       .select(col("doc_id"), col("nb"), col("pos"),
         col("col.para").as("para"), col("col.h").as("h"),
-        col("col.in_doc").as("in_doc"))
+        col("col.in_doc_dup").as("in_doc_dup"))
     ex.join(corpusParaHashes.select(col("h").as("c_h")),
         col("h") === col("c_h"), "left")
       .select(col("doc_id"), col("pos"), col("para"), col("nb"),
-        (col("c_h").isNotNull || col("in_doc") >= 2).as("drop"))
+        (col("c_h").isNotNull || col("in_doc_dup")).as("drop"))
       .as[ParaRow]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[Int, ParaDedup](

@@ -303,6 +303,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)), got)
   }
 
+  test("recall audit: exact counts on the crafted corpus, per-method invariants") {
+    val out = Dedup.recallAuditFrom(spark.read.parquet(s"$docsDir/documents.parquet"))
+      .collect().map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("truth_pairs"), r.getAs[Long]("hits"),
+          r.getAs[Long]("found_pairs")))).toMap
+    CacheRegistry.drain()
+    assert(out.keySet == Set("minhash_lsh", "ngram_sampled", "simhash_pairs"))
+    // truth on the 4-doc corpus: (0,1) one-token near-dup, (0,3) exact
+    // dup, (1,3) — doc 2 shares nothing
+    out.values.foreach { case (t, h, f) =>
+      assert(t == 3L && h <= t && h <= f, out) }
+    assert(out("minhash_lsh") == ((3L, 3L, 3L)), out)
+    // sampled candidates ⊆ unsampled candidates (the coin samples GRAMS,
+    // postings ride whole): the sampled arm may miss truth pairs but can
+    // never report a pair outside the truth set — precision 1 by
+    // construction, so hits == found on any corpus
+    val (_, ngH, ngF) = out("ngram_sampled")
+    assert(ngH == ngF, out)
+  }
+
   test("incremental hot bucket: degenerate delta-delta bucket dropped, cross pair kept") {
     val nearDup = base.replace("fast", "quick")
     val hot = "templated boilerplate page repeated across the whole mirror crawl " +

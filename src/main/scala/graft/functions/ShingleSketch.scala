@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused word-shingle → MD5 → bottom-k sketch kernel.
+  *
+  * The composed minhash sketch path builds, per document: a `split`
+  * words array, a `transform`+`concat_ws` shingle-string array, an
+  * `array_distinct` hash set, and then one 32-char hex String PER
+  * SHINGLE inside md5_bottom_k — four materializations and ~words
+  * allocations to keep eight digests. This kernel exploits that a
+  * w-word shingle joined by single spaces over words split on single
+  * spaces is EXACTLY the byte slice of the original text from the
+  * first word's start to the last word's end (split/rejoin on the
+  * same separator is the identity on the covered span, empty words
+  * included). So the sketch needs no intermediate strings at all:
+  * one scan finds space positions, each window hashes as an
+  * (offset, length) range of the text's UTF-8 bytes — safe because
+  * 0x20 never occurs inside a multi-byte UTF-8 sequence — and a
+  * bounded k-slot insertion keeps the smallest digests as raw 16-byte
+  * arrays (unsigned byte order ≡ lowercase-hex lexicographic order),
+  * hex-encoding only the ≤ k winners.
+  *
+  * Semantics are pinned to the composed form (ShingleSketchSpec):
+  * `md5_bottom_k(array_distinct(shingles), k)` over
+  * `transform(sequence(...), i -> concat_ws(' ', words[i..i+n-1]))`,
+  * with an EMPTY array for documents of fewer than n words — a doc of
+  * ≥ n words always has ≥ 1 shingle, so the `size(words) >= n`
+  * participation filter folds into `size(sketch) > 0`.
+  * array_distinct's dedup is reproduced by digest
+  * equality during insertion (distinct shingle strings collide only
+  * if MD5 collides — and then the composed form's sketch would carry
+  * the duplicate VALUE anyway, so downstream bucket keys agree).
+  *
+  * Reference behavior anchor: the reference indexes collections once
+  * and serves queries from the precomputed structure
+  * (/root/reference/src/main/scala/ivm/optimization/Optimization.scala:31);
+  * this kernel is the build-side cost of that structure at corpus scale.
+  */
+object ShingleSketchUtil {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX: Array[Byte] = "0123456789abcdef".getBytes
+
+  /** Unsigned lexicographic compare of two 16-byte digests. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  /** The k smallest distinct MD5 digests of the n-word shingles of
+    * `s`, ascending, as lowercase hex; empty if `s` has < n words.
+    */
+  def sketch(s: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val md = tl.get()
+    val scratch = new Array[Byte](16)
+    val keep = new Array[Array[Byte]](k)
+    var cnt = 0
+    val starts = new Array[Int](n)
+    var wordIdx = 0
+    var wordStart = 0
+    var pos = 0
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' ') {
+        starts(wordIdx % n) = wordStart
+        if (wordIdx >= n - 1) {
+          val from = starts((wordIdx - n + 1) % n)
+          md.reset()
+          md.update(bytes, from, pos - from)
+          md.digest(scratch, 0, 16)
+          // bounded insertion with dedup; fast-reject on the k-th
+          if (cnt < k || cmp(scratch, keep(cnt - 1)) < 0) {
+            val last = if (cnt < k) cnt else k - 1
+            var p = last
+            while (p > 0 && cmp(keep(p - 1), scratch) > 0) p -= 1
+            val dup = p > 0 && cmp(keep(p - 1), scratch) == 0
+            if (!dup) {
+              val evicted =
+                if (keep(last) == null) new Array[Byte](16) else keep(last)
+              var q = last
+              while (q > p) { keep(q) = keep(q - 1); q -= 1 }
+              System.arraycopy(scratch, 0, evicted, 0, 16)
+              keep(p) = evicted
+              if (cnt < k) cnt += 1
+            }
+          }
+        }
+        wordIdx += 1
+        wordStart = pos + 1
+      }
+      pos += 1
+    }
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      val hex = new Array[Byte](32)
+      val d = keep(i)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HEX((d(j) >> 4) & 0xF)
+        hex(2 * j + 1) = HEX(d(j) & 0xF)
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** shingle_md5_bottom_k(text, n, k) → the bottom-k MD5 sketch of the
+  * text's n-word shingles (see [[ShingleSketchUtil.sketch]]); empty
+  * for < n words, null only for null text.
+  */
+case class ShingleMd5BottomK(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"shingle_md5_bottom_k: n=$n out of range [1, 64]")
+  require(k >= 1 && k <= 1024, s"shingle_md5_bottom_k: k=$k out of range [1, 1024]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5_bottom_k"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_md5_bottom_k expects string, got ${other.simpleString}")
+    }
+
+  def sketchOf(s: UTF8String): GenericArrayData = ShingleSketchUtil.sketch(s, n, k)
+
+  override protected def nullSafeEval(input: Any): Any =
+    sketchOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSketch", this)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.sketchOf($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5BottomK =
+    copy(child = newChild)
+}
+
+object ShingleSketch {
+  def shingle_md5_bottom_k(c: Column, n: Int, k: Int): Column =
+    Shim.column(ShingleMd5BottomK(Shim.expression(c), n, k))
+}

@@ -328,7 +328,22 @@ object Dedup {
     * `jaccardMin`.
     */
   def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
-    minhashPairsPlan(withShingles, sketchCol)(docs, jaccardMin)
+    minhashPairsPlanFused(fusedSketchFrame, withShingles)(docs, jaccardMin)
+
+  /** The corpus-wide (doc_id, sketch) pass as ONE fused kernel
+    * ([[graft.functions.ShingleMd5BottomK]]): no words array, no
+    * shingle-string array, no per-shingle hex String — each 5-gram
+    * hashes as a byte slice of the text. ≡ the composed
+    * `withShingles → md5_bottom_k` form (ShingleSketchSpec pins it on
+    * crafted + random texts; minhash_ab_r14.jsonl adjudicates the
+    * swap hash-identically). The `size(sketch) > 0` filter is the old
+    * `size(words) >= 5` participation gate (a ≥5-word doc always has
+    * ≥1 shingle).
+    */
+  private[graft] val fusedSketchFrame: DataFrame => DataFrame = docs =>
+    docs.select(col("doc_id"), graft.functions.ShingleSketch
+        .shingle_md5_bottom_k(col("text"), 5, 8).as("sketch"))
+      .filter(size(col("sketch")) > 0)
 
   /** The bottom-8 minhash sketch over the `shingles` column — bounded
     * one-pass selection ([[graft.functions.Md5BottomK]]), ≡ the
@@ -356,11 +371,27 @@ object Dedup {
         minhashPairsPlan(withShingles, sliceSketch)(d, 0.2)),
       "mh_bottomk" -> ((_: SparkSession, d: DataFrame) =>
         minhashPairsPlan(withShingles, sketchCol)(d, 0.2)),
+      "mh_fused" -> ((_: SparkSession, d: DataFrame) =>
+        minhashPairsPlanFused(fusedSketchFrame, withShingles)(d, 0.2)),
     )
   }
 
   private[graft] def minhashPairsPlan(shingleBuilder: DataFrame => DataFrame,
-      sketch: Column)(docs: DataFrame, jaccardMin: Double): DataFrame = {
+      sketch: Column)(docs: DataFrame, jaccardMin: Double): DataFrame =
+    minhashPairsPlanFused(
+      d => shingleBuilder(d).withColumn("sketch", sketch)
+        .select("doc_id", "sketch"),
+      shingleBuilder)(docs, jaccardMin)
+
+  /** The pairs plan over an arbitrary corpus-wide sketch pass
+    * (`sketchFrame`: docs → (doc_id, sketch)) and a shingle builder
+    * for the verify sliver. The registered op uses the fused kernel
+    * for the former; the A/B forms reproduce the composed passes.
+    */
+  private[graft] def minhashPairsPlanFused(
+      sketchFrame: DataFrame => DataFrame,
+      shingleBuilder: DataFrame => DataFrame)(
+      docs: DataFrame, jaccardMin: Double): DataFrame = {
     // persist ONLY the sketch sliver (doc_id, 8 md5s — ~300 B/doc), not
     // the shingle arrays: the signature table every dedup pipeline keeps
     // (the reference's addIndex precomputation, Optimization.scala:31)
@@ -371,10 +402,7 @@ object Dedup {
     // runs with zero reported spill and a 22-41 s straggler task — the
     // signature of borderline LRU eviction serializing/deserializing
     // wide array blocks mid-query. The sketch sliver always fits.
-    val sk = graft.CacheRegistry.track(
-      shingleBuilder(docs)
-        .withColumn("sketch", sketch)
-        .select("doc_id", "sketch"))
+    val sk = graft.CacheRegistry.track(sketchFrame(docs))
     // Candidates via one-shuffle posting lists (see ngramJaccard): group
     // doc ids per sketch hash, expand pairs in-group. Bucket sizes here
     // are near-dup cluster sizes (max 4 at sf0.1); a corpus with

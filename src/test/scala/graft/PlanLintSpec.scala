@@ -25,6 +25,10 @@ class PlanLintSpec extends SparkSpec {
     // crosses) plus its own 3-kinds × ≤8-queries scaffold cross — both
     // sides literal-tiny by construction
     "ann_recall_audit",
+    // same scaffold shape as ann_recall_audit: a 3-method literal frame
+    // crossed with the one-row truth_pairs aggregate — both sides
+    // literal-tiny; the member pair plans underneath are all keyed
+    "dedup_recall_audit",
     // same ≤8-query broadcast scoring pass as ann_bruteforce_topk, with
     // labels riding the scored side
     "ann_knn_classify",

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The capstone composition: a training-data curation pass that chains
@@ -30,8 +30,12 @@ object Pipeline {
       |WHERE c.cluster = d.doc_id      -- cluster representative (canonical doc)
       |  AND q.tokens >= 10            -- quality gates
       |  AND q.punct_ratio < 0.2""".stripMargin,
-  ) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
+  ) { (spark, dir) => curateFrom(Tables.documents(spark, dir)) }
+
+  /** The curate plan over any (doc_id, lang, text) frame — the Op binds
+    * the documents table; [[curateForms]] and specs feed frames directly.
+    */
+  private[graft] def curateFrom(docs: DataFrame): DataFrame = {
     // A doc is dropped iff it sits in the near-dup graph AND lost its
     // cluster's min-id election. That drop list is dup-rate-proportional:
     // a sliver on a clean corpus, but potentially billions of rows on a
@@ -40,7 +44,7 @@ object Pipeline {
     // shuffled anti-join above; see GraftApi.adaptiveBroadcast). The full
     // doc_id→cluster map (corpus-sized!) is never materialized. Quality
     // features are computed in the same scan's project, no self-join.
-    val pairs = Dedup.minhashLsh.fn(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, 0.2)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val dropped = graft.api.GraftApi.adaptiveBroadcast(
       Graph.componentLabels(pairs)
@@ -640,6 +644,36 @@ object Pipeline {
       .withColumn("enum_rank", (local - 1).cast("long") * s + col("shard"))
       .select(col(idCol), col(domainCol), col("enum_rank"),
         ((col("enum_rank") * 2 + 1).cast("double") / (w * 2)).as("vtime"))
+  }
+
+  /** Stage-isolating forms for [[graft.PipelineAB]] — pipeline_curate is
+    * the largest headline entry, and "which stage owns it" should be a
+    * measured number, not an attribution. `cur_full` is the registered
+    * plan; the others run one stage each over the same corpus:
+    * `cur_pairs` the near-dup pair generator, `cur_dropped` pairs +
+    * components + the losers sliver, `cur_quality` the quality-feature
+    * scan with no dedup join at all.
+    */
+  private[graft] val curateForms
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = {
+    def quality(docs: DataFrame): DataFrame = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tokens"),
+        (size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+      .filter(col("tokens") >= 10 && col("punct_ratio") < 0.2)
+    Seq(
+      "cur_full" -> ((_: SparkSession, d: DataFrame) => curateFrom(d)),
+      "cur_pairs" -> ((_: SparkSession, d: DataFrame) =>
+        Dedup.minhashPairs(d, 0.2)),
+      "cur_dropped" -> ((_: SparkSession, d: DataFrame) =>
+        Graph.componentLabels(Dedup.minhashPairs(d, 0.2)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .filter(col("cluster") =!= col("id"))
+          .select(col("id").as("dropped_id"))),
+      "cur_quality" -> ((_: SparkSession, d: DataFrame) => quality(d)),
+    )
   }
 
   val ops: Seq[Op] =

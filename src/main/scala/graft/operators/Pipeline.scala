@@ -646,6 +646,42 @@ object Pipeline {
         ((col("enum_rank") * 2 + 1).cast("double") / (w * 2)).as("vtime"))
   }
 
+  /** Dataset-card statistics: the per-(lang, source) summary block a
+    * published training set ships with — document counts, token/char
+    * volumes, empty-doc counts, and mean document length. One scan with
+    * map-side partial aggregation into a |lang × source|-row result, so
+    * at 100 TB it costs one pass and a sliver-sized shuffle. Counts and
+    * sums are integer-exact; the one double division (mean) is a single
+    * IEEE op on exact integers, engine-bit-identical.
+    */
+  val datasetCard: Op = Op(
+    "pipeline_dataset_card",
+    """SELECT lang, source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(is_empty) AS BIGINT) AS n_empty,
+      |  CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+      |FROM (SELECT lang, source, n_chars,
+      |        len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS tokens,
+      |        CASE WHEN coalesce(text, '') = '' THEN 1 ELSE 0 END AS is_empty
+      |      FROM documents)
+      |GROUP BY lang, source""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"))
+          .as("tokens"),
+        when(coalesce(col("text"), lit("")) === "", 1L).otherwise(0L)
+          .as("is_empty"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("tokens").cast("long").as("total_tokens"),
+        sum("n_chars").cast("long").as("total_chars"),
+        sum("is_empty").cast("long").as("n_empty"),
+        (sum("tokens").cast("double") / count(lit(1))).as("mean_tokens"))
+  }
+
   /** Stage-isolating forms for [[graft.PipelineAB]] — pipeline_curate is
     * the largest headline entry, and "which stage owns it" should be a
     * measured number, not an attribution. `cur_full` is the registered
@@ -678,5 +714,5 @@ object Pipeline {
 
   val ops: Seq[Op] =
     Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences,
-      shardManifest, tokenizeShards, chunk, split, interleave)
+      shardManifest, tokenizeShards, chunk, split, interleave, datasetCard)
 }

@@ -86,12 +86,14 @@ object Similarity {
     * hyperplanes; axis-aligned keeps the oracle engine-portable while
     * exercising the identical plan shape).
     */
-  private val sketchExpr =
-    "array_join(transform(slice(embedding, 1, 8)," +
+  private def sketchExprAt(off: Int) =
+    s"array_join(transform(slice(embedding, $off, 8)," +
       " x -> case when cast(x as double) >= 0.0d then '1' else '0' end), '')"
-  private val sketchSql =
-    "array_to_string(list_transform(embedding[1:8]," +
+  private def sketchSqlAt(off: Int) =
+    s"array_to_string(list_transform(embedding[$off:${off + 7}]," +
       " x -> CASE WHEN CAST(x AS DOUBLE) >= 0.0 THEN '1' ELSE '0' END), '')"
+  private val sketchExpr = sketchExprAt(1)
+  private val sketchSql = sketchSqlAt(1)
 
   /** Embedding near-dup pairs: bucket by sign sketch (equi-join), verify
     * cosine ≥ τ inside buckets only.
@@ -137,6 +139,75 @@ object Similarity {
       .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"),
         (dot / (col("nrm") * col("b_nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.2)
+  }
+
+  /** Distributed kNN SELF-JOIN: top-k nearest neighbors for EVERY corpus
+    * vector — the batch face of ANN serving (ann_bruteforce_topk answers
+    * 8 queries; a diversification / clustering / SemDeDup-style pipeline
+    * needs the neighbor list of all N). All-pairs is O(N²) and never
+    * ships at 100 TB, so candidates come from TWO independent LSH bands
+    * (sign sketches of dims 1–8 and 9–16 — the OR-construction: a
+    * neighbor is found if it agrees on EITHER band), each band a keyed
+    * self-join over buckets bounded by the family's 2–64 cap (degenerate
+    * mass-duplicate buckets discriminate nothing and are dropped, the
+    * dedup_embedding_cosine contract). Band pair sets union, dedup, and
+    * rank through the bounded-heap TopKPerKeyExec — no per-vector sort.
+    * A vector whose both bands are degenerate emits no neighbors
+    * (declared; the recall-audit discipline measures the price). Scale
+    * shape: both band joins are keyed equi-joins with broadcast kept-
+    * bucket pruning on BOTH sides, candidate volume is ≤ cap² per
+    * bucket, and the final ranking is one exchange on vec_id.
+    *
+    * Reference behavior anchor: the reference's typed-index lookup
+    * serving every query from one precomputed structure
+    * (/root/reference/src/main/scala/ivm/tests/TypeIndexTest.scala) —
+    * here the structure is the pair of band bucket maps.
+    */
+  val annKnnJoinTopK: Op = {
+    def bandSql(sk: String): String =
+      s"""SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.embedding)),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |      (acc, p) -> acc + p) / (a.nrm * b.nrm) AS cosine
+        |  FROM v a JOIN v b ON a.$sk = b.$sk AND a.vec_id <> b.vec_id
+        |  WHERE a.$sk IN (SELECT $sk FROM v GROUP BY $sk
+        |                  HAVING COUNT(*) BETWEEN 2 AND 64)""".stripMargin
+    Op(
+      "ann_knn_join_topk",
+      s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm,
+        |             ${sketchSqlAt(1)} AS sk1, ${sketchSqlAt(9)} AS sk2
+        |           FROM embeddings) WHERE nrm > 0),
+        |cand AS (SELECT DISTINCT vec_id, nbr_id, cosine FROM (
+        |  ${bandSql("sk1")}
+        |  UNION ALL
+        |  ${bandSql("sk2")}))
+        |SELECT vec_id, nbr_id, cosine FROM (
+        |  SELECT vec_id, nbr_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rn
+        |  FROM cand) WHERE rn <= 3""".stripMargin,
+    ) { (spark, dir) =>
+      val v = graft.CacheRegistry.track(normed(Tables.embeddings(spark, dir))
+        .withColumn("sk1", expr(sketchExprAt(1)))
+        .withColumn("sk2", expr(sketchExprAt(9))))
+      def bandPairs(sk: String): DataFrame = {
+        val small = v.groupBy(sk).agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, 64)).select(sk)
+        // kept-bucket pruning on BOTH sides before the shuffle (the
+        // dedup_embedding_cosine discipline — a dropped hot bucket's
+        // members must not concentrate onto one reducer for nothing)
+        val a = v.join(broadcast(small), sk)
+        val b = a.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm"), col(sk).as("b_sk"))
+        a.join(b, col(sk) === col("b_sk") && col("vec_id") =!= col("b_id"))
+          .select(col("vec_id"), col("b_id").as("nbr_id"),
+            (vec_dot(col("embedding"), col("b_emb")) /
+              (col("nrm") * col("b_nrm"))).as("cosine"))
+      }
+      val cand = bandPairs("sk1").unionByName(bandPairs("sk2")).distinct()
+      graft.api.GraftApi.topKPerKey(cand, "vec_id", "cosine", "nbr_id", k = 3)
+        .select("vec_id", "nbr_id", "cosine")
+    }
   }
 
   /** Multi-signal near-dup evidence — the provenance table a curation
@@ -1826,7 +1897,8 @@ object Similarity {
   }
 
   val ops: Seq[Op] =
-    Seq(annBruteForceTopK, dedupEmbeddingCosine, dedupMultiSignal, annLshTopK,
+    Seq(annBruteForceTopK, dedupEmbeddingCosine, annKnnJoinTopK,
+      dedupMultiSignal, annLshTopK,
       annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annIvfUpsert,
       annRandomHyperplaneTopK,
       embedQuantize, pqCodes, pqSearch, ivfPqTopK, annIvfPqUpsert,

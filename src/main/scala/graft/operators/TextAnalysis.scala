@@ -518,7 +518,39 @@ object TextAnalysis {
           && col("n_stop_hits") >= 2, 1L).otherwise(0L))
   }
 
+  /** Type-token ratio (lexical diversity — the Gopher-family signal the
+    * repetition rule doesn't cover: a doc can repeat NO n-gram yet cycle
+    * a tiny vocabulary): distinct words / words, case-folded, over the
+    * house single-space split with empties dropped. Exact rational
+    * (one int/int double division — engine-bit-identical); short/empty
+    * docs emit 0 tokens and ratio 0 under the null-gate convention.
+    * Pure per-row array HOFs: one codegen'd scan, zero shuffle, so at
+    * 100 TB this runs embarrassingly parallel over splits.
+    */
+  val ttr: Op = Op(
+    "text_ttr",
+    """SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS tokens,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS types,
+      |  CASE WHEN len(w) > 0
+      |    THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |    ELSE 0.0 END AS ttr
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS w
+      |      FROM documents)""".stripMargin,
+  ) { (spark, dir) =>
+    val w = expr("filter(split(lower(coalesce(text, '')), ' '), x -> x != '')")
+    Tables.documents(spark, dir)
+      .withColumn("w", w)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("tokens"),
+        size(array_distinct(col("w"))).cast("long").as("types"),
+        when(size(col("w")) > 0,
+          size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .otherwise(0.0).as("ttr"))
+  }
+
   val ops: Seq[Op] =
     Seq(tokenCount, bpeTokenCount, bpeEncode, quality, langId, fingerprint,
-      normalize, repetition, piiRedact, idfRarity, gopherQuality)
+      normalize, repetition, piiRedact, idfRarity, gopherQuality, ttr)
 }

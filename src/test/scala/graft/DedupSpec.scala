@@ -703,6 +703,56 @@ class DedupSpec extends SparkSpec {
     assert(top.getAs[Double]("cosine") > 0.999)
   }
 
+  test("knn join: mutual top neighbors for the near pair, nothing for the singleton") {
+    // vecsDir: 0 and 1 near-identical (same sign sketches on both
+    // bands), 2 sign-disjoint from both on both bands → bucket {0,1}
+    // pairs, {2} is a singleton (below the BETWEEN 2 AND 64 floor) and
+    // emits no neighbors — the declared both-bands-degenerate contract
+    val rows = Similarity.annKnnJoinTopK.fn(spark, vecsDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cosine")))
+    CacheRegistry.drain()
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (1L, 0L)),
+      rows.mkString(", "))
+    rows.foreach(t => assert(t._3 > 0.999, t))
+  }
+
+  test("knn join: 80-member degenerate bucket drops, disjoint near pair survives") {
+    import spark.implicits._
+    val dim = 16
+    val base = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val neg = base.map(x => -x)
+    val negNear = neg.clone(); negNear(0) = neg(0) + 0.01f
+    val hot = (10L until 90L).map(id => (id, base.toSeq, 0))
+    val df = (hot :+ ((0L, neg.toSeq, 1)) :+ ((1L, negNear.toSeq, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = tmpDir(); writeTable(dir, "embeddings", df)
+    val rows = Similarity.annKnnJoinTopK.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    CacheRegistry.drain()
+    // the 80 identical vectors share both band buckets → over the 64
+    // cap → dropped; the sign-flipped near pair lives in its own kept
+    // bucket and is all that survives
+    assert(rows.toSet == Set((0L, 1L), (1L, 0L)), rows.mkString(", "))
+  }
+
+  test("knn join: at most k=3 neighbors per vector, no self, cosine bounded (sf0.001)") {
+    val rows = Similarity.annKnnJoinTopK.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cosine")))
+    CacheRegistry.drain()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, ns) =>
+      assert(ns.length <= 3, s"vec $id has ${ns.length} neighbors")
+      assert(ns.map(_._2).distinct.length == ns.length, s"vec $id dup nbrs")
+    }
+    rows.foreach { case (id, nbr, cos) =>
+      assert(nbr != id, s"self neighbor at $id")
+      assert(cos >= -1.0001 && cos <= 1.0001, s"cosine $cos at ($id,$nbr)")
+    }
+  }
+
   test("embedding near-dup pairs include (0,1) with cosine ~1") {
     val pairs = Similarity.dedupEmbeddingCosine.fn(spark, vecsDir).collect()
       .map(r => ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")),

@@ -51,6 +51,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(real.length == 2, real.mkString(";"))
   }
 
+  test("ttr: exact ratios on crafted docs, degenerate docs score zero") {
+    val got = TextAnalysis.ttr.fn(spark, weirdDocsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("types"), r.getAs[Double]("ttr")))
+      .toMap
+    assert(got.size == 5)
+    assert(got(0L) == (0L, 0L, 0.0))          // empty text
+    assert(got(4L) == (0L, 0L, 0.0))          // whitespace only
+    assert(got(1L) == (1L, 1L, 1.0))          // single token
+    assert(got(3L) == (5L, 5L, 1.0))          // all distinct
+    // and a repeating doc: "two words" → 2/2; check a crafted cycler
+    import spark.implicits._
+    val dir = tmpDir()
+    writeTable(dir, "documents", Seq(
+      (0L, "go Go GO go stop", "en", "s", 16L), // case folds: 2 types / 5
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextAnalysis.ttr.fn(spark, dir).head()
+    assert(r.getAs[Long]("tokens") == 5L && r.getAs[Long]("types") == 2L)
+    assert(r.getAs[Double]("ttr") == 0.4)
+  }
+
+  test("dataset card: exact per-(lang, source) volumes on a crafted corpus") {
+    import spark.implicits._
+    val dir = tmpDir()
+    writeTable(dir, "documents", Seq(
+      (0L, "a b c", "en", "s1", 5L),
+      (1L, "", "en", "s1", 0L),
+      (2L, "x y", "de", "s1", 3L),
+      (3L, "hello world again", "en", "s2", 17L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Pipeline.datasetCard.fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("total_chars"), r.getAs[Long]("n_empty"),
+          r.getAs[Double]("mean_tokens"))).toMap
+    assert(got.size == 3)
+    assert(got(("en", "s1")) == (2L, 3L, 5L, 1L, 1.5))
+    assert(got(("de", "s1")) == (1L, 2L, 3L, 0L, 2.0))
+    assert(got(("en", "s2")) == (1L, 3L, 17L, 0L, 3.0))
+  }
+
   test("repetition scoring: fractions bounded, short docs score zero") {
     val rep = TextAnalysis.repetition.fn(spark, weirdDocsDir).collect()
     assert(rep.length == 5)

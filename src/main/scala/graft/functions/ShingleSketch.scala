@@ -125,6 +125,117 @@ object ShingleSketchUtil {
   }
 }
 
+object ShingleGramsUtil {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX: Array[Byte] = "0123456789abcdef".getBytes
+
+  /** The DISTINCT MD5 digests (lowercase hex, ascending) of the n-word
+    * shingles of `s` whose first hex nibble ≡ 0 (mod `mod`) — the
+    * content-stable gram sampling coin applied INSIDE the scan, before
+    * anything materializes. mod=1 keeps every gram. Empty for < n
+    * words. Same byte-slice window walk as [[ShingleSketchUtil]];
+    * distinctness by digest (≡ array_distinct on gram strings modulo
+    * MD5 collisions — and a collision would merge the same posting
+    * lists in the composed form's md5-keyed consumers anyway).
+    */
+  def grams(s: UTF8String, n: Int, mod: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val md = tl.get()
+    val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val starts = new Array[Int](n)
+    var wordIdx = 0
+    var wordStart = 0
+    var pos = 0
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' ') {
+        starts(wordIdx % n) = wordStart
+        if (wordIdx >= n - 1) {
+          val from = starts((wordIdx - n + 1) % n)
+          md.reset()
+          md.update(bytes, from, pos - from)
+          val d = md.digest()
+          if (((d(0) >> 4) & 0xF) % mod == 0) buf += d
+        }
+        wordIdx += 1
+        wordStart = pos + 1
+      }
+      pos += 1
+    }
+    if (buf.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        while (i < 16) {
+          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        0
+      }
+    })
+    val out = new scala.collection.mutable.ArrayBuffer[Any](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      if (i == 0 || !java.util.Arrays.equals(arr(i), arr(i - 1))) {
+        val hex = new Array[Byte](32)
+        val d = arr(i)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = HEX((d(j) >> 4) & 0xF)
+          hex(2 * j + 1) = HEX(d(j) & 0xF)
+          j += 1
+        }
+        out += UTF8String.fromBytes(hex)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** shingle_md5_grams(text, n, mod) → the distinct sampled gram digests
+  * of [[ShingleGramsUtil.grams]]; empty for < n words, null only for
+  * null text. The posting-stream face of the fused shingle family:
+  * consumers that only ever KEY on grams (LSH posting lists, df caps)
+  * bucket by the digest instead of the gram string — the pair sets are
+  * identical (digest equality ≡ gram equality modulo MD5 collision)
+  * while the words/gram/distinct array materializations disappear.
+  */
+case class ShingleMd5Grams(child: Expression, n: Int, mod: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"shingle_md5_grams: n=$n out of range [1, 64]")
+  require(mod >= 1 && mod <= 16, s"shingle_md5_grams: mod=$mod out of range [1, 16]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_md5_grams expects string, got ${other.simpleString}")
+    }
+
+  def gramsOf(s: UTF8String): GenericArrayData = ShingleGramsUtil.grams(s, n, mod)
+
+  override protected def nullSafeEval(input: Any): Any =
+    gramsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleGrams", this)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.gramsOf($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Grams =
+    copy(child = newChild)
+}
+
 /** shingle_md5_bottom_k(text, n, k) → the bottom-k MD5 sketch of the
   * text's n-word shingles (see [[ShingleSketchUtil.sketch]]); empty
   * for < n words, null only for null text.
@@ -161,4 +272,7 @@ case class ShingleMd5BottomK(child: Expression, n: Int, k: Int)
 object ShingleSketch {
   def shingle_md5_bottom_k(c: Column, n: Int, k: Int): Column =
     Shim.column(ShingleMd5BottomK(Shim.expression(c), n, k))
+
+  def shingle_md5_grams(c: Column, n: Int, mod: Int): Column =
+    Shim.column(ShingleMd5Grams(Shim.expression(c), n, mod))
 }

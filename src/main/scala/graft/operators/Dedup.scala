@@ -173,7 +173,7 @@ object Dedup {
     "dedup_ngram_jaccard",
     ngramPairsSqlFrom("documents", sampled = true),
   ) { (spark, dir) =>
-    ngramJaccardPlan(Some(ngramCoin))(Tables.documents(spark, dir))
+    ngramJaccardPlanFrom(fusedGramStream(4))(Tables.documents(spark, dir))
   }
 
   /** The 1-in-4 content-stable gram sampling coin (see the ngramJaccard
@@ -206,23 +206,52 @@ object Dedup {
       ngramJaccardPlan(Some(ngramCoin))(d)),
     "ngram_unsampled" -> ((_: SparkSession, d: DataFrame) =>
       ngramJaccardPlan(None)(d)),
+    "ngram_fused" -> ((_: SparkSession, d: DataFrame) =>
+      ngramJaccardPlanFrom(fusedGramStream(4))(d)),
+    "ngram_fused_unsampled" -> ((_: SparkSession, d: DataFrame) =>
+      ngramJaccardPlanFrom(fusedGramStream(1))(d)),
   )
 
+  /** The fused sampled posting stream (doc_id, g) where g is the gram's
+    * DIGEST hex, not the gram string ([[graft.functions.ShingleMd5Grams]]
+    * — one byte-slice scan, the sampling coin inside the kernel, no
+    * words/gram/distinct arrays). Candidate consumers only ever KEY on
+    * g, so digest-keyed buckets produce the identical pair set (digest
+    * equality ≡ gram equality modulo MD5 collision — and the oracle's
+    * gram-keyed buckets stay valid for exactly that reason). mod=4 is
+    * the registered 1-in-4 coin; mod=1 the unsampled stream.
+    */
+  private[graft] def fusedGramStream(mod: Int): DataFrame => DataFrame =
+    docs => docs.select(col("doc_id"),
+      explode(graft.functions.ShingleSketch
+        .shingle_md5_grams(col("text"), 5, mod)).as("g"))
+
   /** The dedup_ngram_jaccard plan with a pluggable gram-sampling coin —
-    * shared by the registered op (md5 raw-digest coin) and the A/B
-    * harness forms above.
+    * the legacy composed posting stream, kept for the A/B harness forms
+    * (the registered op runs the fused stream via
+    * [[ngramJaccardPlanFrom]]).
     */
   private[graft] def ngramJaccardPlan(coin: Option[Column => Column])(
+      docs: DataFrame): DataFrame =
+    ngramJaccardPlanFrom { d =>
+      val allGrams = ngramCandidateGrams(d)
+      // 1-in-4 content-stable sample (see the op scaladoc): same
+      // predicate semantics as the oracle, applied right at the explode
+      // so the sampled-out grams never reach the exchange or agg buffers
+      coin.fold(allGrams)(c => allGrams.filter(c(col("g"))))
+    }(docs)
+
+  /** The pairs plan over an arbitrary (doc_id, g) posting stream — the
+    * candidate tail and exact-Jaccard verify shared by the composed and
+    * fused stream builders.
+    */
+  private[graft] def ngramJaccardPlanFrom(postings: DataFrame => DataFrame)(
       docs: DataFrame): DataFrame = {
     // no corpus-wide shingle cache (see minhashPairs: borderline LRU
     // eviction of wide array blocks made sweeps bimodal) — the posting
     // stream explodes off one fresh scan, and the verify probes read a
     // candidate-pruned sliver rebuilt below
-    val allGrams = ngramCandidateGrams(docs)
-    // 1-in-4 content-stable sample (see the op scaladoc): same
-    // predicate semantics as the oracle, applied right at the explode
-    // so the sampled-out grams never reach the exchange or agg buffers
-    val grams = coin.fold(allGrams)(c => allGrams.filter(c(col("g"))))
+    val grams = postings(docs)
     // Candidate pairs in ONE shuffle: group the posting list per shingle,
     // drop ultra-common shingles (df cap — quadratic candidate mass,
     // zero discrimination), and expand each remaining list's pairs
@@ -2010,11 +2039,11 @@ object Dedup {
     // tracking, the unsampled posting pass (the audit's dominant cost)
     // would re-run per consumer
     val truth = graft.CacheRegistry.track(
-      ngramJaccardPlan(None)(sample).select("doc_a", "doc_b"))
+      ngramJaccardPlanFrom(fusedGramStream(1))(sample).select("doc_a", "doc_b"))
     val apx =
       minhashPairs(sample, 0.2)
         .select(lit("minhash_lsh").as("method"), col("doc_a"), col("doc_b"))
-      .unionByName(ngramJaccardPlan(Some(ngramCoin))(sample)
+      .unionByName(ngramJaccardPlanFrom(fusedGramStream(4))(sample)
         .select(lit("ngram_sampled").as("method"), col("doc_a"), col("doc_b")))
       .unionByName(simhashPairsFromSigs(simhashSignatures(sample), m = 4, d = 3)
         .select(lit("simhash_pairs").as("method"), col("doc_a"), col("doc_b")))

@@ -79,6 +79,66 @@ class ShingleSketchSpec extends SparkSpec {
     assert(got.toSeq == Seq((true, -1), (false, 0), (false, 2)))
   }
 
+  test("fused gram stream ≡ composed distinct-gram md5 stream (crafted + fuzz)") {
+    import graft.functions.ShingleSketch.shingle_md5_grams
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val texts = Seq(
+      "one two three four five six seven",
+      "dup dup dup dup dup dup dup dup",      // all windows identical
+      "a  b c d e f", "", "a b c d",
+      "déjà vu ünïcode 文字 🎉 mixed byte widths here now",
+    ) ++ (0 until 2000).map { _ =>
+      val n = rng.nextInt(25)
+      (0 until n).map(_ => if (rng.nextInt(4) == 0) "" else s"w${rng.nextInt(12)}")
+        .mkString(" ")
+    }
+    // composed: distinct gram strings → md5 each → sorted; sampled form
+    // filters on the first hex nibble — exactly the ngramCoin semantics
+    val composedAll = expr(
+      "array_sort(transform(array_distinct(transform(" +
+        "sequence(1, greatest(size(split(text, ' '))-4, 1))," +
+        " i -> concat_ws(' ', try_element_at(split(text, ' '),i)," +
+        " try_element_at(split(text, ' '),i+1), try_element_at(split(text, ' '),i+2)," +
+        " try_element_at(split(text, ' '),i+3), try_element_at(split(text, ' '),i+4))))," +
+        " g -> md5(g)))")
+    val df = texts.toDF("text")
+    val bad1 = df.select(
+        shingle_md5_grams(col("text"), 5, 1).as("fused"),
+        when(size(split(col("text"), " ")) >= 5, composedAll)
+          .otherwise(array().cast("array<string>")).as("ref"))
+      .filter(not(col("fused") <=> col("ref"))).count()
+    assert(bad1 == 0L)
+    val bad4 = df.select(
+        shingle_md5_grams(col("text"), 5, 4).as("fused"),
+        when(size(split(col("text"), " ")) >= 5, composedAll)
+          .otherwise(array().cast("array<string>")).as("refall"))
+      .withColumn("ref", expr(
+        "filter(refall, h -> (conv(substring(h, 1, 1), 16, 10) % 4) = 0)"))
+      .filter(not(col("fused") <=> col("ref"))).count()
+    assert(bad4 == 0L)
+  }
+
+  test("fused ngram pair plan ≡ composed pair plan (sampled + unsampled, sf0.001)") {
+    val docs = Tables.documents(spark, sfTiny)
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+      CacheRegistry.drain()
+      got
+    }
+    import graft.operators.Dedup
+    val fusedS = pairs(Dedup.ngramJaccardPlanFrom(Dedup.fusedGramStream(4))(docs))
+    val composedS = pairs(Dedup.ngramJaccardPlan(Some(Dedup.ngramCoin))(docs))
+    assert(fusedS == composedS,
+      s"missing=${composedS -- fusedS} extra=${fusedS -- composedS}")
+    val fusedU = pairs(Dedup.ngramJaccardPlanFrom(Dedup.fusedGramStream(1))(docs))
+    val composedU = pairs(Dedup.ngramJaccardPlan(None)(docs))
+    assert(fusedU == composedU)
+    assert(fusedS.nonEmpty && fusedU.nonEmpty && fusedS.subsetOf(fusedU))
+  }
+
   test("registered fused pair plan ≡ composed pair plan on the sf0.001 corpus") {
     val docs = Tables.documents(spark, sfTiny)
     def pairs(df: org.apache.spark.sql.DataFrame) = {

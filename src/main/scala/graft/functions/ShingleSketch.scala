@@ -197,6 +197,222 @@ object ShingleGramsUtil {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** The positions face of [[grams]]: distinct digests ascending, each
+    * with the ASCENDING 1-based word positions where that gram starts —
+    * (g hex, starts array<int>) struct rows. The strip family consumes
+    * this: every start of a corpus-duplicated gram covers words
+    * [start, start+n-1].
+    */
+  def gramPositions(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val md = tl.get()
+    val digests = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val starts = new Array[Int](n)
+    var wordIdx = 0
+    var wordStart = 0
+    var pos = 0
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' ') {
+        starts(wordIdx % n) = wordStart
+        if (wordIdx >= n - 1) {
+          val from = starts((wordIdx - n + 1) % n)
+          md.reset()
+          md.update(bytes, from, pos - from)
+          digests += md.digest()
+        }
+        wordIdx += 1
+        wordStart = pos + 1
+      }
+      pos += 1
+    }
+    if (digests.isEmpty) return new GenericArrayData(Array.empty[Any])
+    // order gram positions by (digest, position): an index sort keeps
+    // each digest's position list ascending for free
+    val idx = Array.tabulate(digests.length)(identity)
+    val arr = digests.toArray
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val x = arr(a); val y = arr(b)
+        var i = 0
+        while (i < 16) {
+          val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        a - b
+      }
+    })
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < boxed.length) {
+      var j = i + 1
+      while (j < boxed.length &&
+        java.util.Arrays.equals(arr(boxed(j)), arr(boxed(i)))) j += 1
+      val hex = new Array[Byte](32)
+      val d = arr(boxed(i))
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = HEX((d(k) >> 4) & 0xF)
+        hex(2 * k + 1) = HEX(d(k) & 0xF)
+        k += 1
+      }
+      val ps = new Array[Int](j - i)
+      var q = i
+      while (q < j) { ps(q - i) = boxed(q) + 1; q += 1 }
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromBytes(hex), new GenericArrayData(ps))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The run-length face of [[grams]]: distinct digests ascending with
+    * their occurrence counts, as (g hex, cn) struct rows. No sampling —
+    * the substring family counts every span.
+    */
+  def gramCounts(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val md = tl.get()
+    val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val starts = new Array[Int](n)
+    var wordIdx = 0
+    var wordStart = 0
+    var pos = 0
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' ') {
+        starts(wordIdx % n) = wordStart
+        if (wordIdx >= n - 1) {
+          val from = starts((wordIdx - n + 1) % n)
+          md.reset()
+          md.update(bytes, from, pos - from)
+          buf += md.digest()
+        }
+        wordIdx += 1
+        wordStart = pos + 1
+      }
+      pos += 1
+    }
+    if (buf.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        while (i < 16) {
+          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        0
+      }
+    })
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length && java.util.Arrays.equals(arr(j), arr(i))) j += 1
+      val hex = new Array[Byte](32)
+      val d = arr(i)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = HEX((d(k) >> 4) & 0xF)
+        hex(2 * k + 1) = HEX(d(k) & 0xF)
+        k += 1
+      }
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromBytes(hex), (j - i).toLong)
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** shingle_md5_gram_counts(text, n) → array<struct<g string, cn long>>:
+  * the per-document gram-count table — DISTINCT n-word-gram digests
+  * (lowercase hex, ascending) with their within-document occurrence
+  * counts, computed in one byte-slice scan + sort + run-length pass.
+  * The substring-dedup family needs multiplicities (a span repeated
+  * WITHIN a doc counts every occurrence), so its posting stream was one
+  * exploded gram-string row per position; this emits the already
+  * collapsed (g, n_local) rows the first aggregation used to produce,
+  * with digests as keys (count consumers only ever KEY on grams — the
+  * [[ShingleMd5Grams]] injectivity argument). Empty for < n words.
+  */
+case class ShingleMd5GramCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"shingle_md5_gram_counts: n=$n out of range [1, 64]")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cn",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "shingle_md5_gram_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_md5_gram_counts expects string, got ${other.simpleString}")
+    }
+
+  def countsOf(s: UTF8String): GenericArrayData =
+    ShingleGramsUtil.gramCounts(s, n)
+
+  override protected def nullSafeEval(input: Any): Any =
+    countsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleGramCounts", this)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countsOf($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5GramCounts =
+    copy(child = newChild)
+}
+
+/** shingle_md5_gram_positions(text, n) → array<struct<g string,
+  * starts array<int>>>: distinct gram digests with their ascending
+  * 1-based start-word positions ([[ShingleGramsUtil.gramPositions]]).
+  * Empty for < n words, null only for null text.
+  */
+case class ShingleMd5GramPositions(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"shingle_md5_gram_positions: n=$n out of range [1, 64]")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("starts",
+        ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "shingle_md5_gram_positions"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_md5_gram_positions expects string, got ${other.simpleString}")
+    }
+
+  def positionsOf(s: UTF8String): GenericArrayData =
+    ShingleGramsUtil.gramPositions(s, n)
+
+  override protected def nullSafeEval(input: Any): Any =
+    positionsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleGramPositions", this)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.positionsOf($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5GramPositions =
+    copy(child = newChild)
 }
 
 /** shingle_md5_grams(text, n, mod) → the distinct sampled gram digests
@@ -275,4 +491,10 @@ object ShingleSketch {
 
   def shingle_md5_grams(c: Column, n: Int, mod: Int): Column =
     Shim.column(ShingleMd5Grams(Shim.expression(c), n, mod))
+
+  def shingle_md5_gram_counts(c: Column, n: Int): Column =
+    Shim.column(ShingleMd5GramCounts(Shim.expression(c), n))
+
+  def shingle_md5_gram_positions(c: Column, n: Int): Column =
+    Shim.column(ShingleMd5GramPositions(Shim.expression(c), n))
 }

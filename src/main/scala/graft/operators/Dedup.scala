@@ -1130,7 +1130,7 @@ object Dedup {
       |    / SUM(n_local) AS dup_frac
       |FROM y GROUP BY doc_id""".stripMargin,
   ) { (spark, dir) =>
-    substringWindow(spark, Tables.documents(spark, dir))
+    substringWindowFused(spark, Tables.documents(spark, dir))
   }
 
   /** The k-word-gram transform over a words-array column, as ONE shared
@@ -1207,10 +1207,37 @@ object Dedup {
     * heaps it never spilled in either 1000x corpus. */
   private[graft] def substringWindow(spark: SparkSession,
       docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = substringParts(spark, docs)
-    val local = substringGrams(docs).repartition(parts, col("g"))
-      .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
+    substringWindowTail(
+      substringGrams(docs).repartition(parts, col("g"))
+        .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local")))
+  }
+
+  /** The registered fused form: the per-doc (gram digest, count) rows
+    * come pre-collapsed from ONE byte-slice kernel pass
+    * ([[graft.functions.ShingleMd5GramCounts]] — no words array, no
+    * 8-word gram strings, no per-position explode; the posting exchange
+    * carries distinct (g, doc_id) pairs exactly like the window form's
+    * post-aggregation stream, with digests as keys per the
+    * fusedGramStream injectivity argument). ≡ substringWindow
+    * (ShingleSketchSpec + the scored-forms equivalence spec pin it;
+    * substring_ab_r14.jsonl adjudicates the swap).
+    */
+  private[graft] def substringWindowFused(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val parts = substringParts(spark, docs)
+    substringWindowTail(
+      docs.select(col("doc_id"), explode(graft.functions.ShingleSketch
+          .shingle_md5_gram_counts(col("text"), 8)).as("p"))
+        .select(col("doc_id"), col("p.g").as("g"), col("p.cn").as("n_local"))
+        .repartition(parts, col("g")))
+  }
+
+  /** Window-form scoring tail over an already-collapsed
+    * (g, doc_id, n_local) stream partitioned by g.
+    */
+  private def substringWindowTail(local: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = local.withColumn("n_total",
       sum(col("n_local")).over(Window.partitionBy(col("g"))))
     val dupLocal = when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L))
@@ -1237,6 +1264,7 @@ object Dedup {
       : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
     "join_fresh" -> (substringJoinFresh _),
     "window" -> (substringWindow _),
+    "window_fused" -> (substringWindowFused _),
     "join_cache" -> (substringJoinCache _))
 
   /** Substring-dedup span REMOVAL — [[substring]] actually applied
@@ -1304,7 +1332,7 @@ object Dedup {
     * delegates to the adjudicated form (see [[substringStripForms]]:
     * strip_copart, the r12 warm-solo A/B winner). */
   def substringStripApply(spark: SparkSession, docs: DataFrame): DataFrame =
-    substringStripCopart(spark, docs)
+    substringStripFused(spark, docs)
 
   /** Words frame + position stream shared by the strip forms. */
   private def stripPositions(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -1447,13 +1475,47 @@ object Dedup {
     stripRebuild(d, covered)
   }
 
+  /** r14 fused form (THE REGISTERED WINNER — substring_ab_r14.jsonl):
+    * the copart plan existed to avoid a second gram explode, paying a
+    * corpus-sized DISK_ONLY cache of the exploded position stream (~8×
+    * corpus bytes written + read back + deserialized — its 1000×
+    * cpu was the family's worst). The fused kernels make a second scan
+    * cheaper than one cache round-trip: the dup-gram set comes from a
+    * [[graft.functions.ShingleMd5GramCounts]] pass (map-side combine
+    * into a dup-rate-proportional sliver, SIZE-ADAPTIVE broadcast —
+    * the pipeline_curate discipline, shuffled join past the
+    * threshold), and the position stream from a
+    * [[graft.functions.ShingleMd5GramPositions]] pass joins it
+    * MAP-SIDE — per-distinct-gram rows with int-array starts, no
+    * per-position rows, no posting exchange, nothing persisted. The
+    * only exchange left is the dup-position sliver's groupBy(doc_id).
+    */
+  private[graft] def substringStripFused(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("w"))
+    val dupg = graft.api.GraftApi.adaptiveBroadcast(
+      docs.select(explode(graft.functions.ShingleSketch
+          .shingle_md5_gram_counts(col("text"), 8)).as("p"))
+        .groupBy(col("p.g").as("g")).agg(sum(col("p.cn")).as("n_total"))
+        .filter(col("n_total") >= 2).select("g"))
+    val covered = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleSketch
+          .shingle_md5_gram_positions(col("text"), 8)).as("p"))
+      .select(col("doc_id"), col("p.g").as("g"), col("p.starts").as("ps"))
+      .join(dupg, Seq("g"))
+      .groupBy("doc_id").agg(flatten(collect_list(col("ps"))).as("starts"))
+    stripRebuild(d, covered)
+  }
+
   /** name → builder, for the A/B harness and the equivalence spec. */
   private[graft] val substringStripForms
       : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
     "strip_join" -> (substringStripJoin _),
     "strip_window" -> (substringStripWindow _),
     "strip_copart" -> (substringStripCopart _),
-    "strip_rawwindow" -> (substringStripRawWindow _))
+    "strip_rawwindow" -> (substringStripRawWindow _),
+    "strip_fused" -> (substringStripFused _))
 
   /** Per-gram occurrence-count table over a corpus: (g, n) — the
     * persisted state [[substringIncrementalScore]] joins deltas
@@ -1462,7 +1524,9 @@ object Dedup {
     * arriving shard by adding the shard's own counts), not a recompute.
     */
   private[graft] def substringCountTable(docs: DataFrame): DataFrame =
-    substringGrams(docs).groupBy("g").agg(count(lit(1)).as("n"))
+    docs.select(explode(graft.functions.ShingleSketch
+        .shingle_md5_gram_counts(col("text"), 8)).as("p"))
+      .groupBy(col("p.g").as("g")).agg(sum(col("p.cn")).as("n"))
 
   /** Incremental face of [[substring]] (the dedup_incremental
     * discipline applied to the substring family — r11 verdict ask #6):
@@ -1491,8 +1555,17 @@ object Dedup {
       delta: DataFrame, parts: Int,
       corpusHint: String = "SHUFFLE_HASH"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val local = substringGrams(delta).repartition(parts, col("g"))
-      .groupBy("g", "doc_id").agg(count(lit(1)).as("n_local"))
+    // r14: both sides of the count join moved to gram DIGESTS together
+    // (substringCountTable above and this delta stream — the
+    // fusedGramStream injectivity argument; the gc warehouse tag bumped
+    // so a digest-keyed serve can never probe a string-keyed table).
+    // The kernel emits the (g, cn) rows pre-collapsed, so the old
+    // explode → groupBy(g, doc_id) pair disappears.
+    val local = delta.select(col("doc_id"),
+        explode(graft.functions.ShingleSketch
+          .shingle_md5_gram_counts(col("text"), 8)).as("p"))
+      .select(col("doc_id"), col("p.g").as("g"), col("p.cn").as("n_local"))
+      .repartition(parts, col("g"))
     val withDelta = local.withColumn("delta_total",
       sum(col("n_local")).over(Window.partitionBy(col("g"))))
     // corpusHint: SHUFFLE_HASH for an inline count frame (both sides
@@ -1572,7 +1645,7 @@ object Dedup {
   private def persistedGramCounts(spark: SparkSession,
       dir: String): DataFrame = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|corpus90|gc|v1".getBytes("UTF-8"))
+      .digest(s"$dir|corpus90|gc|v2digest".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val db = s"graft_gc_$keyHex"
     gcTblLock.synchronized {

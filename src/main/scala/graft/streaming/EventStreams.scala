@@ -324,30 +324,27 @@ object EventStreams {
   case class SpanFlag(doc_id: Long, n_local: Long, dup: Boolean)
 
   /** Per-document 8-word-gram arrivals (g, doc_id, n_local) from a
-    * streaming (doc_id, text) frame — n_local counted INSIDE the row's
-    * own gram array (an in-row HOF pass, no pre-fMGWS stateful
-    * aggregation: Structured Streaming disallows an aggregation ahead
-    * of flatMapGroupsWithState), so each (doc, gram) reaches the state
-    * machine as exactly one arrival carrying its within-doc
-    * multiplicity. COST BOUND: the count is O(distinct × total) gram
-    * comparisons per document — fine for the ≤ few-thousand-word
-    * documents a text-ingest stream carries, quadratic-ish for a
-    * pathological 100k-word blob; chunk such documents upstream
-    * (pipeline_chunk) before streaming them, the same pre-split the
-    * batch ops assume.
+    * streaming (doc_id, text) frame — the fused
+    * [[graft.functions.ShingleMd5GramCounts]] kernel emits the
+    * pre-collapsed (digest, count) rows in one in-row pass (no
+    * pre-fMGWS stateful aggregation: Structured Streaming disallows an
+    * aggregation ahead of flatMapGroupsWithState), so each (doc, gram)
+    * reaches the state machine as exactly one arrival carrying its
+    * within-doc multiplicity. Keys are gram DIGESTS — the state machine
+    * only ever KEYS on grams, so state-per-digest ≡ state-per-gram
+    * (the batch fusedGramStream injectivity argument; r14 swapped the
+    * batch/incremental sides to digests in the same change, keeping
+    * the spec-pinned fold equivalence key-aligned). The old in-row
+    * count was O(distinct × total) gram comparisons per document; the
+    * kernel's sort+RLE is O(grams log grams).
     */
   def substringGramArrivals(docs: DataFrame): Dataset[GramArrival] = {
     import docs.sparkSession.implicits._
     docs
-      .withColumn("w", split(coalesce(col("text"), lit("")), " "))
-      .filter(size(col("w")) >= 8)
-      .withColumn("grams", expr(graft.operators.Dedup.gramExpr("w", 8)))
-      .select(col("doc_id"), explode(expr(
-        "transform(array_distinct(grams)," +
-          " x -> struct(x as g, size(filter(grams, y -> y = x)) as n_local))"))
-        .as("a"))
+      .select(col("doc_id"), explode(graft.functions.ShingleSketch
+          .shingle_md5_gram_counts(coalesce(col("text"), lit("")), 8)).as("a"))
       .select(col("a.g").as("g"), col("doc_id"),
-        col("a.n_local").cast("long").as("n_local"))
+        col("a.cn").cast("long").as("n_local"))
       .as[GramArrival]
   }
 

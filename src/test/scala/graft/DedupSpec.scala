@@ -137,7 +137,7 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((9L, 2L, 2.0 / 9)), got(2L))
   }
 
-  test("the three substring plan forms (A/B candidates) are result-identical") {
+  test("the substring plan forms (A/B candidates incl. fused) are result-identical") {
     // r11 adjudication support: the registered op is the warm-solo A/B
     // winner; this pins that the candidates never diverged on RESULTS, so
     // the A/B measured plans, not semantics.

@@ -139,6 +139,59 @@ class ShingleSketchSpec extends SparkSpec {
     assert(fusedS.nonEmpty && fusedU.nonEmpty && fusedS.subsetOf(fusedU))
   }
 
+  test("fused gram counts ≡ composed substring gram stream (sf0.001 + within-doc repeats)") {
+    import graft.functions.ShingleSketch.shingle_md5_gram_counts
+    import graft.operators.Dedup
+    import spark.implicits._
+    def check(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val fused = docs.select(col("doc_id"),
+          explode(shingle_md5_gram_counts(col("text"), 8)).as("p"))
+        .select(col("doc_id"), col("p.g").as("g"), col("p.cn").as("cn"))
+      val composed = Dedup.substringGrams(docs)
+        .groupBy(col("doc_id"), md5(col("g")).as("g"))
+        .agg(count(lit(1)).as("cn"))
+      assert(fused.exceptAll(composed).count() == 0L)
+      assert(composed.exceptAll(fused).count() == 0L)
+    }
+    check(Tables.documents(spark, sfTiny))
+    // a doc whose 8-word span repeats WITHIN the doc (cn > 1) and one
+    // below the gram width (empty output)
+    check(Seq(
+      (0L, (("a b c d e f g h " * 3).trim), "en"),
+      (1L, "too short for eight", "en"),
+    ).toDF("doc_id", "text", "lang"))
+  }
+
+  test("fused gram positions ≡ composed posexplode stream (sf0.001 + within-doc repeats)") {
+    import graft.functions.ShingleSketch.shingle_md5_gram_positions
+    import spark.implicits._
+    def check(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val fused = docs.select(col("doc_id"),
+          explode(shingle_md5_gram_positions(col("text"), 8)).as("p"))
+        .select(col("doc_id"), col("p.g").as("g"),
+          explode(col("p.starts")).as("i"))
+      // composed: the strip family's position stream with md5'd keys
+      val composed = docs
+        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          graft.operators.Dedup.gramExpr("w", 8))))
+        .select(col("doc_id"), md5(col("col")).as("g"), (col("pos") + 1).as("i"))
+      assert(fused.exceptAll(composed).count() == 0L)
+      assert(composed.exceptAll(fused).count() == 0L)
+      // starts ascending within each struct row
+      val unsorted = docs.select(explode(
+          shingle_md5_gram_positions(col("text"), 8)).as("p"))
+        .filter(not(col("p.starts") <=> array_sort(col("p.starts")))).count()
+      assert(unsorted == 0L)
+    }
+    check(Tables.documents(spark, sfTiny))
+    check(Seq(
+      (0L, (("a b c d e f g h " * 3).trim), "en"),
+      (1L, "too short for eight", "en"),
+    ).toDF("doc_id", "text", "lang"))
+  }
+
   test("registered fused pair plan ≡ composed pair plan on the sf0.001 corpus") {
     val docs = Tables.documents(spark, sfTiny)
     def pairs(df: org.apache.spark.sql.DataFrame) = {

@@ -21,5 +21,6 @@ object MinhashAB {
   def main(args: Array[String]): Unit =
     WarmSoloAB.run("minhash-ab", "minhash_ab_r13.jsonl",
       (graft.operators.Dedup.minhashForms ++
-        graft.operators.Dedup.incrementalForms).toMap, args)
+        graft.operators.Dedup.incrementalForms ++
+        graft.operators.Dedup.paragraphForms).toMap, args)
 }

@@ -1505,6 +1505,12 @@ object Dedup {
       .select(col("doc_id"), col("p.g").as("g"), col("p.starts").as("ps"))
       .join(dupg, Seq("g"))
       .groupBy("doc_id").agg(flatten(collect_list(col("ps"))).as("starts"))
+    // plain left join for the rebuild: on an organic corpus the covered
+    // sliver is dup-rate-proportional and AQE converts the join to a
+    // runtime broadcast; on the pathological everything-duplicated
+    // corpus (the 1000× amplification) it degrades to sort-merge, which
+    // measured CHEAPER than forcing a cache+count+broadcast of a
+    // corpus-sized covered set (3854 vs 2388 cpu-s at uniform-1000×)
     stripRebuild(d, covered)
   }
 
@@ -1870,31 +1876,59 @@ object Dedup {
     * proportional removed-(doc, p) sliver ever aggregates by doc_id —
     * size-adaptively broadcast into the corpus scan, which itself
     * never shuffles. Reconstruction is one codegen'd indexed filter
-    * over the paragraph array (no UDF, no per-row join).
+    * over the paragraph array (no UDF, no per-row join). The strip
+    * family's retire-the-cache play was TRIED here and lost
+    * (paragraphDedupPlan(cached = false), adjudicated r14: 1311 →
+    * 1511 cpu-s at uniform-1000× — this stream is 12× smaller than
+    * strip's and its hash projection has no fused kernel, so one
+    * cache round-trip beats building it twice); the fused form stays
+    * as the A/B reference.
     */
   private[graft] def paragraphDedupFrame(spark: SparkSession,
       withParas: DataFrame, joiner: String,
+      rowEstimate: Option[Long] = None): DataFrame =
+    paragraphDedupPlan(cached = true)(spark, withParas, joiner, rowEstimate)
+
+  /** r14 A/B pair: `cached = true` is the REGISTERED shape (stream
+    * exchanged by h once, materialized DISK_ONLY, dup-set +
+    * co-partitioned probe over the same blocks); false applies the
+    * strip_fused retire-the-cache play (build the hash stream twice,
+    * map-side dup probe, nothing persisted) — adjudicated AGAINST at
+    * uniform-1000× (1311 → 1511 cpu-s; see [[paragraphDedupFrame]]'s
+    * scaladoc for why this family differs from strip).
+    */
+  private[graft] def paragraphDedupPlan(cached: Boolean)(spark: SparkSession,
+      withParas: DataFrame, joiner: String,
       rowEstimate: Option[Long] = None): DataFrame = {
     val d = withParas.withColumn("nb", size(col("paras")).cast("long"))
-    // partition sizing: callers pass a CHEAP estimate (text length / ~
-    // chars-per-paragraph, the substringParts discipline) — the
-    // fallback sum(nb) is exact but evaluates the paras construction
-    // corpus-wide just to count it, so it is only the small-frame path
-    val est = rowEstimate.getOrElse(
-      Option(d.agg(sum(col("nb"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L))
-    val parts = graft.api.GraftApi.partitionsFor(spark, est)
-    val stream = d.filter(col("nb") > 0)
+    def stream = d.filter(col("nb") > 0)
       .select(col("doc_id"),
         posexplode(expr("transform(paras, t -> md5(lower(t)))")))
       .select(col("doc_id"), col("pos").as("p"), col("col").as("h"))
-    val keyed = graft.CacheRegistry.track(
-      stream.repartition(parts, col("h")),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val duph = keyed.groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("h")
-    val removed = keyed.join(duph.hint("SHUFFLE_HASH"), Seq("h"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("rm0"))
+    val removed =
+      if (cached) {
+        // partition sizing: callers pass a CHEAP estimate (text length
+        // / ~chars-per-paragraph, the substringParts discipline) — the
+        // fallback sum(nb) is exact but evaluates the paras
+        // construction corpus-wide just to count it (small-frame path)
+        val est = rowEstimate.getOrElse(
+          Option(d.agg(sum(col("nb"))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L))
+        val parts = graft.api.GraftApi.partitionsFor(spark, est)
+        val keyed = graft.CacheRegistry.track(
+          stream.repartition(parts, col("h")),
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val duph = keyed.groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("h")
+        keyed.join(duph.hint("SHUFFLE_HASH"), Seq("h"))
+          .groupBy("doc_id").agg(collect_set(col("p")).as("rm0"))
+      } else {
+        val duph = graft.api.GraftApi.adaptiveBroadcast(
+          stream.groupBy("h").agg(count(lit(1)).as("n"))
+            .filter(col("n") >= 2).select("h"))
+        stream.join(duph, Seq("h"))
+          .groupBy("doc_id").agg(collect_set(col("p")).as("rm0"))
+      }
     d.join(graft.api.GraftApi.adaptiveBroadcast(removed),
         Seq("doc_id"), "left")
       .withColumn("rm", coalesce(col("rm0"),
@@ -1904,6 +1938,18 @@ object Dedup {
         array_join(expr("filter(paras, (x, i) -> NOT array_contains(rm, i))"),
           joiner).as("text_depara"))
   }
+
+  /** A/B forms over the registered pseudo-paragraph segmentation
+    * (consumed through [[graft.MinhashAB]]'s shared WarmSoloAB lookup).
+    */
+  private[graft] val paragraphForms
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
+    "para_cached" -> ((s: SparkSession, d: DataFrame) =>
+      paragraphDedupPlan(cached = true)(s, pseudoParas(d), " ",
+        rowEstimate = Some(paragraphEstimate(d)))),
+    "para_fused" -> ((s: SparkSession, d: DataFrame) =>
+      paragraphDedupPlan(cached = false)(s, pseudoParas(d), " ")),
+  )
 
   /** The real-corpus face: paragraphs are newline-delimited segments
     * (CCNet's own boundary), rejoined by newline. The driver corpus
@@ -1955,17 +2001,24 @@ object Dedup {
       |    x -> x IS NOT NULL)), ' '), '') AS text_depara
       |FROM b LEFT JOIN rml USING (doc_id)""".stripMargin,
   ) { (spark, dir) =>
-    val withW = Tables.documents(spark, dir).select(col("doc_id"),
-      expr("filter(split(coalesce(text, ''), ' '), x -> x != '')").as("w"))
-    val withParas = withW.select(col("doc_id"), expr(
-      "transform(if(size(w) > 0, " +
-        "sequence(0L, cast(ceil(size(w) / 12.0) as bigint) - 1), " +
-        "cast(array() as array<bigint>)), " +
-        "p -> array_join(slice(w, cast(p * 12 + 1 as int), 12), ' '))")
-      .as("paras"))
-    paragraphDedupFrame(spark, withParas, " ",
+    paragraphDedupFrame(spark,
+      pseudoParas(Tables.documents(spark, dir)), " ",
       rowEstimate = Some(paragraphEstimate(Tables.documents(spark, dir))))
   }
+
+  /** The registered 12-word pseudo-paragraph segmentation (single-
+    * sourced: the op, the A/B forms, and specs share it — the oracle
+    * mirrors it with w[(p*12+1):(p*12+12)] slices).
+    */
+  private[graft] def pseudoParas(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("filter(split(coalesce(text, ''), ' '), x -> x != '')").as("w"))
+      .select(col("doc_id"), expr(
+        "transform(if(size(w) > 0, " +
+          "sequence(0L, cast(ceil(size(w) / 12.0) as bigint) - 1), " +
+          "cast(array() as array<bigint>)), " +
+          "p -> array_join(slice(w, cast(p * 12 + 1 as int), 12), ' '))")
+        .as("paras"))
 
   /** Registered multi-block form: m=6, d=3 — C(6,3)=20 combination keys
     * of ~33 bits each, the billion-doc band layout (16-bit bands carry

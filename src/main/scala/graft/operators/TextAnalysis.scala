@@ -243,7 +243,11 @@ object TextAnalysis {
 
   /** Document fingerprinting, winnowing-family: the lexicographic minimum
     * of the md5s of all 8-char grams (robust to local edits, O(n) per doc),
-    * plus the exact-content md5. Pure array expression, no explode.
+    * plus the exact-content md5. r14: the winnow runs as ONE streaming
+    * kernel pass ([[graft.functions.WinnowMinMd5]] — the composed
+    * array_min(transform(md5(substring))) allocated one substring and
+    * one hex string per character position; HashCoinsSpec pins the
+    * equality incl. multi-byte text). No explode, zero shuffle.
     */
   val fingerprint: Op = Op(
     "text_fingerprint",
@@ -254,8 +258,7 @@ object TextAnalysis {
   ) { (spark, dir) =>
     Tables.documents(spark, dir).select(
       col("doc_id"), md5(col("text")).as("content_md5"),
-      expr("array_min(transform(sequence(1, greatest(length(text)-7, 1))," +
-        " i -> md5(substring(text, i, 8))))").as("winnow_min"))
+      graft.functions.HashCoins.winnow_min_md5(col("text"), 8).as("winnow_min"))
   }
 
   /** Normalization/cleaning pass (the pre-tokenization scrub step of a

@@ -703,6 +703,22 @@ class DedupSpec extends SparkSpec {
     assert(top.getAs[Double]("cosine") > 0.999)
   }
 
+  test("paragraph cached/fused plan forms are result-identical (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val forms = Dedup.paragraphForms.toMap
+    def rows(name: String) = {
+      val got = forms(name)(spark, docs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("text_depara"))).toSet
+      CacheRegistry.drain()
+      got
+    }
+    val a = rows("para_cached")
+    val b = rows("para_fused")
+    assert(a == b, s"missing=${a -- b} extra=${b -- a}")
+    assert(a.nonEmpty && a.exists(_._3 > 0L))
+  }
+
   test("knn join: mutual top neighbors for the near pair, nothing for the singleton") {
     // vecsDir: 0 and 1 near-identical (same sign sketches on both
     // bands), 2 sign-disjoint from both on both bands → bucket {0,1}

@@ -81,6 +81,37 @@ class HashCoinsSpec extends SparkSpec {
     assert(out.count(_.isNullAt(0)) == 1)
   }
 
+  test("winnow_min_md5 ≡ array_min(transform(md5(substring))) incl. multi-byte/short/empty") {
+    import graft.functions.HashCoins.winnow_min_md5
+    import spark.implicits._
+    val rng = new scala.util.Random(61)
+    val texts = Seq(
+      "", "a", "exactly8", "nine char", " spaces  every where ",
+      "déjà vu ünïcode 文字 🎉 mixed widths",   // multi-byte incl. astral
+      "ééééé",   // combining marks (10 cps)
+      "12345678",                               // exactly w chars → 1 window
+    ) ++ (0 until 3000).map { _ =>
+      val n = rng.nextInt(40)
+      (0 until n).map(_ => rng.nextInt(5) match {
+        case 0 => "語"
+        case 1 => "é"
+        case 2 => " "
+        case _ => ('a' + rng.nextInt(26)).toChar.toString
+      }).mkString
+    }
+    val df = texts.toDF("text")
+    val bad = df.select(
+        winnow_min_md5(col("text"), 8).as("fast"),
+        expr("array_min(transform(sequence(1, greatest(length(text)-7, 1))," +
+          " i -> md5(substring(text, i, 8))))").as("ref"))
+      .filter(not(col("fast") <=> col("ref"))).count()
+    assert(bad == 0L)
+    // null in, null out
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(winnow_min_md5(col("text"), 8).as("f")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("ngram md5_expr form is hash-identical to the hex form at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val forms = graft.operators.Dedup.ngramForms.toMap

@@ -294,14 +294,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected ≤2 hash exchanges (g, doc_id), got $exchanges:\n$p")
   }
 
-  test("substring strip: dup-gram SHJ join-back, no window, no posting sort") {
-    val p = plan(graft.operators.Dedup.substringStrip)
-    // strip's positions make the window form the WRONG plan (it would
-    // sort unique (doc, i, g) rows) — the dup-gram shuffled-hash
-    // join-back is pinned instead, with the build side pre-filtered to
-    // duplicated grams by the partial-aggregated HAVING
-    assert(p.contains("ShuffledHashJoin"), s"dup-gram join-back must be SHJ:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"SMJ re-sorts the postings:\n$p")
+  test("substring strip: broadcast dup probe, AQE-broadcast rebuild, no cache, no window") {
+    // r14 fused shape: the dup-gram set is size-adaptively BROADCAST
+    // into a map-side position probe, nothing is persisted (the copart
+    // form's DISK_ONLY posting cache is retired —
+    // substring_ab_r14.jsonl), and the rebuild's covered side is left
+    // to AQE: dup-rate-proportional on an organic corpus → runtime
+    // broadcast (pinned here on the FINAL plan), corpus-sized on the
+    // pathological amplified corpus → sort-merge, measured cheaper
+    // than forcing a cache+broadcast. Drive AQE to the final plan.
+    val df = graft.operators.Dedup.substringStrip.fn(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    CacheRegistry.drain()
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dup-gram probe and covered rebuild must both broadcast on an organic corpus:\n$p")
+    assert(!p.contains("StorageLevel(disk, 1 replicas)"),
+      s"corpus-sized DISK_ONLY posting cache is retired:\n$p")
     assert(!p.contains("Window"), s"no window may sort the posting stream:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }

@@ -164,8 +164,16 @@ object Pipeline {
       |    AS contaminated
       |FROM scored""".stripMargin,
   ) { (spark, dir) =>
-    val sh = Dedup.withShingles(Tables.documents(spark, dir))
-      .select("doc_id", "shingles")
+    // r14: the registered op feeds DIGEST shingle frames (one fused
+    // ShingleMd5Grams pass per side — no words/gram-string/distinct
+    // arrays; the Dedup.fusedGramStream injectivity argument: both the
+    // intersect and the posting join only ever test gram EQUALITY, and
+    // the per-doc distinct count is preserved). [[decontaminate]] stays
+    // generic over any (doc_id, shingles) token frame.
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.ShingleSketch
+        .shingle_md5_grams(col("text"), 5, 1).as("shingles"))
+      .filter(size(col("shingles")) > 0)
     decontaminate(sh.filter(col("doc_id") % 97 =!= 0),
       sh.filter(col("doc_id") % 97 === 0), tau = 0.5)
   }

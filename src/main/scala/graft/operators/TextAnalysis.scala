@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation
-    * (letter runs / digit runs / single punctuation marks).
+    * (letter runs / digit runs / single punctuation marks). r14: both
+    * counts come from ONE byte-scan state machine
+    * ([[graft.functions.TextTokenCounts]] — the composed form ran two
+    * regex engines per document, each materializing every matched
+    * substring just to take the array's size; FunctionsSpec pins the
+    * equality incl. multi-byte text). Zero shuffle.
     */
   val tokenCount: Op = Op(
     "text_tokencount",
@@ -23,12 +28,13 @@ object TextAnalysis {
       |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
       |FROM documents""".stripMargin,
   ) { (spark, dir) =>
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_actual"),
-      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
-      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
-        .cast("long").as("bpeish_tokens"))
+    Tables.documents(spark, dir)
+      .withColumn("tc", graft.functions.TokenCounts.text_token_counts(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        col("tc.ws_tokens").as("ws_tokens"),
+        col("tc.bpeish_tokens").as("bpeish_tokens"))
   }
 
   /** The frozen BPE merges table (rank order): the tokenizer artifact

@@ -17,6 +17,40 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("text_token_counts ≡ the two regex extraction counts incl. multi-byte/edge texts") {
+    import graft.functions.TokenCounts.text_token_counts
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    val texts = Seq(
+      "", " ", "abc", "abc123", "a.b", "..", "a,b;c 12.5%", "  lead trail  ",
+      "déjà vu 文字 🎉 mixed, 42 tokens!", "tab\there\nnewline",
+      "ünïcode-dashes—and: quotes \"here\"",
+    ) ++ (0 until 3000).map { _ =>
+      val n = rng.nextInt(60)
+      (0 until n).map(_ => rng.nextInt(8) match {
+        case 0 => " "
+        case 1 => "語"
+        case 2 => "é"
+        case 3 => ('0' + rng.nextInt(10)).toChar.toString
+        case 4 => ",.;!?#".charAt(rng.nextInt(6)).toString
+        case _ => ('a' + rng.nextInt(26)).toChar.toString
+      }).mkString
+    }
+    val df = texts.toDF("text")
+    val bad = df
+      .withColumn("tc", text_token_counts(col("text")))
+      .select(col("tc.ws_tokens").as("fw"), col("tc.bpeish_tokens").as("fb"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("rw"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("rb"))
+      .filter(col("fw") =!= col("rw") || col("fb") =!= col("rb")).count()
+    assert(bad == 0L)
+    // null in, null out — like the regex forms
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(text_token_counts(col("text")).as("tc")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("vec_dot evaluates correctly on a known vector") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")

@@ -703,6 +703,15 @@ object Dedup {
     */
   def sketchTable(docs: DataFrame): DataFrame =
     withShingles(docs)
+      // deliberately the COMPOSED sketch (md5_bottom_k over the shingles
+      // column), NOT the fused text-bytes kernel: every consumer either
+      // persists or CacheRegistry-materializes this frame with BOTH
+      // columns, so the shingle build amortizes into the sketch (distinct
+      // strings hash once) — swapping in the kernel was tried r14 and
+      // REGRESSED the no-warmup 1000× smokes (the build then pays
+      // shingles + a re-hash of every window: upsert 1122 → 1755 cpu-s
+      // solo). The kernel wins only where shingles are NOT kept
+      // (minhashPairsPlanFused's corpus pass).
       .withColumn("sketch", sketchCol)
       .select("doc_id", "shingles", "sketch")
 

@@ -19,7 +19,7 @@ package graft
   */
 object MinhashAB {
   def main(args: Array[String]): Unit =
-    WarmSoloAB.run("minhash-ab", "minhash_ab_r13.jsonl",
+    WarmSoloAB.run("minhash-ab", "minhash_ab_r14.jsonl",
       (graft.operators.Dedup.minhashForms ++
         graft.operators.Dedup.incrementalForms ++
         graft.operators.Dedup.paragraphForms).toMap, args)

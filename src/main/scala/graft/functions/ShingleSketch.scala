@@ -44,16 +44,53 @@ import org.apache.spark.unsafe.types.UTF8String
   * (/root/reference/src/main/scala/ivm/optimization/Optimization.scala:31);
   * this kernel is the build-side cost of that structure at corpus scale.
   */
-object ShingleSketchUtil {
+/** THE word-window byte walk (ONE copy — a clamp or boundary fix
+  * applied to one inlined copy would silently break the spec-pinned
+  * equivalences of the other kernels; ShingleSketchSpec is the drift
+  * canary for all of them), plus the shared digest comparator and hex
+  * encoder the kernels use.
+  */
+private[functions] object ShingleWalk {
   private val tl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  def md(): java.security.MessageDigest = tl.get()
+
   private val HEX: Array[Byte] = "0123456789abcdef".getBytes
 
-  /** Unsigned lexicographic compare of two 16-byte digests. */
-  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+  /** Call `f(from, until)` for every n-word window's byte range of
+    * `bytes` (words split on single ' '; window = the literal byte
+    * slice from the first word's start to the last word's end — empty
+    * words, leading/trailing spaces included, exactly split/rejoin
+    * identity). Returns the word count; a < n-word text gets no
+    * windows. The callback signature is the Int-specialized Function2
+    * apply — no boxing; the per-window virtual dispatch is noise next
+    * to the MD5 each caller computes.
+    */
+  def eachWindow(bytes: Array[Byte], n: Int)(f: (Int, Int) => Unit): Int = {
+    val len = bytes.length
+    val starts = new Array[Int](n)
+    var wordIdx = 0
+    var wordStart = 0
+    var pos = 0
+    while (pos <= len) {
+      if (pos == len || bytes(pos) == ' ') {
+        starts(wordIdx % n) = wordStart
+        if (wordIdx >= n - 1) f(starts((wordIdx - n + 1) % n), pos)
+        wordIdx += 1
+        wordStart = pos + 1
+      }
+      pos += 1
+    }
+    wordIdx
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests (≡
+    * lowercase-hex string order).
+    */
+  def cmp16(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     while (i < 16) {
       val d = (a(i) & 0xFF) - (b(i) & 0xFF)
@@ -63,62 +100,55 @@ object ShingleSketchUtil {
     0
   }
 
+  /** Lowercase-hex UTF8String of a 16-byte digest. */
+  def hex32(d: Array[Byte]): UTF8String = {
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HEX((d(j) >> 4) & 0xF)
+      hex(2 * j + 1) = HEX(d(j) & 0xF)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+}
+
+object ShingleSketchUtil {
+
   /** The k smallest distinct MD5 digests of the n-word shingles of
     * `s`, ascending, as lowercase hex; empty if `s` has < n words.
     */
   def sketch(s: UTF8String, n: Int, k: Int): GenericArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    val md = tl.get()
+    val md = ShingleWalk.md()
     val scratch = new Array[Byte](16)
     val keep = new Array[Array[Byte]](k)
     var cnt = 0
-    val starts = new Array[Int](n)
-    var wordIdx = 0
-    var wordStart = 0
-    var pos = 0
-    while (pos <= len) {
-      if (pos == len || bytes(pos) == ' ') {
-        starts(wordIdx % n) = wordStart
-        if (wordIdx >= n - 1) {
-          val from = starts((wordIdx - n + 1) % n)
-          md.reset()
-          md.update(bytes, from, pos - from)
-          md.digest(scratch, 0, 16)
-          // bounded insertion with dedup; fast-reject on the k-th
-          if (cnt < k || cmp(scratch, keep(cnt - 1)) < 0) {
-            val last = if (cnt < k) cnt else k - 1
-            var p = last
-            while (p > 0 && cmp(keep(p - 1), scratch) > 0) p -= 1
-            val dup = p > 0 && cmp(keep(p - 1), scratch) == 0
-            if (!dup) {
-              val evicted =
-                if (keep(last) == null) new Array[Byte](16) else keep(last)
-              var q = last
-              while (q > p) { keep(q) = keep(q - 1); q -= 1 }
-              System.arraycopy(scratch, 0, evicted, 0, 16)
-              keep(p) = evicted
-              if (cnt < k) cnt += 1
-            }
-          }
+    ShingleWalk.eachWindow(bytes, n) { (from, until) =>
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(scratch, 0, 16)
+      // bounded insertion with dedup; fast-reject on the k-th
+      if (cnt < k || ShingleWalk.cmp16(scratch, keep(cnt - 1)) < 0) {
+        val last = if (cnt < k) cnt else k - 1
+        var p = last
+        while (p > 0 && ShingleWalk.cmp16(keep(p - 1), scratch) > 0) p -= 1
+        val dup = p > 0 && ShingleWalk.cmp16(keep(p - 1), scratch) == 0
+        if (!dup) {
+          val evicted =
+            if (keep(last) == null) new Array[Byte](16) else keep(last)
+          var q = last
+          while (q > p) { keep(q) = keep(q - 1); q -= 1 }
+          System.arraycopy(scratch, 0, evicted, 0, 16)
+          keep(p) = evicted
+          if (cnt < k) cnt += 1
         }
-        wordIdx += 1
-        wordStart = pos + 1
       }
-      pos += 1
     }
     val out = new Array[Any](cnt)
     var i = 0
     while (i < cnt) {
-      val hex = new Array[Byte](32)
-      val d = keep(i)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HEX((d(j) >> 4) & 0xF)
-        hex(2 * j + 1) = HEX(d(j) & 0xF)
-        j += 1
-      }
-      out(i) = UTF8String.fromBytes(hex)
+      out(i) = ShingleWalk.hex32(keep(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -126,12 +156,6 @@ object ShingleSketchUtil {
 }
 
 object ShingleGramsUtil {
-  private val tl = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HEX: Array[Byte] = "0123456789abcdef".getBytes
 
   /** The DISTINCT MD5 digests (lowercase hex, ascending) of the n-word
     * shingles of `s` whose first hex nibble ≡ 0 (mod `mod`) — the
@@ -144,55 +168,22 @@ object ShingleGramsUtil {
     */
   def grams(s: UTF8String, n: Int, mod: Int): GenericArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    val md = tl.get()
+    val md = ShingleWalk.md()
     val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    val starts = new Array[Int](n)
-    var wordIdx = 0
-    var wordStart = 0
-    var pos = 0
-    while (pos <= len) {
-      if (pos == len || bytes(pos) == ' ') {
-        starts(wordIdx % n) = wordStart
-        if (wordIdx >= n - 1) {
-          val from = starts((wordIdx - n + 1) % n)
-          md.reset()
-          md.update(bytes, from, pos - from)
-          val d = md.digest()
-          if (((d(0) >> 4) & 0xF) % mod == 0) buf += d
-        }
-        wordIdx += 1
-        wordStart = pos + 1
-      }
-      pos += 1
+    ShingleWalk.eachWindow(bytes, n) { (from, until) =>
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      if (((d(0) >> 4) & 0xF) % mod == 0) buf += d
     }
     if (buf.isEmpty) return new GenericArrayData(Array.empty[Any])
     val arr = buf.toArray
-    java.util.Arrays.sort(arr, new java.util.Comparator[Array[Byte]] {
-      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
-        var i = 0
-        while (i < 16) {
-          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
-          if (d != 0) return d
-          i += 1
-        }
-        0
-      }
-    })
-    val out = new scala.collection.mutable.ArrayBuffer[Any](arr.length)
+    java.util.Arrays.sort(arr, ShingleWalk.cmp16(_, _))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var i = 0
     while (i < arr.length) {
-      if (i == 0 || !java.util.Arrays.equals(arr(i), arr(i - 1))) {
-        val hex = new Array[Byte](32)
-        val d = arr(i)
-        var j = 0
-        while (j < 16) {
-          hex(2 * j) = HEX((d(j) >> 4) & 0xF)
-          hex(2 * j + 1) = HEX(d(j) & 0xF)
-          j += 1
-        }
-        out += UTF8String.fromBytes(hex)
-      }
+      if (i == 0 || !java.util.Arrays.equals(arr(i), arr(i - 1)))
+        out += ShingleWalk.hex32(arr(i))
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -206,43 +197,22 @@ object ShingleGramsUtil {
     */
   def gramPositions(s: UTF8String, n: Int): GenericArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    val md = tl.get()
+    val md = ShingleWalk.md()
     val digests = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    val starts = new Array[Int](n)
-    var wordIdx = 0
-    var wordStart = 0
-    var pos = 0
-    while (pos <= len) {
-      if (pos == len || bytes(pos) == ' ') {
-        starts(wordIdx % n) = wordStart
-        if (wordIdx >= n - 1) {
-          val from = starts((wordIdx - n + 1) % n)
-          md.reset()
-          md.update(bytes, from, pos - from)
-          digests += md.digest()
-        }
-        wordIdx += 1
-        wordStart = pos + 1
-      }
-      pos += 1
+    ShingleWalk.eachWindow(bytes, n) { (from, until) =>
+      md.reset()
+      md.update(bytes, from, until - from)
+      digests += md.digest()
     }
     if (digests.isEmpty) return new GenericArrayData(Array.empty[Any])
     // order gram positions by (digest, position): an index sort keeps
     // each digest's position list ascending for free
-    val idx = Array.tabulate(digests.length)(identity)
     val arr = digests.toArray
-    val boxed = idx.map(Integer.valueOf)
+    val boxed = Array.tabulate(arr.length)(Integer.valueOf)
     java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int = {
-        val x = arr(a); val y = arr(b)
-        var i = 0
-        while (i < 16) {
-          val d = (x(i) & 0xFF) - (y(i) & 0xFF)
-          if (d != 0) return d
-          i += 1
-        }
-        a - b
+        val c = ShingleWalk.cmp16(arr(a), arr(b))
+        if (c != 0) c else a - b
       }
     })
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
@@ -251,19 +221,11 @@ object ShingleGramsUtil {
       var j = i + 1
       while (j < boxed.length &&
         java.util.Arrays.equals(arr(boxed(j)), arr(boxed(i)))) j += 1
-      val hex = new Array[Byte](32)
-      val d = arr(boxed(i))
-      var k = 0
-      while (k < 16) {
-        hex(2 * k) = HEX((d(k) >> 4) & 0xF)
-        hex(2 * k + 1) = HEX(d(k) & 0xF)
-        k += 1
-      }
       val ps = new Array[Int](j - i)
       var q = i
       while (q < j) { ps(q - i) = boxed(q) + 1; q += 1 }
       out += org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromBytes(hex), new GenericArrayData(ps))
+        ShingleWalk.hex32(arr(boxed(i))), new GenericArrayData(ps))
       i = j
     }
     new GenericArrayData(out.toArray)
@@ -275,55 +237,23 @@ object ShingleGramsUtil {
     */
   def gramCounts(s: UTF8String, n: Int): GenericArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    val md = tl.get()
+    val md = ShingleWalk.md()
     val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    val starts = new Array[Int](n)
-    var wordIdx = 0
-    var wordStart = 0
-    var pos = 0
-    while (pos <= len) {
-      if (pos == len || bytes(pos) == ' ') {
-        starts(wordIdx % n) = wordStart
-        if (wordIdx >= n - 1) {
-          val from = starts((wordIdx - n + 1) % n)
-          md.reset()
-          md.update(bytes, from, pos - from)
-          buf += md.digest()
-        }
-        wordIdx += 1
-        wordStart = pos + 1
-      }
-      pos += 1
+    ShingleWalk.eachWindow(bytes, n) { (from, until) =>
+      md.reset()
+      md.update(bytes, from, until - from)
+      buf += md.digest()
     }
     if (buf.isEmpty) return new GenericArrayData(Array.empty[Any])
     val arr = buf.toArray
-    java.util.Arrays.sort(arr, new java.util.Comparator[Array[Byte]] {
-      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
-        var i = 0
-        while (i < 16) {
-          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
-          if (d != 0) return d
-          i += 1
-        }
-        0
-      }
-    })
+    java.util.Arrays.sort(arr, ShingleWalk.cmp16(_, _))
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var i = 0
     while (i < arr.length) {
       var j = i + 1
       while (j < arr.length && java.util.Arrays.equals(arr(j), arr(i))) j += 1
-      val hex = new Array[Byte](32)
-      val d = arr(i)
-      var k = 0
-      while (k < 16) {
-        hex(2 * k) = HEX((d(k) >> 4) & 0xF)
-        hex(2 * k + 1) = HEX(d(k) & 0xF)
-        k += 1
-      }
       out += org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromBytes(hex), (j - i).toLong)
+        ShingleWalk.hex32(arr(i)), (j - i).toLong)
       i = j
     }
     new GenericArrayData(out.toArray)

@@ -1339,7 +1339,9 @@ object Dedup {
 
   /** [[substringStrip]]'s library face over any (doc_id, text) frame —
     * delegates to the adjudicated form (see [[substringStripForms]]:
-    * strip_copart, the r12 warm-solo A/B winner). */
+    * strip_fused, the r14 warm-solo A/B winner — kernels made a second
+    * scan cheaper than the retired copart form's DISK_ONLY cache
+    * round-trip; substring_ab_r14.jsonl). */
   def substringStripApply(spark: SparkSession, docs: DataFrame): DataFrame =
     substringStripFused(spark, docs)
 

@@ -35,30 +35,37 @@ object Pipeline {
   /** The curate plan over any (doc_id, lang, text) frame — the Op binds
     * the documents table; [[curateForms]] and specs feed frames directly.
     */
-  private[graft] def curateFrom(docs: DataFrame): DataFrame = {
-    // A doc is dropped iff it sits in the near-dup graph AND lost its
-    // cluster's min-id election. That drop list is dup-rate-proportional:
-    // a sliver on a clean corpus, but potentially billions of rows on a
-    // heavily-mirrored crawl — so the representative filter is a
-    // SIZE-ADAPTIVE anti join (broadcast below the row threshold, plain
-    // shuffled anti-join above; see GraftApi.adaptiveBroadcast). The full
-    // doc_id→cluster map (corpus-sized!) is never materialized. Quality
-    // features are computed in the same scan's project, no self-join.
-    val pairs = Dedup.minhashPairs(docs, 0.2)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val dropped = graft.api.GraftApi.adaptiveBroadcast(
-      Graph.componentLabels(pairs)
+  private[graft] def curateFrom(docs: DataFrame): DataFrame =
+    curateQuality(docs.join(curateDropped(docs),
+      col("doc_id") === col("dropped_id"), "left_anti"))
+
+  /** The min-id election's losers — dup-rate-proportional: a sliver on
+    * a clean corpus, but potentially billions of rows on a
+    * heavily-mirrored crawl — so the representative filter is a
+    * SIZE-ADAPTIVE anti join (broadcast below the row threshold, plain
+    * shuffled anti-join above; see GraftApi.adaptiveBroadcast). The full
+    * doc_id→cluster map (corpus-sized!) is never materialized. Shared
+    * with [[curateForms]] so the stage A/B always measures the
+    * registered op's own plan.
+    */
+  private def curateDropped(docs: DataFrame): DataFrame =
+    graft.api.GraftApi.adaptiveBroadcast(
+      Graph.componentLabels(Dedup.minhashPairs(docs, 0.2)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .filter(col("cluster") =!= col("id"))
         .select(col("id").as("dropped_id")))
+
+  /** The quality gate over any kept-docs frame — features computed in
+    * the same scan's project, no self-join. Shared with [[curateForms]].
+    */
+  private def curateQuality(docs: DataFrame): DataFrame =
     docs
-      .join(dropped, col("doc_id") === col("dropped_id"), "left_anti")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("lang"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tokens"),
         (size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double") /
           length(col("text"))).as("punct_ratio"))
       .filter(col("tokens") >= 10 && col("punct_ratio") < 0.2)
-  }
 
   /** Rule-based quality gate with audit trail (the Gopher/C4-style filter
     * list): every document gets a verdict — the FIRST failing rule in a
@@ -699,26 +706,13 @@ object Pipeline {
     * scan with no dedup join at all.
     */
   private[graft] val curateForms
-      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = {
-    def quality(docs: DataFrame): DataFrame = docs
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("lang"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tokens"),
-        (size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double") /
-          length(col("text"))).as("punct_ratio"))
-      .filter(col("tokens") >= 10 && col("punct_ratio") < 0.2)
-    Seq(
-      "cur_full" -> ((_: SparkSession, d: DataFrame) => curateFrom(d)),
-      "cur_pairs" -> ((_: SparkSession, d: DataFrame) =>
-        Dedup.minhashPairs(d, 0.2)),
-      "cur_dropped" -> ((_: SparkSession, d: DataFrame) =>
-        Graph.componentLabels(Dedup.minhashPairs(d, 0.2)
-            .select(col("doc_a").as("a"), col("doc_b").as("b")))
-          .filter(col("cluster") =!= col("id"))
-          .select(col("id").as("dropped_id"))),
-      "cur_quality" -> ((_: SparkSession, d: DataFrame) => quality(d)),
-    )
-  }
+      : Seq[(String, (SparkSession, DataFrame) => DataFrame)] = Seq(
+    "cur_full" -> ((_: SparkSession, d: DataFrame) => curateFrom(d)),
+    "cur_pairs" -> ((_: SparkSession, d: DataFrame) =>
+      Dedup.minhashPairs(d, 0.2)),
+    "cur_dropped" -> ((_: SparkSession, d: DataFrame) => curateDropped(d)),
+    "cur_quality" -> ((_: SparkSession, d: DataFrame) => curateQuality(d)),
+  )
 
   val ops: Seq[Op] =
     Seq(curate, qualityFilter, decontamNgram, keepBest, packSequences,

@@ -529,8 +529,13 @@ object TextAnalysis {
 
   /** Type-token ratio (lexical diversity — the Gopher-family signal the
     * repetition rule doesn't cover: a doc can repeat NO n-gram yet cycle
-    * a tiny vocabulary): distinct words / words, case-folded, over the
-    * house single-space split with empties dropped. Exact rational
+    * a tiny vocabulary): distinct words / words, ASCII-case-folded, over
+    * the house single-space split with empties dropped. Folding is an
+    * explicit A-Z translate, NOT lower(): the engines' full-Unicode
+    * case mappings differ off the gate corpus (JVM maps U+0130 to
+    * "i"+combining-dot, utf8proc 1:1), and the distinct-type COUNT is
+    * sensitive to any divergent code point where the stopword regexes
+    * built on lower() only ever test ASCII matches. Exact rational
     * (one int/int double division — engine-bit-identical); short/empty
     * docs emit 0 tokens and ratio 0 under the null-gate convention.
     * Pure per-row array HOFs: one codegen'd scan, zero shuffle, so at
@@ -545,10 +550,13 @@ object TextAnalysis {
       |    THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
       |    ELSE 0.0 END AS ttr
       |FROM (SELECT doc_id,
-      |        list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS w
+      |        list_filter(string_split(translate(coalesce(text, ''),
+      |          'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
+      |          x -> x <> '') AS w
       |      FROM documents)""".stripMargin,
   ) { (spark, dir) =>
-    val w = expr("filter(split(lower(coalesce(text, '')), ' '), x -> x != '')")
+    val w = expr("filter(split(translate(coalesce(text, '')," +
+      " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), x -> x != '')")
     Tables.documents(spark, dir)
       .withColumn("w", w)
       .select(col("doc_id"),

@@ -320,7 +320,22 @@ object EventStreams {
   }
 
   case class GramArrival(g: String, doc_id: Long, n_local: Long)
-  case class GramCount(n: Long)
+
+  /** Gram-key format version carried INSIDE the state value. r14 switched
+    * the state-machine key from gram strings to md5 digests (both
+    * String-typed, so Spark's checkpoint machinery cannot tell them
+    * apart); a stream resumed from a pre-r14 checkpoint would silently
+    * mix string-keyed old state with digest-keyed arrivals and
+    * under-count duplicates. Widening the state schema (n) → (n, kv)
+    * makes Spark's state-store schema check (on by default:
+    * spark.sql.streaming.stateStore.stateSchemaCheck) REJECT a resumed
+    * pre-r14 checkpoint at query start — fail fast instead of silent
+    * divergence. r14+ checkpoints carry kv=2 and resume normally; any
+    * future key-format change bumps this constant (new schema field or
+    * value) so the same guard fires.
+    */
+  val GramKeyVersion: Int = 2
+  case class GramCount(n: Long, kv: Int)
   case class SpanFlag(doc_id: Long, n_local: Long, dup: Boolean)
 
   /** Per-document 8-word-gram arrivals (g, doc_id, n_local) from a
@@ -380,7 +395,7 @@ object EventStreams {
             n += a.n_local
             SpanFlag(a.doc_id, a.n_local, dup)
           }
-          state.update(GramCount(n))
+          state.update(GramCount(n, GramKeyVersion))
           out.iterator
       }
   }
@@ -556,12 +571,12 @@ object EventStreams {
 
   /** The corpus-side paragraph-hash count table the streaming admission
     * (and a warehouse maintenance job) reads: (h, n) over a
-    * (doc_id, paras) frame — persist `bucketBy(h)` at scale.
+    * (doc_id, paras) frame — persist `bucketBy(h)` at scale. Single
+    * copy lives with the batch family (the upsert face reads the same
+    * state — [[graft.operators.Dedup.paragraphHashCounts]]).
     */
   def paragraphHashCounts(withParas: DataFrame): DataFrame =
-    withParas
-      .select(explode(expr("transform(paras, x -> md5(lower(x)))")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("n"))
+    graft.operators.Dedup.paragraphHashCounts(withParas)
 
   /** The verify stage on top of [[nearDupCandidates]]: each streamed
     * candidate pair joins the STATIC persisted shingle/sketch table

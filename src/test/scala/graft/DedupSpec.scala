@@ -502,6 +502,66 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("paragraph upsert: absorb-then-serve ≡ serve from the rebuilt 90% state") {
+    import spark.implicits._
+    // the upsert contract (dedup_incremental_upsert's, applied to the
+    // paragraph family): absorbing the % 10 = 1 shard into the 80% base
+    // must admit the % 10 = 0 arrivals EXACTLY like a rebuilt 90% state
+    val docs = Tables.documents(spark, sfTiny)
+    val delta = Dedup.pseudoParas(docs.filter(col("doc_id") % 10 === 0))
+    val upserted = Dedup.paragraphUpsert.fn(spark, sfTiny)
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    val rebuilt = Dedup.paragraphAdmitServe(
+        Dedup.paragraphHashCounts(
+          Dedup.pseudoParas(docs.filter(col("doc_id") % 10 =!= 0))),
+        None, delta, " ")
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    assert(upserted == rebuilt,
+      s"upsert diverged from rebuild: ${upserted.diff(rebuilt).take(3)}")
+    assert(upserted.nonEmpty)
+  }
+
+  test("paragraph admission: corpus hit drops, within-doc repeat drops, fresh keeps") {
+    import spark.implicits._
+    // paragraphs are 12-word pseudo-blocks; build texts from 12-word units
+    def block(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val corpusDoc = (100L, block("known") + " " + block("other"))
+    val corpus = Seq(corpusDoc).toDF("doc_id", "text")
+    // doc 1: [known, fresh] — known is in the corpus state → dropped
+    // doc 2: [rep, rep]     — within-doc repeat → BOTH copies dropped
+    // doc 3: [solo]         — fresh singleton → kept untouched
+    val arrivals = Seq(
+      (1L, block("known") + " " + block("fresh")),
+      (2L, block("rep") + " " + block("rep")),
+      (3L, block("solo"))).toDF("doc_id", "text")
+    val got = Dedup.paragraphAdmitServe(
+        Dedup.paragraphHashCounts(Dedup.pseudoParas(corpus)),
+        None, Dedup.pseudoParas(arrivals), " ")
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_removed", "text_depara")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    CacheRegistry.drain()
+    assert(got == Seq(
+      (1L, 2L, 1L, block("fresh")),
+      (2L, 2L, 2L, ""),
+      (3L, 1L, 0L, block("solo"))), got)
+  }
+
+  test("paragraph upsert serve: the persisted hash state reaches its probe with ZERO exchange") {
+    Dedup.paragraphUpsert.fn(spark, sfTiny).collect() // build 80% base
+    CacheRegistry.drain()
+    val served = Dedup.paragraphUpsert.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(served, "paragraph hash state (hn)", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_ph_")) && t.table == "hn")
+      case _ => false
+    }
+    served.collect(): Unit
+    CacheRegistry.drain()
+  }
+
   test("substring incremental serve: corpus gram counts reach their join with ZERO exchange") {
     Dedup.substringIncremental.fn(spark, sfTiny).collect() // build gc
     CacheRegistry.drain()
@@ -688,8 +748,9 @@ class DedupSpec extends SparkSpec {
     }
     // theorem of the re-rank: an exact-top-5 member inside the ADC
     // shortlist survives exact re-ranking (at most 4 vectors anywhere
-    // beat it), and refine's 20-candidate shortlist contains pq's 5 —
-    // so refine recall can never fall below pq recall on any query
+    // beat it), and refine's shortlist (ivfPqShortlistMult·5 — 60 at
+    // the r15 tuning) contains pq's 5 — so refine recall can never
+    // fall below pq recall on any query
     qs.foreach { q =>
       assert(rows(("ivfpq_refine", q))._1 >= rows(("ivfpq", q))._1,
         s"q=$q refine ${rows(("ivfpq_refine", q))._1} < pq ${rows(("ivfpq", q))._1}")

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVFADC recall/cost sweep — the adjudication harness behind the r15
+  * serving-parameter re-tune (VERDICT r14 #4: ADC recall@5 0.275 and
+  * refine 0.55 are not production numbers; FAISS deployments serve PQ at
+  * 0.8–0.95 by tuning nprobe / shortlist / subquantizer geometry against
+  * a measured recall audit).
+  *
+  * For each (nprobe, numSubs) config the inline IVFADC build+search runs
+  * at cells=16 / codebookSize=16 (the frozen-seed discipline — seeds are
+  * the 16 lowest ids, so geometry changes never touch seeding), and each
+  * shortlist multiplier refines the same config's shortlist. Recall@5 is
+  * measured against the exact brute-force cosine top-5 on the same 8
+  * queries the registered ops serve. Output: one JSON line per config to
+  * the artifact path + stdout.
+  *
+  * Usage: runMain graft.AnnRecallAB [sfDir] [outPath]
+  */
+object AnnRecallAB {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.lift(1).getOrElse("ann_recall_ab_r15.jsonl")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.vec.vec_dot
+
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+
+    // exact ground truth: brute-force cosine top-5 (the ann_recall_audit
+    // exact arm, verbatim shape)
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (vec_dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    val exact = graft.api.GraftApi
+      .topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = exact.map(_._1).size
+    println(s"[ann-recall-ab] exact top-5 over $nQ queries, dir=$dir")
+
+    def recallOf(df: DataFrame): Double = {
+      val hits = df.select("q_id", "cand_id").collect()
+        .count(r => exact.contains((r.getLong(0), r.getLong(1))))
+      hits.toDouble / (nQ * 5)
+    }
+
+    // (nprobe, numSubs, codebookSize) grid — round 1 swept cb=16 over
+    // nprobe × m (ann_recall_ab_r15.jsonl rows 1-6: refine plateaus at
+    // 0.825 with x12, ADC stuck at 0.275, m=8 WORSE); round 2 sweeps
+    // the codebook size (finer codewords cut ADC distortion directly)
+    val grid: Seq[(Int, Int, Int)] = Seq(
+      (4, 4, 16), (6, 4, 16), (8, 4, 16), (4, 8, 16), (6, 8, 16), (8, 8, 16),
+      (4, 4, 64), (6, 4, 64), (8, 4, 64), (4, 4, 32))
+    val sb = new StringBuilder
+    for ((nprobe, numSubs, cb) <- grid) {
+      val subDim = 64 / numSubs
+      val t0 = System.nanoTime()
+      val adc = graft.api.GraftApi.ivfPqSearchADC(emb, queries,
+        "vec_id", "embedding", cells = 16, nprobe = nprobe,
+        numSubs = numSubs, subDim = subDim, codebookSize = cb, k = 5)
+      val adcRecall = recallOf(adc)
+      val adcSec = (System.nanoTime() - t0) / 1e9
+      val refines = Seq(4, 8, 12).map { mult =>
+        val t1 = System.nanoTime()
+        val short = graft.api.GraftApi.ivfPqSearchADC(emb, queries,
+          "vec_id", "embedding", cells = 16, nprobe = nprobe,
+          numSubs = numSubs, subDim = subDim, codebookSize = cb,
+          k = mult * 5)
+        val ref = graft.api.GraftApi.refineTopK(emb, short, queries,
+          "vec_id", "embedding", k = 5)
+        val r = recallOf(ref)
+        (mult, r, (System.nanoTime() - t1) / 1e9)
+      }
+      CacheRegistry.drain()
+      def f3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+      val refJson = refines.map { case (m, r, s) =>
+        s""""refine_x$m": {"recall": ${f3(r)}, "sec": ${f3(s)}}""" }.mkString(", ")
+      val line = s"""{"nprobe": $nprobe, "num_subs": $numSubs, "sub_dim": $subDim, "codebook": $cb, "adc_recall": ${f3(adcRecall)}, "adc_sec": ${f3(adcSec)}, $refJson}"""
+      println(s"[ann-recall-ab] $line")
+      sb.append(line).append('\n')
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      sb.toString)
+    spark.stop()
+  }
+}

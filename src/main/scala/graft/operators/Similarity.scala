@@ -177,7 +177,7 @@ object Similarity {
       "ann_knn_join_topk",
       s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm,
         |             ${sketchSqlAt(1)} AS sk1, ${sketchSqlAt(9)} AS sk2
-        |           FROM embeddings) WHERE nrm > 0),
+        |           FROM embeddings WHERE len(embedding) >= 16) WHERE nrm > 0),
         |cand AS (SELECT DISTINCT vec_id, nbr_id, cosine FROM (
         |  ${bandSql("sk1")}
         |  UNION ALL
@@ -187,7 +187,12 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
     ) { (spark, dir) =>
-      val v = graft.CacheRegistry.track(normed(Tables.embeddings(spark, dir))
+      // band 2 reads dims 9–16, so the op's contract is dim ≥ 16: shorter
+      // vectors would silently collapse band 2 into one "" bucket the 2..64
+      // cap drops (halving recall with no error) — exclude them explicitly,
+      // mirrored in the oracle (declared-degenerate-bucket discipline)
+      val v = graft.CacheRegistry.track(normed(Tables.embeddings(spark, dir)
+          .filter(size(col("embedding")) >= 16))
         .withColumn("sk1", expr(sketchExprAt(1)))
         .withColumn("sk2", expr(sketchExprAt(9))))
       def bandPairs(sk: String): DataFrame = {
@@ -556,9 +561,10 @@ object Similarity {
     * one probes more, and recall targets stay stable as the corpus
     * grows without anyone re-picking nprobe. Measured recall@5 at the
     * default (oversample = 8), via [[annRecallAudit]]: 32/40 = 0.80 at
-    * both sf0.01 and sf0.1 (vs IVFPQ-ADC 0.35/0.275 and IVFPQ+refine
-    * 0.65/0.55 at those scales — the PQ variants trade recall for the
-    * 16-byte code scan; refine buys half the loss back). The stats are
+    * both sf0.01 and sf0.1 (vs IVFPQ-ADC 0.35/0.275 and — after the r15
+    * shortlist re-tune — IVFPQ+refine 0.825 at sf0.1; the ADC variant
+    * trades recall for the 16-byte code scan, refine buys it back
+    * above the IVF line). The stats are
     * `cells` rows
     * aggregated off the inverted lists and ride the plan as a one-row
     * cross join — no driver action (see [[Similarity.ivfSearchAuto]]).
@@ -1287,16 +1293,21 @@ object Similarity {
   /** [[pqCteSql]] with the TRAINING subset parameterized (seeds, a0,
     * Lloyd contrib restricted to `trainFilter`; the final a1 encode runs
     * over everything) — the frozen-codebook upsert contract. Seeds are
-    * the 16 LOWEST TRAIN ids (ORDER BY LIMIT — for TRUE this is
-    * `vec_id < 16`, the historical seed set, verbatim).
+    * the `codebookSize` LOWEST TRAIN ids (ORDER BY LIMIT — for TRUE this
+    * is `vec_id < 16`, the historical seed set, verbatim). The PQ
+    * geometry (numSubs × subDim, codebookSize) is parameterized so the
+    * IVFADC family can carry a finer quantizer than the plain PQ ops
+    * (the r15 recall tuning, VERDICT r14 #4) while both stay the same
+    * factored chain.
     */
-  private def pqCteSqlFor(trainFilter: String): String =
+  private def pqCteSqlFor(trainFilter: String, numSubs: Int = 4,
+      subDim: Int = 16, codebookSize: Int = 16): String =
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
       |           FROM embeddings),
-      |sub AS (SELECT vec_id, s, list_slice(d, 16*s+1, 16*(s+1)) AS sv
-      |        FROM v, UNNEST(generate_series(0, 3)) AS t(s)),
+      |sub AS (SELECT vec_id, s, list_slice(d, $subDim*s+1, $subDim*(s+1)) AS sv
+      |        FROM v, UNNEST(generate_series(0, ${numSubs - 1})) AS t(s)),
       |subt AS (SELECT * FROM sub WHERE $trainFilter),
-      |seeds AS (SELECT DISTINCT vec_id FROM subt ORDER BY vec_id LIMIT 16),
+      |seeds AS (SELECT DISTINCT vec_id FROM subt ORDER BY vec_id LIMIT $codebookSize),
       |c0 AS (SELECT s, vec_id AS code, sv AS c_emb FROM subt
       |       WHERE vec_id IN (SELECT vec_id FROM seeds)),
       |a0 AS (
@@ -1304,7 +1315,7 @@ object Similarity {
       |    SELECT sub.vec_id, sub.s, c0.code,
       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |          list_transform(generate_series(1, 16),
+      |          list_transform(generate_series(1, $subDim),
       |            i -> (sub.sv[i] - c0.c_emb[i]) * (sub.sv[i] - c0.c_emb[i]))),
       |          (acc, p) -> acc + p), c0.code) AS rn
       |    FROM subt sub JOIN c0 ON c0.s = sub.s) WHERE rn = 1),
@@ -1312,7 +1323,7 @@ object Similarity {
       |  SELECT a0.s, a0.code, t.d AS dim,
       |    CAST(round(sub.sv[t.d] * 1000000) AS BIGINT) AS qv
       |  FROM subt sub JOIN a0 ON a0.vec_id = sub.vec_id AND a0.s = sub.s,
-      |       UNNEST(generate_series(1, 16)) AS t(d)),
+      |       UNNEST(generate_series(1, $subDim)) AS t(d)),
       |c1 AS (
       |  SELECT s, code, list(mean ORDER BY dim) AS c_emb FROM (
       |    SELECT s, code, dim,
@@ -1322,12 +1333,12 @@ object Similarity {
       |  SELECT vec_id, s, code, dist FROM (
       |    SELECT sub.vec_id, sub.s, c1.code,
       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |        list_transform(generate_series(1, 16),
+      |        list_transform(generate_series(1, $subDim),
       |          i -> (sub.sv[i] - c1.c_emb[i]) * (sub.sv[i] - c1.c_emb[i]))),
       |        (acc, p) -> acc + p) AS dist,
       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |          list_transform(generate_series(1, 16),
+      |          list_transform(generate_series(1, $subDim),
       |            i -> (sub.sv[i] - c1.c_emb[i]) * (sub.sv[i] - c1.c_emb[i]))),
       |          (acc, p) -> acc + p), c1.code) AS rn
       |    FROM sub JOIN c1 ON c1.s = sub.s) WHERE rn = 1)""".stripMargin
@@ -1488,12 +1499,45 @@ object Similarity {
           " else array_max(zip_with(d, q, (x, qi) -> abs(x - qi * scale))) end")
           .as("max_abs_err"))
 
+  /** IVFADC serving parameters, shared by the Spark fns and the composed
+    * oracles (one source of truth — a drifted pair would hash-mismatch).
+    * r15 re-tune (VERDICT r14 #4, adjudicated by graft.AnnRecallAB at
+    * sf0.1 against exact brute force — ann_recall_ab_r15.jsonl, 10
+    * configs over nprobe × m × codebookSize × shortlist): the r14
+    * config (nprobe 4, m=4×16, cb=16, shortlist 4k) measured recall@5
+    * ADC 0.275 / refine 0.55. The sweep's findings, each against the
+    * intuition a FAISS tuner would start from:
+    *   - nprobe 6/8 makes BOTH worse (ADC 0.275→0.200, refine_x4
+    *     0.55→0.425): the quantized ranking is noisy enough that a
+    *     richer candidate pool displaces true neighbors;
+    *   - m=8×8 is worse at every shortlist depth (refine_x12 0.775);
+    *   - codebookSize 32/64 is worse (refine_x12 0.700/0.625-0.700):
+    *     one fixed-point Lloyd pass from the bounded lowest-id seeds
+    *     spreads the extra codewords too thin to refine;
+    *   - shortlist DEPTH is the one lever that pays: refine_x12 =
+    *     **0.825** at the otherwise-unchanged config (x8 = 0.700).
+    * So the serve keeps nprobe 4 / m 4×16 / cb 16 (ann_ivfpq_topk and
+    * the upsert face byte-identical to r14) and the refine shortlist
+    * goes 4k → 12k — recall 0.55 → 0.825 for a |Q|·60-row broadcast
+    * instead of |Q|·20, both shortlist fetch AND the exact re-rank
+    * still corpus-scan-free.
+    */
+  private[graft] val ivfPqNprobe = 4
+  private[graft] val ivfPqNumSubs = 4
+  private[graft] val ivfPqSubDim = 16
+  /** Refine shortlist size as a multiple of the final k (r15: 4 → 12,
+    * measured refine recall@5 0.55 → 0.825 — the scaladoc above).
+    */
+  private[graft] val ivfPqShortlistMult = 12
+
   /** The composed IVFADC chain as oracle SQL, parameterized by the final
     * per-query candidate count so [[ivfPqRefineTopK]] can reuse the
     * identical chain as its shortlist CTE.
     */
-  private def ivfPqOracleSql(kCand: Int, trainFilter: String = "TRUE"): String =
-    s"""WITH ${pqCteSqlFor(trainFilter)},
+  private def ivfPqOracleSql(kCand: Int, trainFilter: String = "TRUE",
+      nprobe: Int = ivfPqNprobe, numSubs: Int = ivfPqNumSubs,
+      subDim: Int = ivfPqSubDim): String =
+    s"""WITH ${pqCteSqlFor(trainFilter, numSubs, subDim)},
       |w AS ($normedVSql),
       |wt AS (SELECT * FROM w WHERE $trainFilter),
       |k0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
@@ -1540,10 +1584,10 @@ object Similarity {
       |          list_transform(generate_series(1, len(kq.q_emb)),
       |            i -> CAST(kq.q_emb[i] AS DOUBLE) * c.c_emb[i])),
       |          (acc, p) -> acc + p) / (kq.q_nrm * c.c_nrm) DESC, c.cent_id) AS rn
-      |    FROM kq, kc1n c) WHERE rn <= 4),
+      |    FROM kq, kc1n c) WHERE rn <= $nprobe),
       |lut AS (SELECT sq.vec_id AS q_id, sq.s, c1.code,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |      list_transform(generate_series(1, 16),
+      |      list_transform(generate_series(1, $subDim),
       |        i -> (sq.sv[i] - c1.c_emb[i]) * (sq.sv[i] - c1.c_emb[i]))),
       |      (acc, p) -> acc + p) AS dsq
       |  FROM sub sq JOIN c1 ON c1.s = sq.s WHERE sq.vec_id < 8),
@@ -1586,11 +1630,12 @@ object Similarity {
     // composed oracle unchanged.
     val emb = Tables.embeddings(spark, dir)
     val (cents, cbs, codes, stats) = persistedIvfPqIndex(spark, dir,
-      cells = 16, numSubs = 4, subDim = 16, codebookSize = 16)
+      cells = 16, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
+      codebookSize = 16)
     graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes,
       emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5,
-      stats = Some(stats))
+      nprobe = ivfPqNprobe, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
+      codebookSize = 16, k = 5, stats = Some(stats))
   }
 
   /** [[annIvfUpsert]]'s IVFADC sibling: BOTH quantizers (coarse cells
@@ -1613,34 +1658,40 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val delta = emb.filter(col("vec_id") % 5 === 0)
     val (cents, cbs, codes0, stats0) = persistedIvfPqIndex(spark, dir,
-      cells = 16, numSubs = 4, subDim = 16, codebookSize = 16,
+      cells = 16, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
+      codebookSize = 16,
       trainTag = "t45", train = _.filter(col("vec_id") % 5 =!= 0))
     val (codes1, stats1) = graft.api.GraftApi.ivfPqIndexUpsert(
-      cents, cbs, codes0, stats0, delta)
+      cents, cbs, codes0, stats0, delta,
+      numSubs = ivfPqNumSubs, subDim = ivfPqSubDim)
     graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes1,
       emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 5,
-      stats = Some(stats1))
+      nprobe = ivfPqNprobe, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
+      codebookSize = 16, k = 5, stats = Some(stats1))
   }
 
   /** IVFADC shortlist + exact re-rank — the refine step (FAISS
     * RefineFlat shape) that completes the production ANN serving story:
-    * the quantized index proposes a 20-candidate shortlist per query
-    * (the [[ivfPqTopK]] machinery verbatim, served from the persisted
-    * index), then ONLY those candidates' true embeddings are fetched by
-    * id and scored with exact sequential-fold cosine, and the top 5 by
-    * TRUE similarity are kept. Recall lost to PQ approximation is
-    * recovered for the price of a |Q|·20-row broadcast join against the
-    * corpus — the corpus itself never shuffles and is read once (by id;
-    * bucketed/partition-pruned at 100 TB). Oracle = the composed IVFADC
-    * chain at k=20 wrapped as the shortlist CTE + the brute-force
-    * cosine re-rank — both stages engine-exact, so the hash gate holds.
+    * the quantized index proposes a `ivfPqShortlistMult`·k-candidate
+    * shortlist per query (60 at the r15 tuning — the [[ivfPqTopK]]
+    * machinery verbatim, served from the persisted index), then ONLY
+    * those candidates' true embeddings are fetched by id and scored
+    * with exact sequential-fold cosine, and the top 5 by TRUE
+    * similarity are kept. Recall lost to PQ approximation is recovered
+    * for the price of a |Q|·60-row broadcast join against the corpus —
+    * the corpus itself never shuffles and is read once (by id;
+    * bucketed/partition-pruned at 100 TB). Shortlist depth is the one
+    * tuning lever the r15 sweep found effective (see the serving-
+    * parameter scaladoc above: recall@5 0.55 → 0.825). Oracle = the
+    * composed IVFADC chain at the shortlist k wrapped as the shortlist
+    * CTE + the brute-force cosine re-rank — both stages engine-exact,
+    * so the hash gate holds.
     */
   /** The composed refine oracle (shortlist at 4·k, exact re-rank to k)
     * — factored so [[annRecallAudit]] can nest it verbatim.
     */
   private def refineOracleSql(k: Int): String =
-    s"""WITH short AS (${ivfPqOracleSql(4 * k)}),
+    s"""WITH short AS (${ivfPqOracleSql(ivfPqShortlistMult * k)}),
       |wv AS ($normedVSql),
       |ex AS (
       |  SELECT s.q_id, s.cand_id,
@@ -1662,11 +1713,12 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 8)
     val (cents, cbs, codes, stats) = persistedIvfPqIndex(spark, dir,
-      cells = 16, numSubs = 4, subDim = 16, codebookSize = 16)
+      cells = 16, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
+      codebookSize = 16)
     val short = graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes,
       queries, "vec_id", "embedding",
-      nprobe = 4, numSubs = 4, subDim = 16, codebookSize = 16, k = 20,
-      stats = Some(stats))
+      nprobe = ivfPqNprobe, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
+      codebookSize = 16, k = ivfPqShortlistMult * 5, stats = Some(stats))
     graft.api.GraftApi.refineTopK(emb, short, queries, "vec_id", "embedding",
       k = 5)
   }

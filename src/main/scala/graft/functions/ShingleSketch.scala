@@ -357,6 +357,11 @@ case class ShingleMd5Grams(child: Expression, n: Int, mod: Int)
     extends UnaryExpression {
   require(n >= 1 && n <= 64, s"shingle_md5_grams: n=$n out of range [1, 64]")
   require(mod >= 1 && mod <= 16, s"shingle_md5_grams: mod=$mod out of range [1, 16]")
+  // the coin samples on first-nibble % mod over 16 equiprobable nibble
+  // values, so only a power-of-two mod yields an exact 1-in-mod rate
+  // (mod=3 would keep 6/16, not 1/3) — reject the miscalibrated cases
+  require((mod & (mod - 1)) == 0,
+    s"shingle_md5_grams: mod=$mod must be a power of two for an exact 1/mod rate")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_md5_grams"

@@ -303,9 +303,30 @@ class PlanSpec extends SparkSpec {
     // broadcast (pinned here on the FINAL plan), corpus-sized on the
     // pathological amplified corpus → sort-merge, measured cheaper
     // than forcing a cache+broadcast. Drive AQE to the final plan.
-    val df = graft.operators.Dedup.substringStrip.fn(spark, sfTiny)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the covered-side broadcast is a RUNTIME size decision, so pin the
+    // thresholds the decision reads (plan-time + AQE) to the documented
+    // 10MB default — the assertion tests the PLAN SHAPE on a tiny organic
+    // corpus, not whatever threshold the session happens to carry
+    // getOption/unset: the AQE threshold is UNSET by default (it falls
+    // back to the static one) — a get/set(null) restore pair throws
+    val prevStatic = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(key: String, prev: Option[String]): Unit =
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    val p =
+      try {
+        val df = graft.operators.Dedup.substringStrip.fn(spark, sfTiny)
+        df.collect()
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      } finally {
+        restore("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+        restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      }
     CacheRegistry.drain()
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"dup-gram probe and covered rebuild must both broadcast on an organic corpus:\n$p")

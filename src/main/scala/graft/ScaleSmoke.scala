@@ -332,7 +332,8 @@ object ScaleSmoke {
     // untimed warmup pass materializes the state (recorded as
     // warmup_sec), then the timed run measures serve-only — the same
     // build-untimed/serve-timed accounting Bench applies.
-    val warmOps = Set("dedup_incremental", "dedup_incremental_upsert")
+    val warmOps = Set("dedup_incremental", "dedup_incremental_upsert",
+      "dedup_paragraph_upsert")
 
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {

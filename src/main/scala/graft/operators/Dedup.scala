@@ -1579,7 +1579,23 @@ object Dedup {
     */
   private[graft] def substringIncrementalScore(corpusCounts: DataFrame,
       delta: DataFrame, parts: Int,
-      corpusHint: String = "SHUFFLE_HASH"): DataFrame = {
+      corpusHint: String = "SHUFFLE_HASH"): DataFrame =
+    substringIncrementalScoreMulti(Seq((corpusCounts, corpusHint)),
+      delta, parts)
+
+  /** [[substringIncrementalScore]] over SEVERAL count frames — the
+    * upsert serve: a delta gram's global total = Σ count-frame totals
+    * (0 where absent) + the delta's own total. Frames join as SEPARATE
+    * branches (the incrementalPairsUpsertServe discipline: unioning a
+    * fresh shard's counts into the persisted table before the join
+    * would strip the bucketed side's zero-exchange layout), each with
+    * its own hint. Exact on any frames whose underlying doc sets are
+    * pairwise disjoint with each other and the delta — the registered
+    * % 10 splits are.
+    */
+  private[graft] def substringIncrementalScoreMulti(
+      countFrames: Seq[(DataFrame, String)],
+      delta: DataFrame, parts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // r14: both sides of the count join moved to gram DIGESTS together
     // (substringCountTable above and this delta stream — the
@@ -1594,17 +1610,21 @@ object Dedup {
       .repartition(parts, col("g"))
     val withDelta = local.withColumn("delta_total",
       sum(col("n_local")).over(Window.partitionBy(col("g"))))
-    // corpusHint: SHUFFLE_HASH for an inline count frame (both sides
+    // hints: SHUFFLE_HASH for an inline count frame (both sides
     // exchange once, corpus builds the per-partition map); MERGE when
     // the counts come from the PERSISTED bucketBy(g)+sortBy(g) table —
     // sort-merge then streams the corpus buckets with zero exchange
     // and zero sort while only the delta side aligns (an SHJ would
     // build corpus-scaled per-task maps for a delta-sized probe)
-    val scored = withDelta
-      .join(corpusCounts.withColumnRenamed("n", "corpus_n")
-        .hint(corpusHint), Seq("g"), "left")
-      .withColumn("n_total",
-        coalesce(col("corpus_n"), lit(0L)) + col("delta_total"))
+    val joined = countFrames.zipWithIndex.foldLeft(withDelta) {
+      case (df, ((cf, hint), i)) =>
+        df.join(cf.withColumnRenamed("n", s"corpus_n_$i").hint(hint),
+          Seq("g"), "left")
+    }
+    val corpusSum = countFrames.indices
+      .map(i => coalesce(col(s"corpus_n_$i"), lit(0L)))
+      .reduce(_ + _)
+    val scored = joined.withColumn("n_total", corpusSum + col("delta_total"))
     substringRollup(scored,
       when(col("n_total") >= 2, col("n_local")).otherwise(lit(0L)))
   }
@@ -1668,10 +1688,12 @@ object Dedup {
     * [[persistedCorpusSketch]]; a warehouse deployment upserts it per
     * arriving shard by adding the shard's own counts.
     */
-  private def persistedGramCounts(spark: SparkSession,
-      dir: String): DataFrame = {
+  private def persistedGramCounts(spark: SparkSession, dir: String,
+      tag: String = "corpus90",
+      corpusOf: DataFrame => DataFrame = _.filter(col("doc_id") % 10 =!= 0))
+      : DataFrame = {
     val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|corpus90|gc|v2digest".getBytes("UTF-8"))
+      .digest(s"$dir|$tag|gc|v2digest".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val db = s"graft_gc_$keyHex"
     gcTblLock.synchronized {
@@ -1679,14 +1701,43 @@ object Dedup {
           !spark.catalog.tableExists(s"$db.gc")) {
         val loc = graft.TempWarehouse.dir("graft_gc_tbl")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        substringCountTable(Tables.documents(spark, dir)
-            .filter(col("doc_id") % 10 =!= 0))
+        substringCountTable(corpusOf(Tables.documents(spark, dir)))
           .repartition(skBuckets, col("g"))
           .write.mode("overwrite")
           .bucketBy(skBuckets, "g").sortBy("g").saveAsTable(s"$db.gc")
       }
     }
     spark.table(s"$db.gc")
+  }
+
+  /** Absorb-back face of the substring family (completing its
+    * lifecycle — batch score, strip, incremental, streaming, UPSERT —
+    * the way [[paragraphUpsert]] and [[incrementalUpsert]] did for
+    * their families): the persisted gram-count base covers
+    * doc_id % 10 ∉ {0, 1} (80%), the % 10 = 1 shard's gram counts are
+    * ABSORBED in-plan (shard-sized kernel scan, no state rebuild), and
+    * the % 10 = 0 delta scores against the merged totals. A warehouse
+    * deployment compacts the absorbed counts back into the bucketed gc
+    * on its maintenance cadence (n is additive — the upsert is one
+    * keyed merge); the serve path is what this op measures. Oracle =
+    * the identical full recompute [[substringIncremental]] gates on —
+    * absorbing a shard must score exactly like rebuilding the 90%
+    * count table, and the hash gate proves it (DedupSpec additionally
+    * pins upsert ≡ rebuild at the frame level and the base gc's
+    * zero-exchange plan beside the absorb branch).
+    */
+  val substringUpsert: Op = Op(
+    "dedup_substring_upsert",
+    substringIncremental.oracle.get,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val parts = substringParts(spark, docs)
+    val base = persistedGramCounts(spark, dir, tag = "corpus80",
+      corpusOf = _.filter(col("doc_id") % 10 >= 2))
+    val absorb = substringCountTable(docs.filter(col("doc_id") % 10 === 1))
+    substringIncrementalScoreMulti(
+      Seq((base, "MERGE"), (absorb, "SHUFFLE_HASH")),
+      docs.filter(col("doc_id") % 10 === 0), parts)
   }
 
   /** Bloom-prefiltered membership dedup of an arriving shard: which delta
@@ -2345,6 +2396,6 @@ object Dedup {
   val ops: Seq[Op] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
       incremental, incrementalUpsert, substring, substringStrip,
-      substringIncremental, paragraph, paragraphUpsert, bloomNew,
-      bloomNewBucketed, recallAudit)
+      substringIncremental, substringUpsert, paragraph, paragraphUpsert,
+      bloomNew, bloomNewBucketed, recallAudit)
 }

@@ -575,6 +575,39 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.drain()
   }
 
+  test("substring upsert: absorb-then-serve ≡ serve from the rebuilt 90% count table") {
+    import spark.implicits._
+    val upserted = Dedup.substringUpsert.fn(spark, sfTiny)
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    // rebuilt 90% counts served through the SAME single-frame path the
+    // registered incremental uses — the upsert must match it exactly
+    val docs = Tables.documents(spark, sfTiny)
+    val rebuilt = Dedup.substringIncrementalScoreMulti(
+        Seq((Dedup.substringCountTable(
+          docs.filter(col("doc_id") % 10 =!= 0)), "SHUFFLE_HASH")),
+        docs.filter(col("doc_id") % 10 === 0),
+        parts = 4)
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    assert(upserted == rebuilt,
+      s"upsert diverged from rebuild: ${upserted.diff(rebuilt).take(3)}")
+    assert(upserted.nonEmpty)
+  }
+
+  test("substring upsert serve: the persisted BASE gc stays zero-exchange beside the absorb branch") {
+    Dedup.substringUpsert.fn(spark, sfTiny).collect() // build 80% base
+    CacheRegistry.drain()
+    val served = Dedup.substringUpsert.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(served, "upsert-base gram-count table (gc)", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_gc_")) && t.table == "gc")
+      case _ => false
+    }
+    served.collect(): Unit
+    CacheRegistry.drain()
+  }
+
   test("IVF lists and PQ codes reach their probe joins with ZERO exchange") {
     // the persisted-index serve paths (not a hand-bucketed copy — the
     // REAL tables persistedIvfIndex/persistedIvfPqIndex read): warm the

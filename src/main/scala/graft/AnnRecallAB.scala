@@ -25,25 +25,14 @@ object AnnRecallAB {
     val outPath = args.lift(1).getOrElse("ann_recall_ab_r15.jsonl")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.functions.vec.vec_dot
 
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 8)
 
-    // exact ground truth: brute-force cosine top-5 (the ann_recall_audit
-    // exact arm, verbatim shape)
-    val v = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
-      .filter(col("nrm") > 0)
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
-    val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
-        (vec_dot(col("q_emb"), col("embedding")) /
-          (col("q_nrm") * col("nrm"))).as("cosine"))
-    val exact = graft.api.GraftApi
-      .topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
-      .select("q_id", "cand_id").collect()
+    // exact ground truth: THE ann_recall_audit exact arm (shared helper
+    // — the tuner must measure against the same truth the audit gates)
+    val exact = graft.operators.Similarity.exactCosineTopK(spark, dir)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nQ = exact.map(_._1).size
     println(s"[ann-recall-ab] exact top-5 over $nQ queries, dir=$dir")

@@ -247,7 +247,8 @@ object ScaleSmoke {
     // was the ~3×1088 trivial reducer tasks of the data-sized exchanges.
     // stage_skew (top stage max/median OF ITS OWN tasks) is the honest
     // hot-partition signal; task_skew is kept for artifact continuity.
-    val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+    // One structure: max/sum/count/median all derive from the per-stage
+    // duration lists at read time (parallel aggregate state would drift).
     val stageDurs = new java.util.concurrent.ConcurrentHashMap[
       Int, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
     val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
@@ -259,8 +260,6 @@ object ScaleSmoke {
           cpuNs.addAndGet(m.executorCpuTime)
           spillMem.addAndGet(m.memoryBytesSpilled)
           spillDisk.addAndGet(m.diskBytesSpilled)
-          stageAgg.merge(te.stageId, (m.executorRunTime, m.executorRunTime, 1),
-            (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
           stageDurs.computeIfAbsent(te.stageId,
             _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
             .add(m.executorRunTime)
@@ -333,21 +332,35 @@ object ScaleSmoke {
     // warmup_sec), then the timed run measures serve-only — the same
     // build-untimed/serve-timed accounting Bench applies.
     val warmOps = Set("dedup_incremental", "dedup_incremental_upsert",
-      "dedup_paragraph_upsert")
+      "dedup_paragraph_upsert", "dedup_substring_upsert",
+      "dedup_substring_incremental")
 
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
+          // warmup failures fall through to the timed run, whose own
+          // try/catch records the op as ok:false — a throw here must
+          // not abort the sweep (the per-op catch exists for exactly
+          // these failures). warmup_sec measures the STATE BUILD only:
+          // the hygiene (drain/GC/sleep) runs after the clock stops.
           val warmupSec: Option[Double] =
             if (warmOps.contains(name)) {
-              val w0 = System.nanoTime()
-              fn(spark, out).agg(count(lit(1))).head()
-              CacheRegistry.drain(blocking = true)
-              spark.catalog.clearCache()
-              System.gc(); Thread.sleep(300)
-              Some((System.nanoTime() - w0) / 1e9)
+              try {
+                val w0 = System.nanoTime()
+                fn(spark, out).agg(count(lit(1))).head()
+                val w = (System.nanoTime() - w0) / 1e9
+                CacheRegistry.drain(blocking = true)
+                spark.catalog.clearCache()
+                System.gc(); Thread.sleep(300)
+                Some(w)
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[scale ${tag}x] $name warmup failed " +
+                    s"(timed run will record): ${e.getMessage}")
+                  None
+              }
             } else None
-          drainBus(); taskMs.clear(); stageAgg.clear(); stageName.clear()
+          drainBus(); taskMs.clear(); stageName.clear()
           stageDurs.clear()
           cpuNs.set(0L); spillMem.set(0L); spillDisk.set(0L)
           // fresh PER-OP multicore canary: the contended-host era can
@@ -389,16 +402,18 @@ object ScaleSmoke {
             // top stages by max task — names the straggler's owner, with
             // WITHIN-STAGE median so the line itself says even-vs-hot
             import scala.jdk.CollectionConverters._
-            def stageMed(sid: Int): Long = {
-              val ds = Option(stageDurs.get(sid)).map(
-                _.iterator().asScala.map(_.longValue).toArray.sorted)
-                .getOrElse(Array.empty[Long])
-              if (ds.isEmpty) 0L else ds(ds.length / 2)
-            }
-            stageAgg.asScala.toSeq.sortBy(-_._2._1).take(8).foreach {
-              case (sid, (mx, sm, nt)) =>
+            // per-stage (max, sum, count, median) derived from the one
+            // duration-list structure at read time
+            val stageStats: Seq[(Int, (Long, Long, Int, Long))] =
+              stageDurs.asScala.toSeq.map { case (sid, q) =>
+                val ds = q.iterator().asScala.map(_.longValue).toArray.sorted
+                (sid, (if (ds.isEmpty) 0L else ds.last, ds.sum, ds.length,
+                  if (ds.isEmpty) 0L else ds(ds.length / 2)))
+              }.sortBy(-_._2._1)
+            stageStats.take(8).foreach {
+              case (sid, (mx, sm, nt, md)) =>
                 println(f"[scale $tag%sx]   stage $sid%-5d max ${mx}%7d ms " +
-                  f"med ${stageMed(sid)}%7d ms sum ${sm}%8d ms  $nt%5d tasks  " +
+                  f"med ${md}%7d ms sum ${sm}%8d ms  $nt%5d tasks  " +
                   f"${stageName.getOrDefault(sid, "?")}%s")
             }
             // the straggler's OWNER rides the artifact, not just stdout:
@@ -408,17 +423,27 @@ object ScaleSmoke {
             // the TOP STAGE'S OWN tasks — a hot partition reads ≫1 here
             // even when heavy-stage-vs-trivial-reducer task_skew lies.
             val (topStage, topStageMaxS, topStageTasks, topStageMedMs) =
-              stageAgg.asScala.toSeq.sortBy(-_._2._1).headOption match {
-                case Some((sid, (mx, _, nt))) =>
+              stageStats.headOption match {
+                case Some((sid, (mx, _, nt, md))) =>
                   val nm = stageName.getOrDefault(sid, "?")
                     .replace("\\", "\\\\").replace("\"", "\\\"")
                     .replace("{", "(").replace("}", ")")
-                  (nm, mx / 1000.0, nt, stageMed(sid))
+                  (nm, mx / 1000.0, nt, md)
                 case None => ("", 0.0, 0, 0L)
               }
             val stageSkew =
               if (topStageMedMs > 0) topStageMaxS * 1000.0 / topStageMedMs else 0.0
-            val extras = (attribProbes.get(name).map(_(spark, out)).getOrElse(Seq.empty)
+            // probes run AFTER the measurement is captured and must not
+            // discard it — a probe throw loses its fields, not the entry
+            val probeFields =
+              try attribProbes.get(name).map(_(spark, out)).getOrElse(Seq.empty)
+              catch {
+                case e: Throwable =>
+                  System.err.println(s"[scale ${tag}x] $name attribution " +
+                    s"probe failed: ${e.getMessage}")
+                  Seq.empty
+              }
+            val extras = (probeFields
               .map { case (k, v) => s""", "$k": $v""" } ++
               warmupSec.map(w => s""", "warm": true, "warmup_sec": ${f3(w)}"""))
               .mkString
@@ -442,7 +467,7 @@ object ScaleSmoke {
               // r12: a cross-era reader normalizing cpu_s by the entry
               // canary must never divide by a placeholder zero or miss
               // the key on guard rows)
-              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
+              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "top_stage_tasks": 0, "top_stage_med_ms": 0, "stage_skew": 0.0, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")

@@ -1687,8 +1687,9 @@ object Similarity {
     * CTE + the brute-force cosine re-rank — both stages engine-exact,
     * so the hash gate holds.
     */
-  /** The composed refine oracle (shortlist at 4·k, exact re-rank to k)
-    * — factored so [[annRecallAudit]] can nest it verbatim.
+  /** The composed refine oracle (shortlist at [[ivfPqShortlistMult]]·k,
+    * exact re-rank to k) — factored so [[annRecallAudit]] can nest it
+    * verbatim.
     */
   private def refineOracleSql(k: Int): String =
     s"""WITH short AS (${ivfPqOracleSql(ivfPqShortlistMult * k)}),
@@ -1742,6 +1743,25 @@ object Similarity {
     * audit (run it on a sampled query set at scale, not per query in
     * serving). The join/aggregate after them touches |Q|·k-row slivers.
     */
+  /** Exact brute-force cosine top-k (q_id, cand_id) for the vec_id < 8
+    * query set — the ground-truth arm shared by [[annRecallAudit]] and
+    * the graft.AnnRecallAB tuning harness (ONE copy: a tie-break or
+    * norm-handling change forking the two would make the tuner measure
+    * against a different truth than the registered audit).
+    */
+  private[graft] def exactCosineTopK(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val v = normed(Tables.embeddings(spark, dir))
+    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (vec_dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    graft.api.GraftApi.topKPerKey(scored, "q_id", "cosine", "cand_id", k)
+      .select("q_id", "cand_id")
+  }
+
   val annRecallAudit: Op = {
     val exactSql =
       s"""SELECT q_id, cand_id FROM (
@@ -1778,19 +1798,10 @@ object Similarity {
         |  LEFT JOIN h ON h.index_kind = k.index_kind AND h.q_id = q.q_id""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      val v = normed(Tables.embeddings(spark, dir))
-      val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")).filter(col("q_id") < 8)
-      val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("cand_id"),
-          (vec_dot(col("q_emb"), col("embedding")) /
-            (col("q_nrm") * col("nrm"))).as("cosine"))
       // tracked: the hits join AND the scaffold's distinct q_id read
       // both consume it — untracked, the corpus-wide exact scan (the
       // audit's dominant cost) would run twice
-      val exact = graft.CacheRegistry.track(graft.api.GraftApi
-        .topKPerKey(scored, "q_id", "cosine", "cand_id", k = 5)
-        .select("q_id", "cand_id"))
+      val exact = graft.CacheRegistry.track(exactCosineTopK(spark, dir))
       val apx =
         annIvfAutoprobe.fn(spark, dir)
           .select(lit("ivf").as("index_kind"), col("q_id"), col("cand_id"))

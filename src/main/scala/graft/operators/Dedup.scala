@@ -1716,16 +1716,43 @@ object Dedup {
     * their families): the persisted gram-count base covers
     * doc_id % 10 ∉ {0, 1} (80%), the % 10 = 1 shard's gram counts are
     * ABSORBED in-plan (shard-sized kernel scan, no state rebuild), and
-    * the % 10 = 0 delta scores against the merged totals. A warehouse
-    * deployment compacts the absorbed counts back into the bucketed gc
-    * on its maintenance cadence (n is additive — the upsert is one
-    * keyed merge); the serve path is what this op measures. Oracle =
+    * the % 10 = 0 delta scores against the merged totals. The
+    * maintenance-cadence compaction back into the bucketed gc is
+    * [[compactCountState]] (n is additive — one keyed merge,
+    * spec-proven ≡ rebuild and single-branch-serve-equivalent); the
+    * serve path is what this op measures. Oracle =
     * the identical full recompute [[substringIncremental]] gates on —
     * absorbing a shard must score exactly like rebuilding the 90%
     * count table, and the hash gate proves it (DedupSpec additionally
     * pins upsert ≡ rebuild at the frame level and the base gc's
     * zero-exchange plan beside the absorb branch).
     */
+  /** Maintenance-cadence compaction of absorbed shard counts back into
+    * the bucketed count-state layout — the job the upsert faces'
+    * scaladocs name: both state shapes ((g, n) gram counts and (h, n)
+    * paragraph-hash counts) are ADDITIVE, so the merge is one keyed
+    * union-sum rewritten bucketBy(keyCol)/sortBy(keyCol) with the
+    * single-file-bucket repartition (the persisted-state contract), and
+    * the lifecycle closes: absorb in-plan (shard-sized, serve-time) →
+    * compact (this, off the serve path) → serve from ONE zero-exchange
+    * branch again. `targetTable` is a qualified table name; the write
+    * replaces it. Exact for doc-disjoint shards by additivity — the
+    * compacted table is bit-identical to a from-scratch rebuild over
+    * base ∪ shard (DedupSpec pins both that identity and that the
+    * single-branch serve over the compacted state equals the two-branch
+    * upsert serve).
+    */
+  def compactCountState(spark: SparkSession, base: DataFrame,
+      absorb: DataFrame, keyCol: String, targetTable: String): DataFrame = {
+    base.select(col(keyCol), col("n"))
+      .unionByName(absorb.select(col(keyCol), col("n")))
+      .groupBy(keyCol).agg(sum(col("n")).as("n"))
+      .repartition(skBuckets, col(keyCol))
+      .write.mode("overwrite")
+      .bucketBy(skBuckets, keyCol).sortBy(keyCol).saveAsTable(targetTable)
+    spark.table(targetTable)
+  }
+
   val substringUpsert: Op = Op(
     "dedup_substring_upsert",
     substringIncremental.oracle.get,
@@ -2189,7 +2216,9 @@ object Dedup {
     * (corpus hashes from ALL % 10 ≠ 0 docs): absorbing a shard must
     * admit exactly like rebuilding the 90% state, and the hash gate
     * proves it (DedupSpec additionally pins serve-from-absorb ≡
-    * serve-from-rebuilt at the frame level).
+    * serve-from-rebuilt at the frame level). Maintenance-cadence
+    * compaction of the absorbed hashes back into the bucketed layout
+    * is [[compactCountState]].
     */
   val paragraphUpsert: Op = Op(
     "dedup_paragraph_upsert",

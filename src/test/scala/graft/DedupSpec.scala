@@ -595,6 +595,49 @@ class DedupSpec extends SparkSpec {
     assert(upserted.nonEmpty)
   }
 
+  test("count-state compaction ≡ rebuild, and single-branch serve over it ≡ the upsert serve (both families)") {
+    val docs = Tables.documents(spark, sfTiny)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val db = "graft_compact_spec"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+      s"'${graft.TempWarehouse.dir("graft_compact_spec")}'")
+    // gram-count family: compact(base80, shard1) must be bit-identical
+    // to a from-scratch 90% count table (counts are additive)...
+    val compacted = Dedup.compactCountState(spark,
+      Dedup.substringCountTable(docs.filter(col("doc_id") % 10 >= 2)),
+      Dedup.substringCountTable(docs.filter(col("doc_id") % 10 === 1)),
+      "g", s"$db.gc_compacted")
+    val rebuilt = Dedup.substringCountTable(
+      docs.filter(col("doc_id") % 10 =!= 0))
+    assert(compacted.orderBy("g").collect().toSeq ==
+      rebuilt.orderBy("g").collect().toSeq)
+    // ...and the post-compaction SINGLE-branch serve must answer exactly
+    // like the registered two-branch upsert serve (the lifecycle closes:
+    // absorb in-plan → compact off the serve path → one branch again)
+    val single = Dedup.substringIncrementalScoreMulti(
+        Seq((compacted, "MERGE")), delta, parts = 4)
+      .orderBy("doc_id").collect().toSeq
+    val upsert = Dedup.substringUpsert.fn(spark, sfTiny)
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    assert(single == upsert, s"diff: ${single.diff(upsert).take(3)}")
+    // paragraph family: same helper over the (h, n) shape
+    val pCompacted = Dedup.compactCountState(spark,
+      Dedup.paragraphHashCounts(
+        Dedup.pseudoParas(docs.filter(col("doc_id") % 10 >= 2))),
+      Dedup.paragraphHashCounts(
+        Dedup.pseudoParas(docs.filter(col("doc_id") % 10 === 1))),
+      "h", s"$db.hn_compacted")
+    val pServe = Dedup.paragraphAdmitServe(pCompacted, None,
+        Dedup.pseudoParas(delta), " ")
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    val pUpsert = Dedup.paragraphUpsert.fn(spark, sfTiny)
+      .orderBy("doc_id").collect().toSeq
+    CacheRegistry.drain()
+    assert(pServe == pUpsert, s"diff: ${pServe.diff(pUpsert).take(3)}")
+  }
+
   test("substring upsert serve: the persisted BASE gc stays zero-exchange beside the absorb branch") {
     Dedup.substringUpsert.fn(spark, sfTiny).collect() // build 80% base
     CacheRegistry.drain()

@@ -1723,6 +1723,35 @@ object GraftApi {
       jaccardMin: Double = 0.2): DataFrame =
     graft.operators.Dedup.incrementalPairs(corpusSketches, deltaSketches, jaccardMin)
 
+  /** CCNet paragraph ADMISSION of an arriving (doc_id, paras) frame
+    * against persisted corpus paragraph-hash state, optionally merged
+    * with a just-absorbed shard's counts — the batch face of the
+    * streaming admission; see
+    * graft.operators.Dedup.paragraphAdmitServe. Build hash-count state
+    * with [[paragraphHashCounts]]; a crawl corpus passes "\n" as the
+    * joiner.
+    */
+  def paragraphAdmit(baseHashes: DataFrame, absorbHashes: Option[DataFrame],
+      withParas: DataFrame, joiner: String = "\n"): DataFrame =
+    graft.operators.Dedup.paragraphAdmitServe(baseHashes, absorbHashes,
+      withParas, joiner)
+
+  /** The (h, n) paragraph-hash count state of a (doc_id, paras) frame —
+    * persist bucketBy(h) at scale; see
+    * graft.operators.Dedup.paragraphHashCounts.
+    */
+  def paragraphHashCounts(withParas: DataFrame): DataFrame =
+    graft.operators.Dedup.paragraphHashCounts(withParas)
+
+  /** Maintenance-cadence compaction of absorbed additive counts back
+    * into the bucketed state layout ((g, n) gram counts, (h, n)
+    * paragraph hashes) — see graft.operators.Dedup.compactCountState.
+    */
+  def compactCountState(spark: SparkSession, base: DataFrame,
+      absorb: DataFrame, keyCol: String, targetTable: String): DataFrame =
+    graft.operators.Dedup.compactCountState(spark, base, absorb, keyCol,
+      targetTable)
+
   /** The persisted MinHash sketch/posting table of any (doc_id, text)
     * frame (store it bucketed by doc_id for exchange-free re-runs).
     */

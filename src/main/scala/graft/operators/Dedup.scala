@@ -81,6 +81,27 @@ object Dedup {
       .withColumn("cgrams", array_distinct(expr(gramExpr("words", 5))))
       .select(col("doc_id"), explode(col("cgrams")).as("g"))
 
+  /** Probe-id stream naming the docs a candidate pair set touches — the
+    * build side of every verify-sliver left-semi join. Lean form (r15,
+    * registered): ONE explode branch over the (usually cached) pair
+    * frame, NO distinct — a semi-join hash build collapses duplicate
+    * keys itself, so the r13 union + distinct bought nothing but a
+    * second cache read, an exchange, and two hash aggregates (two AQE
+    * stage-materialization jobs of pure driver latency on a
+    * hundreds-of-rows frame; minhash_ab_r15.jsonl adjudicates the swap
+    * hash-identically). Build-side rows double (2·|pairs| vs |docs in
+    * pairs|) — same asymptotics, and the size-adaptive planning fed by
+    * the cand cache's runtime stats is unchanged. The union+distinct
+    * legacy form is kept as the A/B reference.
+    */
+  private[graft] def semiProbeIds(candHinted: DataFrame,
+      lean: Boolean = true): DataFrame =
+    if (lean)
+      candHinted.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    else
+      candHinted.select(col("doc_a").as("doc_id"))
+        .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
+
   /** Same shingle construction in DuckDB SQL (1-based lists), over a
     * caller-chosen docs source — a table name or a parenthesized
     * subquery ([[recallAudit]] passes its audit slice). Parameterizing
@@ -280,10 +301,8 @@ object Dedup {
     // measured that map stage as 2× over linear before AQE could see the
     // cand size); past the row threshold the joins run un-hinted
     val candHinted = graft.api.GraftApi.adaptiveBroadcast(cand)
-    val candIds = candHinted.select(col("doc_a").as("doc_id"))
-      .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
     val sliver = graft.CacheRegistry.track(
-      withShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      withShingles(docs.join(semiProbeIds(candHinted), Seq("doc_id"), "left_semi"))
         .select("doc_id", "shingles"))
     candHinted
       .join(sliver.alias("sa"), col("sa.doc_id") === col("doc_a"))
@@ -402,6 +421,11 @@ object Dedup {
         minhashPairsPlan(withShingles, sketchCol)(d, 0.2)),
       "mh_fused" -> ((_: SparkSession, d: DataFrame) =>
         minhashPairsPlanFused(fusedSketchFrame, withShingles)(d, 0.2)),
+      // the r13/r14 registered tail: union+distinct probe ids — the
+      // lean-candIds A/B reference (see semiProbeIds)
+      "mh_unioncand" -> ((_: SparkSession, d: DataFrame) =>
+        minhashPairsPlanFused(fusedSketchFrame, withShingles,
+          leanCandIds = false)(d, 0.2)),
     )
   }
 
@@ -419,7 +443,8 @@ object Dedup {
     */
   private[graft] def minhashPairsPlanFused(
       sketchFrame: DataFrame => DataFrame,
-      shingleBuilder: DataFrame => DataFrame)(
+      shingleBuilder: DataFrame => DataFrame,
+      leanCandIds: Boolean = true)(
       docs: DataFrame, jaccardMin: Double): DataFrame = {
     // persist ONLY the sketch sliver (doc_id, 8 md5s — ~300 B/doc), not
     // the shingle arrays: the signature table every dedup pipeline keeps
@@ -463,10 +488,9 @@ object Dedup {
     // candidate pairs name — recompute them over the semi-join-pruned
     // corpus sliver (pair-bounded, so the rebuild is O(candidate docs))
     // instead of caching corpus-wide arrays to serve a sliver of lookups
-    val candIds = candHinted.select(col("doc_a").as("doc_id"))
-      .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
     val sliver = graft.CacheRegistry.track(
-      shingleBuilder(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      shingleBuilder(docs.join(semiProbeIds(candHinted, leanCandIds),
+          Seq("doc_id"), "left_semi"))
         .select("doc_id", "shingles"))
     candHinted
       .join(sliver.alias("sa"), col("sa.doc_id") === col("doc_a"))
@@ -839,8 +863,7 @@ object Dedup {
     // cand broadcasts, a mega-dup crawl's cand runs un-hinted.
     val candHinted =
       if (r12Form) cand else graft.api.GraftApi.adaptiveBroadcast(cand)
-    val candIds = candHinted.select(col("doc_a").as("doc_id"))
-      .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
+    val candIds = semiProbeIds(candHinted, lean = !r12Form)
     // a doc_id in both frames is the SAME document (identical shingles
     // by id semantics) — keep one verify row so the join can't fan out
     val allWide = corpusSk.select("doc_id", "shingles")

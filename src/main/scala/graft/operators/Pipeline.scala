@@ -57,8 +57,38 @@ object Pipeline {
 
   /** The quality gate over any kept-docs frame — features computed in
     * the same scan's project, no self-join. Shared with [[curateForms]].
+    *
+    * r15 kernel swap (pipeline_ab_r15.jsonl adjudicates, hash-identical):
+    * the r14 form ran two regex engines per document
+    * (`regexp_extract_all('\S+')` and `('[.,;:!?]')`), and a warm stage
+    * profile caught the filter copy of those regexes PREDICATE-PUSHED
+    * below the spread() repartition into the one-split parquet scan —
+    * 4.5 s SINGLE-THREADED at sf0.1 (stage 262, 1 task), then the
+    * projection re-evaluated them post-exchange (38 cpu-s). Counting
+    * `\S+` runs is [[graft.functions.TextTokenCounts]].ws_tokens
+    * (FunctionsSpec pins the regex equality), and counting a 6-char
+    * class is `length - length(translate(...))` — one byte pass each,
+    * so even the pushed-down filter copy in the serial scan stage is
+    * noise. On a multi-split 100 TB table the pushdown is WELCOME
+    * (filter at the scan); only the expression cost was the bug.
     */
-  private def curateQuality(docs: DataFrame): DataFrame =
+  private def curateQuality(docs: DataFrame): DataFrame = {
+    val tokens = graft.functions.TokenCounts
+      .text_token_counts(col("text")).getField("ws_tokens")
+    val punctRatio =
+      (length(col("text")) - length(translate(col("text"), ".,;:!?", "")))
+        .cast("double") / length(col("text"))
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        tokens.as("tokens"), punctRatio.as("punct_ratio"))
+      .filter(col("tokens") >= 10 && col("punct_ratio") < 0.2)
+  }
+
+  /** The r14 two-regex quality scan — A/B reference for the kernel swap
+    * above (kept verbatim so the swap stays re-adjudicable).
+    */
+  private[graft] def curateQualityRegex(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("lang"),
@@ -712,6 +742,13 @@ object Pipeline {
       Dedup.minhashPairs(d, 0.2)),
     "cur_dropped" -> ((_: SparkSession, d: DataFrame) => curateDropped(d)),
     "cur_quality" -> ((_: SparkSession, d: DataFrame) => curateQuality(d)),
+    // the r14 registered quality scan (two regex engines/doc) — the
+    // kernel-swap A/B reference
+    "cur_quality_regex" -> ((_: SparkSession, d: DataFrame) =>
+      curateQualityRegex(d)),
+    "cur_full_regex" -> ((_: SparkSession, d: DataFrame) =>
+      curateQualityRegex(d.join(curateDropped(d),
+        col("doc_id") === col("dropped_id"), "left_anti"))),
   )
 
   val ops: Seq[Op] =

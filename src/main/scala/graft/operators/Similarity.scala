@@ -69,8 +69,14 @@ object Similarity {
       |  FROM scored) WHERE rn <= 10""".stripMargin,
   ) { (spark, dir) =>
     val v = normed(Tables.embeddings(spark, dir))
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    // query side off the UNSPREAD load (r15): vec_id < 8 pushes into the
+    // parquet scan, so routing 8 rows through spread()'s repartition
+    // exchange bought nothing but an extra shuffle + AQE stage before
+    // the broadcast — at any scale, the query sliver never needs
+    // corpus parallelism
+    val q = normed(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")).filter(col("q_id") < 8)
     val dot = vec_dot(col("q_emb"), col("embedding"))
     val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),

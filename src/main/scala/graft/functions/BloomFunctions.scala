@@ -72,6 +72,19 @@ object bloom {
     * nothing was inserted, so absence is proven. Null `bkt` or `key`
     * answers null.
     */
+  /** Merge two serialized bloom filters by bitwise OR (r15 — the bloom
+    * family's absorb-back primitive): `or(build(A), build(B))` is
+    * BYTE-IDENTICAL to `build(A ∪ B)` because the bit array is an
+    * order-independent OR of fixed-seed hash positions — so an upsert
+    * that ORs a shard's filters into persisted state provably equals a
+    * full rebuild (BloomSpec pins the byte equality). Both inputs MUST
+    * share the filter geometry (same expectedItems at build time);
+    * Spark's sketch throws IncompatibleMergeException otherwise —
+    * fail-fast, never a silently widened fpp.
+    */
+  def bloom_or(a: Column, b: Column): Column =
+    Shim.column(BloomOr(Shim.expression(a), Shim.expression(b)))
+
   def might_contain_keyed(bkt: Column, bf: Column, key: Column): Column =
     Shim.column(BloomMightContainKeyed(
       Shim.expression(bkt), Shim.expression(bf), Shim.expression(key)))
@@ -116,6 +129,51 @@ case class BucketedBloomMightContain(filters: Map[Long, Array[Byte]],
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BucketedBloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bloom_or`'s expression: (binary, binary) → binary. Deserializes
+  * both filters, merges in place (bitwise OR of identical-geometry bit
+  * arrays), reserializes. Null-safe: null either side → null (callers
+  * coalesce with the non-null side — an absent shard bucket absorbs to
+  * the base's filter unchanged).
+  */
+case class BloomOr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bloom_or"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_or expects (binary, binary), got $other")
+    }
+  }
+
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val x = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val y = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    x.mergeInPlace(y)
+    val out = new java.io.ByteArrayOutputStream()
+    x.writeTo(out)
+    out.toByteArray
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    mergeBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomOr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.mergeBytes($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomOr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -82,22 +82,31 @@ object Dedup {
       .select(col("doc_id"), explode(col("cgrams")).as("g"))
 
   /** Probe-id stream naming the docs a candidate pair set touches — the
-    * build side of every verify-sliver left-semi join. Lean form (r15,
-    * registered): ONE explode branch over the (usually cached) pair
-    * frame, NO distinct — a semi-join hash build collapses duplicate
-    * keys itself, so the r13 union + distinct bought nothing but a
-    * second cache read, an exchange, and two hash aggregates (two AQE
-    * stage-materialization jobs of pure driver latency on a
-    * hundreds-of-rows frame; minhash_ab_r15.jsonl adjudicates the swap
-    * hash-identically). Build-side rows double (2·|pairs| vs |docs in
-    * pairs|) — same asymptotics, and the size-adaptive planning fed by
-    * the cand cache's runtime stats is unchanged. The union+distinct
-    * legacy form is kept as the A/B reference.
+    * build side of every verify-sliver left-semi join. Registered form
+    * (r15): ONE explode branch over the (usually cached) pair frame +
+    * distinct — vs the r13 union of two projections, one cache read and
+    * one AQE stage-materialization job fewer (minhash_ab_r15.jsonl
+    * adjudicates hash-identically; warm plateau at sf0.1 1.97 → ~1.55 s
+    * with the driver-gap reduction). The distinct STAYS: a fully lean
+    * (no-distinct) variant was tried, and the same-day solo-1000×
+    * three-way A/B (legacy 874.9 / no-distinct 1078 / this form 1225
+    * cpu-s on dedup_recall_audit, canaries swinging 0.08–0.26) is
+    * NOISE-DOMINATED at scale — so the tie-breaker is risk, not a
+    * measured win: the un-deduped build side is 2·|pairs| rows vs
+    * |docs in pairs|, a real blow-up exactly on dup-heavy corpora
+    * where |pairs| ≫ |docs|, while the distinct costs one tiny-frame
+    * exchange at interactive scale. (The 122–225 MB serve spills that
+    * sweep surfaced appear in ALL THREE forms INCLUDING the
+    * byte-identical legacy plan that recorded 0 in the first-half
+    * era — environmental, pinned in BASELINE.md, not plan-attributed.)
+    * The union+distinct legacy form is kept as the A/B reference
+    * (`lean = false`, the r12 incremental form).
     */
   private[graft] def semiProbeIds(candHinted: DataFrame,
       lean: Boolean = true): DataFrame =
     if (lean)
       candHinted.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
     else
       candHinted.select(col("doc_a").as("doc_id"))
         .union(candHinted.select(col("doc_b").as("doc_id"))).distinct()
@@ -1907,6 +1916,33 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Partition count for the per-bucket filter build AND the probe
+    * join: max(buckets, session shuffle partitions). With the session
+    * default alone, buckets >> partitions would leave each task holding
+    * ceil(buckets/partitions) filters (~240 MB each at the 2e8
+    * contract) in its agg buffers and join build map — a silent OOM at
+    * exactly the scales the 65536 ceiling advertises. At parts >=
+    * buckets a task holds the filters hash-routed to it: O(1) expected,
+    * O(log b / log log b) worst-case collisions.
+    */
+  private def bloomProbeParts(df: DataFrame, buckets: Int): Int =
+    math.max(buckets, df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** One corpus pass → the per-bucket filter frame (bkt, bf) — the
+    * build stage shared by [[bloomBucketedProbedPlan]], the persisted
+    * bloom state, and the upsert's shard side. The pre-agg repartition
+    * by bkt bounds each build task's aggregation buffers to ITS
+    * buckets' bit arrays (see [[bloomProbeParts]]).
+    */
+  private[graft] def bloomBucketFilters(corpusB: DataFrame,
+      expectedItemsPerBucket: Long, parts: Int): DataFrame = {
+    import graft.functions.bloom._
+    corpusB.select(col("bkt"), xxhash64(col("text")).as("k"))
+      .repartition(parts, col("bkt"))
+      .groupBy("bkt")
+      .agg(bloom_filter_agg(col("k"), expectedItemsPerBucket).as("bf"))
+  }
+
   /** `pmod(xxhash64(text), buckets)` as `bkt` — unless the frame already
     * carries a trusted layout's `bkt`, which reads back as INT from
     * partitionBy directories and is widened to long so the strict
@@ -1934,20 +1970,8 @@ object Dedup {
       s"bloomNewDocsBucketed: expectedItemsPerBucket=$expectedItemsPerBucket " +
         "exceeds the per-bucket one-literal contract (~2e8); add buckets")
     val key = xxhash64(col("text"))
-    // one corpus pass → (bkt, bf). Partition count for the build AND
-    // the probe join is max(buckets, session shuffle partitions): with
-    // the session default alone, buckets >> partitions would leave each
-    // task holding ceil(buckets/partitions) filters (~240 MB each at
-    // the 2e8 contract) in its agg buffers and join build map — a
-    // silent OOM at exactly the scales the 65536 ceiling advertises.
-    // At parts >= buckets a task holds the filters hash-routed to it:
-    // O(1) expected, O(log b / log log b) worst-case collisions.
-    val parts = math.max(buckets,
-      corpusB.sparkSession.sessionState.conf.numShufflePartitions)
-    val filters = corpusB.select(col("bkt"), key.as("k"))
-      .repartition(parts, col("bkt"))
-      .groupBy("bkt")
-      .agg(bloom_filter_agg(col("k"), expectedItemsPerBucket).as("bf"))
+    val parts = bloomProbeParts(corpusB, buckets)
+    val filters = bloomBucketFilters(corpusB, expectedItemsPerBucket, parts)
     // bucket-keyed shuffle join + lazy per-task deser probe; the outer
     // join keeps empty-bucket delta rows (bf null ⇒ probe false ⇒
     // proven new). NULL-probe rows (null text ⇒ null key; or a TRUSTED
@@ -2346,6 +2370,110 @@ object Dedup {
       expectedItemsPerBucket = 20000L, buckets = 8)
   }
 
+  /** Registered bloom-state geometry (r15): bucket count and per-bucket
+    * sizing are a WAREHOUSE CONSTANT pinned at state-create time — every
+    * shard filter absorbed later must be built with the identical
+    * geometry or `bloom_or` fail-fasts (IncompatibleMergeException), by
+    * design: a silently re-sized filter would widen the fpp unnoticed.
+    */
+  private[graft] val bloomStateBuckets = 8
+  private[graft] val bloomStateItemsPerBucket = 20000L
+
+  /** Get-or-build the persisted per-bucket bloom filters of `dir`'s
+    * corpus shard — the [[persistedCorpusSketch]] contract applied to
+    * the bloom family: deterministic build (the sketch bytes are an
+    * order-independent OR of fixed-seed hash positions), bucketBy(bkt)
+    * so the probe join's bucket-keyed exchange can ride the layout.
+    */
+  private def persistedBloomFilters(spark: SparkSession, dir: String,
+      tag: String, corpusOf: DataFrame => DataFrame): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|bloom|$tag|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val db = s"graft_bl_$keyHex"
+    skTblLock.synchronized {
+      if (!spark.catalog.databaseExists(db) ||
+          !spark.catalog.tableExists(s"$db.bf")) {
+        val loc = graft.TempWarehouse.dir("graft_bl_tbl")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        bloomBucketFilters(
+          withTextBkt(corpusOf(Tables.documents(spark, dir)), bloomStateBuckets),
+          bloomStateItemsPerBucket,
+          parts = bloomStateBuckets)
+          .write.mode("overwrite")
+          .bucketBy(bloomStateBuckets, "bkt").saveAsTable(s"$db.bf")
+      }
+    }
+    spark.table(s"$db.bf")
+  }
+
+  /** Bloom membership of an arriving delta against persisted per-bucket
+    * filters with a just-absorbed shard — the bloom family's
+    * absorb-back serve (the [[incrementalPairsUpsertServe]] shape).
+    * The shard's filters merge into the base IN-PLAN by per-bucket
+    * bitwise OR ([[graft.functions.bloom.bloom_or]] — byte-identical
+    * to rebuilding over base ∪ shard, so upsert ≡ rebuild is provable
+    * at the BYTES level, stronger than the frame-level gate), a
+    * full-outer join on bkt keeping buckets present on either side.
+    * Probe and verify branches are [[bloomNewDocsBucketed]]'s: !probe
+    * rows are proven new; probe-positive (and null-probe) rows pay the
+    * exact anti-join against `verifyCorpus` (base ∪ shard texts — the
+    * bloom only moves cost, the join is always the answer).
+    */
+  def bloomUpsertServe(baseFilters: DataFrame, shardFilters: DataFrame,
+      verifyCorpus: DataFrame, delta: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.bloom._
+    val merged = baseFilters.alias("b")
+      .join(shardFilters.alias("s"), Seq("bkt"), "full_outer")
+      .select(col("bkt"),
+        coalesce(bloom_or(col("b.bf"), col("s.bf")),
+          col("b.bf"), col("s.bf")).as("bf"))
+    val deltaB = withTextBkt(delta, buckets)
+    val key = xxhash64(col("text"))
+    val probed = graft.CacheRegistry.track(
+      deltaB.repartition(bloomProbeParts(deltaB, buckets), col("bkt"))
+        .join(merged.hint("shuffle_hash"), Seq("bkt"), "left_outer")
+        .withColumn("_maybe", might_contain_keyed(col("bkt"), col("bf"), key))
+        .drop("bf"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val provenNew = probed.filter(!col("_maybe"))
+    val verifiedNew = probed.filter(coalesce(col("_maybe"), lit(true))).join(
+      verifyCorpus.select(col("text").as("c_text")).distinct(),
+      col("text") === col("c_text"), "left_anti")
+    provenNew.unionByName(verifiedNew)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  /** Absorb-back face of the bloom family (r15 — completing its
+    * lifecycle the way dedup_incremental_upsert did for MinHash and
+    * dedup_paragraph_upsert for paragraphs): the persisted per-bucket
+    * filters cover doc_id % 10 ∉ {0, 1} (80%), the % 10 = 1 shard's
+    * filters are built shard-sized and OR-merged in-plan (no state
+    * rebuild — the absorb is |buckets| rows, not corpus rows), and the
+    * % 10 = 0 arrivals are membership-checked against the merged
+    * filters. Oracle = the plain NOT EXISTS over ALL % 10 ≠ 0 docs
+    * (shared with dedup_bloom_new/_bucketed — the bloom only moves
+    * cost); BloomSpec pins merged-filter bytes ≡ rebuilt-filter bytes
+    * per bucket and serve-from-absorb ≡ serve-from-rebuilt frames.
+    * Warehouse compaction is writing `merged` back over the state
+    * table — one |buckets|-row job, no corpus pass.
+    */
+  val bloomUpsert: Op = Op(
+    "dedup_bloom_upsert",
+    bloomNewBucketed.oracle.get,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val base = persistedBloomFilters(spark, dir, tag = "bloom80",
+      _.filter(col("doc_id") % 10 >= 2))
+    val shard = bloomBucketFilters(
+      withTextBkt(docs.filter(col("doc_id") % 10 === 1), bloomStateBuckets),
+      bloomStateItemsPerBucket, parts = bloomStateBuckets)
+    bloomUpsertServe(base, shard,
+      verifyCorpus = docs.filter(col("doc_id") % 10 =!= 0),
+      delta = docs.filter(col("doc_id") % 10 === 0),
+      buckets = bloomStateBuckets)
+  }
+
   /** Recall audit of the near-dup candidate generators — the dedup
     * sibling of ann_recall_audit (VERDICT r13 #4's measurement
     * discipline applied to this family): how many TRUE near-dup pairs
@@ -2449,5 +2577,5 @@ object Dedup {
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, simhashBlocks,
       incremental, incrementalUpsert, substring, substringStrip,
       substringIncremental, substringUpsert, paragraph, paragraphUpsert,
-      bloomNew, bloomNewBucketed, recallAudit)
+      bloomNew, bloomNewBucketed, bloomUpsert, recallAudit)
 }

@@ -438,6 +438,83 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Set(2L), got2)
   }
 
+  test("bloom upsert: OR-merged filter bytes ≡ rebuilt filter bytes per bucket") {
+    import spark.implicits._
+    import graft.functions.bloom._
+    // the absorb-back guarantee at its strongest: merging a shard's
+    // filters into the base by bitwise OR produces the EXACT bytes a
+    // full rebuild over base ∪ shard would — because the bit array is
+    // an order-independent OR of fixed-seed hash positions
+    val base = (0 until 200).map(i => (i.toLong, s"bloom upsert base doc $i"))
+      .toDF("doc_id", "text")
+    val shard = (1000 until 1100).map(i => (i.toLong, s"bloom upsert shard doc $i"))
+      .toDF("doc_id", "text")
+    val buckets = 8
+    def filters(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bloomBucketFilters(Dedup.withTextBkt(df, buckets), 500L, buckets)
+    val merged = filters(base).alias("b")
+      .join(filters(shard).alias("s"), Seq("bkt"), "full_outer")
+      .select(col("bkt"), coalesce(bloom_or(col("b.bf"), col("s.bf")),
+        col("b.bf"), col("s.bf")).as("bf"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val rebuilt = filters(base.unionByName(shard))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(merged.keySet == rebuilt.keySet, merged.keySet)
+    merged.foreach { case (bkt, bytes) =>
+      assert(java.util.Arrays.equals(bytes, rebuilt(bkt)),
+        s"bucket $bkt: merged filter bytes differ from rebuilt")
+    }
+  }
+
+  test("bloom upsert serve ≡ rebuilt-state serve ≡ plain anti-join; geometry mismatch fail-fasts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    def text() = (0 until 12).map(_ => s"u${rng.nextInt(30)}").mkString(" ")
+    val baseTexts = (0 until 240).map(_ => text())
+    val shardTexts = (0 until 60).map(_ => text())
+    val base = baseTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val shard = shardTexts.zipWithIndex.map { case (t, i) => (500L + i, t) }
+      .toDF("doc_id", "text")
+    // arrivals re-ship base texts, shard texts, and fresh content — the
+    // shard hits prove the absorb branch participates in membership
+    val delta = (1000L until 1100L).map { i =>
+      val r = rng.nextInt(4)
+      (i, if (r == 0) baseTexts(rng.nextInt(240))
+          else if (r == 1) shardTexts(rng.nextInt(60))
+          else s"fresh upsert arrival $i a b c d e f")
+    }.toDF("doc_id", "text")
+    val buckets = 8
+    def filters(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bloomBucketFilters(Dedup.withTextBkt(df, buckets), 500L, buckets)
+    val corpus = base.unionByName(shard)
+    val got = Dedup.bloomUpsertServe(filters(base), filters(shard),
+      verifyCorpus = corpus, delta = delta, buckets = buckets)
+      .select("doc_id").as[Long].collect().toSet
+    CacheRegistry.drain()
+    // serve from a REBUILT single state (shardFilters empty-side) must
+    // answer identically — upsert ≡ rebuild at the frame level
+    val gotRebuilt = Dedup.bloomNewDocsBucketed(corpus, delta, 500L, buckets)
+      .select("doc_id").as[Long].collect().toSet
+    CacheRegistry.drain()
+    val want = delta.join(corpus.select(col("text").as("c_text")),
+      col("text") === col("c_text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(gotRebuilt == want, s"rebuilt-serve drifted: ${gotRebuilt -- want}")
+    assert(want.nonEmpty && want.size < 100, want.size)
+    // mismatched geometry must throw (IncompatibleMergeException inside
+    // the task), never silently widen the false-positive rate
+    val mis = Dedup.bloomUpsertServe(filters(base),
+      Dedup.bloomBucketFilters(Dedup.withTextBkt(shard, buckets), 50000L, buckets),
+      corpus, delta, buckets)
+    val e = intercept[Exception](mis.count())
+    CacheRegistry.drain()
+    assert(e.toString.contains("IncompatibleMerge") ||
+      Option(e.getCause).exists(_.toString.contains("IncompatibleMerge")) ||
+      e.getMessage.contains("IncompatibleMerge"), e.toString.take(200))
+  }
+
   test("bucketed bloom residency: each non-empty bucket deserialized once per holding task") {
     import spark.implicits._
     // the r13 contract the join form exists for: filter bytes reach

@@ -43,20 +43,30 @@ object AnnRecallAB {
       hits.toDouble / (nQ * 5)
     }
 
-    // (nprobe, numSubs, codebookSize) grid — round 1 swept cb=16 over
-    // nprobe × m (ann_recall_ab_r15.jsonl rows 1-6: refine plateaus at
-    // 0.825 with x12, ADC stuck at 0.275, m=8 WORSE); round 2 sweeps
-    // the codebook size (finer codewords cut ADC distortion directly)
-    val grid: Seq[(Int, Int, Int)] = Seq(
-      (4, 4, 16), (6, 4, 16), (8, 4, 16), (4, 8, 16), (6, 8, 16), (8, 8, 16),
-      (4, 4, 64), (6, 4, 64), (8, 4, 64), (4, 4, 32))
+    // (nprobe, numSubs, codebookSize, trainIters) grid — round 1 swept
+    // cb=16 over nprobe × m (ann_recall_ab_r15.jsonl rows 1-6: refine
+    // plateaus at 0.825 with x12, ADC stuck at 0.275, m=8 WORSE);
+    // round 2 swept codebook size at ONE Lloyd pass (32/64 worse — the
+    // extra codewords spread too thin); round 3 tests the untested
+    // INTERACTION: more Lloyd iterations may be exactly what larger
+    // codebooks need (round-2's "too thin" is a training-depth symptom,
+    // not a capacity verdict).
+    val grid: Seq[(Int, Int, Int, Int)] = Seq(
+      (4, 4, 16, 1), (6, 4, 16, 1), (8, 4, 16, 1), (4, 8, 16, 1),
+      (6, 8, 16, 1), (8, 8, 16, 1), (4, 4, 64, 1), (6, 4, 64, 1),
+      (8, 4, 64, 1), (4, 4, 32, 1),
+      (4, 4, 16, 3), (4, 4, 16, 6), (4, 4, 32, 3), (4, 4, 32, 6),
+      (4, 4, 64, 3), (4, 4, 64, 6), (4, 8, 64, 6))
+    val only = args.lift(2).map(_.toInt) // min trainIters filter (round 3: 2)
     val sb = new StringBuilder
-    for ((nprobe, numSubs, cb) <- grid) {
+    for ((nprobe, numSubs, cb, iters) <- grid
+         if only.forall(iters >= _)) {
       val subDim = 64 / numSubs
       val t0 = System.nanoTime()
       val adc = graft.api.GraftApi.ivfPqSearchADC(emb, queries,
         "vec_id", "embedding", cells = 16, nprobe = nprobe,
-        numSubs = numSubs, subDim = subDim, codebookSize = cb, k = 5)
+        numSubs = numSubs, subDim = subDim, codebookSize = cb, k = 5,
+        trainIters = iters)
       val adcRecall = recallOf(adc)
       val adcSec = (System.nanoTime() - t0) / 1e9
       val refines = Seq(4, 8, 12).map { mult =>
@@ -64,7 +74,7 @@ object AnnRecallAB {
         val short = graft.api.GraftApi.ivfPqSearchADC(emb, queries,
           "vec_id", "embedding", cells = 16, nprobe = nprobe,
           numSubs = numSubs, subDim = subDim, codebookSize = cb,
-          k = mult * 5)
+          k = mult * 5, trainIters = iters)
         val ref = graft.api.GraftApi.refineTopK(emb, short, queries,
           "vec_id", "embedding", k = 5)
         val r = recallOf(ref)
@@ -74,7 +84,7 @@ object AnnRecallAB {
       def f3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
       val refJson = refines.map { case (m, r, s) =>
         s""""refine_x$m": {"recall": ${f3(r)}, "sec": ${f3(s)}}""" }.mkString(", ")
-      val line = s"""{"nprobe": $nprobe, "num_subs": $numSubs, "sub_dim": $subDim, "codebook": $cb, "adc_recall": ${f3(adcRecall)}, "adc_sec": ${f3(adcSec)}, $refJson}"""
+      val line = s"""{"nprobe": $nprobe, "num_subs": $numSubs, "sub_dim": $subDim, "codebook": $cb, "train_iters": $iters, "adc_recall": ${f3(adcRecall)}, "adc_sec": ${f3(adcSec)}, $refJson}"""
       println(s"[ann-recall-ab] $line")
       sb.append(line).append('\n')
     }

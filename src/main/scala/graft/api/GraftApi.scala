@@ -1369,10 +1369,12 @@ object GraftApi {
     */
   def ivfPqSearchADC(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, cells: Int = 16, nprobe: Int = 4, numSubs: Int = 4,
-      subDim: Int = 16, codebookSize: Int = 16, k: Int = 5): DataFrame = {
+      subDim: Int = 16, codebookSize: Int = 16, k: Int = 5,
+      trainIters: Int = 1): DataFrame = {
     val (_, c1p, assign1) = graft.operators.Similarity.ivfBuild(
       corpus, idCol, embCol, cells, iters = 1)
-    val cbs = pqCodebooks(corpus, idCol, embCol, numSubs, subDim, codebookSize)
+    val cbs = pqCodebooks(corpus, idCol, embCol, numSubs, subDim, codebookSize,
+      iters = trainIters)
     val codes = pqEncode(corpus, idCol, embCol, cbs, numSubs, subDim)
     val cwc = codes.join(assign1, col(idCol) === col("a_vec"))
       .select(col(idCol), col("codes"), col("a_cent").as("cent_id"))

@@ -1527,6 +1527,18 @@ object Similarity {
     * goes 4k → 12k — recall 0.55 → 0.825 for a |Q|·60-row broadcast
     * instead of |Q|·20, both shortlist fetch AND the exact re-rank
     * still corpus-scan-free.
+    *
+    * r15 round 3 (ann_recall_ab_r15b.jsonl) tested the round-2 gap:
+    * was "codebook 32/64 worse" a TRAINING-DEPTH symptom? No — deeper
+    * Lloyd does not pay: at the registered config ADC reads 0.275 /
+    * 0.250 / 0.175 at 1 / 3 / 6 iterations (more refinement overfits
+    * the bounded lowest-id seed layout rather than cutting distortion),
+    * and every (cb, iters) cell keeps ADC ≤ 0.275 — the quantizer is
+    * CAPACITY-bound on this corpus, and refine depth stays the one
+    * honest lever. The best cell (m=8×8, cb=64, 6 iters: refine_x12
+    * 0.900 vs the registered 0.825) is +3 hits on a 40-slot sample —
+    * not adopted: re-registering geometry (and a 6-pass oracle Lloyd
+    * chain) on sub-noise evidence would be tuning to the query set.
     */
   private[graft] val ivfPqNprobe = 4
   private[graft] val ivfPqNumSubs = 4

@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
   * 0.8–0.95 by tuning nprobe / shortlist / subquantizer geometry against
   * a measured recall audit).
   *
-  * For each (nprobe, numSubs) config the inline IVFADC build+search runs
-  * at cells=16 / codebookSize=16 (the frozen-seed discipline — seeds are
-  * the 16 lowest ids, so geometry changes never touch seeding), and each
-  * shortlist multiplier refines the same config's shortlist. Recall@5 is
-  * measured against the exact brute-force cosine top-5 on the same 8
-  * queries the registered ops serve. Output: one JSON line per config to
-  * the artifact path + stdout.
+  * For each (nprobe, numSubs, codebookSize, trainIters) config the
+  * inline IVFADC build+search runs at cells=16 (the frozen-seed
+  * discipline — seeds are the `codebookSize` lowest ids, so geometry
+  * changes never touch seeding), and each shortlist multiplier refines
+  * the same config's shortlist. Recall@5 is measured against the exact
+  * brute-force cosine top-5 on the same 8 queries the registered ops
+  * serve. Output: one JSON line per config to the artifact path +
+  * stdout. The optional third arg filters the grid to configs with
+  * trainIters ≥ the given value — round 3 (the Lloyd-depth sweep,
+  * ann_recall_ab_r15b.jsonl) ran with `2` so the ten already-
+  * adjudicated iters=1 rows were not re-executed.
   *
-  * Usage: runMain graft.AnnRecallAB [sfDir] [outPath]
+  * Usage: runMain graft.AnnRecallAB [sfDir] [outPath] [minTrainIters]
   */
 object AnnRecallAB {
   def main(args: Array[String]): Unit = {

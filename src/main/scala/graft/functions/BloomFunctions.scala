@@ -72,22 +72,22 @@ object bloom {
     * nothing was inserted, so absence is proven. Null `bkt` or `key`
     * answers null.
     */
+  def might_contain_keyed(bkt: Column, bf: Column, key: Column): Column =
+    Shim.column(BloomMightContainKeyed(
+      Shim.expression(bkt), Shim.expression(bf), Shim.expression(key)))
+
   /** Merge two serialized bloom filters by bitwise OR (r15 — the bloom
     * family's absorb-back primitive): `or(build(A), build(B))` is
     * BYTE-IDENTICAL to `build(A ∪ B)` because the bit array is an
     * order-independent OR of fixed-seed hash positions — so an upsert
     * that ORs a shard's filters into persisted state provably equals a
-    * full rebuild (BloomSpec pins the byte equality). Both inputs MUST
+    * full rebuild (DedupSpec pins the byte equality). Both inputs MUST
     * share the filter geometry (same expectedItems at build time);
     * Spark's sketch throws IncompatibleMergeException otherwise —
     * fail-fast, never a silently widened fpp.
     */
   def bloom_or(a: Column, b: Column): Column =
     Shim.column(BloomOr(Shim.expression(a), Shim.expression(b)))
-
-  def might_contain_keyed(bkt: Column, bf: Column, key: Column): Column =
-    Shim.column(BloomMightContainKeyed(
-      Shim.expression(bkt), Shim.expression(bf), Shim.expression(key)))
 }
 
 /** `might_contain_bucketed`'s expression: (bkt long, key long) → boolean

@@ -2387,8 +2387,15 @@ object Dedup {
     */
   private def persistedBloomFilters(spark: SparkSession, dir: String,
       tag: String, corpusOf: DataFrame => DataFrame): DataFrame = {
+    // geometry in the key: a bucket-count change re-keys every text to a
+    // DIFFERENT bkt, so reusing a stale-bucketed table would answer
+    // proven-new for true duplicates with no exception anywhere
+    // (bloom_or's IncompatibleMergeException only catches bit-array-size
+    // drift within a bucket, never bucket-count drift) — the geometry
+    // must invalidate the persisted state, not just the merge
     val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|bloom|$tag|v1".getBytes("UTF-8"))
+      .digest(s"$dir|bloom|$tag|v1|$bloomStateBuckets|$bloomStateItemsPerBucket"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val db = s"graft_bl_$keyHex"
     skTblLock.synchronized {
@@ -2420,14 +2427,26 @@ object Dedup {
     * exact anti-join against `verifyCorpus` (base ∪ shard texts — the
     * bloom only moves cost, the join is always the answer).
     */
-  def bloomUpsertServe(baseFilters: DataFrame, shardFilters: DataFrame,
-      verifyCorpus: DataFrame, delta: DataFrame, buckets: Int): DataFrame = {
+  /** The absorb itself: per-bucket OR-merge of two filter frames — a
+    * full-outer join keeping buckets present on either side, null sides
+    * coalescing to the other's filter unchanged. Split out so the
+    * DedupSpec byte-equality pin (merged ≡ rebuilt) exercises the
+    * PRODUCTION merge, not a spec-local copy.
+    */
+  private[graft] def bloomMergedFilters(baseFilters: DataFrame,
+      shardFilters: DataFrame): DataFrame = {
     import graft.functions.bloom._
-    val merged = baseFilters.alias("b")
+    baseFilters.alias("b")
       .join(shardFilters.alias("s"), Seq("bkt"), "full_outer")
       .select(col("bkt"),
         coalesce(bloom_or(col("b.bf"), col("s.bf")),
           col("b.bf"), col("s.bf")).as("bf"))
+  }
+
+  def bloomUpsertServe(baseFilters: DataFrame, shardFilters: DataFrame,
+      verifyCorpus: DataFrame, delta: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.bloom._
+    val merged = bloomMergedFilters(baseFilters, shardFilters)
     val deltaB = withTextBkt(delta, buckets)
     val key = xxhash64(col("text"))
     val probed = graft.CacheRegistry.track(

@@ -452,10 +452,9 @@ class DedupSpec extends SparkSpec {
     val buckets = 8
     def filters(df: org.apache.spark.sql.DataFrame) =
       Dedup.bloomBucketFilters(Dedup.withTextBkt(df, buckets), 500L, buckets)
-    val merged = filters(base).alias("b")
-      .join(filters(shard).alias("s"), Seq("bkt"), "full_outer")
-      .select(col("bkt"), coalesce(bloom_or(col("b.bf"), col("s.bf")),
-        col("b.bf"), col("s.bf")).as("bf"))
+    // exercise the PRODUCTION merge (bloomMergedFilters), not a copy —
+    // the byte-equality pin must fail if the shipped merge shape drifts
+    val merged = Dedup.bloomMergedFilters(filters(base), filters(shard))
       .as[(Long, Array[Byte])].collect().toMap
     val rebuilt = filters(base.unionByName(shard))
       .as[(Long, Array[Byte])].collect().toMap

@@ -732,6 +732,60 @@ object Relational {
       .offset(40).limit(20)
   }
 
+  /** MERGE INTO (SCD type-1 upsert) of a changed-rows delta into a
+    * dimension: matched keys take the delta's values (update), unmatched
+    * delta keys insert, untouched target rows pass through — plus a
+    * `merge_action` audit column naming what happened per row, the
+    * lineage a warehouse merge job emits. Registered split: target =
+    * c_custkey % 10 ≠ 0, delta = % 3 = 0 rows re-priced (+100 acctbal,
+    * segment 'UPSERTED') — overlapping keys exercise update, the
+    * % 30 ∈ {0,10,20} keys exercise insert.
+    *
+    * Spark-first realization: MERGE ≡ FULL OUTER join on the key +
+    * per-column coalesce(delta, target). One co-partitioned shuffle of
+    * both sides (full-outer cannot broadcast — Spark plans it
+    * sort-merge); on a bucketed warehouse dimension the target side
+    * reads exchange-free from its bucket layout, the same contract the
+    * dedup state tables pin. At 100 TB the delta is usually ≪ target:
+    * AQE coalesces its post-shuffle partitions, and the output
+    * repartitions nothing downstream that keys on c_custkey.
+    */
+  val mergeUpsert: Op = Op(
+    "q_merge_upsert",
+    """WITH delta AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+      |    'UPSERTED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |target AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |           FROM customer WHERE c_custkey % 10 <> 0)
+      |SELECT COALESCE(d.c_custkey, t.c_custkey) AS c_custkey,
+      |  COALESCE(d.c_name, t.c_name) AS c_name,
+      |  COALESCE(d.c_acctbal, t.c_acctbal) AS c_acctbal,
+      |  COALESCE(d.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+      |  CASE WHEN d.c_custkey IS NULL THEN 'unchanged'
+      |       WHEN t.c_custkey IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS merge_action
+      |FROM target t FULL OUTER JOIN delta d ON d.c_custkey = t.c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val delta = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("c_mktsegment", lit("UPSERTED"))
+    val target = cust.filter(col("c_custkey") % 10 =!= 0)
+    target.alias("t")
+      .join(delta.alias("d"), col("d.c_custkey") === col("t.c_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("d.c_custkey"), col("t.c_custkey")).as("c_custkey"),
+        coalesce(col("d.c_name"), col("t.c_name")).as("c_name"),
+        coalesce(col("d.c_acctbal"), col("t.c_acctbal")).as("c_acctbal"),
+        coalesce(col("d.c_mktsegment"), col("t.c_mktsegment")).as("c_mktsegment"),
+        when(col("d.c_custkey").isNull, "unchanged")
+          .when(col("t.c_custkey").isNull, "inserted")
+          .otherwise("updated").as("merge_action"))
+  }
+
   val ops: Seq[Op] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     q18LargeOrders,
@@ -741,6 +795,6 @@ object Relational {
     semiJoinExists, antiJoinNotExists, joinOuter, forallAgg, existsAgg,
     unionDistinct, unionAll, distinctToSet, sizeCount,
     foldSum, foldCustom, headLimit, sortTopK,
-    firstLast, appendElem, foldProduct, setOps, limitOffset,
+    firstLast, appendElem, foldProduct, setOps, limitOffset, mergeUpsert,
   )
 }

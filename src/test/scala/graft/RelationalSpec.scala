@@ -65,6 +65,28 @@ class RelationalSpec extends SparkSpec {
     assert(bad == 0, "session ids must be dense 1..n per user")
   }
 
+  test("merge upsert: matched keys update, source-only keys insert, rest unchanged") {
+    val out = run(Relational.mergeUpsert).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        ((r.getAs[String]("merge_action"), r.getAs[String]("c_mktsegment"))))
+      .toMap
+    // every key appears exactly once (MERGE is a keyed upsert, not a union)
+    assert(out.size == run(Relational.mergeUpsert).count())
+    out.foreach { case (k, (action, seg)) =>
+      if (k % 3 == 0 && k % 10 != 0)
+        assert(action == "updated" && seg == "UPSERTED", s"$k: $action/$seg")
+      else if (k % 3 == 0 && k % 10 == 0)
+        assert(action == "inserted" && seg == "UPSERTED", s"$k: $action/$seg")
+      else {
+        assert(k % 10 != 0, s"target-only key $k must be % 10 != 0")
+        assert(action == "unchanged" && seg != "UPSERTED", s"$k: $action/$seg")
+      }
+    }
+    // all three actions actually exercised on the tiny corpus
+    val actions = out.values.map(_._1).toSet
+    assert(actions == Set("updated", "inserted", "unchanged"), actions)
+  }
+
   test("entry returns non-empty flagship result") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

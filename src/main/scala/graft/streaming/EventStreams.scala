@@ -197,6 +197,49 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming admission face of the bloom membership family (r15 —
+    * completing batch-single / batch-bucketed / upsert / STREAMING the
+    * way the paragraph family is complete): which arriving docs are
+    * content-new vs the corpus whose per-bucket filters are the
+    * persisted warehouse state ([[graft.operators.Dedup]]'s
+    * persistedBloomFilters / bloomMergedFilters after an absorb)?
+    *
+    * Stateless stream-static shape — ≡ the batch
+    * `bloomNewDocsBucketed` restricted to each micro-batch
+    * (StreamingSpec pins it, incl. the null-text routing):
+    *   - the arriving stream keys itself by the same
+    *     pmod(xxhash64(text), buckets) and meets its bucket's filter
+    *     through a stream-static join, SHUFFLE-HASH hinted like the
+    *     batch plan — a broadcast would re-ship every bucket's filter
+    *     bytes to every task, the residency bug the bucketed form
+    *     exists to avoid;
+    *   - !probe rows are PROVEN new and skip the verify; probe-positive
+    *     and null-probe rows (null text ⇒ null key) pay the exact
+    *     stream-static LEFT ANTI join against the corpus texts, where
+    *     null never matches and is correctly kept new;
+    *   - no watermark, no state: admission consults the corpus table,
+    *     never other arrivals (arriving docs deliberately do NOT see
+    *     each other — the paragraphDedupStream admission semantics;
+    *     absorbing admitted content back is the upsert cadence,
+    *     dedup_bloom_upsert's absorb).
+    */
+  def bloomNewStream(docs: DataFrame, filters: DataFrame,
+      verifyCorpus: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.bloom._
+    val d = graft.operators.Dedup.withTextBkt(docs, buckets)
+    val key = xxhash64(col("text"))
+    val probed = d
+      .join(filters.hint("shuffle_hash"), Seq("bkt"), "left_outer")
+      .withColumn("_maybe", might_contain_keyed(col("bkt"), col("bf"), key))
+      .drop("bf")
+    val provenNew = probed.filter(!col("_maybe"))
+    val verifiedNew = probed.filter(coalesce(col("_maybe"), lit(true))).join(
+      verifyCorpus.select(col("text").as("c_text")).distinct(),
+      col("text") === col("c_text"), "left_anti")
+    provenNew.unionByName(verifiedNew)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   /** Incrementally-maintained JOIN view (the reference's IVM maintains
     * join results under deltas too — IVMTest1's join cases): stream-stream
     * inner join of clicks to purchases by the same user within 30 minutes.

@@ -563,6 +563,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom admission ≡ batch bloomNewDocsBucketed per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val buckets = 8
+    val corpusRows = (0 until 200).map(i => (i.toLong, s"stream bloom corpus doc ${i % 150}"))
+    val corpus = CacheRegistry.track(corpusRows.toDF("doc_id", "text"))
+    val filters = CacheRegistry.track(graft.operators.Dedup.bloomBucketFilters(
+      graft.operators.Dedup.withTextBkt(corpus, buckets), 500L, buckets))
+    filters.count() // materialize the static state before the stream starts
+    // arrivals: corpus dups, fresh content, and a null text (null key ⇒
+    // null probe ⇒ routed through the verify anti-join, kept new)
+    val arriving: Seq[(Long, String)] = Seq(
+      (1000L, "stream bloom corpus doc 7"),   // dup — dropped
+      (1001L, "completely fresh arrival a"),  // new
+      (1002L, "stream bloom corpus doc 149"), // dup — dropped
+      (1003L, "completely fresh arrival b"),  // new
+      (1004L, null.asInstanceOf[String]),     // null text — kept new
+    )
+    val input = MemoryStream[(Long, String)]
+    val out = EventStreams.bloomNewStream(
+      input.toDF().toDF("doc_id", "text"), filters, corpus, buckets)
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arriving.take(3))
+      q.processAllAvailable()
+      input.addData(arriving.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val want = graft.operators.Dedup.bloomNewDocsBucketed(
+        corpus, arriving.toDF("doc_id", "text"), 500L, buckets)
+        .select("doc_id").as[Long].collect().toSet
+      CacheRegistry.drain()
+      assert(streamed == want,
+        s"missing=${want -- streamed} extra=${streamed -- want}")
+      assert(streamed == Set(1001L, 1003L, 1004L), streamed)
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate equals the batch decontaminate op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

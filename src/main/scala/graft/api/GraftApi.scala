@@ -1642,6 +1642,62 @@ object GraftApi {
     }
   }
 
+  /** The bloom family's maintenance verbs on the library surface (r15 —
+    * the newDocs membership check above answers one shard; these are
+    * the warehouse lifecycle around it):
+    *   - [[bloomFilters]] builds the persistable per-bucket (bkt, bf)
+    *     state over a corpus — write it `bucketBy(bkt)`;
+    *   - [[bloomAbsorb]] OR-merges an arriving shard's filters into
+    *     that state in a |buckets|-row job, BYTE-identical to a rebuild
+    *     over the union (geometry must match — fail-fast otherwise);
+    *   - [[bloomNewDocsAgainst]] answers membership of a delta against
+    *     the (possibly just-absorbed) state + an exact-verify corpus —
+    *     the dedup_bloom_upsert serve; the streaming twin is
+    *     [[graft.streaming.EventStreams.bloomNewStream]].
+    */
+  def bloomFilters(corpus: DataFrame, expectedItemsPerBucket: Long,
+      buckets: Int): DataFrame =
+    graft.operators.Dedup.bloomBucketFilters(
+      graft.operators.Dedup.withTextBkt(corpus, buckets),
+      expectedItemsPerBucket, parts = buckets)
+
+  def bloomAbsorb(state: DataFrame, shardFilters: DataFrame): DataFrame =
+    graft.operators.Dedup.bloomMergedFilters(state, shardFilters)
+
+  def bloomNewDocsAgainst(filters: DataFrame, verifyCorpus: DataFrame,
+      delta: DataFrame, buckets: Int): DataFrame =
+    graft.operators.Dedup.bloomUpsertServe(
+      filters, filters.limit(0), verifyCorpus, delta, buckets)
+
+  /** SCD-1 MERGE INTO as a library verb: upsert `delta` into `target`
+    * on `keyCol` — matched keys take the delta's values, unmatched
+    * delta keys insert, untouched target rows pass through, plus a
+    * `merge_action` audit column ('updated'/'inserted'/'unchanged').
+    * One co-partitioned full-outer join (never broadcastable); on a
+    * bucketed warehouse dimension the target side reads exchange-free.
+    * Both frames must share a schema; the registered q_merge_upsert is
+    * this over the customer dimension. Per-column semantics are
+    * NON-NULL update (coalesce): a null in a matched delta column keeps
+    * the target's value — "set to null" needs a sentinel, the usual
+    * SCD-1 coalesce contract.
+    */
+  def mergeUpsert(target: DataFrame, delta: DataFrame,
+      keyCol: String): DataFrame = {
+    require(target.columns.sameElements(delta.columns),
+      s"mergeUpsert: schemas differ — target ${target.columns.mkString(",")} " +
+        s"vs delta ${delta.columns.mkString(",")}")
+    val valueCols = target.columns.filter(_ != keyCol)
+    target.alias("t")
+      .join(delta.alias("d"), col(s"d.$keyCol") === col(s"t.$keyCol"),
+        "full_outer")
+      .select(
+        coalesce(col(s"d.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+        valueCols.map(c => coalesce(col(s"d.$c"), col(s"t.$c")).as(c)) :+
+        when(col(s"d.$keyCol").isNull, "unchanged")
+          .when(col(s"t.$keyCol").isNull, "inserted")
+          .otherwise("updated").as("merge_action"): _*)
+  }
+
   /** N-stage ordered funnel over any event frame: stage i counts only
     * when it occurs STRICTLY AFTER the key's first qualifying stage-i−1
     * occurrence (order, not presence). Returns one row per key with a

@@ -773,17 +773,10 @@ object Relational {
       .withColumn("c_acctbal", col("c_acctbal") + 100.0)
       .withColumn("c_mktsegment", lit("UPSERTED"))
     val target = cust.filter(col("c_custkey") % 10 =!= 0)
-    target.alias("t")
-      .join(delta.alias("d"), col("d.c_custkey") === col("t.c_custkey"),
-        "full_outer")
-      .select(
-        coalesce(col("d.c_custkey"), col("t.c_custkey")).as("c_custkey"),
-        coalesce(col("d.c_name"), col("t.c_name")).as("c_name"),
-        coalesce(col("d.c_acctbal"), col("t.c_acctbal")).as("c_acctbal"),
-        coalesce(col("d.c_mktsegment"), col("t.c_mktsegment")).as("c_mktsegment"),
-        when(col("d.c_custkey").isNull, "unchanged")
-          .when(col("t.c_custkey").isNull, "inserted")
-          .otherwise("updated").as("merge_action"))
+    // the generic library verb (GraftApi.mergeUpsert) IS this op — one
+    // copy of the full-outer coalesce so the spec-pinned op and the
+    // user-facing form can never drift
+    graft.api.GraftApi.mergeUpsert(target, delta, "c_custkey")
   }
 
   val ops: Seq[Op] = Seq(

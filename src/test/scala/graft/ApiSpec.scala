@@ -577,6 +577,42 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("generic mergeUpsert: non-null update semantics, audit actions, schema guard") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val delta = Seq((2L, null.asInstanceOf[String], 99.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val got = GraftApi.mergeUpsert(target, delta, "k").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0, "unchanged"),
+      (2L, "b", 99.0, "updated"),   // null delta name keeps target's (coalesce contract)
+      (3L, "c", 30.0, "inserted")), got.toSeq)
+    intercept[IllegalArgumentException] {
+      GraftApi.mergeUpsert(target, delta.withColumnRenamed("bal", "balance"), "k")
+    }
+  }
+
+  test("bloom lifecycle verbs: absorb ≡ rebuild, serve against merged state") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => (i.toLong, s"api bloom base $i")).toDF("doc_id", "text")
+    val shard = (500 until 550).map(i => (i.toLong, s"api bloom shard $i")).toDF("doc_id", "text")
+    val merged = GraftApi.bloomAbsorb(
+      GraftApi.bloomFilters(base, 200L, 4), GraftApi.bloomFilters(shard, 200L, 4))
+    val rebuilt = GraftApi.bloomFilters(base.unionByName(shard), 200L, 4)
+    val mBytes = merged.as[(Long, Array[Byte])].collect().toMap
+    rebuilt.as[(Long, Array[Byte])].collect().foreach { case (bkt, bytes) =>
+      assert(java.util.Arrays.equals(mBytes(bkt), bytes), s"bucket $bkt differs")
+    }
+    val delta = Seq((9000L, "api bloom base 7"), (9001L, "api bloom shard 510"),
+      (9002L, "genuinely new api arrival")).toDF("doc_id", "text")
+    val got = GraftApi.bloomNewDocsAgainst(merged,
+        base.unionByName(shard), delta, buckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    CacheRegistry.drain()
+    assert(got == Set(9002L), got)
+  }
+
   test("generic redactPii tags emails, IPs, phones and counts matches") {
     import spark.implicits._
     val df = Seq(

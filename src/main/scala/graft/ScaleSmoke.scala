@@ -315,14 +315,47 @@ object ScaleSmoke {
     //     downstream join sizes to, so its row count either explains the
     //     delta (skew corpus = more dups = bigger sliver) or indicts a
     //     plan stage.
+    //   - capped generators (VERDICT r15 #1): saturated-bucket count and
+    //     affected distinct-doc mass from each generator's own bucket
+    //     stream (Dedup.capAuditRow — the dedup_cap_audit machinery).
+    //     Amplified corpora are mass-duplication by construction, so
+    //     nonzero sat_docs next to a small pair count is the honest
+    //     reading: the cap is eating recall and the mass must route
+    //     through dedup_exact first (dedup_composed_recall measures the
+    //     recovery). Without these fields, "no pairs" is
+    //     indistinguishable from "nothing to find".
+    def satProbe(postings: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (SparkSession, String) => Seq[(String, Long)] = { (spark, dir) =>
+      val r = graft.operators.Dedup.capAuditRow(postings(spark, dir), 64, "probe")
+        .select(col("sat_buckets"), col("sat_docs")).head()
+      CacheRegistry.drain()
+      Seq("sat_buckets" -> r.getLong(0), "sat_docs" -> r.getLong(1))
+    }
+    def smokeDocs(spark: SparkSession, dir: String) =
+      graft.Tables.documents(spark, dir)
+    val minhashSat = satProbe((s, d) =>
+      graft.operators.Dedup.minhashBuckets(smokeDocs(s, d)))
     val attribProbes: Map[String, (SparkSession, String) => Seq[(String, Long)]] = Map(
       "pipeline_keep_best" -> { (spark, dir) =>
         val pairs = graft.operators.Dedup.minhashLsh.fn(spark, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
         val sliver = graft.operators.Graph.componentLabels(pairs).count()
         CacheRegistry.drain()
-        Seq("sliver_rows" -> sliver)
-      })
+        // the generator's saturation next to the sliver it feeds: at
+        // 1000× amplification sliver_rows reads 0 BECAUSE sat_docs reads
+        // ~everything — the r15 weak flag, now visible in one entry
+        Seq("sliver_rows" -> sliver) ++ minhashSat(spark, dir)
+      },
+      "dedup_minhash_lsh" -> minhashSat,
+      "dedup_simhash_pairs" -> satProbe((s, d) =>
+        graft.operators.Dedup.simhashBands(
+          graft.operators.Dedup.simhashSignatures(smokeDocs(s, d)), m = 4, d = 3)
+          .select(col("doc_id"), col("band"))),
+      "dedup_ngram_jaccard" -> satProbe((s, d) =>
+        graft.operators.Dedup.fusedGramStream(4)(smokeDocs(s, d))),
+      "ann_knn_join_topk" -> satProbe((s, d) =>
+        graft.operators.Similarity.knnBandBuckets(
+          graft.Tables.embeddings(s, d))))
 
     // Incremental-family ops serve from persisted get-or-build state; an
     // in-smoke COLD run times the one-time warehouse build (IO-era noise

@@ -29,6 +29,34 @@ import org.apache.spark.sql.functions._
   *   } ... == books.where(...).select(explode($"authors"), ...)
   * }}}
   */
+/** Per-bucket bloom filter state WITH its geometry (ADVICE r15): the
+  * bucket count keys every text to its bucket, so two states built
+  * under different `buckets` are mutually unintelligible — probing
+  * with mismatched geometry reads the WRONG bucket's filter, answers
+  * false, and declares true duplicates "proven new" without the exact
+  * verify, silently. `bloom_or`'s IncompatibleMergeException only
+  * catches bit-array-size (expectedItemsPerBucket) drift within a
+  * bucket; bucket-count drift is only catchable by carrying the
+  * geometry WITH the state — this wrapper is the public equivalent of
+  * the internal persisted path keying geometry into the table name
+  * (Dedup.persistedBloomFilters). Persist `filters` bucketBy(bkt) and
+  * re-wrap with the same geometry on read; the geometry values are
+  * warehouse constants pinned at state-create time.
+  */
+final case class BloomState(filters: DataFrame, buckets: Int,
+    expectedItemsPerBucket: Long) {
+  require(buckets >= 1 && buckets <= 65536,
+    s"BloomState: buckets=$buckets out of range [1, 65536]")
+  private[api] def requireSameGeometry(other: BloomState, op: String): Unit =
+    require(buckets == other.buckets &&
+        expectedItemsPerBucket == other.expectedItemsPerBucket,
+      s"$op: bloom geometry mismatch — (buckets=$buckets, " +
+        s"itemsPerBucket=$expectedItemsPerBucket) vs (buckets=" +
+        s"${other.buckets}, itemsPerBucket=${other.expectedItemsPerBucket})" +
+        "; filters built under different geometry key texts to different " +
+        "buckets and would silently declare true duplicates new")
+}
+
 object GraftApi {
 
   /** asSquopt for plain in-memory collections: the reference lifts any
@@ -1642,32 +1670,52 @@ object GraftApi {
     }
   }
 
-  /** The bloom family's maintenance verbs on the library surface (r15 —
-    * the newDocs membership check above answers one shard; these are
-    * the warehouse lifecycle around it):
-    *   - [[bloomFilters]] builds the persistable per-bucket (bkt, bf)
-    *     state over a corpus — write it `bucketBy(bkt)`;
+  /** The bloom family's maintenance verbs on the library surface (r15;
+    * geometry-hardened r16 per ADVICE — the newDocs membership check
+    * above answers one shard; these are the warehouse lifecycle around
+    * it):
+    *   - [[bloomFilters]] builds the per-bucket (bkt, bf) state over a
+    *     corpus as a [[BloomState]] — persist `state.filters`
+    *     `bucketBy(bkt)` and re-wrap with the SAME geometry on read;
+    *     the bucket key is always recomputed from text here (a caller
+    *     frame's pre-existing `bkt` column is dropped — the trusted-
+    *     layout shortcut is an internal contract, not a public one);
     *   - [[bloomAbsorb]] OR-merges an arriving shard's filters into
-    *     that state in a |buckets|-row job, BYTE-identical to a rebuild
-    *     over the union (geometry must match — fail-fast otherwise);
+    *     the state in a |buckets|-row job, BYTE-identical to a rebuild
+    *     over the union. FULL geometry is validated fail-fast: the
+    *     wrapper catches bucket-count drift (which re-keys every text
+    *     and would otherwise declare true duplicates "proven new" with
+    *     no exception anywhere), while bloom_or's
+    *     IncompatibleMergeException alone only catches bit-array-size
+    *     drift within a bucket;
     *   - [[bloomNewDocsAgainst]] answers membership of a delta against
     *     the (possibly just-absorbed) state + an exact-verify corpus —
-    *     the dedup_bloom_upsert serve; the streaming twin is
-    *     [[graft.streaming.EventStreams.bloomNewStream]].
+    *     the dedup_bloom_upsert serve with the state's own bucket
+    *     count, the delta re-keyed from text, and NO cached
+    *     intermediate (the registered-op harness drains its cache
+    *     registry; a library caller shouldn't have to). The streaming
+    *     twin is [[graft.streaming.EventStreams.bloomNewStream]].
     */
   def bloomFilters(corpus: DataFrame, expectedItemsPerBucket: Long,
-      buckets: Int): DataFrame =
-    graft.operators.Dedup.bloomBucketFilters(
-      graft.operators.Dedup.withTextBkt(corpus, buckets),
-      expectedItemsPerBucket, parts = buckets)
+      buckets: Int): BloomState =
+    BloomState(
+      graft.operators.Dedup.bloomBucketFilters(
+        graft.operators.Dedup.withTextBkt(corpus.drop("bkt"), buckets),
+        expectedItemsPerBucket, parts = buckets),
+      buckets, expectedItemsPerBucket)
 
-  def bloomAbsorb(state: DataFrame, shardFilters: DataFrame): DataFrame =
-    graft.operators.Dedup.bloomMergedFilters(state, shardFilters)
+  def bloomAbsorb(state: BloomState, shard: BloomState): BloomState = {
+    state.requireSameGeometry(shard, "bloomAbsorb")
+    state.copy(filters = graft.operators.Dedup
+      .bloomMergedFilters(state.filters, shard.filters))
+  }
 
-  def bloomNewDocsAgainst(filters: DataFrame, verifyCorpus: DataFrame,
-      delta: DataFrame, buckets: Int): DataFrame =
+  def bloomNewDocsAgainst(state: BloomState, verifyCorpus: DataFrame,
+      delta: DataFrame): DataFrame =
     graft.operators.Dedup.bloomUpsertServe(
-      filters, filters.limit(0), verifyCorpus, delta, buckets)
+      state.filters, state.filters.limit(0),
+      Seq(graft.operators.Dedup.contentHashes(verifyCorpus)),
+      delta.drop("bkt"), state.buckets, cacheProbe = false)
 
   /** SCD-1 MERGE INTO as a library verb: upsert `delta` into `target`
     * on `keyCol` — matched keys take the delta's values, unmatched
@@ -1680,15 +1728,39 @@ object GraftApi {
     * NON-NULL update (coalesce): a null in a matched delta column keeps
     * the target's value — "set to null" needs a sentinel, the usual
     * SCD-1 coalesce contract.
+    *
+    * PRECONDITION (ADVICE r15): `delta` must be unique on `keyCol` —
+    * SQL MERGE rejects multi-match sources, and a duplicated delta key
+    * here would fan the full-outer join out to multiple rows per key.
+    * Guarded in-plan by default (`requireUniqueDelta`): a windowed
+    * per-key count over the delta raises at execution time on the
+    * first duplicate instead of silently multiplying rows. The window
+    * keys on `keyCol`, the same partitioning the join needs, so the
+    * guard adds a delta-side sort but no extra exchange; callers with
+    * a provably-unique source (a keyed upstream aggregate) may disable
+    * it. Target-side duplicates pass through by design — SCD-1 updates
+    * every matching target row.
     */
   def mergeUpsert(target: DataFrame, delta: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String, requireUniqueDelta: Boolean = true): DataFrame = {
     require(target.columns.sameElements(delta.columns),
       s"mergeUpsert: schemas differ — target ${target.columns.mkString(",")} " +
         s"vs delta ${delta.columns.mkString(",")}")
+    val d0 =
+      if (!requireUniqueDelta) delta
+      else delta
+        .withColumn("_kn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+        // assert_true returns NULL when the predicate holds and throws
+        // otherwise, so the filter keeps every valid row and the plan
+        // fails loudly on the first duplicated delta key
+        .filter(assert_true(col("_kn") === 1,
+          lit(s"mergeUpsert: delta has duplicate '$keyCol' keys — MERGE " +
+            "semantics require a unique-key source")).isNull)
+        .drop("_kn")
     val valueCols = target.columns.filter(_ != keyCol)
     target.alias("t")
-      .join(delta.alias("d"), col(s"d.$keyCol") === col(s"t.$keyCol"),
+      .join(d0.alias("d"), col(s"d.$keyCol") === col(s"t.$keyCol"),
         "full_outer")
       .select(
         coalesce(col(s"d.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:

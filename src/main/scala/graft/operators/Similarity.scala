@@ -101,6 +101,32 @@ object Similarity {
   private val sketchExpr = sketchExprAt(1)
   private val sketchSql = sketchSqlAt(1)
 
+  /** The (vec_id, key) posting rows of [[annKnnJoinTopK]]'s candidate
+    * buckets — both LSH bands, the band index prefixed into the key so
+    * the two bands stay separate bucket namespaces, over the op's own
+    * corpus contract (dim ≥ 16, nrm > 0). The cap-audit face of the
+    * knn join's 2..64 bucket bound (VERDICT r15 #1 — see
+    * Dedup.capAuditRow).
+    */
+  private[graft] def knnBandBuckets(emb: DataFrame): DataFrame = {
+    val v = graft.CacheRegistry.track(
+      normed(emb.filter(size(col("embedding")) >= 16))
+        .withColumn("sk1", expr(sketchExprAt(1)))
+        .withColumn("sk2", expr(sketchExprAt(9)))
+        .select("vec_id", "sk1", "sk2"))
+    v.select(col("vec_id"), concat(lit("1:"), col("sk1")).as("key"))
+      .unionByName(
+        v.select(col("vec_id"), concat(lit("2:"), col("sk2")).as("key")))
+  }
+
+  /** Same posting rows in DuckDB SQL, as a parenthesized relation. */
+  private[operators] val knnBandBucketsSql: String =
+    s"""(WITH vv AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm,
+      |        ${sketchSqlAt(1)} AS sk1, ${sketchSqlAt(9)} AS sk2
+      |      FROM embeddings WHERE len(embedding) >= 16) WHERE nrm > 0)
+      | SELECT vec_id, '1:' || sk1 AS key FROM vv
+      | UNION ALL SELECT vec_id, '2:' || sk2 AS key FROM vv)""".stripMargin
+
   /** Embedding near-dup pairs: bucket by sign sketch (equi-join), verify
     * cosine ≥ τ inside buckets only.
     */

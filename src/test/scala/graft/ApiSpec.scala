@@ -600,17 +600,67 @@ class ApiSpec extends SparkSpec {
     val merged = GraftApi.bloomAbsorb(
       GraftApi.bloomFilters(base, 200L, 4), GraftApi.bloomFilters(shard, 200L, 4))
     val rebuilt = GraftApi.bloomFilters(base.unionByName(shard), 200L, 4)
-    val mBytes = merged.as[(Long, Array[Byte])].collect().toMap
-    rebuilt.as[(Long, Array[Byte])].collect().foreach { case (bkt, bytes) =>
+    val mBytes = merged.filters.as[(Long, Array[Byte])].collect().toMap
+    rebuilt.filters.as[(Long, Array[Byte])].collect().foreach { case (bkt, bytes) =>
       assert(java.util.Arrays.equals(mBytes(bkt), bytes), s"bucket $bkt differs")
     }
     val delta = Seq((9000L, "api bloom base 7"), (9001L, "api bloom shard 510"),
       (9002L, "genuinely new api arrival")).toDF("doc_id", "text")
     val got = GraftApi.bloomNewDocsAgainst(merged,
-        base.unionByName(shard), delta, buckets = 4)
+        base.unionByName(shard), delta)
       .select("doc_id").as[Long].collect().toSet
-    CacheRegistry.drain()
+    // the API serve path caches nothing (ADVICE r15): no drain needed,
+    // and the registry must not be holding a leaked probe frame
+    assert(CacheRegistry.liveCount == 0,
+      "bloomNewDocsAgainst leaked a tracked cache entry")
     assert(got == Set(9002L), got)
+  }
+
+  test("bloom geometry: absorb fail-fasts on bucket-count and sizing drift") {
+    import spark.implicits._
+    val base = (0 until 50).map(i => (i.toLong, s"geom base $i")).toDF("doc_id", "text")
+    val s4 = GraftApi.bloomFilters(base, 200L, 4)
+    // bucket-count drift: bloom_or alone can NEVER catch this (bit
+    // arrays are compatible) — true duplicates would probe the wrong
+    // bucket and be declared new; the wrapper must refuse
+    val e1 = intercept[IllegalArgumentException] {
+      GraftApi.bloomAbsorb(s4, GraftApi.bloomFilters(base, 200L, 8))
+    }
+    assert(e1.getMessage.contains("geometry"), e1.getMessage)
+    // sizing drift fail-fasts at the wrapper too, before any job runs
+    val e2 = intercept[IllegalArgumentException] {
+      GraftApi.bloomAbsorb(s4, GraftApi.bloomFilters(base, 500L, 4))
+    }
+    assert(e2.getMessage.contains("geometry"), e2.getMessage)
+    // a caller frame carrying a stale/foreign bkt column must not be
+    // trusted on the public verb: filters are keyed by recomputed
+    // pmod(xxhash64(text), buckets), identical to the clean build
+    val poisoned = base.withColumn("bkt", lit(0L))
+    val clean = GraftApi.bloomFilters(base, 200L, 4)
+      .filters.as[(Long, Array[Byte])].collect().toMap
+    GraftApi.bloomFilters(poisoned, 200L, 4)
+      .filters.as[(Long, Array[Byte])].collect().foreach { case (bkt, bytes) =>
+        assert(java.util.Arrays.equals(clean(bkt), bytes),
+          s"bucket $bkt differs under a poisoned caller bkt column")
+      }
+  }
+
+  test("mergeUpsert guards the unique-delta-key MERGE precondition") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dup = Seq((2L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    // duplicated delta key: fails loudly at execution (SQL MERGE
+    // multi-match semantics) instead of fanning out rows per key
+    val e = intercept[Exception] {
+      GraftApi.mergeUpsert(target, dup, "k").collect()
+    }
+    assert(e.toString.contains("duplicate") ||
+      Option(e.getCause).exists(_.toString.contains("duplicate")), e.toString.take(300))
+    // the guard passes clean deltas through unchanged
+    val ok = GraftApi.mergeUpsert(target, Seq((2L, "x")).toDF("k", "v"), "k")
+      .orderBy("k").select("k", "v", "merge_action")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(ok == Seq((1L, "a", "unchanged"), (2L, "x", "updated")), ok)
   }
 
   test("generic redactPii tags emails, IPs, phones and counts matches") {

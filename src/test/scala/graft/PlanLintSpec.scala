@@ -29,6 +29,12 @@ class PlanLintSpec extends SparkSpec {
     // crossed with the one-row truth_pairs aggregate — both sides
     // literal-tiny; the member pair plans underneath are all keyed
     "dedup_recall_audit",
+    // per-generator (total, saturated) one-row aggregates crossed into
+    // the audit row — every posting-stream pass underneath is keyed
+    "dedup_cap_audit",
+    // six one-row count/mass aggregates crossed into the 3-method
+    // output scaffold; the pair generators underneath are all keyed
+    "dedup_composed_recall",
     // same ≤8-query broadcast scoring pass as ann_bruteforce_topk, with
     // labels riding the scored side
     "ann_knn_classify",

@@ -29,6 +29,20 @@ object Bench {
     "q6_forecast_revenue", "dedup_minhash_lsh", "ann_bruteforce_topk",
     "text_quality", "pipeline_curate")
 
+  /** Per-query untimed warmup passes (default 1). dedup_minhash_lsh has
+    * a measured JIT warm-in CURVE, not a single cold cost: walls descend
+    * 1.92 → 1.47 s over passes 1-5 and plateau from pass ~6 (12-pass
+    * single-session record, minhash_swing_r15.jsonl — GC 7-17 ms and a
+    * constant 358 tasks throughout, so it is compilation tiers, not
+    * caches). One warmup + best-of-two sampled the SLOPE, which made the
+    * committed headline swing 1.04-2.05 s round-to-round with the era
+    * (VERDICT r15 #5). Five warmups put both timed passes on the
+    * plateau; every other headline query reaches steady state after one
+    * pass (same artifact).
+    */
+  private val warmupPasses: Map[String, Int] =
+    Map("dedup_minhash_lsh" -> 5).withDefaultValue(1)
+
   /** Locale-pinned number rendering: `f"$v%.3f"` uses the JVM default
     * locale, and a comma-decimal locale would emit invalid JSON.
     */
@@ -167,8 +181,11 @@ object Bench {
       case None        => headline
     }
     names.foreach { n =>                       // warmup (untimed)
-      try materialize(n)
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: ${e.getMessage}") }
+      (1 to warmupPasses(n)).foreach { _ =>
+        try materialize(n)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $n: ${e.getMessage}") }
+      }
     }
     // best of two timed passes: single-pass numbers on a shared machine
     // carry transient-load noise (observed 2-4x swings between whole

@@ -355,7 +355,45 @@ object ScaleSmoke {
         graft.operators.Dedup.fusedGramStream(4)(smokeDocs(s, d))),
       "ann_knn_join_topk" -> satProbe((s, d) =>
         graft.operators.Similarity.knnBandBuckets(
-          graft.Tables.embeddings(s, d))))
+          graft.Tables.embeddings(s, d))),
+      //   - recall values at smoke scale (VERDICT r15 #8): the audits'
+      //     OUTPUT rows (hits/slots per index kind, hits/truth per dedup
+      //     method) ride the artifact, so the recall claims measured at
+      //     sf0.01/0.1 are re-read on the same scale axis everything
+      //     else is measured on — the probe recomputes the deterministic
+      //     audit frame and collects its handful of rows.
+      "ann_recall_audit" -> { (spark, dir) =>
+        val rows = SparkEntry.queries("ann_recall_audit")(spark, dir)
+          .groupBy("index_kind")
+          .agg(sum("hits").as("h"), sum("k").as("s"))
+          .collect()
+        CacheRegistry.drain()
+        rows.toSeq.flatMap { r =>
+          val kind = r.getString(0)
+          Seq(s"recall_${kind}_hits" -> r.getLong(1),
+            s"recall_${kind}_slots" -> r.getLong(2))
+        }
+      },
+      "dedup_composed_recall" -> { (spark, dir) =>
+        val rows = SparkEntry.queries("dedup_composed_recall")(spark, dir)
+          .collect()
+        CacheRegistry.drain()
+        rows.toSeq.flatMap { r =>
+          val m = r.getAs[String]("method")
+          Seq(s"${m}_hits" -> r.getAs[Long]("hits")) ++
+            (if (m == "composed")
+              Seq("truth_pairs" -> r.getAs[Long]("truth_pairs")) else Nil)
+        }
+      },
+      "dedup_cap_audit" -> { (spark, dir) =>
+        val rows = SparkEntry.queries("dedup_cap_audit")(spark, dir).collect()
+        CacheRegistry.drain()
+        rows.toSeq.flatMap { r =>
+          val g = r.getAs[String]("generator")
+          Seq(s"${g}_sat_buckets" -> r.getAs[Long]("sat_buckets"),
+            s"${g}_sat_docs" -> r.getAs[Long]("sat_docs"))
+        }
+      })
 
     // Incremental-family ops serve from persisted get-or-build state; an
     // in-smoke COLD run times the one-time warehouse build (IO-era noise

@@ -2485,7 +2485,9 @@ object Dedup {
     // proven-new for true duplicates with no exception anywhere
     // (bloom_or's IncompatibleMergeException only catches bit-array-size
     // drift within a bucket, never bucket-count drift) — the geometry
-    // must invalidate the persisted state, not just the merge
+    // must invalidate the persisted state, not just the merge. The
+    // public-surface equivalent is graft.api.BloomState, which carries
+    // (buckets, items) with the filter frame and fail-fasts on mismatch
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|bloom|$tag|v1|$bloomStateBuckets|$bloomStateItemsPerBucket"
         .getBytes("UTF-8"))

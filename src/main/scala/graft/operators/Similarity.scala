@@ -92,11 +92,11 @@ object Similarity {
     * hyperplanes; axis-aligned keeps the oracle engine-portable while
     * exercising the identical plan shape).
     */
-  private def sketchExprAt(off: Int) =
-    s"array_join(transform(slice(embedding, $off, 8)," +
+  private def sketchExprAt(off: Int, w: Int = 8) =
+    s"array_join(transform(slice(embedding, $off, $w)," +
       " x -> case when cast(x as double) >= 0.0d then '1' else '0' end), '')"
-  private def sketchSqlAt(off: Int) =
-    s"array_to_string(list_transform(embedding[$off:${off + 7}]," +
+  private def sketchSqlAt(off: Int, w: Int = 8) =
+    s"array_to_string(list_transform(embedding[$off:${off + w - 1}]," +
       " x -> CASE WHEN CAST(x AS DOUBLE) >= 0.0 THEN '1' ELSE '0' END), '')"
   private val sketchExpr = sketchExprAt(1)
   private val sketchSql = sketchSqlAt(1)
@@ -195,7 +195,9 @@ object Similarity {
     * (/root/reference/src/main/scala/ivm/tests/TypeIndexTest.scala) —
     * here the structure is the pair of band bucket maps.
     */
-  val annKnnJoinTopK: Op = {
+  private def knnJoinOp(name: String, w: Int): Op = {
+    val off2 = w + 1
+    val minDim = 2 * w
     def bandSql(sk: String): String =
       s"""SELECT a.vec_id, b.vec_id AS nbr_id,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -206,10 +208,10 @@ object Similarity {
         |  WHERE a.$sk IN (SELECT $sk FROM v GROUP BY $sk
         |                  HAVING COUNT(*) BETWEEN 2 AND 64)""".stripMargin
     Op(
-      "ann_knn_join_topk",
+      name,
       s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm,
-        |             ${sketchSqlAt(1)} AS sk1, ${sketchSqlAt(9)} AS sk2
-        |           FROM embeddings WHERE len(embedding) >= 16) WHERE nrm > 0),
+        |             ${sketchSqlAt(1, w)} AS sk1, ${sketchSqlAt(off2, w)} AS sk2
+        |           FROM embeddings WHERE len(embedding) >= $minDim) WHERE nrm > 0),
         |cand AS (SELECT DISTINCT vec_id, nbr_id, cosine FROM (
         |  ${bandSql("sk1")}
         |  UNION ALL
@@ -218,34 +220,63 @@ object Similarity {
         |  SELECT vec_id, nbr_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
-    ) { (spark, dir) =>
-      // band 2 reads dims 9–16, so the op's contract is dim ≥ 16: shorter
-      // vectors would silently collapse band 2 into one "" bucket the 2..64
-      // cap drops (halving recall with no error) — exclude them explicitly,
-      // mirrored in the oracle (declared-degenerate-bucket discipline)
-      val v = graft.CacheRegistry.track(normed(Tables.embeddings(spark, dir)
-          .filter(size(col("embedding")) >= 16))
-        .withColumn("sk1", expr(sketchExprAt(1)))
-        .withColumn("sk2", expr(sketchExprAt(9))))
-      def bandPairs(sk: String): DataFrame = {
-        val small = v.groupBy(sk).agg(count(lit(1)).as("n"))
-          .filter(col("n").between(2, 64)).select(sk)
-        // kept-bucket pruning on BOTH sides before the shuffle (the
-        // dedup_embedding_cosine discipline — a dropped hot bucket's
-        // members must not concentrate onto one reducer for nothing)
-        val a = v.join(broadcast(small), sk)
-        val b = a.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-          col("nrm").as("b_nrm"), col(sk).as("b_sk"))
-        a.join(b, col(sk) === col("b_sk") && col("vec_id") =!= col("b_id"))
-          .select(col("vec_id"), col("b_id").as("nbr_id"),
-            (vec_dot(col("embedding"), col("b_emb")) /
-              (col("nrm") * col("b_nrm"))).as("cosine"))
-      }
-      val cand = bandPairs("sk1").unionByName(bandPairs("sk2")).distinct()
-      graft.api.GraftApi.topKPerKey(cand, "vec_id", "cosine", "nbr_id", k = 3)
-        .select("vec_id", "nbr_id", "cosine")
-    }
+    ) { (spark, dir) => knnJoinTopK(Tables.embeddings(spark, dir), w) }
   }
+
+  /** The banded knn self-join over any (vec_id, embedding) frame at
+    * band width `w` — the library verb behind ann_knn_join_topk (w=8)
+    * and ann_knn_join_wide (w=16); pick the smallest w whose 2^w band
+    * space keeps expected occupancy under the 64 cap at your corpus
+    * size, and widen when dedup_cap_audit's sat_docs goes nonzero.
+    */
+  def knnJoinTopK(emb: DataFrame, w: Int, k: Int = 3): DataFrame = {
+    val off2 = w + 1
+    val minDim = 2 * w
+    // band 2 reads dims off2..2w, so the contract is dim ≥ 2w: shorter
+    // vectors would silently collapse band 2 into one "" bucket the
+    // 2..64 cap drops (halving recall with no error) — exclude them
+    // explicitly, mirrored in the oracle (declared-degenerate-bucket
+    // discipline)
+    val v = graft.CacheRegistry.track(normed(emb
+        .filter(size(col("embedding")) >= minDim))
+      .withColumn("sk1", expr(sketchExprAt(1, w)))
+      .withColumn("sk2", expr(sketchExprAt(off2, w))))
+    def bandPairs(sk: String): DataFrame = {
+      val small = v.groupBy(sk).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 64)).select(sk)
+      // kept-bucket pruning on BOTH sides before the shuffle (the
+      // dedup_embedding_cosine discipline — a dropped hot bucket's
+      // members must not concentrate onto one reducer for nothing)
+      val a = v.join(broadcast(small), sk)
+      val b = a.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col(sk).as("b_sk"))
+      a.join(b, col(sk) === col("b_sk") && col("vec_id") =!= col("b_id"))
+        .select(col("vec_id"), col("b_id").as("nbr_id"),
+          (vec_dot(col("embedding"), col("b_emb")) /
+            (col("nrm") * col("b_nrm"))).as("cosine"))
+    }
+    val cand = bandPairs("sk1").unionByName(bandPairs("sk2")).distinct()
+    graft.api.GraftApi.topKPerKey(cand, "vec_id", "cosine", "nbr_id", k = k)
+      .select("vec_id", "nbr_id", "cosine")
+  }
+
+  val annKnnJoinTopK: Op = knnJoinOp("ann_knn_join_topk", 8)
+
+  /** The knn join at 16-bit bands (dims 1–16 / 17–32; contract dim ≥
+    * 32) — the occupancy answer to what the cap audit measures on the
+    * 8-bit layout: a 2^8-value band space averages > 64 members per
+    * bucket past ~20k vectors, so every bucket saturates and the
+    * narrow join's recall collapses with no error (dedup_cap_audit
+    * read 19k of 50k vectors in saturated buckets at the 10× rung).
+    * 2^16 values per band carry expected occupancy ≤ 64 to ~4M
+    * vectors — the simhashLayoutFor discipline (band space sized to
+    * corpus, cost per doc unchanged: still two band rows) applied to
+    * the embedding family. Same cap, same verify, same top-3 ranking;
+    * only the bucket key widens. A production deployment picks the
+    * width from corpus size at index-build time and re-maps when the
+    * audit's sat_docs goes nonzero.
+    */
+  val annKnnJoinWide: Op = knnJoinOp("ann_knn_join_wide", 16)
 
   /** Multi-signal near-dup evidence — the provenance table a curation
     * pipeline keeps when it mines duplicates through more than one
@@ -2005,6 +2036,7 @@ object Similarity {
 
   val ops: Seq[Op] =
     Seq(annBruteForceTopK, dedupEmbeddingCosine, annKnnJoinTopK,
+      annKnnJoinWide,
       dedupMultiSignal, annLshTopK,
       annIvfTopK, annIvfKmeansTopK, annIvfAutoprobe, annIvfUpsert,
       annRandomHyperplaneTopK,

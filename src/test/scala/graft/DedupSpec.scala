@@ -1046,6 +1046,39 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet == Set((0L, 1L), (1L, 0L)), rows.mkString(", "))
   }
 
+  test("knn join wide: 16-bit bands recover what the saturated 8-bit layout drops") {
+    import spark.implicits._
+    // 140 vectors (70 twin pairs) share signs on dims 1-16, so BOTH of
+    // the 8-bit layout's bands are one 140-member bucket — past the 64
+    // cap, dropped, zero recall with no error (the hazard the cap audit
+    // flags). Dims 17-32 carry a distinct stable sign pattern per twin
+    // pair, so the 16-bit layout's band 2 holds size-2 buckets and
+    // finds every twin.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 70).flatMap { i =>
+      val head = Array.tabulate(16)(d => 0.5f + 0.01f * d)
+      val tail = Array.fill(16) {
+        val x = rnd.nextFloat() - 0.5f
+        if (x >= 0) x + 0.1f else x - 0.1f // signs bounded away from 0
+      }
+      val v = head ++ tail
+      val near = v.clone(); near(31) = near(31) + 0.001f
+      Seq((i.toLong, v.toSeq), ((i + 1000).toLong, near.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val narrow = Similarity.knnJoinTopK(df, w = 8).count()
+    CacheRegistry.drain()
+    assert(narrow == 0L, s"saturated 8-bit layout leaked $narrow pairs")
+    val wide = Similarity.knnJoinTopK(df, w = 16)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    CacheRegistry.drain()
+    val wantTwins = (0 until 70).flatMap(i =>
+      Seq((i.toLong, i + 1000L), (i + 1000L, i.toLong))).toSet
+    assert(wantTwins.subsetOf(wide.toSet),
+      s"wide layout missed twins: ${(wantTwins -- wide.toSet).take(5)}")
+  }
+
   test("knn join: at most k=3 neighbors per vector, no self, cosine bounded (sf0.001)") {
     val rows = Similarity.annKnnJoinTopK.fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"),

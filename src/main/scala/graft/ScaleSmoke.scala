@@ -473,18 +473,30 @@ object ScaleSmoke {
             // top stages by max task — names the straggler's owner, with
             // WITHIN-STAGE median so the line itself says even-vs-hot
             import scala.jdk.CollectionConverters._
-            // per-stage (max, sum, count, median) derived from the one
-            // duration-list structure at read time
-            val stageStats: Seq[(Int, (Long, Long, Int, Long))] =
+            // per-stage (max, sum, count, median, busy-median, busy-count)
+            // derived from the one duration-list structure at read time.
+            // BUSY median (tasks ≥ 5% of the stage max) exists because a
+            // scan over few large files schedules empty byte-range
+            // splits: uniform-1000× read pipeline_tokenize_shards at
+            // stage_skew 2948 where the 8 WORKING tasks were even to
+            // ~1.0× — the max divided by an empty split's median. Plain
+            // stage_skew stays (comparable with r15 artifacts);
+            // stage_skew_busy is the straggler signal.
+            val stageStats: Seq[(Int, (Long, Long, Int, Long, Long, Int))] =
               stageDurs.asScala.toSeq.map { case (sid, q) =>
                 val ds = q.iterator().asScala.map(_.longValue).toArray.sorted
-                (sid, (if (ds.isEmpty) 0L else ds.last, ds.sum, ds.length,
-                  if (ds.isEmpty) 0L else ds(ds.length / 2)))
+                val mx = if (ds.isEmpty) 0L else ds.last
+                val busy = ds.filter(_ >= math.max(1L, mx / 20))
+                (sid, (mx, ds.sum, ds.length,
+                  if (ds.isEmpty) 0L else ds(ds.length / 2),
+                  if (busy.isEmpty) 0L else busy(busy.length / 2),
+                  busy.length))
               }.sortBy(-_._2._1)
             stageStats.take(8).foreach {
-              case (sid, (mx, sm, nt, md)) =>
+              case (sid, (mx, sm, nt, md, bmd, bn)) =>
                 println(f"[scale $tag%sx]   stage $sid%-5d max ${mx}%7d ms " +
-                  f"med ${md}%7d ms sum ${sm}%8d ms  $nt%5d tasks  " +
+                  f"med ${md}%7d ms busy-med ${bmd}%7d ms ($bn%d busy) " +
+                  f"sum ${sm}%8d ms  $nt%5d tasks  " +
                   f"${stageName.getOrDefault(sid, "?")}%s")
             }
             // the straggler's OWNER rides the artifact, not just stdout:
@@ -493,17 +505,21 @@ object ScaleSmoke {
             // eyebrow (r11 verdict ask #3). stage_skew = max/median of
             // the TOP STAGE'S OWN tasks — a hot partition reads ≫1 here
             // even when heavy-stage-vs-trivial-reducer task_skew lies.
-            val (topStage, topStageMaxS, topStageTasks, topStageMedMs) =
+            val (topStage, topStageMaxS, topStageTasks, topStageMedMs,
+                topStageBusyMedMs, topStageBusyTasks) =
               stageStats.headOption match {
-                case Some((sid, (mx, _, nt, md))) =>
+                case Some((sid, (mx, _, nt, md, bmd, bn))) =>
                   val nm = stageName.getOrDefault(sid, "?")
                     .replace("\\", "\\\\").replace("\"", "\\\"")
                     .replace("{", "(").replace("}", ")")
-                  (nm, mx / 1000.0, nt, md)
-                case None => ("", 0.0, 0, 0L)
+                  (nm, mx / 1000.0, nt, md, bmd, bn)
+                case None => ("", 0.0, 0, 0L, 0L, 0)
               }
             val stageSkew =
               if (topStageMedMs > 0) topStageMaxS * 1000.0 / topStageMedMs else 0.0
+            val stageSkewBusy =
+              if (topStageBusyMedMs > 0) topStageMaxS * 1000.0 / topStageBusyMedMs
+              else 0.0
             // probes run AFTER the measurement is captured and must not
             // discard it — a probe throw loses its fields, not the entry
             val probeFields =
@@ -518,7 +534,7 @@ object ScaleSmoke {
               .map { case (k, v) => s""", "$k": $v""" } ++
               warmupSec.map(w => s""", "warm": true, "warmup_sec": ${f3(w)}"""))
               .mkString
-            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "top_stage_tasks": $topStageTasks, "top_stage_med_ms": $topStageMedMs, "stage_skew": ${f3(stageSkew)}$extras, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
+            Some(s"""  "$name": {"sec": ${f3(sec)}, "rows": $rows, "ok": true, "task_max_ms": $tMax, "task_med_ms": $tMed, "task_skew": ${f3(skewRatio)}, "cpu_s": ${f3(cpuS)}, "spill_disk_mb": $spillMb, "top_stage": "$topStage", "top_stage_max_task_s": ${f3(topStageMaxS)}, "top_stage_tasks": $topStageTasks, "top_stage_med_ms": $topStageMedMs, "stage_skew": ${f3(stageSkew)}, "top_stage_busy_tasks": $topStageBusyTasks, "top_stage_busy_med_ms": $topStageBusyMedMs, "stage_skew_busy": ${f3(stageSkewBusy)}$extras, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
           } catch {
             // a fail-fast output/size contract TRIPPING is the operator
             // working as designed (the r8 verdict's explicit "Done"

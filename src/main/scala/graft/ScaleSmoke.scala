@@ -121,16 +121,55 @@ object ScaleSmoke {
     * entries into — a sweep artifact, which must stay single-era.
     */
   def ensureCorpus(spark: SparkSession, src: String, n: Int,
-      skew: Boolean): String = {
-    val tag = (if (skew) "skew" else "") + n
+      skew: Boolean): String =
+    ensureCorpus(spark, src, n, if (skew) "skew" else "")
+
+  /** `mode`: "" uniform (content repeats N× — the saturation worst
+    * case), "skew" zipf-shaped hot keys, "vary" DISTINCT-content
+    * amplification — every 3rd token of every document replica is
+    * rewritten to a replica-unique token (so no two replicas share a
+    * single 5-gram shingle: near-dup candidate generation runs at
+    * TRUE corpus cardinality with a healthy bucket histogram instead
+    * of the uniform mode's everything-saturates cliff), and every
+    * embedding replica is deterministically perturbed (distinct
+    * vectors: ANN recall and bucket occupancy are measured against
+    * 2M real points, not 1000-deep duplicate stacks). Replica 0
+    * always stays the base corpus.
+    */
+  def ensureCorpus(spark: SparkSession, src: String, n: Int,
+      mode: String): String = {
+    val skew = mode == "skew"
+    val vary = mode == "vary"
+    val tag = mode + n
     val out = s"/tmp/graft_scale_$tag"
     // skew-mode per-replica rewrites (replica 0 always stays the base
     // corpus so every base key still exists for joins)
     val hotTemplate = "breaking update the markets moved again today and " +
       "analysts repeated the same template paragraph verbatim once more"
     val step = 1000000000L
+    def varyTweak(table: String, df: DataFrame, i: Int): DataFrame =
+      if (i == 0) df
+      else table match {
+        case "documents" =>
+          // replica-unique token every 3rd position: every 5-gram
+          // window contains one, so replicas share ZERO shingles with
+          // the base and with each other — J = 0 across copies, the
+          // sparse-pair regime. Null text stays null (transform(null)
+          // → null), the gate convention.
+          df.withColumn("text", expr(
+            s"array_join(transform(split(text, ' '), (w, p) -> " +
+              s"case when p % 3 = 2 then concat('v${i}p', p) else w end), ' ')"))
+        case "embeddings" =>
+          // deterministic per-replica perturbation: distinct vectors,
+          // norms stay positive w.h.p., geometry near the base point
+          df.withColumn("embedding", expr(
+            s"transform(embedding, (x, p) -> " +
+              s"cast(x + 0.05 * sin(${i}.0 * 7.0 + p) as float))"))
+        case _ => df
+      }
     def skewTweak(table: String, df: DataFrame, i: Int): DataFrame =
-      if (!skew || i == 0) df
+      if (vary) varyTweak(table, df, i)
+      else if (!skew || i == 0) df
       else table match {
         case "documents" =>
           val d = if (i % 10 != 0) df.withColumn("lang", lit("en")) else df
@@ -195,14 +234,18 @@ object ScaleSmoke {
     // amplification never stresses the salted agg/join paths, AQE skew
     // handling, or the per-(domain, shard) window depths — this mode
     // exists to.
-    val skew = args.headOption.contains("skew")
-    val rest = if (skew) args.drop(1) else args
+    val mode = args.headOption match {
+      case Some("skew") => "skew"
+      case Some("vary") => "vary"
+      case _            => ""
+    }
+    val skew = mode == "skew"
+    val rest = if (mode.nonEmpty) args.drop(1) else args
     val n = rest.headOption.map(_.toInt).getOrElse(10)
     val names =
       if (rest.length > 1 && rest(1) == "all") SparkEntry.queries.keys.toSeq.sorted
       else if (rest.length > 1) rest.drop(1).toSeq
       else defaultOps
-    val mode = if (skew) "skew" else ""
     val tag = s"$mode$n"
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_$tag"
@@ -300,7 +343,7 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
     println(s"[scale ${tag}x] shuffle partitions = $parts")
 
-    ensureCorpus(spark, src, n, skew)
+    ensureCorpus(spark, src, n, mode)
 
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -662,11 +705,16 @@ object ScaleSmoke {
         if (java.nio.file.Files.exists(uniform))
           Some((uniform.toString, 1.5, s"uniform ${n}x")) else None
       } else {
+        // uniform audits against smaller uniform rungs; vary against
+        // smaller vary rungs (vary-vs-uniform is apples-to-oranges:
+        // distinct-content candidate generation legitimately costs what
+        // the uniform mode's saturated-dropped buckets never pay)
         Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => "scale_smoke_(\\d+)x\\.json".r
+          .flatMap(f => s"scale_smoke_$mode(\\d+)x\\.json".r
             .findFirstMatchIn(f.getName).map(_.group(1).toInt))
           .filter(_ < n).sorted.lastOption
-          .map(m => (s"scale_smoke_${m}x.json", n.toDouble / m * 1.5, s"${m}x"))
+          .map(m => (s"scale_smoke_$mode${m}x.json", n.toDouble / m * 1.5,
+            s"$mode${m}x"))
       }
     audit.foreach { case (priorPath, budget, priorLabel) =>
       val priorEntries = entryRe.findAllMatchIn(java.nio.file.Files.readString(

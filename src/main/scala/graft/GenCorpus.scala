@@ -1,12 +1,16 @@
 package graft
 
 /** Build an amplified corpus without touching any sweep artifact:
-  * `runMain graft.GenCorpus [skew] <n>` — see ScaleSmoke.ensureCorpus.
+  * `runMain graft.GenCorpus [skew|vary] <n>` — see ScaleSmoke.ensureCorpus.
   */
 object GenCorpus {
   def main(args: Array[String]): Unit = {
-    val skew = args.headOption.contains("skew")
-    val rest = if (skew) args.drop(1) else args
+    val mode = args.headOption match {
+      case Some("skew") => "skew"
+      case Some("vary") => "vary"
+      case _            => ""
+    }
+    val rest = if (mode.nonEmpty) args.drop(1) else args
     val n = rest.headOption.map(_.toInt).getOrElse(10)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -19,7 +23,7 @@ object GenCorpus {
     val baseRows = Tables.load(spark, "/root/testdata/sf0.1", "lineitem").count()
     spark.conf.set("spark.sql.shuffle.partitions",
       graft.api.GraftApi.partitionsFor(spark, baseRows * n).toString)
-    val out = ScaleSmoke.ensureCorpus(spark, "/root/testdata/sf0.1", n, skew)
+    val out = ScaleSmoke.ensureCorpus(spark, "/root/testdata/sf0.1", n, mode)
     println(s"[gencorpus] ready: $out")
     spark.stop()
   }

@@ -154,11 +154,18 @@ object ScaleSmoke {
           // replica-unique token every 3rd position: every 5-gram
           // window contains one, so replicas share ZERO shingles with
           // the base and with each other — J = 0 across copies, the
-          // sparse-pair regime. Null text stays null (transform(null)
-          // → null), the gate convention.
-          df.withColumn("text", expr(
-            s"array_join(transform(split(text, ' '), (w, p) -> " +
-              s"case when p % 3 = 2 then concat('v${i}p', p) else w end), ' ')"))
+          // sparse-pair regime. Docs under 3 words have no p % 3 = 2
+          // position, so their word 0 is replaced instead — otherwise
+          // short docs would stay byte-identical across replicas and
+          // the exact/bloom/short-doc-simhash families would still see
+          // N-deep duplicate stacks. Null text stays null
+          // (transform(null) → null), the gate convention.
+          df.withColumn("_ws", split(col("text"), " "))
+            .withColumn("text", expr(
+              s"array_join(transform(_ws, (w, p) -> " +
+                s"case when p % 3 = 2 or (size(_ws) < 3 and p = 0) " +
+                s"then concat('v${i}p', p) else w end), ' ')"))
+            .drop("_ws")
         case "embeddings" =>
           // deterministic per-replica perturbation: distinct vectors,
           // norms stay positive w.h.p., geometry near the base point
@@ -597,7 +604,7 @@ object ScaleSmoke {
               // r12: a cross-era reader normalizing cpu_s by the entry
               // canary must never divide by a placeholder zero or miss
               // the key on guard rows)
-              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "top_stage_tasks": 0, "top_stage_med_ms": 0, "stage_skew": 0.0, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
+              Some(s"""  "$name": {"sec": 0.0, "rows": 0, "ok": true, "guard_tripped": true, "task_max_ms": 0, "task_med_ms": 0, "task_skew": 0.0, "cpu_s": 0.0, "spill_disk_mb": 0, "top_stage": "", "top_stage_max_task_s": 0.0, "top_stage_tasks": 0, "top_stage_med_ms": 0, "stage_skew": 0.0, "top_stage_busy_tasks": 0, "top_stage_busy_med_ms": 0, "stage_skew_busy": 0.0, "cpu_canary_s": ${f3(canaryS)}, "cpu_canary_mt_s": ${f3(entryCanaryMt)}, "heap_gb": ${f3(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024))}}""")
             case e: Throwable =>
               println(s"[scale ${tag}x] $name FAILED: ${e.getMessage}")
               Some(s"""  "$name": {"ok": false}""")

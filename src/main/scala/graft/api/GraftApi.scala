@@ -3,32 +3,6 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The reference's user-facing query surface, re-expressed on Datasets.
-  *
-  * SQuOpt's API (squopt/package.scala, ivm/expressiontree/Lifting.scala,
-  * traversableOps.scala) lifts a collection with `asSquopt` into a reified
-  * `Exp[Coll]` on which for-comprehensions build an optimizable query
-  * tree. On Spark that reified tree IS the Dataset/DataFrame logical plan:
-  * `ds.map/filter/flatMap/groupBy` already build Catalyst trees, so
-  * `asGraft` is the identity that names the analogy, plus the operators
-  * Datasets don't spell the same way (indexBy, exists/forall, typeCase,
-  * addIndex).
-  *
-  * PaperTutorial.scala's Figure 6 query
-  * {{{
-  *   for { book <- books.asSquopt
-  *         if book.publisher ==# "Pearson Education"
-  *         author <- book.authors }
-  *   yield BookData(book.title, author.firstName + " " + author.lastName,
-  *                  book.authors.size - 1)
-  * }}}
-  * becomes, with the same shape (see ApiSpec):
-  * {{{
-  *   for { book <- books.asGraft.where($"publisher" === "...")
-  *         // flatMap over the nested authors array
-  *   } ... == books.where(...).select(explode($"authors"), ...)
-  * }}}
-  */
 /** Per-bucket bloom filter state WITH its geometry (ADVICE r15): the
   * bucket count keys every text to its bucket, so two states built
   * under different `buckets` are mutually unintelligible — probing
@@ -57,6 +31,32 @@ final case class BloomState(filters: DataFrame, buckets: Int,
         "buckets and would silently declare true duplicates new")
 }
 
+/** The reference's user-facing query surface, re-expressed on Datasets.
+  *
+  * SQuOpt's API (squopt/package.scala, ivm/expressiontree/Lifting.scala,
+  * traversableOps.scala) lifts a collection with `asSquopt` into a reified
+  * `Exp[Coll]` on which for-comprehensions build an optimizable query
+  * tree. On Spark that reified tree IS the Dataset/DataFrame logical plan:
+  * `ds.map/filter/flatMap/groupBy` already build Catalyst trees, so
+  * `asGraft` is the identity that names the analogy, plus the operators
+  * Datasets don't spell the same way (indexBy, exists/forall, typeCase,
+  * addIndex).
+  *
+  * PaperTutorial.scala's Figure 6 query
+  * {{{
+  *   for { book <- books.asSquopt
+  *         if book.publisher ==# "Pearson Education"
+  *         author <- book.authors }
+  *   yield BookData(book.title, author.firstName + " " + author.lastName,
+  *                  book.authors.size - 1)
+  * }}}
+  * becomes, with the same shape (see ApiSpec):
+  * {{{
+  *   for { book <- books.asGraft.where($"publisher" === "...")
+  *         // flatMap over the nested authors array
+  *   } ... == books.where(...).select(explode($"authors"), ...)
+  * }}}
+  */
 object GraftApi {
 
   /** asSquopt for plain in-memory collections: the reference lifts any
@@ -1746,27 +1746,34 @@ object GraftApi {
     require(target.columns.sameElements(delta.columns),
       s"mergeUpsert: schemas differ — target ${target.columns.mkString(",")} " +
         s"vs delta ${delta.columns.mkString(",")}")
-    val d0 =
+    val guarded =
       if (!requireUniqueDelta) delta
       else delta
         .withColumn("_kn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
         // assert_true returns NULL when the predicate holds and throws
         // otherwise, so the filter keeps every valid row and the plan
-        // fails loudly on the first duplicated delta key
-        .filter(assert_true(col("_kn") === 1,
+        // fails loudly on the first duplicated delta key. NULL keys are
+        // exempt: SQL MERGE's null source keys never multi-match — each
+        // is simply NOT MATCHED and inserts on its own
+        .filter(assert_true(col("_kn") === 1 || col(keyCol).isNull,
           lit(s"mergeUpsert: delta has duplicate '$keyCol' keys — MERGE " +
             "semantics require a unique-key source")).isNull)
         .drop("_kn")
+    // presence markers, NOT key nullability, decide the merge_action: a
+    // null-key delta row misses the join (null never equals) yet IS an
+    // insert — reading d.keyCol IS NULL would mislabel it 'unchanged'
+    val d0 = guarded.withColumn("_d", lit(true))
+    val t0 = target.withColumn("_t", lit(true))
     val valueCols = target.columns.filter(_ != keyCol)
-    target.alias("t")
+    t0.alias("t")
       .join(d0.alias("d"), col(s"d.$keyCol") === col(s"t.$keyCol"),
         "full_outer")
       .select(
         coalesce(col(s"d.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
         valueCols.map(c => coalesce(col(s"d.$c"), col(s"t.$c")).as(c)) :+
-        when(col(s"d.$keyCol").isNull, "unchanged")
-          .when(col(s"t.$keyCol").isNull, "inserted")
+        when(col("d._d").isNull, "unchanged")
+          .when(col("t._t").isNull, "inserted")
           .otherwise("updated").as("merge_action"): _*)
   }
 

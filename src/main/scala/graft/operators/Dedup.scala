@@ -2550,6 +2550,13 @@ object Dedup {
       verifyHashes: Seq[DataFrame], delta: DataFrame, buckets: Int,
       cacheProbe: Boolean = true): DataFrame = {
     import graft.functions.bloom._
+    // an empty verify set would pass every maybe-dup row through ZERO
+    // anti-joins — true duplicates declared new with no error (the
+    // bloom only prunes; the exact verify is always the answer)
+    require(verifyHashes.nonEmpty,
+      "bloomUpsertServe: verifyHashes must cover the filters' corpus — " +
+        "an empty Seq would skip the exact verify and declare every " +
+        "maybe-duplicate new")
     val merged = bloomMergedFilters(baseFilters, shardFilters)
     val deltaB = withTextBkt(delta, buckets)
     val key = xxhash64(col("text"))
@@ -2729,9 +2736,14 @@ object Dedup {
     */
   private[graft] def capAuditRow(postings: DataFrame, cap: Int,
       generator: String): DataFrame = {
-    val p = graft.CacheRegistry.track(postings.toDF("id", "k"))
+    // DISK_ONLY like every corpus-scale shared stage here: a
+    // memory-resident posting cache would evict execution memory inside
+    // the very smokes whose spill attribution this row rides on
+    val p = graft.CacheRegistry.track(postings.toDF("id", "k"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cnt = graft.CacheRegistry.track(
-      p.groupBy("k").agg(count(lit(1)).as("n")))
+      p.groupBy("k").agg(count(lit(1)).as("n")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val tot = cnt.agg(count(lit(1)).as("total_buckets"),
       coalesce(sum(when(col("n") > cap, 1L).otherwise(0L)), lit(0L))
         .as("sat_buckets"))

@@ -230,6 +230,12 @@ object Similarity {
     * size, and widen when dedup_cap_audit's sat_docs goes nonzero.
     */
   def knnJoinTopK(emb: DataFrame, w: Int, k: Int = 3): DataFrame = {
+    // w = 0 would sketch every vector to one "" bucket per band, which
+    // the 2..64 cap drops — the silent-empty-result failure mode the
+    // cap audit exists to surface; fail fast like simhashBandKeys
+    require(w >= 1 && w <= 32,
+      s"knnJoinTopK: band width w=$w out of range [1, 32]")
+    require(k >= 1, s"knnJoinTopK: k=$k must be >= 1")
     val off2 = w + 1
     val minDim = 2 * w
     // band 2 reads dims off2..2w, so the contract is dim ≥ 2w: shorter

@@ -661,6 +661,30 @@ class ApiSpec extends SparkSpec {
       .orderBy("k").select("k", "v", "merge_action")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(ok == Seq((1L, "a", "unchanged"), (2L, "x", "updated")), ok)
+    // null delta keys are EXEMPT from the guard (SQL MERGE: a null
+    // source key never multi-matches — each row is NOT MATCHED and
+    // inserts), and the action label reads presence, not key
+    // nullability: two null-key rows insert as 'inserted', never
+    // 'unchanged'
+    val nullDelta = Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"),
+      (Option(3L), "c")).toDF("k", "v")
+    val got = GraftApi.mergeUpsert(target, nullDelta, "k")
+      .select("k", "v", "merge_action")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSeq
+    assert(got.count(_._3 == "inserted") == 3, got)     // n1, n2, c
+    assert(got.count(_._3 == "unchanged") == 2, got)    // targets 1, 2
+    assert(got.filter(_._1.isEmpty).map(_._2).toSet == Set("n1", "n2"), got)
+  }
+
+  test("bloomUpsertServe refuses an empty verify-hash set") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"verify guard $i")).toDF("doc_id", "text")
+    val st = GraftApi.bloomFilters(docs, 100L, 4)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.bloomUpsertServe(st.filters,
+        st.filters.limit(0), Seq.empty, docs, 4)
+    }
+    assert(e.getMessage.contains("verifyHashes"), e.getMessage)
   }
 
   test("generic redactPii tags emails, IPs, phones and counts matches") {

@@ -12,11 +12,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * union of stage walls) price the driver/planning constant; many tiny
   * stages with single-digit-ms tasks price scheduling floor, not data.
   *
-  * Usage: runMain graft.MinhashStageProfile [opKey] [sfDir] [warm] [timed]
+  * Usage: runMain graft.MinhashStageProfile [opKey[,opKey...]] [sfDir] [warm] [timed]
+  * (r17: a comma list profiles several ops in one session — one JVM/Spark
+  * startup instead of one per op when sweeping the headline set)
   */
 object MinhashStageProfile {
   def main(args: Array[String]): Unit = {
-    val opKey = args.headOption.getOrElse("dedup_minhash_lsh")
+    val opKeys = args.headOption.getOrElse("dedup_minhash_lsh")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val warm = args.lift(2).map(_.toInt).getOrElse(5)
     val timed = args.lift(3).map(_.toInt).getOrElse(3)
@@ -58,25 +61,27 @@ object MinhashStageProfile {
     })
     def drained(): Unit = org.apache.spark.sql.graftshim.Shim
       .drainListenerBus(spark.sparkContext)
-    def pass(): Unit =
-      try SparkEntry.queries(opKey)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally CacheRegistry.drain()
+    opKeys.foreach { opKey =>
+      def pass(): Unit =
+        try SparkEntry.queries(opKey)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally CacheRegistry.drain()
 
-    (1 to warm).foreach(_ => pass())
-    (1 to timed).foreach { i =>
-      drained(); stages.clear()
-      val t0 = System.nanoTime()
-      pass()
-      val wall = (System.nanoTime() - t0) / 1e9
-      drained()
-      import scala.jdk.CollectionConverters._
-      val rows = stages.asScala.toSeq.sortBy(_._1)
-      println(f"[$opKey pass $i] wall ${wall}%.3f s, stages ${rows.size}, tasks ${rows.map(_._2.tasks).sum}, jobs ${rows.map(_._2.job).distinct.size}")
-      rows.foreach { case (sid, st) =>
-        println(f"  job ${st.job}%-3d stage $sid%-5d wall ${st.wallMs}%6d ms  tasks ${st.tasks}%4d  sum ${st.sumMs}%6d  max ${st.maxMs}%5d  in ${st.inMb}%7.1f MB shr ${st.shrMb}%6.2f shw ${st.shwMb}%6.2f rows ${st.outRows}%8d  ${st.name}")
+      (1 to warm).foreach(_ => pass())
+      (1 to timed).foreach { i =>
+        drained(); stages.clear()
+        val t0 = System.nanoTime()
+        pass()
+        val wall = (System.nanoTime() - t0) / 1e9
+        drained()
+        import scala.jdk.CollectionConverters._
+        val rows = stages.asScala.toSeq.sortBy(_._1)
+        println(f"[$opKey pass $i] wall ${wall}%.3f s, stages ${rows.size}, tasks ${rows.map(_._2.tasks).sum}, jobs ${rows.map(_._2.job).distinct.size}")
+        rows.foreach { case (sid, st) =>
+          println(f"  job ${st.job}%-3d stage $sid%-5d wall ${st.wallMs}%6d ms  tasks ${st.tasks}%4d  sum ${st.sumMs}%6d  max ${st.maxMs}%5d  in ${st.inMb}%7.1f MB shr ${st.shrMb}%6.2f shw ${st.shwMb}%6.2f rows ${st.outRows}%8d  ${st.name}")
+        }
+        val stageWallSum = rows.map(_._2.wallMs).filter(_ > 0).sum
+        println(f"  stage-wall sum ${stageWallSum}%d ms vs pass ${math.round(wall * 1000)}%d ms (gap = driver/planning/overlap)")
       }
-      val stageWallSum = rows.map(_._2.wallMs).filter(_ > 0).sum
-      println(f"  stage-wall sum ${stageWallSum}%d ms vs pass ${math.round(wall * 1000)}%d ms (gap = driver/planning/overlap)")
     }
     spark.stop()
   }

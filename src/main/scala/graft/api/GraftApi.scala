@@ -171,8 +171,20 @@ object GraftApi {
     // and for pipeline owners who know their dup rate
     val limit = df.sparkSession.conf.getOption("graft.adaptiveBroadcast.maxRows")
       .map(_.toLong).getOrElse(maxRows)
-    val cached = graft.CacheRegistry.track(df)
-    if (cached.count() <= limit) broadcast(cached) else cached
+    df.queryExecution.optimizedPlan match {
+      // already driver-resident (the union-find label path: Graph.
+      // componentLabels under its own ≤localEdgeLimit guard returns a
+      // LocalRelation, and ConvertToLocalRelation folds any projection/
+      // filter on top back into one): its row count is known without
+      // running anything, so the persist + count() round-trips would
+      // only ADD two scheduler jobs to re-learn a size the driver
+      // already holds (r17; same decision, fewer jobs at every scale)
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        if (lr.data.size <= limit) broadcast(df) else df
+      case _ =>
+        val cached = graft.CacheRegistry.track(df)
+        if (cached.count() <= limit) broadcast(cached) else cached
+    }
   }
 
   /** The data-sized partition rule the 100×/300×/1000× ScaleSmoke sweeps
@@ -1746,6 +1758,15 @@ object GraftApi {
     require(target.columns.sameElements(delta.columns),
       s"mergeUpsert: schemas differ — target ${target.columns.mkString(",")} " +
         s"vs delta ${delta.columns.mkString(",")}")
+    // the guard/presence markers below ride withColumn, which REPLACES a
+    // same-named user column: a real '_d'/'_t'/'_kn' column would pass
+    // the schema check and then be silently overwritten (every matched
+    // row's '_d' becoming literal true is data corruption, not an error)
+    val reserved = Seq("_kn", "_d", "_t").filter(target.columns.contains)
+    require(reserved.isEmpty,
+      s"mergeUpsert: column name(s) ${reserved.mkString(", ")} collide " +
+        "with the verb's internal marker columns — rename them first " +
+        "(ADVICE r16)")
     val guarded =
       if (!requireUniqueDelta) delta
       else delta

@@ -470,17 +470,19 @@ object Dedup {
       shingleBuilder: DataFrame => DataFrame,
       leanCandIds: Boolean = true)(
       docs: DataFrame, jaccardMin: Double): DataFrame = {
-    // persist ONLY the sketch sliver (doc_id, 8 md5s — ~300 B/doc), not
-    // the shingle arrays: the signature table every dedup pipeline keeps
-    // (the reference's addIndex precomputation, Optimization.scala:31)
-    // is the SKETCH, and a corpus-sized shingle cache is the exact
-    // anti-pattern the substring adjudication retired. Measured, not
-    // theoretical: with shingles cached, the 24g uniform-1000x sweep
-    // read this op BIMODALLY — 740 vs 1954 cpu-s across code-identical
-    // runs with zero reported spill and a 22-41 s straggler task — the
-    // signature of borderline LRU eviction serializing/deserializing
-    // wide array blocks mid-query. The sketch sliver always fits.
-    val sk = graft.CacheRegistry.track(sketchFrame(docs))
+    // No corpus-wide cache at all (r17). History: the r12 form persisted
+    // the sketch sliver (doc_id, 8 md5s) because the verify joins read it
+    // a second time — and NEVER the shingle arrays (with shingles cached,
+    // the 24g uniform-1000x sweep read this op BIMODALLY — 740 vs 1954
+    // cpu-s across code-identical runs, borderline LRU eviction
+    // serializing wide array blocks mid-query). Since r13 the verify
+    // recomputes shingles over the candidate sliver, which left the
+    // bucket explode as the sketch's ONLY consumer: persisting a
+    // single-consumer frame buys nothing and costs an extra AQE
+    // materialization job plus a row copy into storage memory, so the
+    // sketch kernel now fuses straight into the bucket aggregation's map
+    // stage (plan: one WholeStageCodegen span from scan to partial agg).
+    val sk = sketchFrame(docs)
     // Candidates via one-shuffle posting lists (see ngramJaccard): group
     // doc ids per sketch hash, expand pairs in-group. Bucket sizes here
     // are near-dup cluster sizes (max 4 at sf0.1); a corpus with
@@ -2912,8 +2914,21 @@ object Dedup {
     */
   private[graft] def composedRecallFrom(base0: DataFrame, ampFilter: Column,
       copies: Int): DataFrame = {
+    // replica ids are -(doc_id*128 + c): a copies >= 128 would collide
+    // replica ids across adjacent base docs, and a negative base doc_id
+    // would collide with replicas — either silently corrupts the
+    // truth/hit counts, so misuse fails fast (ADVICE r16)
+    require(copies >= 1 && copies < 128,
+      s"composedRecallFrom: copies=$copies must be in [1, 127] — replica " +
+        "ids pack as -(doc_id*128 + c)")
     val base = base0.select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
+      // assert_true is NULL when the predicate holds, so the filter keeps
+      // every valid row and throws on the first negative id (the
+      // mergeUpsert guard idiom)
+      .filter(assert_true(col("doc_id") >= 0,
+        lit("composedRecallFrom: base doc_id must be >= 0 — negative ids " +
+          "collide with the -(doc_id*128 + c) replica id space")).isNull)
     val replicas = base.filter(ampFilter)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), lit(copies))).as("c"))

@@ -68,7 +68,15 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 10""".stripMargin,
   ) { (spark, dir) =>
-    val v = normed(Tables.embeddings(spark, dir))
+    // corpus side ALSO off the unspread load (r17): spread()'s
+    // repartition only fires on a single-split input — i.e. exactly the
+    // corpora small enough that 8 broadcast-probe dot products per row
+    // are trivial serial work — while any corpus big enough to need
+    // parallel scoring is multi-file and spread() is a no-op there
+    // anyway. Dropping it removes the one Exchange (and its AQE stage
+    // round) this plan carried; scan → broadcast probe → top-k heaps is
+    // otherwise exchange-free until the per-query ranking shuffle.
+    val v = normed(Tables.load(spark, dir, "embeddings"))
     // query side off the UNSPREAD load (r15): vec_id < 8 pushes into the
     // parquet scan, so routing 8 rows through spread()'s repartition
     // exchange bought nothing but an extra shuffle + AQE stage before
@@ -220,7 +228,9 @@ object Similarity {
         |  SELECT vec_id, nbr_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
-    ) { (spark, dir) => knnJoinTopK(Tables.embeddings(spark, dir), w) }
+    ) { (spark, dir) =>
+      knnJoinTopK(Tables.embeddings(spark, dir), w, cacheSketch = true)
+    }
   }
 
   /** The banded knn self-join over any (vec_id, embedding) frame at
@@ -228,8 +238,15 @@ object Similarity {
     * and ann_knn_join_wide (w=16); pick the smallest w whose 2^w band
     * space keeps expected occupancy under the 64 cap at your corpus
     * size, and widen when dedup_cap_audit's sat_docs goes nonzero.
+    *
+    * `cacheSketch`: the registered-op harness persists the sketch frame
+    * (four branches read it) and drains [[graft.CacheRegistry]] between
+    * queries; library callers who won't drain the registry keep the
+    * default false so the verb never leaks a session-lifetime cached
+    * frame (the bloomUpsertServe cacheProbe discipline, ADVICE r16).
     */
-  def knnJoinTopK(emb: DataFrame, w: Int, k: Int = 3): DataFrame = {
+  def knnJoinTopK(emb: DataFrame, w: Int, k: Int = 3,
+      cacheSketch: Boolean = false): DataFrame = {
     // w = 0 would sketch every vector to one "" bucket per band, which
     // the 2..64 cap drops — the silent-empty-result failure mode the
     // cap audit exists to surface; fail fast like simhashBandKeys
@@ -243,10 +260,11 @@ object Similarity {
     // 2..64 cap drops (halving recall with no error) — exclude them
     // explicitly, mirrored in the oracle (declared-degenerate-bucket
     // discipline)
-    val v = graft.CacheRegistry.track(normed(emb
+    val vPlan = normed(emb
         .filter(size(col("embedding")) >= minDim))
       .withColumn("sk1", expr(sketchExprAt(1, w)))
-      .withColumn("sk2", expr(sketchExprAt(off2, w))))
+      .withColumn("sk2", expr(sketchExprAt(off2, w)))
+    val v = if (cacheSketch) graft.CacheRegistry.track(vPlan) else vPlan
     def bandPairs(sk: String): DataFrame = {
       val small = v.groupBy(sk).agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, 64)).select(sk)
@@ -1932,7 +1950,11 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS rn
       |  FROM votes) WHERE rn = 1""".stripMargin,
   ) { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
+    // unspread load on both sides (the ann_bruteforce_topk r17 note):
+    // the broadcast-probe scoring pass has no shuffle to feed, so the
+    // spread() repartition was a pure local-mode Exchange; at scale the
+    // multi-file scan parallelizes by itself
+    val emb = Tables.load(spark, dir, "embeddings")
     graft.api.GraftApi.knnClassify(emb, emb.filter(col("vec_id") < 8),
       "vec_id", "embedding", "label", k = 10)
   }

@@ -140,6 +140,20 @@ object GraftSession {
       // shuffles.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "false")
+      // InferFiltersFromGenerate clones every explode's CHILD EXPRESSION
+      // into a `size(e) > 0 AND isnotnull(e)` filter under the Generate.
+      // Its benefit — pruning empty-array rows a few operators early, in
+      // the same stage — only pays when the child is a cheap attribute;
+      // in this library every generator child is a COMPUTED expression
+      // (the fused shingle/gram md5 kernels, token splits, chunk
+      // builders), so the inferred filter re-evaluates the op's dominant
+      // per-row kernel 1-2 extra times per document for rows explode
+      // would drop anyway (plans/r17/dedup_minhash_lsh_before.txt shows
+      // the clone; the rule has no expensive-expression guard in Spark
+      // 4.1). Scale-independent: the trade is expression cost vs row
+      // pruning within one stage, not a local-mode artifact.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Naive (un-annotated) parquet timestamps read as TIMESTAMP in the
       // UTC session, not TIMESTAMP_NTZ: epoch arithmetic (unix_micros /

@@ -1561,7 +1561,11 @@ object GraftApi {
       embCol: String, labelCol: String, k: Int = 10): DataFrame = {
     import graft.functions.vec.vec_dot
     import org.apache.spark.sql.expressions.Window
-    def nrmOf(c: Column) = sqrt(vec_dot(c, c))
+    // barrier: pins the full-width dot product to its projection so the
+    // `nrm > 0` gate reads the column instead of re-evaluating it
+    // (Similarity.normed's r17 note)
+    def nrmOf(c: Column) =
+      graft.functions.OptimizerBarrier.barrier(sqrt(vec_dot(c, c)))
     val v = corpus.select(col(idCol).cast("long").as("c_id"),
         col(embCol).as("c_emb"), col(labelCol).as("label"))
       .withColumn("c_nrm", nrmOf(col("c_emb")))

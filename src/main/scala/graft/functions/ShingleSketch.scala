@@ -373,6 +373,14 @@ case class ShingleMd5Grams(child: Expression, n: Int, mod: Int)
         s"shingle_md5_grams expects string, got ${other.simpleString}")
     }
 
+  /** Optimizer duplication barrier, same contract as
+    * [[ShingleMd5BottomK.deterministic]]: values are a pure function of
+    * the text; the flag only stops alias-substituting predicate
+    * pushdown from cloning this dominant per-row kernel into explicit
+    * participation filters (decontam_ngram's `size(shingles) > 0`).
+    */
+  override lazy val deterministic: Boolean = false
+
   def gramsOf(s: UTF8String): GenericArrayData = ShingleGramsUtil.grams(s, n, mod)
 
   override protected def nullSafeEval(input: Any): Any =
@@ -395,6 +403,28 @@ case class ShingleMd5BottomK(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
   require(n >= 1 && n <= 64, s"shingle_md5_bottom_k: n=$n out of range [1, 64]")
   require(k >= 1 && k <= 1024, s"shingle_md5_bottom_k: k=$k out of range [1, 1024]")
+
+  /** Declared non-deterministic as an OPTIMIZER DUPLICATION BARRIER, not
+    * because values vary — sketchOf is a pure function of the text (the
+    * ShingleSketchSpec equality pins and the cross-engine oracle depend
+    * on that, and remain valid: retried tasks recompute identical
+    * values). What the flag changes is optimizer behavior only: this is
+    * the dominant per-row kernel of the minhash family (an MD5 over
+    * every 5-gram of the document), and with it deterministic Spark's
+    * InferFiltersFromGenerate + alias-substituting predicate pushdown
+    * CLONE it into a `size(…) > 0 AND isnotnull(…)` filter under the
+    * bucket explode — the plan then runs the kernel 3× per document
+    * (caught by plans/r17/dedup_minhash_lsh_after.txt when the r17
+    * cache removal exposed it; the r16 cached form already paid 2×).
+    * Non-deterministic expressions may not be duplicated or reordered
+    * across operators, so the kernel evaluates exactly ONCE per row in
+    * its own projection and the inferred explode filter reads the
+    * computed column above it. (Spark 4.1's InferFiltersFromGenerate
+    * has no expensive-expression guard — the rule fires on any
+    * ExplodeBase; this is the guide's §4.4 expensive-UDF discipline
+    * applied to a native kernel.)
+    */
+  override lazy val deterministic: Boolean = false
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_md5_bottom_k"

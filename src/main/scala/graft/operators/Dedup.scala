@@ -44,7 +44,11 @@ object Dedup {
   // hash-identically. withShinglesSorted preserves the r12 form for
   // that A/B harness.
   private[graft] def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("words", split(col("text"), " "))
+    // barrier on words: the ≥5-word gate otherwise pushdown-clones the
+    // split into its own condition and the scan tokenizes every text
+    // twice (r17 Condition audit; see functions.OptimizerBarrier)
+    df.withColumn("words",
+        graft.functions.OptimizerBarrier.barrier(split(col("text"), " ")))
       .filter(size(col("words")) >= 5)
       // greatest-clamp + try_element_at: total under speculative
       // evaluation (see ngramCandidateGrams) — a short doc's descending
@@ -69,7 +73,9 @@ object Dedup {
     * old explode path's cost for nothing the candidate join uses.
     */
   private[graft] def ngramCandidateGrams(df: DataFrame): DataFrame =
-    df.withColumn("words", split(col("text"), " "))
+    // words barrier: same split-clone note as [[withShingles]] (r17)
+    df.withColumn("words",
+        graft.functions.OptimizerBarrier.barrier(split(col("text"), " ")))
       .filter(size(col("words")) >= 5)
       // greatest(...,1): sequence() DESCENDS for a bound below its
       // start, so a <5-word doc would drive slice through start 0 —
@@ -391,7 +397,8 @@ object Dedup {
     * `jaccardMin`.
     */
   def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
-    minhashPairsPlanFused(fusedSketchFrame, withShingles)(docs, jaccardMin)
+    minhashPairsPlanFused(fusedSketchFrameGated, withShingles,
+      cacheSk = true)(docs, jaccardMin)
 
   /** The corpus-wide (doc_id, sketch) pass as ONE fused kernel
     * ([[graft.functions.ShingleMd5BottomK]]): no words array, no
@@ -399,14 +406,26 @@ object Dedup {
     * hashes as a byte slice of the text. ≡ the composed
     * `withShingles → md5_bottom_k` form (ShingleSketchSpec pins it on
     * crafted + random texts; minhash_ab_r14.jsonl adjudicates the
-    * swap hash-identically). The `size(sketch) > 0` filter is the old
-    * `size(words) >= 5` participation gate (a ≥5-word doc always has
-    * ≥1 shingle).
+    * swap hash-identically). UNGATED: explode(sketch) emits zero rows
+    * for an empty array, so explode-consumers need no filter at all;
+    * [[fusedSketchFrameGated]] adds the explicit `size(sketch) > 0`
+    * participation gate for paths that materialize the frame.
     */
   private[graft] val fusedSketchFrame: DataFrame => DataFrame = docs =>
     docs.select(col("doc_id"), graft.functions.ShingleSketch
         .shingle_md5_bottom_k(col("text"), 5, 8).as("sketch"))
-      .filter(size(col("sketch")) > 0)
+
+  /** [[fusedSketchFrame]] + the `size(sketch) > 0` participation gate
+    * (the `size(words) >= 5` contract — a ≥5-word doc always has ≥1
+    * shingle). r17: the gate is CHEAP again — the kernel is an
+    * optimizer-barrier expression (see ShingleMd5BottomK.deterministic),
+    * so the filter reads the projected column instead of predicate
+    * pushdown cloning the md5-shingle pass into its condition; the r16
+    * plan evaluated the kernel 2× per document (filter + projection),
+    * this form 1× (plans/r17/dedup_minhash_lsh_{before,after}.txt).
+    */
+  private[graft] val fusedSketchFrameGated: DataFrame => DataFrame = docs =>
+    fusedSketchFrame(docs).filter(size(col("sketch")) > 0)
 
   /** The exploded (doc_id, h) LSH bucket stream of the registered
     * minhash generator — shared by the cap audit ([[capAuditRow]]) and
@@ -443,8 +462,19 @@ object Dedup {
         minhashPairsPlan(withShingles, sliceSketch)(d, 0.2)),
       "mh_bottomk" -> ((_: SparkSession, d: DataFrame) =>
         minhashPairsPlan(withShingles, sketchCol)(d, 0.2)),
+      // uncached sketch pass (kernel fused into the bucket map stage) —
+      // the r17 cache-vs-fused A/B reference: the 3-round interleaved AB
+      // (minhash_ab_r17.jsonl) read it ~0.2 s WORSE wall / ~0.25 s
+      // better cpu than the cached registered form at sf0.1,
+      // hash-identical, which is why the registered tail kept the cache
       "mh_fused" -> ((_: SparkSession, d: DataFrame) =>
         minhashPairsPlanFused(fusedSketchFrame, withShingles)(d, 0.2)),
+      // the REGISTERED r17 tail: gated sketch persisted, kernel
+      // single-eval via the optimizer barrier (r16's plan was this with
+      // the kernel cloned 2× into the gate)
+      "mh_r16cached" -> ((_: SparkSession, d: DataFrame) =>
+        minhashPairsPlanFused(fusedSketchFrameGated,
+          withShingles, cacheSk = true)(d, 0.2)),
       // the r13/r14 registered tail: union+distinct probe ids — the
       // lean-candIds A/B reference (see semiProbeIds)
       "mh_unioncand" -> ((_: SparkSession, d: DataFrame) =>
@@ -468,7 +498,8 @@ object Dedup {
   private[graft] def minhashPairsPlanFused(
       sketchFrame: DataFrame => DataFrame,
       shingleBuilder: DataFrame => DataFrame,
-      leanCandIds: Boolean = true)(
+      leanCandIds: Boolean = true,
+      cacheSk: Boolean = false)(
       docs: DataFrame, jaccardMin: Double): DataFrame = {
     // No corpus-wide cache at all (r17). History: the r12 form persisted
     // the sketch sliver (doc_id, 8 md5s) because the verify joins read it
@@ -482,7 +513,11 @@ object Dedup {
     // materialization job plus a row copy into storage memory, so the
     // sketch kernel now fuses straight into the bucket aggregation's map
     // stage (plan: one WholeStageCodegen span from scan to partial agg).
-    val sk = sketchFrame(docs)
+    // `cacheSk = true` is the r16 A/B reference form, kept so the swap
+    // stays re-adjudicable under the WarmSoloAB interleaved protocol.
+    val sk =
+      if (cacheSk) graft.CacheRegistry.track(sketchFrame(docs))
+      else sketchFrame(docs)
     // Candidates via one-shuffle posting lists (see ngramJaccard): group
     // doc ids per sketch hash, expand pairs in-group. Bucket sizes here
     // are near-dup cluster sizes (max 4 at sf0.1); a corpus with
@@ -2220,11 +2255,17 @@ object Dedup {
   private[graft] def pseudoParas(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         expr("filter(split(coalesce(text, ''), ' '), x -> x != '')").as("w"))
-      .select(col("doc_id"), expr(
-        "transform(if(size(w) > 0, " +
-          "sequence(0L, cast(ceil(size(w) / 12.0) as bigint) - 1), " +
-          "cast(array() as array<bigint>)), " +
-          "p -> array_join(slice(w, cast(p * 12 + 1 as int), 12), ' '))")
+      .select(col("doc_id"),
+        // barrier: the `nb > 0` participation gate downstream otherwise
+        // pushdown-clones this whole segmentation (split + filter +
+        // per-block array_join) into its filter condition — the scan
+        // stage then segments every document twice (r17 Condition
+        // audit; see functions.OptimizerBarrier)
+        graft.functions.OptimizerBarrier.barrier(expr(
+          "transform(if(size(w) > 0, " +
+            "sequence(0L, cast(ceil(size(w) / 12.0) as bigint) - 1), " +
+            "cast(array() as array<bigint>)), " +
+            "p -> array_join(slice(w, cast(p * 12 + 1 as int), 12), ' '))"))
         .as("paras"))
 
   /** The corpus-side paragraph-hash count table of the paragraph-dedup

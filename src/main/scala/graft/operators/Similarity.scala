@@ -43,7 +43,13 @@ object Similarity {
     * batch) is a certainty, not an edge case.
     */
   private def normed(df: DataFrame): DataFrame =
-    df.withColumn("nrm", nrmCol).filter(col("nrm") > 0)
+    // barrier: without it, pushdown clones the vec_dot(embedding,
+    // embedding) norm into the `nrm > 0` gate's condition and the scan
+    // stage runs the full-width dot product twice per vector
+    // (plans/r17 Condition audit, r17)
+    df.withColumn("nrm",
+        graft.functions.OptimizerBarrier.barrier(nrmCol))
+      .filter(col("nrm") > 0)
   private val normedVSql =
     s"SELECT * FROM (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings) WHERE nrm > 0"
 
@@ -526,7 +532,8 @@ object Similarity {
     val planes = spark.range(1).select(expr(rhPlanesExpr).as("w"))
     val v = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(planes))
-      .withColumn("nrm", nrmCol)
+      // barrier: corpus-side gate — see normed()'s r17 note
+      .withColumn("nrm", graft.functions.OptimizerBarrier.barrier(nrmCol))
       .filter(col("nrm") > 0)
       .withColumn("sk", graft.functions.vec.vec_signs(col("embedding"), col("w")))
       .select("vec_id", "embedding", "nrm", "sk")

@@ -88,9 +88,14 @@ object Similarity {
     // exchange bought nothing but an extra shuffle + AQE stage before
     // the broadcast — at any scale, the query sliver never needs
     // corpus parallelism
-    val q = normed(Tables.load(spark, dir, "embeddings"))
+    // id filter BELOW normed (r17): normed()'s barrier blocks predicate
+    // pushdown through its projection, so a sliver filter written above
+    // it would cost this scan its LessThan(vec_id, 8) pushdown — filter
+    // first, norm only the 8 surviving rows
+    val q = normed(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 8))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+        col("nrm").as("q_nrm"))
     val dot = vec_dot(col("q_emb"), col("embedding"))
     val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
@@ -370,8 +375,16 @@ object Similarity {
   ) { (spark, dir) =>
     val v = normed(Tables.embeddings(spark, dir))
       .withColumn("sk", expr(sketchExpr))
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
+    // query sliver off its own FILTERED scan (r17): deriving q from v
+    // kept the vec_id < 8 predicate above normed()'s barrier, which
+    // blocks pushdown — this branch's scan then read every row; filter
+    // first and the scan keeps its LessThan pushdown (unspread load:
+    // the sliver never needs corpus parallelism, the r15 note)
+    val q = normed(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 8))
+      .withColumn("sk", expr(sketchExpr))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sk").as("q_sk"))
     val dot = vec_dot(col("q_emb"), col("embedding"))
     val scored = v.join(broadcast(q),
         col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
@@ -436,7 +449,12 @@ object Similarity {
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
     val v = normed(Tables.embeddings(spark, dir))
-    val cents = v.filter(col("vec_id") < 256)
+    // cents/q slivers off their own FILTERED scans (r17): deriving them
+    // from v kept the id predicates above normed()'s barrier, which
+    // blocks pushdown — each sliver branch then re-read the whole table;
+    // filtered unspread loads keep LessThan(vec_id, …) in PushedFilters
+    val cents = normed(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 256))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     import org.apache.spark.sql.expressions.Window
@@ -448,8 +466,10 @@ object Similarity {
           col("embedding").as("emb"), col("nrm")),
         cents.withColumn("part", lit(0)), NegCos)
       .select(col("pid").as("a_vec"), col("a_cent"))
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    val q = normed(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 8))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id")).orderBy(
         (vec_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).desc,
@@ -1858,8 +1878,13 @@ object Similarity {
   private[graft] def exactCosineTopK(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
     val v = normed(Tables.embeddings(spark, dir))
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")).filter(col("q_id") < 8)
+    // query sliver off its own filtered scan (r17) — see annBruteForce's
+    // pushdown note: filtering v above normed()'s barrier would cost
+    // this branch its LessThan(vec_id, 8) scan pushdown
+    val q = normed(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 8))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (vec_dot(col("q_emb"), col("embedding")) /

@@ -166,11 +166,19 @@ object GraftApi {
     * result-identical (PipelineAdaptiveSpec pins this on a high-dup-rate
     * corpus).
     */
-  def adaptiveBroadcast(df: DataFrame, maxRows: Long = 4000000L): DataFrame = {
+  def adaptiveBroadcast(df: DataFrame, maxRows: Long = 4000000L,
+      knownRowBound: Option[Long] = None): DataFrame = {
     // session conf overrides the code default — the ops knob for tests
     // and for pipeline owners who know their dup rate
     val limit = df.sparkSession.conf.getOption("graft.adaptiveBroadcast.maxRows")
       .map(_.toLong).getOrElse(maxRows)
+    // caller-supplied row UPPER BOUND (e.g. pipeline_keep_best's
+    // winners/losers are subsets of a label set whose exact size the
+    // driver already read off a LocalRelation): a bound at or under the
+    // limit proves broadcast-safety without the persist + count() jobs.
+    // A bound ABOVE the limit proves nothing (it is only a bound), so
+    // fall through to the measured path.
+    if (knownRowBound.exists(_ <= limit)) return broadcast(df)
     df.queryExecution.optimizedPlan match {
       // already driver-resident (the union-find label path: Graph.
       // componentLabels under its own ≤localEdgeLimit guard returns a
@@ -186,6 +194,20 @@ object GraftApi {
         if (cached.count() <= limit) broadcast(cached) else cached
     }
   }
+
+  /** Row count of a frame the optimizer already folded to a driver-local
+    * relation (the union-find label path), if it is one — the size
+    * knowledge [[adaptiveBroadcast]]'s LocalRelation fast path reads,
+    * exposed so callers can derive `knownRowBound`s for frames that are
+    * provable SUBSETS of a local one (keep_best's winners/losers ≤ its
+    * labels). None for any distributed plan: no job is ever run here.
+    */
+  def localRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(lr.data.size.toLong)
+      case _ => None
+    }
 
   /** The data-sized partition rule the 100×/300×/1000× ScaleSmoke sweeps
     * validated: one WAVE of `threads` partitions per ~18M rows of the

@@ -313,25 +313,38 @@ object Pipeline {
     // every sliver join below is size-adaptive (broadcast under the
     // threshold, shuffled join past it) instead of a forced hint that
     // would OOM on a 30-50%-duplicate crawl
-    val labels = graft.api.GraftApi.adaptiveBroadcast(
-      Graph.componentLabels(pairs))
+    val labelsRaw = Graph.componentLabels(pairs)
+    // on the union-find local path the label count is driver-resident —
+    // winners are a SUBSET of labels (≤ one per cluster), so that count
+    // is a proven row bound and the winners broadcast needs no
+    // persist + count() jobs of its own (r17; guide §1.2 — don't
+    // re-learn what the driver knows). On the distributed path the
+    // bound is None and winners keep the measured decision.
+    val labelBound = graft.api.GraftApi.localRowCount(labelsRaw)
+    val labels = graft.api.GraftApi.adaptiveBroadcast(labelsRaw)
     val sliver = docs.join(labels, col("doc_id") === col("id"))
       .select(col("doc_id"), col("cluster"), toks.as("tokens"))
     val winners = graft.api.GraftApi.adaptiveBroadcast(
       graft.api.GraftApi
         .topKPerKey(sliver, "cluster", "tokens", "doc_id", 1)
-        .select(col("doc_id").as("w_id")))
-    val losers = graft.api.GraftApi.adaptiveBroadcast(
-      sliver
-        .join(winners, col("doc_id") === col("w_id"), "left_anti")
-        .select(col("doc_id").as("l_id")))
+        .select(col("doc_id").as("w_id")),
+      knownRowBound = labelBound)
+    // kept = unlabeled (singleton cluster) OR election winner — the
+    // same predicate the r16 form computed through an explicit losers
+    // frame (labeled minus winners). Joining winners directly drops the
+    // losers anti-join pass AND its adaptiveBroadcast persist + count
+    // (r17): one fewer sliver materialization per run, same answer by
+    // set algebra (losers ≡ labeled ∖ winners ⇒ ¬loser ≡ ¬labeled ∨
+    // winner). w_id values are distinct (one row per cluster, a doc
+    // wins at most its own cluster), so the left join cannot fan out.
     docs
       .join(labels, col("doc_id") === col("id"), "left")
-      .join(losers, col("doc_id") === col("l_id"), "left")
+      .join(winners, col("doc_id") === col("w_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
         toks.as("tokens"),
-        when(col("l_id").isNull, 1L).otherwise(0L).as("kept"))
+        when(col("id").isNull || col("w_id").isNotNull, 1L)
+          .otherwise(0L).as("kept"))
   }
 
   /** Sequence packing — the batch-assembly step between a curated corpus

@@ -373,7 +373,10 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
-    val v = normed(Tables.embeddings(spark, dir))
+    // corpus off the unspread load (r17 second pass — the bruteforce
+    // precedent): scan → broadcast bucket probe feeds no shuffle, so
+    // spread()'s repartition was a dead full-payload Exchange
+    val v = normed(Tables.load(spark, dir, "embeddings"))
       .withColumn("sk", expr(sketchExpr))
     // query sliver off its own FILTERED scan (r17): deriving q from v
     // kept the vec_id < 8 predicate above normed()'s barrier, which
@@ -550,15 +553,29 @@ object Similarity {
       |  FROM scored) WHERE rn <= 5""".stripMargin,
   ) { (spark, dir) =>
     val planes = spark.range(1).select(expr(rhPlanesExpr).as("w"))
-    val v = Tables.embeddings(spark, dir)
+    // corpus off the unspread load (r17 second pass): scan → broadcast
+    // bucket probe has no downstream shuffle to feed — the bruteforce
+    // precedent (spread()'s repartition shuffled the full embedding
+    // payload to parallelize per-row work a single split does in
+    // milliseconds; multi-split corpora parallelize at the scan)
+    def sketched(base: DataFrame) = base
       .crossJoin(broadcast(planes))
       // barrier: corpus-side gate — see normed()'s r17 note
       .withColumn("nrm", graft.functions.OptimizerBarrier.barrier(nrmCol))
       .filter(col("nrm") > 0)
       .withColumn("sk", graft.functions.vec.vec_signs(col("embedding"), col("w")))
       .select("vec_id", "embedding", "nrm", "sk")
-    val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm"), col("sk").as("q_sk")).filter(col("q_id") < 8)
+    val v = sketched(Tables.load(spark, dir, "embeddings"))
+    // query sliver off its own FILTERED scan (r17 second pass): the
+    // barrier nrm in v's projection blocks predicate pushdown, so
+    // filtering v here re-ran the 8-plane sign kernel + norm over the
+    // WHOLE corpus to keep 8 rows — the same clone-class bug the first
+    // pass fixed on the lsh/ivf slivers; vec_id < 8 now pushes into
+    // this branch's own scan
+    val q = sketched(Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 8))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sk").as("q_sk"))
     val dot = vec_dot(col("q_emb"), col("embedding"))
     val scored = v.join(broadcast(q),
         col("q_sk") === col("sk") && col("q_id") =!= col("vec_id"))
@@ -659,8 +676,13 @@ object Similarity {
     "ann_ivf_kmeans_topk",
     ivfKmeansOracleSql("", "2"),
   ) { (spark, dir) =>
+    // corpus KEEPS spread (the inline Lloyd training is the heavy
+    // per-row compute spread exists for); the 8-row query sliver reads
+    // its own unspread pushed-down scan (r17 second pass)
     val emb = Tables.embeddings(spark, dir)
-    ivfSearch(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+    ivfSearch(emb,
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 8),
+      "vec_id", "embedding",
       cells = 256, nprobe = 2, iters = 1, k = 5)
   }
 
@@ -704,10 +726,13 @@ object Similarity {
     // sibling's cost for the same search. ivfIndex is deterministic, so
     // the persisted index ≡ what an inline build would train and the
     // oracle is unchanged.
-    val emb = Tables.embeddings(spark, dir)
+    // query sliver off the unspread load (r17 second pass — the
+    // ann_bruteforce precedent: 8 pushed-down rows never need the
+    // spread() repartition's Exchange + AQE round)
     val (cents, lists, stats) = persistedIvfIndex(spark, dir, cells = 256,
       iters = 1)
-    ivfSearchAutoFromIndex(cents, lists, emb.filter(col("vec_id") < 8),
+    ivfSearchAutoFromIndex(cents, lists,
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 5, oversample = 8, stats = Some(stats))
   }
 
@@ -745,7 +770,11 @@ object Similarity {
       cells = 256, iters = 1, trainTag = "t45",
       train = _.filter(col("vec_id") % 5 =!= 0))
     val (lists1, stats1) = ivfIndexUpsert(cents, lists, stats, delta)
-    ivfSearchAutoFromIndex(cents, lists1, emb.filter(col("vec_id") < 8),
+    // query sliver unspread (r17 second pass); the delta shard above
+    // KEEPS spread — the frozen-centroid 256-cell argmin assign is real
+    // per-row compute the repartition parallelizes on one-split input
+    ivfSearchAutoFromIndex(cents, lists1,
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 5, oversample = 8, stats = Some(stats1))
   }
 
@@ -1754,12 +1783,16 @@ object Similarity {
     // cell key from the bucketed layout — instead of re-training both
     // index parts inline per run. Deterministic training keeps the
     // composed oracle unchanged.
-    val emb = Tables.embeddings(spark, dir)
+    // query sliver off the UNSPREAD load (r17 second pass — the
+    // ann_bruteforce precedent): vec_id < 8 pushes into the scan and 8
+    // rows never need corpus parallelism; spread()'s repartition was a
+    // dead Exchange + AQE round on the sliver branch
     val (cents, cbs, codes, stats) = persistedIvfPqIndex(spark, dir,
       cells = 16, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
       codebookSize = 16)
     graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes,
-      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 8),
+      "vec_id", "embedding",
       nprobe = ivfPqNprobe, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
       codebookSize = 16, k = 5, stats = Some(stats))
   }
@@ -1790,8 +1823,12 @@ object Similarity {
     val (codes1, stats1) = graft.api.GraftApi.ivfPqIndexUpsert(
       cents, cbs, codes0, stats0, delta,
       numSubs = ivfPqNumSubs, subDim = ivfPqSubDim)
+    // query sliver unspread (r17 second pass; the delta shard above
+    // KEEPS spread — its frozen-codebook encode is real per-row compute
+    // that the repartition parallelizes on a single-split input)
     graft.api.GraftApi.ivfPqSearchADCFromIndex(cents, cbs, codes1,
-      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 8),
+      "vec_id", "embedding",
       nprobe = ivfPqNprobe, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
       codebookSize = 16, k = 5, stats = Some(stats1))
   }
@@ -1837,7 +1874,14 @@ object Similarity {
     "ann_ivfpq_refine_topk",
     refineOracleSql(5),
   ) { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
+    // BOTH sides off the unspread load (r17 second pass): the query
+    // sliver for the usual pushdown reason, and the refine FETCH corpus
+    // because its plan is scan → broadcast-hash probe on the |Q|·60-row
+    // shortlist → per-survivor cosine — spread()'s repartition shuffled
+    // the table's full embedding payload just to parallelize a hash
+    // probe (the ann_bruteforce precedent; on a multi-split 100 TB
+    // table spread is a no-op and the scan parallelizes itself)
+    val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 8)
     val (cents, cbs, codes, stats) = persistedIvfPqIndex(spark, dir,
       cells = 16, numSubs = ivfPqNumSubs, subDim = ivfPqSubDim,
@@ -1877,7 +1921,11 @@ object Similarity {
     */
   private[graft] def exactCosineTopK(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
-    val v = normed(Tables.embeddings(spark, dir))
+    // corpus side off the unspread load (r17 second pass): identical
+    // shape to ann_bruteforce_topk — 8 broadcast-probe dot products per
+    // row need no repartition Exchange; multi-split corpora parallelize
+    // at the scan (the measured −39% bruteforce precedent)
+    val v = normed(Tables.load(spark, dir, "embeddings"))
     // query sliver off its own filtered scan (r17) — see annBruteForce's
     // pushdown note: filtering v above normed()'s barrier would cost
     // this branch its LessThan(vec_id, 8) scan pushdown

@@ -176,10 +176,23 @@ object GraftApi {
     // winners/losers are subsets of a label set whose exact size the
     // driver already read off a LocalRelation): a bound at or under the
     // limit proves broadcast-safety without the persist + count() jobs.
-    // A bound ABOVE the limit proves nothing (it is only a bound), so
-    // fall through to the measured path.
+    // The bound must be a PROVEN upper bound (a superset's exact count),
+    // never an estimate — an understated bound forces a driver broadcast
+    // of an arbitrarily large frame, the OOM mode this verb exists to
+    // prevent. Cross-checked against the plan's own size when the frame
+    // is driver-resident (free — no job runs), so a misuse that CAN be
+    // caught fails fast instead of broadcasting.
+    knownRowBound.foreach { b =>
+      localRowCount(df).foreach { n =>
+        require(n <= b, s"adaptiveBroadcast: knownRowBound=$b understates " +
+          s"the frame's actual row count $n — the bound must be a proven " +
+          "upper bound, not an estimate")
+      }
+    }
+    // a bound ABOVE the limit proves nothing (it is only a bound), so
+    // fall through to the measured path
     if (knownRowBound.exists(_ <= limit)) return broadcast(df)
-    df.queryExecution.optimizedPlan match {
+    localRowCount(df) match {
       // already driver-resident (the union-find label path: Graph.
       // componentLabels under its own ≤localEdgeLimit guard returns a
       // LocalRelation, and ConvertToLocalRelation folds any projection/
@@ -187,9 +200,8 @@ object GraftApi {
       // running anything, so the persist + count() round-trips would
       // only ADD two scheduler jobs to re-learn a size the driver
       // already holds (r17; same decision, fewer jobs at every scale)
-      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        if (lr.data.size <= limit) broadcast(df) else df
-      case _ =>
+      case Some(n) => if (n <= limit) broadcast(df) else df
+      case None =>
         val cached = graft.CacheRegistry.track(df)
         if (cached.count() <= limit) broadcast(cached) else cached
     }

@@ -1568,10 +1568,19 @@ object GraftApi {
       .withColumn("rq_nrm", sqrt(vec_dot(col("rq_emb"), col("rq_emb"))))
       .filter(col("rq_nrm") > 0)
     val pairs = shortlist.select(col("q_id"), col("cand_id"))
+    // barrier on the fetched-side norm: without it, alias-substituting
+    // pushdown clones the full-width dot product below the broadcast
+    // probe into the CORPUS scan — every corpus row then pays O(d) to
+    // gate a |Q|·k'-row sliver (and the surviving rows paid it twice).
+    // At 100 TB that is a corpus-wide pass for a sliver-sized need; the
+    // barrier pins the norm to its post-probe projection so only fetched
+    // candidates are scored (r18; the Similarity.normed r17 idiom —
+    // plans/r18/ann_ivfpq_refine_topk_{before,after}.txt).
     val fetched = corpus
       .select(col(idCol).cast("long").as("rc_id"), col(embCol).as("rc_emb"))
       .join(broadcast(pairs), col("rc_id") === col("cand_id"))
-      .withColumn("rc_nrm", sqrt(vec_dot(col("rc_emb"), col("rc_emb"))))
+      .withColumn("rc_nrm", graft.functions.OptimizerBarrier.barrier(
+        sqrt(vec_dot(col("rc_emb"), col("rc_emb")))))
       .filter(col("rc_nrm") > 0)
     val scored = fetched.join(broadcast(q), col("rq_id") === col("q_id"))
       .select(col("q_id"), col("cand_id"),

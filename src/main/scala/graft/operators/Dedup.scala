@@ -2999,8 +2999,27 @@ object Dedup {
     val compCross = crossMass(rm, "cc")
     val compHitCross =
       crossMass(rm.join(rt, Seq("doc_a", "doc_b"), "left_semi"), "chc")
+    // Amplified-arm sketch derivation (r18): a replica shares its base
+    // doc's text and the sketch kernel is deterministic on text, so the
+    // capped-minhash-over-amp pass computes the md5-shingle kernel ONCE
+    // PER BASE DOC and replays the replica id packing over (doc_id,
+    // sketch) rows — `copies`× fewer kernel evaluations on the amplified
+    // slice, byte-identical sketches by kernel determinism
+    // (ShingleSketchSpec). Requires ampFilter to read only doc_id, which
+    // both call sites (the registered op, DedupSpec) satisfy — the same
+    // predicate selects the same rows off the sketch frame. The verify
+    // sliver still reads amp's texts (candidate-bounded, tiny under
+    // saturation); grp/ar keep reading the cached amp unchanged.
+    val baseSk = graft.CacheRegistry.track(fusedSketchFrame(base))
+    val replSk = baseSk.filter(ampFilter)
+      .select(col("doc_id"), col("sketch"),
+        explode(sequence(lit(1), lit(copies))).as("c"))
+      .select((-(col("doc_id") * 128 + col("c"))).cast("long").as("doc_id"),
+        col("sketch"))
+    val ampSk = baseSk.unionByName(replSk).filter(size(col("sketch")) > 0)
     val mh = graft.CacheRegistry.track(
-      minhashPairs(amp, 0.2).select("doc_a", "doc_b"))
+      minhashPairsPlanFused(_ => ampSk, withShingles)(amp, 0.2)
+        .select("doc_a", "doc_b"))
     val ampRep = amp.join(grp, Seq("text"))
       .select(col("doc_id"), col("rep_id"))
     val mhRep = graft.CacheRegistry.track(mh

@@ -106,25 +106,43 @@ object Bench {
 
   /** Idle gate (VERDICT r7 item 7: two rounds of committed headline
     * numbers were load-contaminated): wait — bounded, so a driver run
-    * can never hang — for load_avg_1m to drop below the threshold
-    * before the warmup pass. Returns seconds waited; the artifact
-    * records it with the final load fields, so a run that proceeded
-    * loaded after the timeout is still self-identifying.
+    * can never hang — for the host to go quiet before the warmup pass.
+    * Returns seconds waited; the artifact records it with the final
+    * load fields, so a run that proceeded loaded after the timeout is
+    * still self-identifying.
+    *
+    * r18 measurement fix (declared in OPTIMIZATION_r18.md): guest
+    * loadavg is BLIND to co-tenant hypervisor steal — the r17 driver
+    * bench released at load_avg_1m 3.0 while the host-speed canary read
+    * 0.559 st / 0.429 mt (~1.65× the calm band BASELINE.md documents,
+    * the whole run contaminated) — so the gate now also waits while
+    * either canary reads hostile. Thresholds sit ~1.3-1.5× above the
+    * calm bands every pinned artifact records (st 0.33-0.43, mt
+    * 0.15-0.22 across r12-r17): generous enough that no legitimate era
+    * stalls the gate, tight enough to sit out the 2-3× steal spikes.
+    * Same bound, same honesty fields, timed-pass methodology unchanged.
     */
   private def awaitIdle(threshold: Double = 3.0,
       maxWaitS: Int = 300): (Int, Boolean) = {
+    // cheap sample first: the loadavg read is free, the canaries cost
+    // ~1 s of deliberate spin — only probe them when load looks idle
+    def hostileNow(): Boolean = {
+      if (machineLoad()._1 > threshold) true
+      else if (ScaleSmoke.cpuCanary() > 0.50) true
+      else ScaleSmoke.cpuCanaryMt() > 0.30
+    }
     var waited = 0
-    var load = machineLoad()._1
-    while (load > threshold && waited < maxWaitS) {
-      System.err.println(s"[bench] load_avg_1m $load > " +
-        s"$threshold — waiting for idle (${waited}s)")
+    var hostile = hostileNow()
+    while (hostile && waited < maxWaitS) {
+      System.err.println(s"[bench] host busy (loadavg or canary over " +
+        s"threshold) — waiting for a calm window (${waited}s)")
       Thread.sleep(15000); waited += 15
-      load = machineLoad()._1
+      hostile = hostileNow()
     }
     // timed-out decided AT LOOP EXIT from the loop's own last sample —
     // a separate re-sample at the call site could dip below threshold
     // for one reading and record an honest-looking false
-    (waited, load > threshold)
+    (waited, hostile)
   }
 
   def main(args: Array[String]): Unit = {

@@ -3010,7 +3010,11 @@ object Dedup {
     // predicate selects the same rows off the sketch frame. The verify
     // sliver still reads amp's texts (candidate-bounded, tiny under
     // saturation); grp/ar keep reading the cached amp unchanged.
-    val baseSk = graft.CacheRegistry.track(fusedSketchFrame(base))
+    // Base rows come off the CACHED amp (doc_id >= 0 ⇔ base: replica ids
+    // are strictly negative by the packing), not a fresh documents scan —
+    // no second parquet pass, no second spread exchange.
+    val baseSk = graft.CacheRegistry.track(
+      fusedSketchFrame(amp.filter(col("doc_id") >= 0)))
     val replSk = baseSk.filter(ampFilter)
       .select(col("doc_id"), col("sketch"),
         explode(sequence(lit(1), lit(copies))).as("c"))

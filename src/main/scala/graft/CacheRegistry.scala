@@ -31,6 +31,28 @@ object CacheRegistry {
       df.persist(level)
     }
 
+  /** [[track]] + EAGER materialization (the reference's addIndex idiom).
+    *
+    * Lazy persist() has a race under AQE: when several of a plan's
+    * exchanges depend on the same cached frame, AQE submits their
+    * materialization jobs CONCURRENTLY, and every job that starts before
+    * the cache's blocks land recomputes the frame's lineage from source
+    * (block-level get-or-compute only dedups per partition, after the
+    * work has been scheduled). Measured r18 on dedup_incremental: the
+    * delta sketch stage — the op's dominant kernel — ran as three
+    * concurrent stage copies (task-time 9.6 s / 3.0 s / 0.13 s; the
+    * third found warm blocks). Pinning runs the build exactly once,
+    * before the fan-out, so use this for tracked frames that are (a)
+    * expensive to compute and (b) read by more than one exchange of the
+    * same query. count() touches every partition and a persist boundary
+    * materializes all cached columns regardless of the count's pruning.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val cached = track(df)
+    cached.count()
+    cached
+  }
+
   /** Remember an already-persisted DataFrame for the next drain(). */
   def register(df: DataFrame): DataFrame = synchronized {
     live += df

@@ -980,7 +980,11 @@ object Dedup {
   def incrementalPairsFromIndex(corpusSk: DataFrame, corpusPost: DataFrame,
       corpusHcnt: DataFrame, deltaSk: DataFrame,
       jaccardMin: Double): DataFrame = {
-    val dSk = graft.CacheRegistry.track(deltaSk)
+    // pinned, not lazily tracked: the delta sketch feeds several of the
+    // serve's exchanges, and AQE's concurrent stage materialization
+    // raced the lazy cache into 2-3 full recomputes of the shard's
+    // sketch kernel (CacheRegistry.pin scaladoc carries the r18 numbers)
+    val dSk = graft.CacheRegistry.pin(deltaSk)
     val deltaBuckets = graft.CacheRegistry.track(
       dSk.select(col("doc_id"), explode(col("sketch")).as("h")))
     // MERGE (not shuffle-hash): the corpus tables are bucketed AND
@@ -1022,10 +1026,13 @@ object Dedup {
   def incrementalPairsUpsertServe(corpusSk: DataFrame,
       corpusPost: DataFrame, corpusHcnt: DataFrame, absorbSk0: DataFrame,
       deltaSk: DataFrame, jaccardMin: Double): DataFrame = {
-    val absorbSk = graft.CacheRegistry.track(absorbSk0)
+    // both shard sketches pinned (see incrementalPairsFromIndex / the
+    // CacheRegistry.pin scaladoc): each feeds several exchanges of the
+    // merged serve, and the lazy-cache race re-ran the sketch kernels
+    val absorbSk = graft.CacheRegistry.pin(absorbSk0)
     val aPost = graft.CacheRegistry.track(
       absorbSk.select(col("doc_id"), explode(col("sketch")).as("h")))
-    val dSk = graft.CacheRegistry.track(deltaSk)
+    val dSk = graft.CacheRegistry.pin(deltaSk)
     val deltaBuckets = graft.CacheRegistry.track(
       dSk.select(col("doc_id"), explode(col("sketch")).as("h")))
     val an = aPost.groupBy("h").agg(countDistinct(col("doc_id")).as("an"))
